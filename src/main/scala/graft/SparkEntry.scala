@@ -1,13 +1,47 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.queries.{ExtensionQueries, ParityQueries}
+import graft.sources.Tables
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    *
+    * The minimum end-to-end slice from SURVEY.md §7.3: latest event per
+    * user (W3) → broadcast enrichment join with customer (J2-class) →
+    * guarded derived ratio (X6) → top-15 (W5). Exercises every physical
+    * node class the engine uses: parquet scan → hash exchange → window →
+    * broadcast hash join → project → TakeOrderedAndProject.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    val latestEvent = WindowOps.latestPerGroup(
+      Tables.events(spark, d), "user_id",
+      orderCols = Seq(col("ts"), col("event_id")),
+      lastNonNullCols = Nil)
+    latestEvent
+      .join(broadcast(Tables.customer(spark, d)),
+        col("user_id") === col("c_custkey"), "inner")
+      .select(
+        col("user_id"), col("c_name"), col("event_type"),
+        col("value").as("latest_value"),
+        RowOps.guardedRatio(col("value"), col("c_acctbal")).as("value_per_acctbal"))
+      .orderBy(col("value_per_acctbal").desc, col("user_id"))
+      .limit(15)
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ §7.4 extensions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ParityQueries.queries ++ ExtensionQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (MinHash-LSH, SimHash, ANN) → driver records a rows-only check. */
+  def oracleSql: Map[String, String] =
+    ParityQueries.oracles ++ ExtensionQueries.oracles
 }

@@ -1,0 +1,161 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a 100 TB training-data pipeline
+  * (SURVEY.md §7.4): exact, blocked token-Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design: every variant is candidate-generation-by-key →
+  * shuffle-on-bucket → verify-within-bucket. No O(n²) comparisons, no
+  * driver-side state; the only joins are equi-joins on bucket keys, so
+  * they hash-partition cleanly across 1000 executors.
+  */
+object Dedup {
+
+  /** Exact dedup: group by normalized-text hash, keep the min-id doc.
+    * One map-side-combinable hash aggregation. */
+  def exactGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .groupBy(TextAnalysis.normHash(col(textCol)).as("fingerprint"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
+
+  /** Blocked token-set Jaccard near-dup pairs.
+    *
+    * Blocking key = (source, n_chars/32 bucket): near-identical docs land
+    * in the same block, and block sizes stay bounded as the corpus grows
+    * (pairs scale ~linearly with docs, not quadratically). Jaccard is
+    * |A∩B| / (|A|+|B|−|A∩B|) over distinct-token arrays — all codegen'd
+    * array built-ins.
+    */
+  def tokenJaccardPairs(
+      docs: DataFrame,
+      threshold: Double): DataFrame = {
+    val prepared = docs.select(
+      col("doc_id"), col("source"),
+      floor(col("n_chars") / 32.0).cast("long").as("bkt"),
+      array_distinct(TextAnalysis.tokens(col("text"))).as("toks"))
+    val a = prepared.select(col("doc_id").as("a_id"), col("source"),
+      col("bkt"), col("toks").as("a_toks"))
+    val b = prepared.select(col("doc_id").as("b_id"), col("source"),
+      col("bkt"), col("toks").as("b_toks"))
+    a.join(b, Seq("source", "bkt"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("shared",
+        size(array_intersect(col("a_toks"), col("b_toks"))).cast("double"))
+      .withColumn("jaccard", round(
+        col("shared") /
+          (size(col("a_toks")) + size(col("b_toks")) - col("shared")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** MinHash signature: k permutations approximated by k seeded xxhash64
+    * functions over w-token shingles; signature[i] = min hash under seed
+    * i. Pure array expressions — one pass, no shuffle. */
+  def withMinHashSignature(
+      docs: DataFrame, textCol: String, numHashes: Int, shingleWidth: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val shingles = transform(
+      sequence(lit(1), greatest(size(toks) - (shingleWidth - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(shingleWidth))))
+    val sig = array((0 until numHashes).map { seed =>
+      array_min(transform(shingles, sh => xxhash64(lit(seed), sh)))
+    }: _*)
+    docs.withColumn("minhash_sig", sig)
+  }
+
+  /** MinHash-LSH candidate pairs: split the signature into `bands` bands
+    * of rows, bucket-join on (band index, band hash), then estimate
+    * Jaccard from signature agreement and threshold.
+    *
+    * The band explode multiplies rows by `bands` (bounded, ~8×), the
+    * join is an equi-join on the band bucket — the classic scale-out LSH
+    * plan (shuffle keys are uniformly distributed hash values, no skew).
+    */
+  def minHashLshPairs(
+      docs: DataFrame,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      maxBucket: Int = 100): DataFrame = {
+    val rows = numHashes / bands
+    val signed = withMinHashSignature(docs, "text", numHashes, 3)
+      .select(col("doc_id"), col("minhash_sig"))
+    val banded = signed.select(
+      col("doc_id"), col("minhash_sig"),
+      explode(array((0 until bands).map { bi =>
+        struct(lit(bi).as("band"),
+          xxhash64(slice(col("minhash_sig"), bi * rows + 1, rows)).as("bhash"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("minhash_sig"),
+        col("bb.band").as("band"), col("bb.bhash").as("bhash"))
+      // skew guard: a degenerate bucket (e.g. boilerplate-heavy corpora)
+      // would make the self-join quadratic; cap candidate buckets.
+      .withColumn("__bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bhash")))
+      .filter(col("__bsize") <= maxBucket)
+      .drop("__bsize")
+    val a = banded.select(col("band"), col("bhash"),
+      col("doc_id").as("a_id"), col("minhash_sig").as("a_sig"))
+    val b = banded.select(col("band"), col("bhash"),
+      col("doc_id").as("b_id"), col("minhash_sig").as("b_sig"))
+    a.join(b, Seq("band", "bhash"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sig"), col("b_sig"))
+      .distinct()
+      .withColumn("est_jaccard", round(
+        size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
+          b => b)).cast("double") / numHashes, 4))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("est_jaccard"))
+  }
+
+  /** 64-bit SimHash over token hashes: bit j of the fingerprint is the
+    * sign of Σ_tokens (bit_j(xxhash64(token)) ? +1 : −1). Near-dup docs
+    * differ in few bits (small Hamming distance). */
+  def withSimHash(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val hashes = transform(toks, t => xxhash64(t))
+    val sim = (0 until 64).map { j =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(lit(-1L)))
+      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    docs.withColumn("simhash", sim)
+  }
+
+  /** SimHash near-dup pairs: block on 4×16-bit chunks (any chunk equal →
+    * candidate; Hamming ≤ 3 guarantees ≥1 equal chunk by pigeonhole),
+    * verify with bit_count(xor). */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 100): DataFrame = {
+    val signed = withSimHash(docs, "text").select(col("doc_id"), col("simhash"))
+    val chunked = signed.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { ci =>
+        struct(lit(ci).as("chunk"),
+          shiftright(col("simhash"), ci * 16).bitwiseAND(0xFFFFL).as("ckey"))
+      }: _*)).as("cc"))
+      .select(col("doc_id"), col("simhash"),
+        col("cc.chunk").as("chunk"), col("cc.ckey").as("ckey"))
+      // same skew guard as MinHash-LSH: near-uniform corpora can
+      // collapse a 16-bit chunk into one giant bucket.
+      .withColumn("__bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("chunk", "ckey")))
+      .filter(col("__bsize") <= maxBucket)
+      .drop("__bsize")
+    val a = chunked.select(col("chunk"), col("ckey"),
+      col("doc_id").as("a_id"), col("simhash").as("a_sim"))
+    val b = chunked.select(col("chunk"), col("ckey"),
+      col("doc_id").as("b_id"), col("simhash").as("b_sim"))
+    a.join(b, Seq("chunk", "ckey"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sim"), col("b_sim"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+}

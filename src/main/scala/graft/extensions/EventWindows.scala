@@ -1,0 +1,65 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Summaries
+
+/** Event-time windowing over the `events` table (SURVEY.md §7.4) —
+  * batch DataFrame forms that transfer 1:1 to Structured Streaming
+  * (same expressions under `readStream` + watermark; see
+  * [[graft.streaming.StreamingOps]]).
+  */
+object EventWindows {
+
+  /** Tumbling event-time window aggregation via the built-in `window()`
+    * (epoch-aligned, like the reference's none — this is extension
+    * surface; oracle-matched through the epoch-second bucket start). */
+  def tumbling(events: DataFrame, duration: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), duration).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Summaries.exactSum(col("value"), 2).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("bucket_start_s"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Sessionization as gaps-and-islands: a new session starts when the
+    * gap to the previous event (per user) exceeds `gapSeconds`; session
+    * id = running count of session starts. Pure window functions —
+    * deterministic, oracle-expressible, and the exact batch semantics of
+    * `session_window`. */
+  def sessionize(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val secs = unix_timestamp(col("ts"))
+    val isNew = when(
+      lag(secs, 1).over(byUser).isNull ||
+        secs - lag(secs, 1).over(byUser) > gapSeconds, 1L).otherwise(0L)
+    events
+      .withColumn("__secs", secs)
+      .withColumn("session_id",
+        sum(isNew).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("__secs")).as("session_start_s"),
+        (max(col("__secs")) - min(col("__secs"))).as("duration_s"))
+  }
+
+  /** The built-in `session_window` form (same semantics, state-store
+    * backed under streaming). Kept alongside `sessionize` so the batch
+    * oracle checks the hand-rolled form while streaming uses this one. */
+  def sessionWindowAgg(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start_s"),
+        col("n_events"))
+
+  /** `from_json` over the `props` JSON string column — the map/json
+    * scalar surface the reference lacks (SURVEY.md §2.H). */
+  def parsedProps(events: DataFrame): DataFrame =
+    events.withColumn("k",
+      get_json_object(col("props"), "$.k").cast("long"))
+}

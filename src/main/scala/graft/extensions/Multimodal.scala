@@ -1,0 +1,81 @@
+package graft.extensions
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (SURVEY.md §7.4): media payloads travel as
+  * opaque `binary` columns with typed metadata; decode / feature-extract
+  * runs batch-wise inside `mapPartitions` so one task amortizes decoder
+  * setup over its whole partition (the Scala analogue of `mapInPandas`
+  * batches).
+  *
+  * The actual codec is STUBBED (no image/audio libs in this container):
+  * `fakeDecode` derives deterministic pseudo-features from the bytes.
+  * The Spark-side contract — schema, partitioning, batch shape — is real
+  * and tested; swap `fakeDecode` for a JNI/ffmpeg/opencv call in
+  * production.
+  */
+object Multimodal {
+
+  /** Typed metadata emitted per media blob. */
+  case class MediaMeta(
+      doc_id: Long,
+      n_bytes: Long,
+      checksum: Long,
+      width: Int,      // stub: derived from checksum
+      height: Int,     // stub: derived from checksum
+      frames: Int)     // stub: derived from length
+
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("checksum", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("frames", IntegerType, nullable = false)
+  ))
+
+  /** Attach a binary payload column (here: utf-8 bytes of `text` stand
+    * in for real media bytes; in production this is the raw blob column
+    * of the media table). */
+  def withBinaryPayload(docs: DataFrame): DataFrame =
+    docs.withColumn("payload", col("text").cast("binary"))
+
+  /** STUB decoder — deterministic fake features in place of a real
+    * image/audio decode. Pure function of the bytes. */
+  private def fakeDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val crc = new java.util.zip.CRC32
+    crc.update(bytes)
+    val c = crc.getValue
+    MediaMeta(
+      doc_id = id,
+      n_bytes = bytes.length.toLong,
+      checksum = c,
+      width = (c % 1920).toInt + 1,
+      height = ((c >> 11) % 1080).toInt + 1,
+      frames = bytes.length / 64 + 1)
+  }
+
+  /** Batch decode: one decoder instance per partition, streamed over the
+    * partition's rows — the shape a real codec needs (setup cost
+    * amortized, bounded memory, no driver involvement). */
+  def decodeMeta(spark: SparkSession, withPayload: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    withPayload
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // real impl: val decoder = Codec.open(); rows.map(decoder.decode)
+        rows.map { case (id, bytes) => fakeDecode(id, bytes) }
+      }
+  }
+
+  /** Relational fast-path for the metadata that needs no decode —
+    * byte length + crc32 are Spark built-ins (codegen'd, oracle-able). */
+  def payloadStats(withPayload: DataFrame): DataFrame =
+    withPayload.select(
+      col("doc_id"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      crc32(col("payload")).as("checksum"))
+}

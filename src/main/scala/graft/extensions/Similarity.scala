@@ -1,0 +1,104 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`ArrayType(FloatType)`,
+  * SURVEY.md §7.4).
+  *
+  * Two tiers: brute-force cosine top-k (the correctness baseline — a
+  * broadcast of the query vector + one scan, fine at any corpus size for
+  * a single query), and an LSH-bucketed ANN variant (random-hyperplane
+  * signatures; the scale path when querying many vectors — candidate
+  * generation becomes an equi-join on bucket keys instead of a full
+  * scan per query).
+  *
+  * All arithmetic is `zip_with`/`aggregate` array built-ins in double
+  * precision with a fixed left-to-right fold — deterministic across
+  * partitionings.
+  */
+object Similarity {
+
+  /** Elementwise dot product in double precision (fixed fold order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k against the embedding of `queryId`.
+    * The 1-row query side is broadcast; `orderBy.limit` plans as
+    * TakeOrderedAndProject (per-partition heap, no global sort). */
+  def bruteForceTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val query = embeddings
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding").as("query_vec"))
+    embeddings
+      .crossJoin(broadcast(query))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        round(cosine(col("embedding"), col("query_vec")), 4).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component (p, d) derived
+    * from xxhash64 — reproducible across runs/executors with no
+    * driver-side RNG state. Maps hash to [-1, 1). */
+  private def planeComponent(p: Int, d: Column): Column =
+    (pmod(xxhash64(lit(p), d), lit(2000001L)).cast("double") / 1000000.0) - 1.0
+
+  /** Random-hyperplane (SRP) signature: bit p = sign(v · plane_p). */
+  def srpSignature(vec: Column, numPlanes: Int): Column = {
+    val dims = size(vec)
+    (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), dims - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: bucket = 16-bit SRP signature; search only the
+    * query's bucket plus buckets at Hamming distance 1 (multi-probe).
+    * Recall is tunable via planes/probes; candidate set is ~corpus/2^16
+    * per probe instead of the full corpus. */
+  def annTopK(embeddings: DataFrame, queryId: Long, k: Int,
+      numPlanes: Int = 16): DataFrame = {
+    val signed = embeddings.withColumn("bucket",
+      srpSignature(col("embedding"), numPlanes))
+    val query = signed.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("query_vec"), col("bucket").as("qbucket"))
+    val candidates = signed
+      .crossJoin(broadcast(query))
+      .filter(col("vec_id") =!= queryId)
+      // multi-probe: exact bucket or Hamming-1 neighbor
+      .filter(bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= 1)
+    candidates
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        round(cosine(col("embedding"), col("query_vec")), 4).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs via SRP bucketing: vectors
+    * sharing a bucket are candidates; verify with exact cosine. Scale:
+    * equi-join on bucket key, no O(n²). */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
+      numPlanes: Int = 12): DataFrame = {
+    val signed = embeddings.select(col("vec_id"),
+      col("embedding"), srpSignature(col("embedding"), numPlanes).as("bucket"))
+    val a = signed.select(col("bucket"), col("vec_id").as("a_id"),
+      col("embedding").as("a_vec"))
+    val b = signed.select(col("bucket"), col("vec_id").as("b_id"),
+      col("embedding").as("b_vec"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine_sim", round(cosine(col("a_vec"), col("b_vec")), 4))
+      .filter(col("cosine_sim") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cosine_sim"))
+  }
+}

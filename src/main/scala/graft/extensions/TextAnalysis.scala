@@ -1,0 +1,84 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (SURVEY.md §7.4):
+  * token counting, quality scoring, language-ID heuristic, document
+  * fingerprinting. All pure `Column` expressions (codegen'd, no UDFs) so
+  * they run inside one whole-stage-codegen span over the scan at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (documents.text is single-space separated;
+    * swap the delimiter regex for messier corpora). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("long")
+
+  /** Type-token ratio — a standard lexical-diversity quality signal. */
+  def typeTokenRatio(text: Column): Column =
+    round(distinctTokenCount(text).cast("double") / tokenCount(text), 4)
+
+  /** Mean token length, computed from char count + token count (exact
+    * for single-space text: chars = sum(len) + (n-1) separators). */
+  def avgTokenLength(text: Column, nChars: Column): Column =
+    round((nChars - tokenCount(text) + 1).cast("double") / tokenCount(text), 4)
+
+  /** Composite quality score in [0,1]: length band + lexical diversity +
+    * low repetition. Deterministic, tune weights per corpus. */
+  def qualityScore(text: Column, nChars: Column): Column = {
+    val lengthOk = when(nChars.between(100, 5000), 1.0).otherwise(0.5)
+    val ttr = distinctTokenCount(text).cast("double") / tokenCount(text)
+    round(lengthOk * 0.4 + least(ttr * 2, lit(1.0)) * 0.6, 4)
+  }
+
+  /** Stopword tables for the n-gram language-ID heuristic. Tiny constant
+    * lists — folded into codegen, never a join. */
+  val StopwordSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "dans")
+  )
+
+  /** Language-ID: count stopword hits per candidate language, argmax
+    * with a fixed precedence for ties (first in `StopwordSets` wins).
+    * Unknown when nothing matches. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = StopwordSets.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words.map(lit): _*)))
+    }
+    val anyHit = scores.map(_._2).reduce(_ + _) > 0
+    // argmax with fixed tie precedence = ordered when-chain
+    val chain = scores.foldRight(lit("unknown")) { case ((lang, s), els) =>
+      val isMax = scores.map(_._2).map(o => s >= o).reduce(_ && _)
+      when(isMax, lit(lang)).otherwise(els)
+    }
+    when(anyHit, chain).otherwise(lit("unknown"))
+  }
+
+  /** Per-language stopword score columns (for profiling / thresholding). */
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    StopwordSets.map { case (lang, words) =>
+      s"score_$lang" ->
+        size(filter(toks, t => t.isin(words.map(lit): _*))).cast("long")
+    }
+  }
+
+  /** Content-defined document fingerprint: md5 of the sorted distinct
+    * token set — invariant to token order and duplication, the standard
+    * cheap "same bag of words" key. 16-hex-char prefix keeps it compact
+    * (64 bits — collision-safe to ~billions of docs). */
+  def fingerprint(text: Column): Column =
+    substring(md5(array_join(array_sort(array_distinct(tokens(text))), " ")
+      .cast("binary")), 1, 16)
+
+  /** Exact normalized-text hash (full md5) for exact dedup. */
+  def normHash(text: Column): Column = md5(lower(trim(text)).cast("binary"))
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join-family operators (SURVEY.md §2.F) + key-set diagnostics.
+  *
+  * Scale notes: dimension-sized sides are explicitly `broadcast()`; the
+  * presence/mapping tables are built from `distinct` single-column
+  * frames (map-side combinable) so they stay bounded regardless of fact
+  * cardinality. Multi-way fact joins rely on Catalyst/AQE for strategy
+  * and reorder.
+  */
+object Joins {
+
+  /** J1 — full-outer presence join (reference `create_mapping_table`,
+    * data_merger.py:29-64: set algebra + a Python row loop → one
+    * relational plan). Output: one row per key with
+    * `in_left`/`in_right`/`can_merge` flags. */
+  def presenceTable(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      outKey: String): DataFrame = {
+    val l = left.select(col(leftKey).as(outKey)).distinct()
+      .withColumn("in_left", lit(true))
+    val r = right.select(col(rightKey).as(outKey)).distinct()
+      .withColumn("in_right", lit(true))
+    l.join(r, Seq(outKey), "full_outer")
+      .withColumn("in_left", coalesce(col("in_left"), lit(false)))
+      .withColumn("in_right", coalesce(col("in_right"), lit(false)))
+      .withColumn("can_merge", col("in_left") && col("in_right"))
+  }
+
+  /** J5 — key-set diagnostics (reference compare_data_sources,
+    * data_loader.py:221-256; identify_matching_countries,
+    * data_cleaner.py:259-299). One plan, three filters over J1 —
+    * preferred over separate intersect/except scans (SURVEY.md J5). */
+  def keySetDiagnostics(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      outKey: String): DataFrame = {
+    presenceTable(left, leftKey, right, rightKey, outKey)
+      .withColumn("membership",
+        when(col("can_merge"), "both")
+          .when(col("in_left"), "left_only")
+          .otherwise("right_only"))
+      .select(outKey, "membership")
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Profiling / summary aggregates (SURVEY.md §2.E W6–W12).
+  *
+  * All are single two-phase hash aggregations (partial map-side combine →
+  * final) — the per-column profiles are computed in ONE pass over the
+  * data by generating one aggregate expression per column, never one job
+  * per column.
+  */
+object Summaries {
+
+  /** W9/W10 — missing-data / completeness profile
+    * (data_cleaner.py:110-122, data_merger.py:378-392): per column,
+    * null count + null %, one row per profiled column. Single scan. */
+  def missingProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("total_rows") +:
+      cols.map(c => sum(col(c).isNull.cast("long")).as(s"__null_$c"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot to (column, total, nulls, pct) — stack() stays one pass
+    val stackArgs = cols
+      .map(c => s"'$c', __null_$c")
+      .mkString(", ")
+    one.selectExpr(
+        "total_rows",
+        s"stack(${cols.size}, $stackArgs) as (column_name, null_count)")
+      .select(
+        col("column_name"),
+        col("total_rows"),
+        col("null_count"),
+        round(col("null_count") / col("total_rows") * 100, 1)
+          .as("null_percent"))
+  }
+
+  /** W7/W11 — conditional counts (reference `(cond).sum()` idiom,
+    * visualizer.py:279-315, data_merger.py:394-401,
+    * data_cleaner.py:125-144). */
+  def countIf(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
+
+  /** W12 — histogram binning with fixed bounds
+    * (visualizer.py:266-272 et al.): bin id = floor((x−min)/width),
+    * expressed relationally (groupBy bin → count). Fixed, injected
+    * bounds keep it one pass and oracle-deterministic. */
+  def histogram(df: DataFrame, c: Column, minVal: Double, width: Double): DataFrame =
+    df.filter(c.isNotNull)
+      .groupBy(floor((c - lit(minVal)) / lit(width)).as("bin"))
+      .count()
+
+  /** W8 — Pearson correlation via explicitly-ordered exact moments.
+    * `corr()` over doubles is partition-order dependent in the last ulp
+    * (SURVEY.md §7.5.5); summing exact decimals then combining a handful
+    * of scalars in double is bit-deterministic and matches a DuckDB
+    * oracle computing the same formula. */
+  def pearson(df: DataFrame, groupCols: Seq[Column], x: Column, y: Column,
+      scale: Int = 6): DataFrame = {
+    val dec = "decimal(38,10)"
+    df.groupBy(groupCols: _*)
+      .agg(
+        count(lit(1)).cast("double").as("__n"),
+        sum(x.cast(dec)).cast("double").as("__sx"),
+        sum(y.cast(dec)).cast("double").as("__sy"),
+        sum((x * y).cast(dec)).cast("double").as("__sxy"),
+        sum((x * x).cast(dec)).cast("double").as("__sxx"),
+        sum((y * y).cast(dec)).cast("double").as("__syy"))
+      .withColumn("corr_xy", round(
+        (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+          sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
+               (col("__n") * col("__syy") - col("__sy") * col("__sy"))),
+        scale))
+      .drop("__n", "__sx", "__sy", "__sxy", "__sxx", "__syy")
+  }
+
+  /** Decimal-exact sum of a double column, emitted as a rounded double.
+    * Summing doubles is partition-order nondeterministic; casting each
+    * value to an exact decimal makes the aggregate associative-exact,
+    * then one final round+cast gives a stable, oracle-matchable double. */
+  def exactSum(c: Column, scale: Int = 2): Column =
+    round(sum(c.cast("decimal(38,6)")), scale).cast("double")
+
+  /** Decimal-exact mean: exact sum, one IEEE division at the end,
+    * deliberately UNROUNDED — rounding a quotient that often terminates
+    * exactly at the target digit (sum/count with small counts) hits
+    * engine-specific round-half ties; the raw double is bit-identical
+    * across engines instead. */
+  def exactAvg(c: Column): Column =
+    sum(c.cast("decimal(38,6)")).cast("double") / count(c)
+}

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Grouped / windowed operators — the semantic core (SURVEY.md §2.E).
+  *
+  * The reference gets order-dependent semantics "for free" from a
+  * physical pre-sort (data_loader.py:119) + single-threaded pandas.
+  * Spark's `groupBy().agg(last(...))` is order-NONdeterministic, so every
+  * order-dependent op here is expressed as a window over an explicit
+  * (partitionBy, orderBy) — correct under any physical row order and any
+  * partitioning (SURVEY.md §7.5.1). One hash exchange on the partition
+  * key serves all of W1–W4 when they share keys.
+  */
+object WindowOps {
+
+  /** W1 — forward-fill per group (reference
+    * `df.groupby("country")[col].ffill()`, data_cleaner.py:174-185):
+    * within each partition key ordered by `orderCols`, carry the last
+    * non-null value forward. */
+  def forwardFill(
+      df: DataFrame,
+      partCol: String,
+      orderCols: Seq[String],
+      fillCols: Seq[String]): DataFrame = {
+    val w = Window
+      .partitionBy(partCol)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fillCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+
+  /** W2 — lag-diff per group (reference
+    * `groupby("country")[col].diff()`, data_cleaner.py:188-194):
+    * cumulative → daily increments; first row per group NULL → 0, and
+    * negative corrections clipped to 0 (X3/X4 applied by the caller or
+    * via `fillAndClip`). */
+  def lagDiff(
+      df: DataFrame,
+      partCol: String,
+      orderCols: Seq[String],
+      srcCol: String,
+      outCol: String): DataFrame = {
+    val w = Window.partitionBy(partCol).orderBy(orderCols.map(col): _*)
+    df.withColumn(outCol, col(srcCol) - lag(col(srcCol), 1).over(w))
+  }
+
+  /** fillna(0) + clip(lower=0) exactly as the reference chains them
+    * after diff (data_cleaner.py:190,194). */
+  def fillAndClip(df: DataFrame, c: String): DataFrame =
+    df.withColumn(c, RowOps.clipNonNegative(coalesce(col(c), lit(0.0))))
+
+  /** W3 — latest-per-group temporal alignment (reference
+    * `align_temporal_data`, data_merger.py:67-119): per key, the max-date
+    * row plus the LAST NON-NULL value of each metric in date order
+    * (pandas named-agg `"last"` skips NaN over the pre-sorted frame).
+    *
+    * Spark form: full-frame ordered window `last(ignoreNulls)` for the
+    * metrics + `row_number == 1` on descending order for the row
+    * identity. Deterministic under row-order permutation given a total
+    * order (`orderCols` must include a tiebreaker). */
+  def latestPerGroup(
+      df: DataFrame,
+      partCol: String,
+      orderCols: Seq[Column],
+      lastNonNullCols: Seq[String]): DataFrame = {
+    val ordered = Window.partitionBy(partCol).orderBy(orderCols: _*)
+    val full = ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withLasts = lastNonNullCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(full))
+    }
+    withLasts
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(partCol).orderBy(orderCols.map(_.desc): _*)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** W4 — trend metrics per group over a trailing window (reference
+    * `calculate_trend_metrics`, data_merger.py:122-223 — a per-country
+    * Python loop re-expressed as ONE window + ONE aggregation, no
+    * driver-side iteration).
+    *
+    * Per key over rows within the last `windowDays` of the global max
+    * date: positional first/last of `firstLastCols` (reference `iloc[0]`
+    * / `iloc[-1]`, NaN→0 AFTER selection), arithmetic mean of `avgCols`
+    * (NaN-skipping, = Spark `avg`), min/max date, row count; groups with
+    * <2 rows dropped (data_merger.py:151-152). */
+  def trendMetrics(
+      df: DataFrame,
+      partCol: String,
+      dateCol: String,
+      tieBreak: Seq[Column],
+      firstLastCols: Seq[String],
+      avgCols: Seq[String],
+      windowDays: Int): DataFrame = {
+    val windowed = RowOps.lastNDays(df, dateCol, windowDays)
+    val ord = (col(dateCol) +: tieBreak)
+    val w = Window.partitionBy(partCol).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withFl = firstLastCols.foldLeft(windowed) { (d, c) =>
+      d.withColumn(s"__first_$c", first(col(c)).over(w))
+        .withColumn(s"__last_$c", last(col(c)).over(w))
+    }
+    // __first_/__last_ are constant within each group (full-frame window),
+    // so min() reads them back deterministically regardless of row order;
+    // avg is computed as exact-decimal sum / non-null count (= pandas
+    // NaN-skipping mean) to be partition-order stable (SURVEY.md §7.5.5).
+    val aggs =
+      firstLastCols.flatMap(c => Seq(
+        coalesce(min(col(s"__first_$c")), lit(0.0)).as(s"first_$c"),
+        coalesce(min(col(s"__last_$c")), lit(0.0)).as(s"last_$c"))) ++
+      avgCols.map(c =>
+        (sum(col(c).cast("decimal(38,6)")).cast("double") / count(col(c)))
+          .as(s"avg_$c")) ++
+      Seq(
+        min(col(dateCol)).as("window_start"),
+        max(col(dateCol)).as("window_end"),
+        count(lit(1)).as("data_points_available"))
+    withFl
+      .groupBy(col(partCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("data_points_available") >= 2)
+  }
+
+  /** W5 — global top-k (reference `nlargest`, data_merger.py:406-411 &
+    * friends). `orderBy(...).limit(n)` plans as
+    * `TakeOrderedAndProject` — a per-partition heap + driver merge, NOT a
+    * global sort; scale-safe. `sortCols` must totally order rows. */
+  def topK(df: DataFrame, sortCols: Seq[Column], n: Int): DataFrame =
+    df.orderBy(sortCols: _*).limit(n)
+}

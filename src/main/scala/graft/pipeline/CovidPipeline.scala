@@ -1,0 +1,158 @@
+package graft.pipeline
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** The reference's full integration pipeline (§3.1 of SURVEY.md),
+  * re-composed Spark-first over reference-shaped DataFrames
+  * (schemas: FIXTURES.md §A; reference flow: data_loader.py →
+  * data_cleaner.py → data_merger.py).
+  *
+  * Everything is lazy plan construction — one Catalyst plan end-to-end,
+  * with exactly two hash exchanges on `country_standardized` (one for
+  * the OWID window ops, one implicit in the trend aggregation) and
+  * broadcast joins everywhere a side is bounded.
+  *
+  * Determinism: the reference calls `datetime.now()`
+  * (data_merger.py:272,291); we inject `asOf` (SURVEY.md §7.5.4).
+  */
+object CovidPipeline {
+
+  case class Config(
+      trendWindowDays: Int = 30,            // config/constants.py:64
+      asOf: LocalDate = LocalDate.parse("2024-01-01"))
+
+  /** Clean OWID historical frame (reference clean pipeline:
+    * data_loader.py:72-121 + data_cleaner.py:154-203):
+    * standardize → exclusion filters → ffill cumulative cols →
+    * lag-diff daily metrics → source tag. */
+  def cleanOwid(owid: DataFrame): DataFrame = {
+    val cumulative = Seq("total_cases", "total_deaths", "total_tests",
+      "people_vaccinated", "total_vaccinations")
+    val std = Standardize.standardize(
+      owid, "country", Standardize.CountryNameMapping, "country_standardized")
+    val filtered = RowOps.excludeRegex(
+      RowOps.excludeValues(
+        RowOps.excludeValues(std, col("iso_code"), Standardize.ExcludeIsoCodes),
+        col("country"), Standardize.ExcludeRegions),
+      col("country"), Standardize.ExcludePattern)
+    val filled = WindowOps.forwardFill(
+      filtered, "country_standardized", Seq("date"), cumulative)
+    val withDiffs = Seq("total_cases" -> "new_cases", "total_deaths" -> "new_deaths")
+      .foldLeft(filled) { case (d, (src, out)) =>
+        WindowOps.fillAndClip(
+          WindowOps.lagDiff(d, "country_standardized", Seq("date"), src, out), out)
+      }
+    withDiffs.withColumn("data_source", lit("owid_historical"))
+  }
+
+  /** Clean disease.sh snapshot frame (data_cleaner.py:206-256):
+    * standardize (identity map) → exclusions → clip negatives (except
+    * lat/long) → per-100k + CFR → source tag. */
+  def cleanApi(api: DataFrame): DataFrame = {
+    val std = api.withColumn("country_standardized", col("country"))
+    val filtered = RowOps.excludeRegex(
+      RowOps.excludeValues(std, col("country"), Standardize.ExcludeRegions),
+      col("country"), Standardize.ExcludePattern)
+    val clipCols = Seq("current_cases", "current_deaths", "current_recovered",
+      "current_active", "current_critical", "tests_total", "population")
+    val clipped = clipCols.foldLeft(filtered) { (d, c) =>
+      d.withColumn(c, RowOps.clipNonNegative(col(c)))
+    }
+    clipped
+      .withColumn("cases_per_100k",
+        RowOps.per100k(col("current_cases"), col("population")))
+      .withColumn("case_fatality_rate",
+        RowOps.guardedRatio(col("current_deaths"), col("current_cases")))
+      .withColumn("data_source", lit("disease_sh_current"))
+  }
+
+  /** W3 — temporal alignment of the historical side
+    * (align_temporal_data, data_merger.py:67-119): latest row + last
+    * non-null metrics per country, prefixed `owid_`. */
+  def alignOwid(cleanedOwid: DataFrame): DataFrame = {
+    val latest = WindowOps.latestPerGroup(
+      cleanedOwid, "country_standardized",
+      orderCols = Seq(col("date")),
+      lastNonNullCols = Seq("total_cases", "total_deaths", "new_cases",
+        "new_deaths", "population", "iso_code"))
+    val picked = latest.select("country_standardized", "date", "total_cases",
+      "total_deaths", "new_cases", "new_deaths", "population", "iso_code",
+      "country")
+    RowOps.prefixColumns(picked, "owid_", keep = Set("country_standardized"))
+  }
+
+  /** Prefix the snapshot side `api_` (merge_datasets, data_merger.py:100-111). */
+  def alignApi(cleanedApi: DataFrame): DataFrame =
+    RowOps.prefixColumns(
+      cleanedApi.select("country_standardized", "current_cases",
+        "current_deaths", "current_recovered", "population", "iso_code",
+        "cases_per_100k", "case_fatality_rate", "last_updated"),
+      "api_", keep = Set("country_standardized"))
+
+  /** W4 — 30-day trend metrics (calculate_trend_metrics,
+    * data_merger.py:122-223). */
+  def trendMetrics(cleanedOwid: DataFrame, cfg: Config): DataFrame = {
+    val t = WindowOps.trendMetrics(
+      cleanedOwid,
+      partCol = "country_standardized",
+      dateCol = "date",
+      tieBreak = Seq(col("country")),
+      firstLastCols = Seq("total_cases", "total_deaths"),
+      avgCols = Seq("new_cases", "new_deaths"),
+      windowDays = cfg.trendWindowDays)
+    t.select(
+      col("country_standardized"),
+      RowOps.percentChange(col("first_total_cases"), col("last_total_cases"))
+        .as("cases_change_pct"),
+      RowOps.percentChange(col("first_total_deaths"), col("last_total_deaths"))
+        .as("deaths_change_pct"),
+      round(col("avg_new_cases"), 1).as("avg_daily_new_cases"),
+      round(col("avg_new_deaths"), 1).as("avg_daily_new_deaths"),
+      col("window_start"), col("window_end"), col("data_points_available"))
+  }
+
+  /** J2 + J3 + derived metrics — the merge itself
+    * (merge_datasets data_merger.py:226-299 +
+    * calculate_derived_metrics :302-352). */
+  def integrate(owid: DataFrame, api: DataFrame, cfg: Config): DataFrame = {
+    val cleanedOwid = cleanOwid(owid)
+    val cleanedApi = cleanApi(api)
+    val merged = alignOwid(cleanedOwid)
+      .join(alignApi(cleanedApi), Seq("country_standardized"), "inner")
+      .join(trendMetrics(cleanedOwid, cfg), Seq("country_standardized"), "left")
+    merged
+      .withColumn("cases_data_gap",
+        RowOps.gap(col("api_current_cases"), col("owid_total_cases")))
+      .withColumn("cases_data_gap_percent",
+        RowOps.gapPercent(col("api_current_cases"), col("owid_total_cases")))
+      .withColumn("deaths_data_gap",
+        RowOps.gap(col("api_current_deaths"), col("owid_total_deaths")))
+      .withColumn("deaths_data_gap_percent",
+        RowOps.gapPercent(col("api_current_deaths"), col("owid_total_deaths")))
+      .withColumn("current_cases_per_100k",
+        RowOps.per100k(col("api_current_cases"), col("api_population")))
+      .withColumn("current_cfr",
+        RowOps.guardedRatio(col("api_current_deaths"), col("api_current_cases")))
+      .withColumn("owid_data_age_days",
+        RowOps.dataAgeDays(col("owid_date"), lit(cfg.asOf.toString).cast("date")))
+  }
+
+  /** Integration summary (generate_integration_summary,
+    * data_merger.py:355-419) as a 1-row DataFrame. */
+  def integrationSummary(merged: DataFrame): DataFrame =
+    merged.agg(
+      count(lit(1)).as("total_countries"),
+      Summaries.countIf(abs(col("cases_data_gap_percent")) > 10)
+        .as("large_gap_countries"),                       // constants.py:69
+      Summaries.countIf(col("owid_data_age_days") > 90)
+        .as("stale_data_countries"),                      // constants.py:70
+      Summaries.countIf(col("api_population") < 1000 ||
+        col("api_population") > 2000000000L).as("population_outliers"),
+      round(avg(col("cases_data_gap_percent")), 2).as("avg_cases_gap_pct"),
+      round(avg(col("current_cfr")), 3).as("avg_cfr"))
+}

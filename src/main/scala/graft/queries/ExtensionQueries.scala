@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.extensions._
+import graft.sources.Tables
+
+/** Beyond-reference extension queries (SURVEY.md §7.4): dedup,
+  * similarity search, text analysis, event-time windows, multimodal
+  * plumbing. SQL-expressible ones carry a DuckDB oracle; the
+  * hash-function-heavy ones (MinHash/SimHash/SRP — xxhash64 has no
+  * DuckDB equivalent) are rows-only checked here and exact-value checked
+  * in ScalaTest instead.
+  */
+object ExtensionQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // D1 — exact dedup via normalized-text hash groups.
+    "d1_dedup_exact" -> ((s, d) => {
+      Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("keep_id"))
+    }),
+
+    // D2 — blocked token-set Jaccard near-dup pairs.
+    "d2_token_jaccard" -> ((s, d) => {
+      Dedup.tokenJaccardPairs(Tables.documents(s, d), threshold = 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // D3 — MinHash-LSH: per-doc signature head + candidate count
+    // (rows-only oracle; exact-value coverage in DedupSpec).
+    "d3_minhash_lsh" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minHashLshPairs(docs, numHashes = 32, bands = 8,
+        threshold = 0.3)
+      val perDoc = pairs
+        .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))
+      Dedup.withMinHashSignature(docs, "text", 32, 3)
+        .select(col("doc_id"),
+          col("minhash_sig")(0).as("sig0"), col("minhash_sig")(1).as("sig1"),
+          col("minhash_sig")(2).as("sig2"), col("minhash_sig")(3).as("sig3"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
+        .orderBy(col("doc_id"))
+    }),
+
+    // D4 — SimHash: 64-bit fingerprint + near-dup candidate count
+    // (rows-only oracle).
+    "d4_simhash" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.simHashPairs(docs, maxHamming = 16)
+      val perDoc = pairs
+        .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))
+      Dedup.withSimHash(docs, "text")
+        .select(col("doc_id"), col("simhash"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
+        .orderBy(col("doc_id"))
+    }),
+
+    // E1 — brute-force cosine top-k (ANN correctness baseline).
+    "e1_cosine_topk" -> ((s, d) => {
+      Similarity.bruteForceTopK(Tables.embeddings(s, d), queryId = 0L, k = 10)
+    }),
+
+    // E2 — LSH-bucketed ANN (rows-only oracle; recall vs brute force
+    // checked in SimilaritySpec).
+    "e2_ann_lsh" -> ((s, d) => {
+      Similarity.annTopK(Tables.embeddings(s, d), queryId = 0L, k = 10,
+        numPlanes = 8)
+    }),
+
+    // E3 — embedding-cosine near-dup candidates, top-100 by similarity
+    // (rows-only oracle).
+    "e3_cosine_neardup" -> ((s, d) => {
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
+          threshold = -1.0, numPlanes = 8)
+        .orderBy(col("cosine_sim").desc, col("a_id"), col("b_id"))
+        .limit(100)
+    }),
+
+    // T1 — token counting + quality scoring.
+    "t1_text_stats" -> ((s, d) => {
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.distinctTokenCount(col("text")).as("distinct_tokens"),
+          TextAnalysis.typeTokenRatio(col("text")).as("ttr"),
+          TextAnalysis.avgTokenLength(col("text"), col("n_chars"))
+            .as("avg_token_len"),
+          TextAnalysis.qualityScore(col("text"), col("n_chars"))
+            .as("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // T2 — language-ID heuristic (stopword scoring, fixed tie precedence).
+    "t2_lang_id" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+      val scored = TextAnalysis.langScores(col("text"))
+        .foldLeft(base) { case (df, (name, c)) => df.withColumn(name, c) }
+      scored
+        .withColumn("predicted_lang", TextAnalysis.langId(col("text")))
+        .select(col("doc_id"), col("predicted_lang"), col("score_en"),
+          col("score_es"), col("score_de"), col("score_fr"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // T3 — content-defined document fingerprint (order-invariant).
+    "t3_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text"))
+          .as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // V1 — tumbling event-time window aggregation.
+    "v1_tumbling_window" -> ((s, d) => {
+      EventWindows.tumbling(Tables.events(s, d), "1 hour")
+        .orderBy(col("bucket_start_s"), col("event_type"))
+    }),
+
+    // V2 — sessionization (30-minute inactivity gap).
+    "v2_sessionize" -> ((s, d) => {
+      EventWindows.sessionize(Tables.events(s, d), gapSeconds = 1800)
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("session_start_s"), col("duration_s"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // M1 — multimodal binary payload stats (relational fast path of the
+    // media pipeline; the mapPartitions decode is ScalaTest-covered).
+    "m1_payload_stats" -> ((s, d) => {
+      Multimodal.payloadStats(
+          Multimodal.withBinaryPayload(Tables.documents(s, d)))
+        .select(col("doc_id"), col("n_bytes"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS fingerprint, count(*) AS n_dups,
+        |min(doc_id) AS keep_id FROM documents
+        |GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "d2_token_jaccard" ->
+      """WITH prepared AS (
+        |  SELECT doc_id, source, CAST(floor(n_chars / 32.0) AS BIGINT) AS bkt,
+        |    list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+        |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4)
+        |    AS jaccard
+        |FROM prepared a JOIN prepared b
+        |  ON a.source = b.source AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+        |WHERE round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+        |  (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4)
+        |  >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "e1_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS qv
+        |  FROM embeddings WHERE vec_id = 0
+        |), v AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS ev
+        |  FROM embeddings WHERE vec_id <> 0
+        |), m AS (
+        |  SELECT v.vec_id, CAST(min(v.label) AS BIGINT) AS label,
+        |    sum(v.ev * q.qv) AS dot, sum(v.ev * v.ev) AS vv,
+        |    sum(q.qv * q.qv) AS qq
+        |  FROM v JOIN q ON v.i = q.i GROUP BY v.vec_id
+        |)
+        |SELECT vec_id, label, round(dot / (sqrt(vv) * sqrt(qq)), 4) AS cosine_sim
+        |FROM m ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "t1_text_stats" ->
+      """SELECT doc_id, nt AS n_tokens, dt AS distinct_tokens,
+        |round(dt * 1.0 / nt, 4) AS ttr,
+        |round((n_chars - nt + 1) * 1.0 / nt, 4) AS avg_token_len,
+        |round((CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.5 END) * 0.4
+        |  + least(dt * 1.0 / nt * 2, 1.0) * 0.6, 4) AS quality_score
+        |FROM (SELECT doc_id, n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS dt
+        |FROM documents) ORDER BY doc_id""".stripMargin,
+
+    "t2_lang_id" ->
+      """SELECT doc_id,
+        |CASE WHEN s_en + s_es + s_de + s_fr > 0 THEN
+        |  CASE
+        |    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |    WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |    WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+        |    ELSE 'unknown' END
+        |ELSE 'unknown' END AS predicted_lang,
+        |s_en AS score_en, s_es AS score_es, s_de AS score_de, s_fr AS score_fr
+        |FROM (SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    x -> x IN ('el','la','de','y','que','en','un'))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    x -> x IN ('der','die','das','und','ist','ein','zu'))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    x -> x IN ('le','la','de','et','est','un','dans'))) AS BIGINT) AS s_fr
+        |FROM documents) ORDER BY doc_id""".stripMargin,
+
+    "t3_fingerprint" ->
+      """SELECT doc_id, substr(md5(array_to_string(list_sort(list_distinct(
+        |string_split(text, ' '))), ' ')), 1, 16) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "v1_tumbling_window" ->
+      """SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT)
+        |  AS bucket_start_s, event_type, count(*) AS n_events,
+        |CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_start_s, event_type""".stripMargin,
+
+    "v2_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS secs
+        |  FROM events
+        |), m AS (
+        |  SELECT *, CASE WHEN lag(secs) OVER w IS NULL
+        |    OR secs - lag(secs) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS session_id
+        |  FROM m
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(secs) AS session_start_s, max(secs) - min(secs) AS duration_s
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "m1_payload_stats" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

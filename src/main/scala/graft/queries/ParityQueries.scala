@@ -1,0 +1,592 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Reference-parity query surface over the driver's TESTDATA tables.
+  *
+  * One entry per operator family from SURVEY.md §2 (IDs in the key
+  * names). Each query is paired with ANSI SQL in `oracles` that DuckDB
+  * runs on the same parquet — so every query follows the determinism
+  * policy:
+  *   - explicit total-order `ORDER BY` in both engines,
+  *   - aggregate doubles summed as exact decimals, rounded, cast double
+  *     (see [[graft.operators.Summaries.exactSum]]),
+  *   - integer outputs as long, timestamps emitted as formatted strings,
+  *   - no `current_timestamp`/`now` — as-of dates are injected literals.
+  */
+object ParityQueries {
+
+  private def q(sfDir: String)(name: String)(implicit s: SparkSession) =
+    Tables.read(s, sfDir, name)
+
+  // Shared decimal-exact helpers
+  private val sumQty: Column => Column = c => Summaries.exactSum(c, 2)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S7 + P1 — parquet scan with pruned projection + pushed filter
+    // (SURVEY.md S7/P1; reference scan+project data_loader.py:50,92-112).
+    "s7_scan_pruned" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    }),
+
+    // S3/S4 — JSON field extraction + epoch-ms conversion
+    // (reference nested-JSON flatten data_loader.py:166-218).
+    "s3_json_epoch" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          unix_millis(col("ts")).as("ts_ms"))
+        .orderBy(col("event_id"))
+        .limit(200)
+    }),
+
+    // P2/P3/P4 — rename, bulk prefix, literal tag column
+    // (data_loader.py:86; data_merger.py:100-111; data_cleaner.py:197).
+    "p_rename_prefix_literal" -> ((s, d) => {
+      val pre = RowOps.prefixColumns(
+        Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal"),
+        "api_", keep = Set("c_custkey"))
+      pre.withColumn("data_source", lit("customer_snapshot"))
+        .orderBy(col("c_custkey"))
+        .limit(500)
+    }),
+
+    // F1/F2 — NOT-IN literal exclusion lists (data_loader.py:114-116).
+    "f_isin_exclude" -> ((s, d) => {
+      RowOps.excludeValues(Tables.nation(s, d), col("n_name"),
+          Seq("NATION_1", "NATION_3", "NATION_5"))
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // F3 — negated case-insensitive regex, NULL-keeping (data_cleaner.py:73-77).
+    "f_regex_exclude" -> ((s, d) => {
+      RowOps.excludeRegex(Tables.part(s, d), col("p_name"), "(?i)(cold|small)")
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey"))
+        .limit(500)
+    }),
+
+    // F4 — trailing-window date cutoff via broadcast scalar (data_merger.py:137-142).
+    "f_date_cutoff" -> ((s, d) => {
+      RowOps.lastNDays(Tables.lineitem(s, d), "l_shipdate", 30)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"), sumQty(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // F6/F7/F8 — parameterized threshold + IN-list + substring search
+    // (streamlit_app.py:521-531, :162, :637-639).
+    "f_param_filters" -> ((s, d) => {
+      Tables.customer(s, d)
+        .filter(col("c_acctbal") >= 5000 &&
+          col("c_mktsegment").isin("FURNITURE", "BUILDING") &&
+          RowOps.searchContains(col("c_name"), "001"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // F9/X11 — abs-threshold filter (visualizer.py:145-156).
+    "f_abs_threshold" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(abs(col("l_quantity") - 25) > 20)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(1000)
+    }),
+
+    // X1/J4 — dictionary map with identity fallback as broadcast join
+    // (data_cleaner.py:41-51).
+    "x1_map_fallback" -> ((s, d) => {
+      Standardize.standardize(Tables.nation(s, d), "n_name",
+          Map("NATION_0" -> "ALPHA", "NATION_1" -> "BETA", "NATION_2" -> "GAMMA"),
+          "name_std")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("name_std"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // X2/X13 — date cast/format + display-string ops
+    // (data_loader.py:89; streamlit_app.py:255).
+    "x_date_string_ops" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("order_month"),
+          upper(regexp_replace(col("o_orderpriority"), "-", " ")).as("priority_disp"))
+        .orderBy(col("o_orderkey"))
+        .limit(1000)
+    }),
+
+    // X3/X4/X10 — clip-at-zero preserving NULLs, null-fill, rounding
+    // (data_cleaner.py:190,224-228; SURVEY.md §7.5.3).
+    "x_clip_fill_round" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .withColumn("dev",
+          when(col("l_returnflag") === "N", lit(null).cast("double"))
+            .otherwise(col("l_quantity") - 25))
+        .withColumn("clipped", RowOps.clipNonNegative(col("dev")))
+        .withColumn("filled", coalesce(col("clipped"), lit(-1.0)))
+        .withColumn("rounded", round(col("l_extendedprice") / 7, 2))
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("clipped"), col("filled"), col("rounded"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(1000)
+    }),
+
+    // X5/X6/X7/X12 — derived ratio metrics with divide-by-zero guards
+    // (data_cleaner.py:231-247; data_merger.py:315-348).
+    "x_derived_ratios" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          Summaries.exactSum(col("l_extendedprice"), 2).as("gross"),
+          Summaries.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+            .as("net"),
+          Summaries.exactSum(col("l_tax"), 2).as("sum_tax"),
+          Summaries.exactSum(col("l_quantity"), 2).as("sum_qty"))
+        .withColumn("gap", round(col("gross") - col("net"), 2))
+        .withColumn("gap_pct",
+          when(col("gross") > 0, round((col("gross") - col("net")) / col("gross") * 100, 2))
+            .otherwise(lit(0.0)))
+        .withColumn("tax_per_qty",
+          when(col("sum_qty") > 0, round(col("sum_tax") / col("sum_qty") * 100, 3))
+            .otherwise(lit(0.0)))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // X8 — data-age-in-days against an injected as-of date
+    // (data_merger.py:288-295; determinism per SURVEY.md §7.5.4).
+    "x8_data_age" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+            .cast("long").as("age_days"))
+        .orderBy(col("o_orderkey"))
+        .limit(1000)
+    }),
+
+    // W1 — forward-fill per group over an ordered window
+    // (data_cleaner.py:174-185).
+    "w1_ffill" -> ((s, d) => {
+      val withNulls = Tables.events(s, d)
+        .withColumn("v",
+          when(col("event_type") === "click", lit(null).cast("double"))
+            .otherwise(col("value")))
+      WindowOps.forwardFill(withNulls, "user_id", Seq("ts", "event_id"), Seq("v"))
+        .select(col("event_id"), col("user_id"), round(col("v"), 2).as("v_filled"))
+        .orderBy(col("event_id"))
+        .limit(2000)
+    }),
+
+    // W2 — lag-diff per group (data_cleaner.py:188-194).
+    "w2_lag_diff" -> ((s, d) => {
+      WindowOps.lagDiff(Tables.events(s, d), "user_id", Seq("ts", "event_id"),
+          "value", "delta")
+        .select(col("event_id"), col("user_id"), round(col("delta"), 2).as("delta"))
+        .orderBy(col("event_id"))
+        .limit(2000)
+    }),
+
+    // W3 — latest-per-group temporal alignment (data_merger.py:67-119).
+    "w3_latest_per_group" -> ((s, d) => {
+      WindowOps.latestPerGroup(Tables.orders(s, d), "o_custkey",
+          orderCols = Seq(col("o_orderdate"), col("o_orderkey")),
+          lastNonNullCols = Nil)
+        .select(
+          col("o_custkey"),
+          col("o_orderkey").as("latest_orderkey"),
+          col("o_totalprice").as("latest_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("latest_date"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // W4 — trailing-window trend metrics per group (data_merger.py:122-223).
+    "w4_trend_metrics" -> ((s, d) => {
+      WindowOps.trendMetrics(Tables.orders(s, d),
+          partCol = "o_custkey", dateCol = "o_orderdate",
+          tieBreak = Seq(col("o_orderkey")),
+          firstLastCols = Seq("o_totalprice"), avgCols = Seq("o_totalprice"),
+          windowDays = 365)
+        .select(
+          col("o_custkey"),
+          col("first_o_totalprice").as("first_totalprice"),
+          col("last_o_totalprice").as("last_totalprice"),
+          col("avg_o_totalprice").as("avg_totalprice"),
+          RowOps.percentChange(col("first_o_totalprice"), col("last_o_totalprice"))
+            .as("pct_change"),
+          date_format(col("window_start"), "yyyy-MM-dd").as("window_start"),
+          date_format(col("window_end"), "yyyy-MM-dd").as("window_end"),
+          col("data_points_available"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // W5 — global top-k via TakeOrderedAndProject (data_merger.py:406-411).
+    "w5_topk" -> ((s, d) => {
+      WindowOps.topK(Tables.orders(s, d),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), 15)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // W6 — grouped aggregate stats incl. exact median (SURVEY.md W6).
+    "w6_group_aggregates" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sumQty(col("l_quantity")).as("sum_qty"),
+          Summaries.exactSum(col("l_extendedprice"), 2).as("sum_price"),
+          Summaries.exactAvg(col("l_quantity")).as("avg_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          count(lit(1)).as("cnt"),
+          countDistinct(col("l_partkey")).as("distinct_parts"),
+          median(col("l_quantity")).as("median_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // W7 — conditional counts (visualizer.py:279-315; data_merger.py:394-401).
+    "w7_conditional_counts" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(when(col("l_quantity") > 45, lit(1))).as("high_qty"),
+          count(when(col("l_quantity") < 5, lit(1))).as("low_qty"),
+          count(when(col("l_discount") === 0, lit(1))).as("zero_discount"),
+          count(when(col("l_extendedprice") > 50000, lit(1))).as("big_ticket"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // W8 — Pearson correlation via exact moments (visualizer.py:401-404;
+    // order-stable form per SURVEY.md §7.5.5).
+    "w8_correlation" -> ((s, d) => {
+      Summaries.pearson(Tables.lineitem(s, d), Seq(col("l_returnflag")),
+          col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // W9/W10 — per-column missing-data profile in one pass
+    // (data_cleaner.py:110-122; data_merger.py:378-392).
+    "w9_missing_profile" -> ((s, d) => {
+      Summaries.missingProfile(Tables.documents(s, d),
+          Seq("text", "lang", "source", "n_chars"))
+        .orderBy(col("column_name"))
+    }),
+
+    // W11 — outlier counts against fixed thresholds (data_cleaner.py:125-128).
+    "w11_outlier_count" -> ((s, d) => {
+      Tables.customer(s, d).agg(
+        count(when(col("c_acctbal") < 100, lit(1))).as("n_low"),
+        count(when(col("c_acctbal") > 9900, lit(1))).as("n_high"),
+        count(lit(1)).as("n_total"))
+    }),
+
+    // W12 — histogram binning as a relational groupBy (visualizer.py:266-272).
+    "w12_histogram" -> ((s, d) => {
+      Summaries.histogram(Tables.lineitem(s, d), col("l_quantity"),
+          minVal = 1.0, width = 5.0)
+        .orderBy(col("bin"))
+    }),
+
+    // J1 — full-outer presence/mapping table (data_merger.py:29-64).
+    "j1_presence_fullouter" -> ((s, d) => {
+      Joins.presenceTable(
+          Tables.orders(s, d).filter(col("o_orderstatus") === "F"), "o_custkey",
+          Tables.customer(s, d).filter(col("c_acctbal") > 5000), "c_custkey",
+          "custkey")
+        .orderBy(col("custkey"))
+    }),
+
+    // J2 — multi-way inner equi-join (merge J2 data_merger.py:256-262,
+    // demonstrated at scale as the star join per SURVEY.md §2.F).
+    "j2_multiway_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = broadcast(Tables.nation(s, d))
+      val r = broadcast(Tables.region(s, d))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          Summaries.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // J3 — left enrichment join (data_merger.py:266).
+    "j3_left_join" -> ((s, d) => {
+      val stats = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("order_count"),
+          Summaries.exactSum(col("o_totalprice"), 2).as("total_spent"))
+      Tables.customer(s, d)
+        .join(stats, col("c_custkey") === col("o_custkey"), "left")
+        .select(
+          col("c_custkey"), col("c_name"),
+          coalesce(col("order_count"), lit(0L)).as("order_count"),
+          coalesce(col("total_spent"), lit(0.0)).as("total_spent"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J5 — key-set membership diagnostics (data_loader.py:221-256).
+    "j5_set_membership" -> ((s, d) => {
+      Joins.keySetDiagnostics(
+          Tables.customer(s, d), "c_custkey",
+          Tables.orders(s, d).filter(col("o_orderstatus") === "O"), "o_custkey",
+          "custkey")
+        .orderBy(col("custkey"))
+    }),
+
+    // O3 — distinct + multi-key sort (SURVEY.md §2.G).
+    "o3_distinct_sort" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    })
+  )
+
+  private val decSum = (c: String, sc: Int) =>
+    s"CAST(round(sum(CAST($c AS DECIMAL(38,6))),$sc) AS DOUBLE)"
+
+  val oracles: Map[String, String] = Map(
+    "s7_scan_pruned" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "s3_json_epoch" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |epoch_ms(ts) AS ts_ms FROM events ORDER BY event_id LIMIT 200""".stripMargin,
+
+    "p_rename_prefix_literal" ->
+      """SELECT c_custkey, c_name AS api_c_name, c_acctbal AS api_c_acctbal,
+        |'customer_snapshot' AS data_source FROM customer
+        |ORDER BY c_custkey LIMIT 500""".stripMargin,
+
+    "f_isin_exclude" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation
+        |WHERE n_name NOT IN ('NATION_1','NATION_3','NATION_5')
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "f_regex_exclude" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT COALESCE(regexp_matches(p_name, '(?i)(cold|small)'), false)
+        |ORDER BY p_partkey LIMIT 500""".stripMargin,
+
+    "f_date_cutoff" ->
+      s"""SELECT l_returnflag, count(*) AS cnt, ${decSum("l_quantity", 2)} AS sum_qty
+         |FROM lineitem
+         |WHERE l_shipdate >= (SELECT max(l_shipdate) - INTERVAL 30 DAY FROM lineitem)
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "f_param_filters" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+        |WHERE c_acctbal >= 5000 AND c_mktsegment IN ('FURNITURE','BUILDING')
+        |AND lower(c_name) LIKE '%001%' ORDER BY c_custkey""".stripMargin,
+
+    "f_abs_threshold" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
+        |FROM lineitem WHERE abs(l_quantity - 25) > 20
+        |ORDER BY l_orderkey, l_linenumber LIMIT 1000""".stripMargin,
+
+    "x1_map_fallback" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |COALESCE(m.mapped, n_name) AS name_std
+        |FROM nation LEFT JOIN (VALUES ('NATION_0','ALPHA'),('NATION_1','BETA'),
+        |('NATION_2','GAMMA')) AS m(orig, mapped) ON n_name = m.orig
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "x_date_string_ops" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS order_month,
+        |upper(replace(o_orderpriority, '-', ' ')) AS priority_disp
+        |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin,
+
+    "x_clip_fill_round" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |CASE WHEN dev < 0 THEN 0 ELSE dev END AS clipped,
+        |COALESCE(CASE WHEN dev < 0 THEN 0 ELSE dev END, -1.0) AS filled,
+        |round(l_extendedprice / 7, 2) AS rounded
+        |FROM (SELECT *, CASE WHEN l_returnflag = 'N' THEN NULL
+        |ELSE l_quantity - 25 END AS dev FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber LIMIT 1000""".stripMargin,
+
+    "x_derived_ratios" ->
+      s"""SELECT l_returnflag, gross, net, sum_tax, sum_qty,
+         |round(gross - net, 2) AS gap,
+         |CASE WHEN gross > 0 THEN round((gross - net) / gross * 100, 2)
+         |ELSE 0.0 END AS gap_pct,
+         |CASE WHEN sum_qty > 0 THEN round(sum_tax / sum_qty * 100, 3)
+         |ELSE 0.0 END AS tax_per_qty
+         |FROM (SELECT l_returnflag,
+         |${decSum("l_extendedprice", 2)} AS gross,
+         |CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))),2) AS DOUBLE) AS net,
+         |${decSum("l_tax", 2)} AS sum_tax,
+         |${decSum("l_quantity", 2)} AS sum_qty
+         |FROM lineitem GROUP BY l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin,
+
+    "x8_data_age" ->
+      """SELECT o_orderkey,
+        |date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS age_days
+        |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin,
+
+    "w1_ffill" ->
+      """SELECT event_id, user_id, round(last_value(v IGNORE NULLS) OVER (
+        |PARTITION BY user_id ORDER BY ts, event_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS v_filled
+        |FROM (SELECT *, CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+        |FROM events) ORDER BY event_id LIMIT 2000""".stripMargin,
+
+    "w2_lag_diff" ->
+      """SELECT event_id, user_id, round(value - lag(value) OVER (
+        |PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
+        |FROM events ORDER BY event_id LIMIT 2000""".stripMargin,
+
+    "w3_latest_per_group" ->
+      """SELECT o_custkey, o_orderkey AS latest_orderkey,
+        |o_totalprice AS latest_totalprice,
+        |strftime(o_orderdate, '%Y-%m-%d') AS latest_date
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "w4_trend_metrics" ->
+      s"""WITH windowed AS (
+         |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+         |    first_value(o_totalprice) OVER (PARTITION BY o_custkey
+         |      ORDER BY o_orderdate, o_orderkey) AS fp,
+         |    last_value(o_totalprice) OVER (PARTITION BY o_custkey
+         |      ORDER BY o_orderdate, o_orderkey
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lp
+         |  FROM orders
+         |  WHERE o_orderdate >= (SELECT max(o_orderdate) - INTERVAL 365 DAY FROM orders)
+         |), g AS (
+         |  SELECT o_custkey, COALESCE(min(fp), 0.0) AS first_totalprice,
+         |    COALESCE(min(lp), 0.0) AS last_totalprice,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+         |      / count(o_totalprice) AS avg_raw,
+         |    strftime(min(o_orderdate), '%Y-%m-%d') AS window_start,
+         |    strftime(max(o_orderdate), '%Y-%m-%d') AS window_end,
+         |    count(*) AS data_points_available
+         |  FROM windowed GROUP BY o_custkey HAVING count(*) >= 2
+         |)
+         |SELECT o_custkey, first_totalprice, last_totalprice,
+         |  avg_raw AS avg_totalprice,
+         |  CASE WHEN first_totalprice > 0 THEN
+         |    round((last_totalprice - first_totalprice) / first_totalprice * 100, 2)
+         |  ELSE 0.0 END AS pct_change,
+         |  window_start, window_end, data_points_available
+         |FROM g ORDER BY o_custkey""".stripMargin,
+
+    "w5_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin,
+
+    "w6_group_aggregates" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |${decSum("l_quantity", 2)} AS sum_qty,
+         |${decSum("l_extendedprice", 2)} AS sum_price,
+         |CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+         |  / count(l_quantity) AS avg_qty,
+         |min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+         |count(*) AS cnt, count(DISTINCT l_partkey) AS distinct_parts,
+         |CAST(median(l_quantity) AS DOUBLE) AS median_qty
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "w7_conditional_counts" ->
+      """SELECT l_returnflag,
+        |count(CASE WHEN l_quantity > 45 THEN 1 END) AS high_qty,
+        |count(CASE WHEN l_quantity < 5 THEN 1 END) AS low_qty,
+        |count(CASE WHEN l_discount = 0 THEN 1 END) AS zero_discount,
+        |count(CASE WHEN l_extendedprice > 50000 THEN 1 END) AS big_ticket
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "w8_correlation" ->
+      """SELECT l_returnflag,
+        |round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |  AS corr_xy
+        |FROM (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sxy,
+        |  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS syy
+        |FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "w9_missing_profile" ->
+      """SELECT column_name, total_rows, null_count,
+        |round(null_count * 100.0 / total_rows, 1) AS null_percent FROM (
+        |SELECT 'text' AS column_name, count(*) AS total_rows,
+        |  count(*) - count(text) AS null_count FROM documents
+        |UNION ALL SELECT 'lang', count(*), count(*) - count(lang) FROM documents
+        |UNION ALL SELECT 'source', count(*), count(*) - count(source) FROM documents
+        |UNION ALL SELECT 'n_chars', count(*), count(*) - count(n_chars) FROM documents
+        |) ORDER BY column_name""".stripMargin,
+
+    "w11_outlier_count" ->
+      """SELECT count(CASE WHEN c_acctbal < 100 THEN 1 END) AS n_low,
+        |count(CASE WHEN c_acctbal > 9900 THEN 1 END) AS n_high,
+        |count(*) AS n_total FROM customer""".stripMargin,
+
+    "w12_histogram" ->
+      """SELECT CAST(floor((l_quantity - 1.0) / 5.0) AS BIGINT) AS bin,
+        |count(*) AS count FROM lineitem WHERE l_quantity IS NOT NULL
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "j1_presence_fullouter" ->
+      """SELECT COALESCE(l.k, r.k) AS custkey,
+        |l.k IS NOT NULL AS in_left, r.k IS NOT NULL AS in_right,
+        |(l.k IS NOT NULL AND r.k IS NOT NULL) AS can_merge
+        |FROM (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F') l
+        |FULL OUTER JOIN (SELECT DISTINCT c_custkey AS k FROM customer
+        |WHERE c_acctbal > 5000) r ON l.k = r.k
+        |ORDER BY custkey""".stripMargin,
+
+    "j2_multiway_join" ->
+      """SELECT r_name, n_name,
+        |CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))),2) AS DOUBLE) AS revenue,
+        |count(*) AS n_lineitems
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "j3_left_join" ->
+      s"""SELECT c_custkey, c_name, COALESCE(order_count, 0) AS order_count,
+         |COALESCE(total_spent, 0.0) AS total_spent
+         |FROM customer LEFT JOIN (SELECT o_custkey, count(*) AS order_count,
+         |${decSum("o_totalprice", 2)} AS total_spent FROM orders GROUP BY o_custkey) s
+         |ON c_custkey = s.o_custkey ORDER BY c_custkey""".stripMargin,
+
+    "j5_set_membership" ->
+      """SELECT COALESCE(l.k, r.k) AS custkey,
+        |CASE WHEN l.k IS NOT NULL AND r.k IS NOT NULL THEN 'both'
+        |WHEN l.k IS NOT NULL THEN 'left_only' ELSE 'right_only' END AS membership
+        |FROM (SELECT DISTINCT c_custkey AS k FROM customer) l
+        |FULL OUTER JOIN (SELECT DISTINCT o_custkey AS k FROM orders
+        |WHERE o_orderstatus = 'O') r ON l.k = r.k
+        |ORDER BY custkey""".stripMargin,
+
+    "o3_distinct_sort" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  )
+}

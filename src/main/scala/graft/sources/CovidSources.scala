@@ -1,0 +1,109 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Static schemas + readers for the two reference-shaped sources.
+  *
+  * The reference (`/root/reference/`) infers everything at runtime
+  * (`pd.read_csv` at data_loader.py:50, JSON parse at
+  * data_loader.py:166-218) and then defensively re-checks column
+  * existence everywhere. We replace that with declared `StructType`s
+  * (SURVEY.md §1.3): the checks exist only because the upstream CSV
+  * evolves; fixed schemas let Catalyst prune the scan and resolve every
+  * "if column present" branch at design time.
+  */
+object CovidSources {
+
+  /** OWID historical CSV — the 15 `key_columns` the reference projects
+    * (data_loader.py:92-108), grain = (country, date). Metric columns
+    * are DoubleType up front: pandas silently promotes int→float when
+    * NaN appears; declaring Double matches reference arithmetic
+    * (SURVEY.md §1.2). */
+  val owidSchema: StructType = StructType(Seq(
+    StructField("iso_code", StringType),
+    StructField("country", StringType),
+    StructField("date", DateType),
+    StructField("total_cases", DoubleType),
+    StructField("new_cases", DoubleType),
+    StructField("total_deaths", DoubleType),
+    StructField("new_deaths", DoubleType),
+    StructField("total_tests", DoubleType),
+    StructField("positive_rate", DoubleType),
+    StructField("tests_per_case", DoubleType),
+    StructField("people_vaccinated", DoubleType),
+    StructField("people_fully_vaccinated", DoubleType),
+    StructField("total_vaccinations", DoubleType),
+    StructField("population", DoubleType),
+    StructField("median_age", DoubleType)
+  ))
+
+  /** disease.sh JSON — raw shape with the nested `countryInfo` struct
+    * (data_loader.py:180-189). */
+  val diseaseShRawSchema: StructType = StructType(Seq(
+    StructField("country", StringType),
+    StructField("countryInfo", StructType(Seq(
+      StructField("_id", LongType),
+      StructField("iso2", StringType),
+      StructField("iso3", StringType),
+      StructField("lat", DoubleType),
+      StructField("long", DoubleType),
+      StructField("flag", StringType)
+    ))),
+    StructField("population", LongType),
+    StructField("cases", LongType),
+    StructField("deaths", LongType),
+    StructField("recovered", LongType),
+    StructField("active", LongType),
+    StructField("critical", LongType),
+    StructField("casesPerOneMillion", DoubleType),
+    StructField("deathsPerOneMillion", DoubleType),
+    StructField("tests", LongType),
+    StructField("testsPerOneMillion", DoubleType),
+    StructField("todayCases", LongType),
+    StructField("todayDeaths", LongType),
+    StructField("todayRecovered", LongType),
+    StructField("updated", LongType) // epoch millis
+  ))
+
+  /** S1 — CSV scan with declared schema (reference: HTTP download +
+    * `pd.read_csv`, data_loader.py:32-69). At 100 TB this is a
+    * partitioned parquet/catalog table; header CSV kept for parity. */
+  def readOwidCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").schema(owidSchema).csv(path)
+
+  /** S2 — JSON scan (reference: REST GET + json parse,
+    * data_loader.py:124-163). `multiLine` because the API returns one
+    * top-level JSON array. */
+  def readDiseaseShJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", "true").schema(diseaseShRawSchema).json(path)
+
+  /** S3 + S4 — flatten the nested `countryInfo` struct and convert the
+    * epoch-ms `updated` field (reference row-loop at
+    * data_loader.py:176-218 → pure nested-struct projection here; no
+    * UDF, stays inside whole-stage codegen). */
+  def flattenDiseaseSh(raw: DataFrame): DataFrame = raw.select(
+    col("country"),
+    col("countryInfo.iso3").as("iso_code"),
+    col("countryInfo.iso2").as("iso2_code"),
+    col("countryInfo._id").as("country_id"),
+    col("countryInfo.lat").as("latitude"),
+    col("countryInfo.long").as("longitude"),
+    col("countryInfo.flag").as("flag_url"),
+    col("population"),
+    col("cases").as("current_cases"),
+    col("deaths").as("current_deaths"),
+    col("recovered").as("current_recovered"),
+    col("active").as("current_active"),
+    col("critical").as("current_critical"),
+    col("casesPerOneMillion").as("cases_per_million"),
+    col("deathsPerOneMillion").as("deaths_per_million"),
+    col("tests").as("tests_total"),
+    col("testsPerOneMillion").as("tests_per_million"),
+    col("todayCases").as("today_cases"),
+    col("todayDeaths").as("today_deaths"),
+    col("todayRecovered").as("today_recovered"),
+    timestamp_millis(col("updated")).as("last_updated")
+  )
+}

@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Parquet readers for the driver's deterministic TESTDATA tables
+  * (`/root/testdata/sf*`; schemas in FIXTURES.md §B).
+  *
+  * Design for scale: we rely on the vectorized parquet reader plus
+  * Catalyst column pruning / filter pushdown — callers `select`/`filter`
+  * and the scan narrows automatically (verified via `.explain`:
+  * `PushedFilters`, `ReadSchema`). At 100 TB these would be
+  * partitioned/bucketed tables behind a catalog; the API shape
+  * (`DataFrame` per logical table) is unchanged.
+  */
+object Tables {
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = read(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = read(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = read(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
+    * (micros) cannot represent; sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` so it arrives as a raw
+    * ns count, converted here with INTEGER division (a double roundtrip
+    * would lose precision: epoch-ns ≈ 1.7e18 > 2^53). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = read(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+}
