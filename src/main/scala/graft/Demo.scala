@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.CovidPipeline
+import graft.streaming.StreamingOps
+
+/** Executable usage demo of the two API tiers the driver contract does
+  * not exercise directly: the reference-shaped covid integration
+  * pipeline and the Structured Streaming ops.
+  * Usage: `sbt "runMain graft.Demo"`. */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // --- covid integration pipeline on reference-shaped frames -----------
+    val owid = Seq(
+      ("USA", "United States", Date.valueOf("2024-01-01"), Some(900.0),
+        Some(45.0), Some(10.0), Some(1.0), Some(4.0e7)),
+      ("USA", "United States", Date.valueOf("2024-01-02"), Some(1000.0),
+        Some(50.0), Some(100.0), Some(5.0), Some(4.0e7)),
+      ("OWID_WRL", "World", Date.valueOf("2024-01-02"), Some(9.0), Some(9.0),
+        None, None, None)
+    ).toDF("iso_code", "country", "date", "total_cases", "total_deaths",
+      "new_cases", "new_deaths", "population")
+    val api = Seq(("USA", "USA", 1200L, 60L, 100L, 40000000L))
+      .toDF("country", "iso_code", "current_cases", "current_deaths",
+        "current_recovered", "population")
+      .withColumn("current_active", lit(0L))
+      .withColumn("current_critical", lit(0L))
+      .withColumn("tests_total", lit(0L))
+      .withColumn("last_updated", lit(Timestamp.valueOf("2024-01-02 00:00:00")))
+    val merged = CovidPipeline.integrate(owid, api,
+      CovidPipeline.Config(30, java.time.LocalDate.parse("2024-01-05")))
+    merged.select("country_standardized", "owid_total_cases",
+      "api_current_cases", "cases_data_gap", "cases_data_gap_percent",
+      "current_cfr", "owid_data_age_days").show(truncate = false)
+    println(s"[demo] pipeline rows = ${merged.count()}")
+    CovidPipeline.integrationSummary(merged).show(truncate = false)
+
+    // --- streaming: file source → tumbling window agg → memory sink ------
+    val tmp = java.nio.file.Files.createTempDirectory("graft-demo").toString
+    graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .limit(300).write.mode("overwrite").parquet(tmp)
+    val stream = StreamingOps.readEventStream(spark, tmp)
+    StreamingOps.runToMemory(
+      StreamingOps.tumblingCounts(stream, "1 hour"), "demo_tumbling", "complete")
+    val out = spark.table("demo_tumbling")
+    out.orderBy("bucket_start", "event_type").show(8, truncate = false)
+    println(s"[demo] streaming agg rows = ${out.count()}")
+
+    spark.stop()
+  }
+}

@@ -33,6 +33,7 @@ object CovidPipeline {
   def cleanOwid(owid: DataFrame): DataFrame = {
     val cumulative = Seq("total_cases", "total_deaths", "total_tests",
       "people_vaccinated", "total_vaccinations")
+      .filter(owid.columns.contains) // ffill only the cumulative cols present
     val std = Standardize.standardize(
       owid, "country", Standardize.CountryNameMapping, "country_standardized")
     val filtered = RowOps.excludeRegex(

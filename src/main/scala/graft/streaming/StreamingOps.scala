@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types._
+
+import org.apache.spark.sql.Row
+
+/** Structured Streaming forms of the event-time operators
+  * (SURVEY.md §2.H / §7.4): the exact batch expressions from
+  * [[graft.extensions.EventWindows]] under `readStream`, with
+  * watermarks bounding state.
+  *
+  * The reference has no streaming at all (snapshot refetch per run,
+  * data_loader.py:124-163); this is the Spark-native upgrade path: the
+  * same declarative aggregation works incrementally with bounded state
+  * on a 1000-executor cluster (state store partitioned by group key).
+  */
+object StreamingOps {
+
+  /** Schema of the streaming `events` source (events.parquet with ts
+    * already as TimestampType — see Tables.events for the ns caveat). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  /** File-based streaming source over a directory of event parquet. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling event-time aggregation with a watermark: late data beyond
+    * 10 minutes is dropped, closed windows age out of the state store —
+    * bounded state at any scale. Mirrors EventWindows.tumbling. */
+  def tumblingCounts(events: DataFrame, duration: String): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), duration), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Session windows with an inactivity gap — the streaming-native form
+    * of EventWindows.sessionize (state: one open session per key). */
+  def sessionCounts(events: DataFrame, gap: String): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  /** Convenience: run a streaming aggregation to completion against a
+    * static directory via an in-memory sink (local smoke path — the
+    * production sink is kafka/parquet/delta). */
+  def runToMemory(agg: DataFrame, queryName: String, outputMode: String): Unit = {
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

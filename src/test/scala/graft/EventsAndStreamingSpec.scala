@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.extensions.EventWindows
+import graft.streaming.StreamingOps
+
+class EventWindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  private lazy val events = Seq(
+    (1L, ts(0), 1L, "view", 1.0, "{}"),
+    (2L, ts(100), 1L, "view", 2.0, "{}"),
+    (3L, ts(4000), 1L, "click", 3.0, "{}"),   // gap 3900s > 1800 → new session
+    (4L, ts(50), 2L, "view", 4.0, "{}")
+  ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("sessionize splits on the inactivity gap") {
+    val got = EventWindows.sessionize(events, gapSeconds = 1800)
+      .orderBy("user_id", "session_id")
+      .select("user_id", "session_id", "n_events", "duration_s")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 2L, 100L), (1L, 2L, 1L, 0L), (2L, 1L, 1L, 0L)))
+  }
+
+  test("session_window builtin agrees with gaps-and-islands on counts") {
+    val a = EventWindows.sessionize(events, 1800)
+      .select("user_id", "session_start_s", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    val b = EventWindows.sessionWindowAgg(events, "1800 seconds")
+      .select("user_id", "session_start_s", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("tumbling window buckets to the hour") {
+    val got = EventWindows.tumbling(events, "1 hour")
+      .orderBy("bucket_start_s", "event_type")
+      .select("bucket_start_s", "event_type", "n_events")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((0L, "view", 3L), (3600L, "click", 1L)))
+  }
+}
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming tumbling agg over a file source matches the batch form") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    // stage a static slice of events as the "arriving" files
+    val batchEvents = graft.sources.Tables.events(spark, sf0001).limit(500)
+    batchEvents.write.mode("overwrite").parquet(tmp)
+
+    val stream = StreamingOps.readEventStream(spark, tmp)
+    StreamingOps.runToMemory(
+      StreamingOps.tumblingCounts(stream, "1 hour"), "stream_tumbling", "complete")
+    val streamed = spark.table("stream_tumbling")
+      .select(unix_timestamp(col("bucket_start")).as("b"), col("event_type"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    val batch = EventWindowsBatch.counts(spark.read.parquet(tmp))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming session windows produce rows under append-with-watermark") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream2").toString
+    graft.sources.Tables.events(spark, sf0001).limit(500)
+      .write.mode("overwrite").parquet(tmp)
+    val stream = StreamingOps.readEventStream(spark, tmp)
+    StreamingOps.runToMemory(
+      StreamingOps.sessionCounts(stream, "30 minutes"), "stream_sessions",
+      "complete")
+    assert(spark.table("stream_sessions").count() > 0)
+  }
+}
+
+/** Batch mirror of the streaming aggregation for the parity assert. */
+object EventWindowsBatch {
+  def counts(events: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+    graft.extensions.EventWindows.tumbling(events, "1 hour")
+      .collect().map(r => (r.getAs[Long]("bucket_start_s"),
+        r.getAs[String]("event_type"), r.getAs[Long]("n_events"))).toSet
+}

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.extensions._
+
+/** Extension-tier tests: dedup planted duplicates, similarity math,
+  * text analysis, multimodal plumbing. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+  private lazy val docs = Seq(
+    (1L, base, "s1", base.length.toLong),
+    (2L, base, "s1", base.length.toLong),                      // exact dup of 1
+    (3L, base.replace("beta", "best"), "s1", base.length.toLong), // near dup
+    (4L, "completely different words nothing shared here at all ok", "s1", 58L)
+  ).toDF("doc_id", "text", "source", "n_chars")
+
+  test("exact dedup groups identical normalized text") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id")
+      .filter(col("n_dups") > 1).collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("n_dups") == 2L)
+    assert(g(0).getAs[Long]("keep_id") == 1L)
+  }
+
+  test("token jaccard finds the near-dup pair above threshold") {
+    val pairs = Dedup.tokenJaccardPairs(docs, threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // jaccard 1.0
+    assert(pairs.contains((1L, 3L))) // 19/21 ≈ 0.9
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("MinHash-LSH surfaces exact and near dup candidates") {
+    val pairs = Dedup.minHashLshPairs(docs, numHashes = 32, bands = 8,
+        threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("est_jaccard"))).toSeq
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(exact.isDefined && exact.get._3 == 1.0)
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("SimHash: identical docs collide at hamming 0, unrelated docs do not") {
+    val pairs = Dedup.simHashPairs(docs, maxHamming = 10)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("hamming"))).toSeq
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(exact.isDefined && exact.get._3 == 0L)
+    assert(!pairs.exists(p => (p._1 == 4L || p._2 == 4L) && p._3 <= 10))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(2.0f, 0.0f, 0.0f), 0),  // same direction → cos 1
+    (2L, Array(0.0f, 1.0f, 0.0f), 1),  // orthogonal → cos 0
+    (3L, Array(-1.0f, 0.0f, 0.0f), 1)  // opposite → cos -1
+  ).toDF("vec_id", "embedding", "label")
+
+  test("cosine is exact on known vectors") {
+    val got = Similarity.bruteForceTopK(vecs, queryId = 0L, k = 3)
+      .select("vec_id", "cosine_sim").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1.0), (2L, 0.0), (3L, -1.0)))
+  }
+
+  test("ANN scores match brute force for returned candidates (sf0.001)") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val brute = Similarity.bruteForceTopK(emb, 0L, 500)
+      .select("vec_id", "cosine_sim").as[(Long, Double)].collect().toMap
+    val ann = Similarity.annTopK(emb, 0L, 10, numPlanes = 8)
+      .select("vec_id", "cosine_sim").as[(Long, Double)].collect()
+    assert(ann.nonEmpty)
+    ann.foreach { case (id, sim) => assert(brute(id) == sim) }
+    // descending order
+    assert(ann.map(_._2).toSeq == ann.map(_._2).sorted(Ordering[Double].reverse).toSeq)
+  }
+
+  test("SRP near-dup bucketing finds same-direction vectors") {
+    val pairs = Similarity.cosineNearDupPairs(vecs, threshold = 0.99,
+        numPlanes = 8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts and TTR") {
+    val df = Seq((1L, "a b a c", 7L)).toDF("doc_id", "text", "n_chars")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.distinctTokenCount(col("text")).as("d"),
+      TextAnalysis.typeTokenRatio(col("text")).as("ttr")).collect()(0)
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("d") == 3L)
+    assert(r.getAs[Double]("ttr") == 0.75)
+  }
+
+  test("language-ID picks the language with most stopword hits") {
+    val df = Seq(
+      (1L, "the cat of the house and the dog"),
+      (2L, "el gato de la casa y que bonito"),
+      (3L, "qqq zzz xxx")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "en"), (2L, "es"), (3L, "unknown")))
+  }
+
+  test("fingerprint is invariant to token order and duplication") {
+    val df = Seq((1L, "b a c"), (2L, "c c b a"), (3L, "a b d"))
+      .toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+    assert(fps(1L).length == 16)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("binary payload plumbing: mapPartitions decode emits typed metadata") {
+    val docs = graft.sources.Tables.documents(spark, sf0001).limit(10)
+    val meta = Multimodal.decodeMeta(spark,
+      Multimodal.withBinaryPayload(docs)).collect()
+    assert(meta.length == 10)
+    meta.foreach { m =>
+      assert(m.n_bytes > 0)
+      assert(m.width >= 1 && m.height >= 1 && m.frames >= 1)
+    }
+    // deterministic: second run identical
+    val again = Multimodal.decodeMeta(spark,
+      Multimodal.withBinaryPayload(docs)).collect()
+    assert(meta.sortBy(_.doc_id).toSeq == again.sortBy(_.doc_id).toSeq)
+  }
+
+  test("relational payload stats agree with decode on byte length") {
+    val docs = graft.sources.Tables.documents(spark, sf0001).limit(10)
+    val withP = Multimodal.withBinaryPayload(docs)
+    val rel = Multimodal.payloadStats(withP).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bytes")).toMap
+    val dec = Multimodal.decodeMeta(spark, withP).collect()
+      .map(m => m.doc_id -> m.n_bytes).toMap
+    assert(rel == dec)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.CovidPipeline
+
+/** End-to-end covid integration pipeline tests mirroring the reference's
+  * exact-value assertions (tests/test_integration.py:475-509: gap=200,
+  * gap%=20.0, per100k=3.0, CFR=5.0; :634-637: aggregates excluded).
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+
+  private def owidFixture: DataFrame = Seq(
+    // (iso, country, date, total_cases, total_deaths, new_cases, new_deaths, population)
+    ("USA", "United States", d("2024-01-01"), Some(900.0), Some(45.0), Some(10.0), Some(1.0), Some(40000000.0)),
+    ("USA", "United States", d("2024-01-02"), Some(1000.0), Some(50.0), Some(100.0), Some(5.0), Some(40000000.0)),
+    ("AFG", "Afghanistan", d("2024-01-01"), Some(480.0), Some(24.0), Some(5.0), Some(1.0), Some(40000000.0)),
+    ("AFG", "Afghanistan", d("2024-01-02"), Some(500.0), Some(25.0), Some(20.0), Some(1.0), Some(40000000.0)),
+    ("OWID_WRL", "World", d("2024-01-02"), Some(999999.0), Some(9999.0), None, None, None),
+    (null, "Upper middle income", d("2024-01-02"), Some(5.0), Some(1.0), None, None, None)
+  ).toDF("iso_code", "country", "date", "total_cases", "total_deaths",
+    "new_cases", "new_deaths", "population")
+
+  private def apiFixture: DataFrame = Seq(
+    // (country, iso, cases, deaths, recovered, population)
+    ("USA", "USA", 1200L, 60L, 100L, 40000000L),
+    ("Afghanistan", "AFG", 600L, 30L, 50L, 40000000L),
+    ("World", "WRL", 99999999L, 999999L, 0L, 8000000000L)
+  ).toDF("country", "iso_code", "current_cases", "current_deaths",
+    "current_recovered", "population")
+    .withColumn("current_active", lit(0L))
+    .withColumn("current_critical", lit(0L))
+    .withColumn("tests_total", lit(0L))
+    .withColumn("last_updated", lit(Timestamp.valueOf("2024-01-02 00:00:00")))
+
+  private lazy val merged =
+    CovidPipeline.integrate(owidFixture, apiFixture,
+      CovidPipeline.Config(trendWindowDays = 30,
+        asOf = java.time.LocalDate.parse("2024-01-05")))
+
+  test("integrates exactly the mergeable countries; aggregates excluded") {
+    val countries = merged.select("country_standardized").as[String]
+      .collect().sorted.toSeq
+    assert(countries == Seq("Afghanistan", "USA"))
+  }
+
+  test("name standardization maps United States → USA for the join") {
+    assert(merged.filter(col("country_standardized") === "USA").count() == 1)
+  }
+
+  test("derived metrics: gap=200, gap%=20.0, per100k=3.0, CFR=5.0") {
+    val usa = merged.filter(col("country_standardized") === "USA").collect()(0)
+    assert(usa.getAs[Double]("cases_data_gap") == 200.0)
+    assert(usa.getAs[Double]("cases_data_gap_percent") == 20.0)
+    assert(usa.getAs[Double]("current_cases_per_100k") == 3.0)
+    assert(usa.getAs[Double]("current_cfr") == 5.0)
+  }
+
+  test("temporal alignment takes max-date owid values") {
+    val usa = merged.filter(col("country_standardized") === "USA").collect()(0)
+    assert(usa.getAs[Double]("owid_total_cases") == 1000.0)
+    assert(usa.getAs[Date]("owid_date") == d("2024-01-02"))
+  }
+
+  test("data age vs injected as-of date") {
+    val usa = merged.filter(col("country_standardized") === "USA").collect()(0)
+    assert(usa.getAs[Int]("owid_data_age_days") == 3)
+  }
+
+  test("trend metrics attach via left join with guarded pct change") {
+    val usa = merged.filter(col("country_standardized") === "USA").collect()(0)
+    // (1000-900)/900*100 = 11.11
+    assert(usa.getAs[Double]("cases_change_pct") == 11.11)
+    assert(usa.getAs[Long]("data_points_available") == 2L)
+  }
+
+  test("integration summary flags large gaps") {
+    val s = CovidPipeline.integrationSummary(merged).collect()(0)
+    assert(s.getAs[Long]("total_countries") == 2L)
+    assert(s.getAs[Long]("large_gap_countries") == 2L) // 20% both
+    assert(s.getAs[Long]("stale_data_countries") == 0L)
+  }
+
+  test("clean API clips negatives but keeps lat/long untouched semantics") {
+    val api = apiFixture
+      .withColumn("current_cases", lit(-5L))
+    val cleaned = CovidPipeline.cleanApi(api)
+      .filter(col("country") === "USA").collect()(0)
+    assert(cleaned.getAs[Long]("current_cases") == 0L)
+  }
+}

@@ -1,0 +1,24 @@
+package graft
+
+/** Smoke: every registered query executes at sf0.001 and every oracle
+  * key refers to a registered query (column-name parity with the oracle
+  * is covered by tools/oracle_check.py against DuckDB at sf0.01). */
+class QueriesSpec extends SparkSpec {
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"query $name executes at sf0.001") {
+      val df = fn(spark, sf0001)
+      assert(df.columns.nonEmpty)
+      df.count() // must not throw
+    }
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{RowOps, WindowOps}
+
+/** Exact-value tests for the window-op semantic core, mirroring the
+  * reference's assertions (reference tests/test_integration.py:403-473).
+  */
+class WindowOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+
+  test("W1 forward-fill carries last non-null within group, ordered by date") {
+    val df = Seq(
+      ("A", d("2024-01-01"), Option.empty[Double]),
+      ("A", d("2024-01-02"), Some(10.0)),
+      ("A", d("2024-01-03"), Option.empty[Double]),
+      ("A", d("2024-01-04"), Some(20.0)),
+      ("B", d("2024-01-01"), Option.empty[Double])
+    ).toDF("country", "date", "total_cases")
+    val got = WindowOps.forwardFill(df, "country", Seq("date"), Seq("total_cases"))
+      .orderBy("country", "date")
+      .select("total_cases").as[Option[Double]].collect()
+    assert(got.toSeq == Seq(None, Some(10.0), Some(10.0), Some(20.0), None))
+  }
+
+  test("W2 lag-diff + fill + clip matches pandas diff().fillna(0).clip(0)") {
+    // reference data_cleaner.py:188-194
+    val df = Seq(
+      ("A", d("2024-01-01"), Some(10.0)),
+      ("A", d("2024-01-02"), Some(25.0)),
+      ("A", d("2024-01-03"), Some(20.0)), // correction: diff -5 → clip 0
+      ("A", d("2024-01-04"), Option.empty[Double]) // null - 20 → null → 0
+    ).toDF("country", "date", "total_cases")
+    val got = WindowOps.fillAndClip(
+        WindowOps.lagDiff(df, "country", Seq("date"), "total_cases", "new_cases"),
+        "new_cases")
+      .orderBy("date").select("new_cases").as[Double].collect()
+    assert(got.toSeq == Seq(0.0, 15.0, 0.0, 0.0))
+  }
+
+  test("W3 latest-per-group picks max-date row + last non-null metrics") {
+    // reference test_integration.py:403-444: Afghanistan/Albania × 2 dates
+    val df = Seq(
+      ("Afghanistan", d("2024-01-01"), Some(1000.0), Some(40.0)),
+      ("Afghanistan", d("2024-01-02"), Some(1100.0), Option.empty[Double]),
+      ("Albania", d("2024-01-01"), Some(500.0), Some(20.0)),
+      ("Albania", d("2024-01-02"), Some(600.0), Some(25.0))
+    ).toDF("country", "date", "total_cases", "total_deaths")
+    val got = WindowOps.latestPerGroup(df, "country",
+        orderCols = Seq(col("date")),
+        lastNonNullCols = Seq("total_cases", "total_deaths"))
+      .orderBy("country")
+      .select("country", "date", "total_cases", "total_deaths")
+      .as[(String, Date, Double, Double)].collect()
+    assert(got.toSeq == Seq(
+      ("Afghanistan", d("2024-01-02"), 1100.0, 40.0), // deaths ffilled from day 1
+      ("Albania", d("2024-01-02"), 600.0, 25.0)))
+  }
+
+  test("W3 is invariant under input row-order permutation") {
+    // guards Spark's groupBy+last nondeterminism trap (SURVEY.md §7.5.1)
+    val rows = for (c <- Seq("A", "B", "C"); i <- 1 to 9)
+      yield (c, d(f"2024-01-0${(i % 9) + 1}"), Some(i * 10.0))
+    val df = rows.toDF("country", "date", "v")
+    def run(in: org.apache.spark.sql.DataFrame) =
+      WindowOps.latestPerGroup(in, "country", Seq(col("date")), Seq("v"))
+        .orderBy("country").select("country", "date", "v")
+        .as[(String, Date, Double)].collect().toSeq
+    val base = run(df)
+    val shuffled = run(df.orderBy(hash(col("v"), col("date"))).repartition(7))
+    assert(base == shuffled)
+  }
+
+  test("W4 trend metrics on the 35-day arithmetic series (A4 fixture)") {
+    // reference test_integration.py:446-473: avg daily = 1.0, ≥30 points
+    val rows = (0 until 35).map { i =>
+      ("Testland", Date.valueOf(java.time.LocalDate.parse("2024-01-01").plusDays(i)),
+        1000.0 + i, 50.0 + i, 1.0, 1.0)
+    }
+    val df = rows.toDF("country", "date", "total_cases", "total_deaths",
+      "new_cases", "new_deaths")
+    val t = WindowOps.trendMetrics(df, "country", "date", Seq(col("country")),
+        firstLastCols = Seq("total_cases", "total_deaths"),
+        avgCols = Seq("new_cases", "new_deaths"), windowDays = 30)
+      .collect()(0)
+    assert(t.getAs[Long]("data_points_available") >= 30)
+    assert(t.getAs[Double]("avg_new_cases") == 1.0)
+    assert(t.getAs[Double]("avg_new_deaths") == 1.0)
+    assert(t.getAs[Double]("first_total_cases") == 1004.0)
+    assert(t.getAs[Double]("last_total_cases") == 1034.0)
+  }
+
+  test("W4 drops groups with fewer than 2 rows in window") {
+    val df = Seq(
+      ("A", d("2024-01-01"), 1.0), ("A", d("2024-01-20"), 2.0),
+      ("B", d("2024-01-20"), 5.0) // single row in window → dropped
+    ).toDF("country", "date", "v")
+    val got = WindowOps.trendMetrics(df, "country", "date", Seq(col("country")),
+      Seq("v"), Seq("v"), windowDays = 30)
+    assert(got.select("country").as[String].collect().toSeq == Seq("A"))
+  }
+
+  test("W5 top-k returns exactly k rows in total order") {
+    val df = (1 to 100).map(i => (i.toLong, (i % 10).toDouble)).toDF("id", "v")
+    val got = WindowOps.topK(df, Seq(col("v").desc, col("id").asc), 5)
+      .as[(Long, Double)].collect()
+    assert(got.toSeq == Seq((9L, 9.0), (19L, 9.0), (29L, 9.0), (39L, 9.0), (49L, 9.0)))
+  }
+
+  test("F4 lastNDays keeps only the trailing window of max date") {
+    val df = Seq(("x", d("2024-01-01")), ("y", d("2024-03-01")),
+      ("z", d("2024-03-20"))).toDF("k", "date")
+    val got = RowOps.lastNDays(df, "date", 30).select("k").as[String]
+      .collect().toSet
+    assert(got == Set("y", "z"))
+  }
+}
