@@ -13,6 +13,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up: absorb JVM/classloader/codegen startup so per-query times
+    // measure the queries, not first-touch JIT (not counted in totals).
+    try {
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      SparkEntry.queries.get("w6_group_aggregates")
+        .foreach(fn => fn(spark, sfDir).count())
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

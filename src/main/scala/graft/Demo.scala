@@ -49,6 +49,13 @@ object Demo {
     println(s"[demo] pipeline rows = ${merged.count()}")
     CovidPipeline.integrationSummary(merged).show(truncate = false)
 
+    // S5 CSV export sink (reference streamlit download contract)
+    val csvOut = java.nio.file.Files.createTempDirectory("graft-csv").toString + "/export"
+    graft.sources.Tables.exportCsv(
+      merged.select("country_standardized", "cases_data_gap_percent"), csvOut)
+    println(s"[demo] csv export rows = " +
+      spark.read.option("header", "true").csv(csvOut).count())
+
     // --- streaming: file source → tumbling window agg → memory sink ------
     val tmp = java.nio.file.Files.createTempDirectory("graft-demo").toString
     graft.sources.Tables.events(spark, "/root/testdata/sf0.001")

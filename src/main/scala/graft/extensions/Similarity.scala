@@ -26,7 +26,18 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Built-in-functions cosine (3 array traversals + intermediate
+    * allocation) — kept as the cross-check reference for the native
+    * expression below. */
+  def cosineBuiltin(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine via the native codegen'd Catalyst expression
+    * ([[graft.functions.CosineSimilarity]]): one fused loop, no
+    * allocation, bit-identical result (same index-order double
+    * accumulation). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosine_sim(a, b)
 
   /** Brute-force cosine top-k against the embedding of `queryId`.
     * The 1-row query side is broadcast; `orderBy.limit` plans as

@@ -38,4 +38,11 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+
+  /** S5 — CSV export sink (reference `df.to_csv`, streamlit_app.py:651-657).
+    * `coalesce(1)` mirrors the reference's single-file download contract;
+    * drop it for sharded exports at scale. */
+  def exportCsv(df: DataFrame, path: String, singleFile: Boolean = true): Unit =
+    (if (singleFile) df.coalesce(1) else df)
+      .write.mode("overwrite").option("header", "true").csv(path)
 }

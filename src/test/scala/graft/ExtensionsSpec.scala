@@ -154,3 +154,32 @@ class MultimodalSpec extends SparkSpec {
     assert(rel == dec)
   }
 }
+
+class CosineExpressionSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  test("native cosine expression is bit-identical to the built-in form") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val both = emb.crossJoin(org.apache.spark.sql.functions.broadcast(q))
+      .select(col("vec_id"),
+        Similarity.cosine(col("embedding"), col("qv")).as("native"),
+        Similarity.cosineBuiltin(col("embedding"), col("qv")).as("builtin"))
+      .collect()
+    assert(both.length > 100)
+    both.foreach { r =>
+      val n = r.getAs[Double]("native"); val b = r.getAs[Double]("builtin")
+      assert(java.lang.Double.compare(n, b) == 0, s"vec ${r.get(0)}: $n != $b")
+    }
+  }
+
+  test("native cosine works on double arrays and handles interpreted eval") {
+    val df = Seq((Array(1.0, 2.0), Array(2.0, 4.0)), (Array(1.0, 0.0), Array(0.0, 1.0)))
+      .toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .as[Double].collect().toSeq
+    assert(math.abs(got(0) - 1.0) < 1e-12 && got(1) == 0.0)
+  }
+}

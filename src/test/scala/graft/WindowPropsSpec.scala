@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.operators.{RowOps, WindowOps}
+
+/** Property-based guards for the semantic invariants the reference only
+  * spot-checks (SURVEY.md §5.3.2): ffill idempotence, diff∘cumsum
+  * identity, latest-per-group stability under row permutation, clip
+  * NULL preservation. */
+object WindowPropsSpec extends Properties("graft.windows") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private val seriesGen: Gen[List[Option[Double]]] =
+    Gen.listOfN(12, Gen.option(Gen.choose(0.0, 100.0).map(v => math.rint(v))))
+
+  private def toDf(vs: List[Option[Double]]) =
+    vs.zipWithIndex.map { case (v, i) =>
+      ("K", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), v)
+    }.toDF("k", "date", "v")
+
+  property("ffill is idempotent") = forAll(seriesGen) { vs =>
+    val once = WindowOps.forwardFill(toDf(vs), "k", Seq("date"), Seq("v"))
+    val twice = WindowOps.forwardFill(once, "k", Seq("date"), Seq("v"))
+    val a = once.orderBy("date").select("v").as[Option[Double]].collect().toSeq
+    val b = twice.orderBy("date").select("v").as[Option[Double]].collect().toSeq
+    a == b
+  }
+
+  property("lag-diff of a running sum recovers the increments") = forAll(
+    Gen.listOfN(10, Gen.choose(0.0, 50.0).map(math.rint))) { incs =>
+    val cums = incs.scanLeft(0.0)(_ + _).tail
+    val df = toDf(cums.map(Some(_)))
+    val got = WindowOps.fillAndClip(
+        WindowOps.lagDiff(df, "k", Seq("date"), "v", "d"), "d")
+      .orderBy("date").select("d").as[Double].collect().toSeq
+    // first increment is lost to the fill(0) boundary, rest recovered
+    got.tail == incs.tail && got.head == 0.0
+  }
+
+  property("latest-per-group invariant under permutation + repartition") =
+    forAll(seriesGen, Gen.choose(1, 8)) { (vs, parts) =>
+      val df = toDf(vs)
+      def run(in: org.apache.spark.sql.DataFrame) =
+        WindowOps.latestPerGroup(in, "k", Seq(col("date")), Seq("v"))
+          .select("date", "v").as[(Date, Option[Double])].collect().toSeq
+      run(df) == run(df.orderBy(hash(col("v"), col("date"))).repartition(parts))
+    }
+
+  property("clipNonNegative preserves NULL and never yields negatives") =
+    forAll(seriesGen) { vs =>
+      val got = toDf(vs.map(_.map(_ - 50.0)))
+        .select(RowOps.clipNonNegative(col("v")).as("c"))
+        .as[Option[Double]].collect().toSeq
+      got.zip(vs).forall {
+        case (None, None) => true
+        case (Some(c), Some(_)) => c >= 0.0
+        case _ => false
+      }
+    }
+}
