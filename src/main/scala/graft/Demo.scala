@@ -56,6 +56,16 @@ object Demo {
     println(s"[demo] csv export rows = " +
       spark.read.option("header", "true").csv(csvOut).count())
 
+    // --- skew-safe salted join: result identical to the plain join -------
+    val fact = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val dim = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val salted = graft.operators.Joins.saltedEquiJoin(
+      fact, dim, "l_orderkey", col("l_linenumber"), factor = 4)
+    println(s"[demo] salted join rows = ${salted.count()} " +
+      s"(plain = ${fact.join(dim, Seq("l_orderkey")).count()})")
+
     // --- streaming: file source → tumbling window agg → memory sink ------
     val tmp = java.nio.file.Files.createTempDirectory("graft-demo").toString
     graft.sources.Tables.events(spark, "/root/testdata/sf0.001")

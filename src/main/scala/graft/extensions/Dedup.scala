@@ -50,6 +50,38 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Word n-gram shingles as a distinct array column. */
+  def ngramShingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Blocked n-gram Jaccard near-dup pairs — like [[tokenJaccardPairs]]
+    * but over word n-gram shingle sets (order-sensitive: catches
+    * reorderings that unigram Jaccard misses). Same blocking strategy,
+    * so pair count stays ~linear in corpus size. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val prepared = docs.select(
+      col("doc_id"), col("source"),
+      floor(col("n_chars") / 32.0).cast("long").as("bkt"),
+      ngramShingles(col("text"), n).as("toks"))
+    val a = prepared.select(col("doc_id").as("a_id"), col("source"),
+      col("bkt"), col("toks").as("a_toks"))
+    val b = prepared.select(col("doc_id").as("b_id"), col("source"),
+      col("bkt"), col("toks").as("b_toks"))
+    a.join(b, Seq("source", "bkt"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("shared",
+        size(array_intersect(col("a_toks"), col("b_toks"))).cast("double"))
+      .withColumn("jaccard", round(
+        col("shared") /
+          (size(col("a_toks")) + size(col("b_toks")) - col("shared")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
   /** MinHash signature: k permutations approximated by k seeded xxhash64
     * functions over w-token shingles; signature[i] = min hash under seed
     * i. Pure array expressions — one pass, no shuffle. */

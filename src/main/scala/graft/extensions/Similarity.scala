@@ -95,6 +95,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style ANN: a coarse quantizer partitions the corpus into k
+    * cells; queries probe only the `nprobe` nearest cells.
+    *
+    * The quantizer here picks the first k vectors by id as centroids —
+    * deterministic and adequate for testing the *plumbing*; production
+    * swaps in k-means centroids (same dataflow: a bounded broadcast
+    * centroid table, one argmin-assign pass, equi-join on cell id). The
+    * scan per query drops from N to ~N·nprobe/k — the IVF scale path
+    * alongside the SRP-LSH one. */
+  def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
+      numCells: Int = 16, nprobe: Int = 2): DataFrame = {
+    val centroids = broadcast(
+      embeddings.filter(col("vec_id") < numCells)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("centroid")))
+    // assign every vector to its nearest centroid (exact argmin via
+    // lexicographic min over (distance, cell_id) — deterministic ties)
+    val assigned = embeddings
+      .crossJoin(centroids)
+      .withColumn("dist", -cosine(col("embedding"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cell_id"))).as("best"),
+        first(col("embedding")).as("embedding"),
+        first(col("label")).as("label"))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("best.cell_id").as("cell_id"))
+    val probeCentroids = centroids
+      .select(col("cell_id").as("probe_cell"), col("centroid"))
+    val queryCells = assigned.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("query_vec"))
+      .crossJoin(probeCentroids)
+      .select(col("query_vec"), col("probe_cell"),
+        (-cosine(col("query_vec"), col("centroid"))).as("qdist"))
+      .orderBy(col("qdist"), col("probe_cell"))
+      .limit(nprobe)
+      .drop("qdist")
+    assigned
+      .join(broadcast(queryCells), col("cell_id") === col("probe_cell"))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        round(cosine(col("embedding"), col("query_vec")), 4).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via SRP bucketing: vectors
     * sharing a bucket are candidates; verify with exact cosine. Scale:
     * equi-join on bucket key, no O(n²). */

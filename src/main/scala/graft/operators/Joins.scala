@@ -31,6 +31,22 @@ object Joins {
       .withColumn("can_merge", col("in_left") && col("in_right"))
   }
 
+  /** Skew-safe equi-join: salt the (possibly skewed) fact side into
+    * `factor` sub-keys derived from a caller-named high-cardinality
+    * column (deterministic — no `rand()`), replicate the dim side across
+    * all salts, join on (key, salt). Turns one hot shuffle partition
+    * into `factor` even ones; AQE's skew-join handles moderate skew
+    * automatically, this is the explicit form for extreme keys.
+    * Result equals the plain inner equi-join. */
+  def saltedEquiJoin(
+      fact: DataFrame, dim: DataFrame, key: String,
+      saltSource: Column, factor: Int): DataFrame = {
+    val salted = fact.withColumn("__salt", pmod(xxhash64(saltSource), lit(factor)))
+    val replicated = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(factor - 1L))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** J5 — key-set diagnostics (reference compare_data_sources,
     * data_loader.py:221-256; identify_matching_countries,
     * data_cleaner.py:259-299). One plan, three filters over J1 —

@@ -138,6 +138,66 @@ object ExtensionQueries {
           Multimodal.withBinaryPayload(Tables.documents(s, d)))
         .select(col("doc_id"), col("n_bytes"))
         .orderBy(col("doc_id"))
+    }),
+
+    // D5 — word-bigram Jaccard near-dup pairs (order-sensitive shingles).
+    "d5_ngram_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 2, threshold = 0.2)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // E4 — IVF-style ANN (coarse-quantizer cells + probe; rows-only
+    // oracle, recall vs brute force checked in SimilaritySpec).
+    "e4_ivf_ann" -> ((s, d) => {
+      Similarity.ivfTopK(Tables.embeddings(s, d), queryId = 0L, k = 10,
+        numCells = 16, nprobe = 4)
+    }),
+
+    // T4 — explode/lateral surface: global word counts, top 20.
+    "t4_word_counts" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20)
+    }),
+
+    // W13 — manual pivot (sum per key spread over category columns).
+    "w13_pivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(graft.operators.Summaries.exactSum(col("l_quantity"), 2))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // W14 — rollup aggregation over the region/nation hierarchy.
+    "w14_rollup" -> ((s, d) => {
+      val joined = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+      joined.rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          graft.operators.Summaries.exactSum(col("c_acctbal"), 2).as("sum_acctbal"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
+          coalesce(col("n_name"), lit("ALL")).as("n_name"),
+          col("n_customers"), col("sum_acctbal"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // W15 — sketch aggregates (HLL distinct + approximate quantiles);
+    // rows-only oracle (sketch internals are engine-specific),
+    // exactness bounds checked in SketchSpec.
+    "w15_sketches" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("approx_median_price"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -247,6 +307,50 @@ object ExtensionQueries {
 
     "m1_payload_stats" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d5_ngram_jaccard" ->
+      """WITH prepared AS (
+        |  SELECT doc_id, source, CAST(floor(n_chars / 32.0) AS BIGINT) AS bkt,
+        |    list_distinct(list_transform(
+        |      range(1, len(string_split(text,' ')) - 2 + 2),
+        |      i -> array_to_string(list_slice(string_split(text,' '), i, i + 1), ' ')))
+        |      AS toks
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+        |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4)
+        |    AS jaccard
+        |FROM prepared a JOIN prepared b
+        |  ON a.source = b.source AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+        |WHERE round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+        |  (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4)
+        |  >= 0.2
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "t4_word_counts" ->
+      """SELECT word, count(*) AS n FROM (
+        |SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+
+    "w13_pivot" ->
+      """SELECT l_linestatus,
+        |CAST(round(sum(CASE WHEN l_returnflag = 'A'
+        |  THEN CAST(l_quantity AS DECIMAL(38,6)) END), 2) AS DOUBLE) AS A,
+        |CAST(round(sum(CASE WHEN l_returnflag = 'N'
+        |  THEN CAST(l_quantity AS DECIMAL(38,6)) END), 2) AS DOUBLE) AS N,
+        |CAST(round(sum(CASE WHEN l_returnflag = 'R'
+        |  THEN CAST(l_quantity AS DECIMAL(38,6)) END), 2) AS DOUBLE) AS R
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "w14_rollup" ->
+      """SELECT COALESCE(r_name, 'ALL') AS r_name, COALESCE(n_name, 'ALL') AS n_name,
+        |count(*) AS n_customers,
+        |CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name, n_name""".stripMargin
   )
 }

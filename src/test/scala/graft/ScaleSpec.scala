@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+import graft.extensions.Similarity
+import graft.operators.Joins
+import graft.sources.Tables
+
+/** Scale-path mechanics: bucketed co-located joins, deterministic salted
+  * joins, IVF probe correctness, sketch accuracy bounds. These are the
+  * 100 TB design levers, validated at test scale. */
+class ScaleSpec extends SparkSpec {
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    Tables.lineitem(spark, sf0001)
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_b")
+    Tables.orders(spark, sf0001)
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("o_b")
+    // disable broadcast so the join strategy actually depends on bucketing
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_b")
+        .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed join should be co-located, found ${exchanges.size} exchanges")
+      assert(joined.count() == Tables.lineitem(spark, sf0001).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted equi-join equals the plain join (skew mitigation is transparent)") {
+    val fact = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val dim = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = fact.join(dim, Seq("l_orderkey"))
+    val salted = Joins.saltedEquiJoin(fact, dim, "l_orderkey",
+      saltSource = col("l_linenumber"), factor = 4)
+    assert(salted.count() == plain.count())
+    // spot-check content equality
+    val a = plain.groupBy("l_orderkey").count()
+    val b = salted.groupBy("l_orderkey").count()
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
+  test("IVF ANN returns true cosine scores; probing more cells only helps") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val brute = Similarity.bruteForceTopK(emb, 0L, 500)
+      .select("vec_id", "cosine_sim")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = Similarity.ivfTopK(emb, 0L, 10, numCells = 16, nprobe = 4)
+      .select("vec_id", "cosine_sim")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (id, sim) => assert(brute(id) == sim) }
+    val fewer = Similarity.ivfTopK(emb, 0L, 10, numCells = 16, nprobe = 1)
+      .count()
+    assert(fewer <= ivf.length)
+  }
+
+  test("sketch aggregates stay within documented error of exact values") {
+    val li = Tables.lineitem(spark, sf0001)
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("d"),
+        expr("percentile(l_extendedprice, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val approx = SparkEntry.queries("w15_sketches")(spark, sf0001).collect()
+    approx.foreach { r =>
+      val (d, m) = exact(r.getAs[String]("l_returnflag"))
+      val ad = r.getAs[Long]("approx_parts")
+      val am = r.getAs[Double]("approx_median_price")
+      assert(math.abs(ad - d).toDouble / d < 0.1, s"HLL off: $ad vs $d")
+      assert(math.abs(am - m) / m < 0.1, s"quantile off: $am vs $m")
+    }
+  }
+}
