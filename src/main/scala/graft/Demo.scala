@@ -45,7 +45,20 @@ object Demo {
       CovidPipeline.Config(30, java.time.LocalDate.parse("2024-01-05")))
     merged.select("country_standardized", "owid_total_cases",
       "api_current_cases", "cases_data_gap", "cases_data_gap_percent",
-      "current_cfr", "owid_data_age_days").show(truncate = false)
+      "current_cfr", "owid_data_age_days", "merge_timestamp")
+      .show(truncate = false)
+
+    // multimodal batch pipeline: payload → decode → resize → frame-sample
+    val media = graft.extensions.Multimodal.frameSampleStub(
+      graft.extensions.Multimodal.resizeStub(
+        graft.extensions.Multimodal.decodeMeta(spark,
+          graft.extensions.Multimodal.withBinaryPayload(
+            graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+              .limit(5))),
+        maxW = 64, maxH = 64),
+      stride = 4)
+    media.show(5, truncate = false)
+    println(s"[demo] media pipeline rows = ${media.count()}")
     println(s"[demo] pipeline rows = ${merged.count()}")
     CovidPipeline.integrationSummary(merged).show(truncate = false)
 

@@ -71,6 +71,29 @@ object Multimodal {
       }
   }
 
+  /** STUB resize: in production this re-encodes pixels; here it derives
+    * the target dims + a new deterministic checksum. Shape contract
+    * (Dataset[MediaMeta] → Dataset[MediaMeta]) is the real thing. */
+  def resizeStub(meta: Dataset[MediaMeta], maxW: Int, maxH: Int): Dataset[MediaMeta] = {
+    import meta.sparkSession.implicits._
+    meta.map { m =>
+      val scale = math.min(1.0,
+        math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
+      m.copy(
+        width = math.max(1, (m.width * scale).toInt),
+        height = math.max(1, (m.height * scale).toInt),
+        checksum = m.checksum ^ (maxW.toLong << 32 | maxH.toLong))
+    }
+  }
+
+  /** STUB frame sampling for video-like payloads: keep every `stride`-th
+    * frame. Production samples real frames batch-wise in mapPartitions;
+    * the partitioning/batching shape is identical. */
+  def frameSampleStub(meta: Dataset[MediaMeta], stride: Int): Dataset[MediaMeta] = {
+    import meta.sparkSession.implicits._
+    meta.map(m => m.copy(frames = math.max(1, m.frames / stride)))
+  }
+
   /** Relational fast-path for the metadata that needs no decode —
     * byte length + crc32 are Spark built-ins (codegen'd, oracle-able). */
   def payloadStats(withPayload: DataFrame): DataFrame =

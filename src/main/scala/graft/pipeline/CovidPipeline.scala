@@ -24,7 +24,8 @@ object CovidPipeline {
 
   case class Config(
       trendWindowDays: Int = 30,            // config/constants.py:64
-      asOf: LocalDate = LocalDate.parse("2024-01-01"))
+      asOf: LocalDate = LocalDate.parse("2024-01-01"),
+      wallClock: Boolean = false)           // true → real current_timestamp (X9)
 
   /** Clean OWID historical frame (reference clean pipeline:
     * data_loader.py:72-121 + data_cleaner.py:154-203):
@@ -141,6 +142,14 @@ object CovidPipeline {
         RowOps.guardedRatio(col("api_current_deaths"), col("api_current_cases")))
       .withColumn("owid_data_age_days",
         RowOps.dataAgeDays(col("owid_date"), lit(cfg.asOf.toString).cast("date")))
+      // X9 — reference stamps `merge_timestamp = datetime.now()`
+      // (data_merger.py:272). The clock is injected (cfg.asOf) so runs
+      // are reproducible and oracle-safe; pass `wallClock = true` only
+      // for operational lineage stamps that are excluded from verified
+      // outputs (SURVEY.md §7.5.4).
+      .withColumn("merge_timestamp",
+        if (cfg.wallClock) current_timestamp()
+        else lit(cfg.asOf.toString + " 00:00:00").cast("timestamp"))
   }
 
   /** Integration summary (generate_integration_summary,

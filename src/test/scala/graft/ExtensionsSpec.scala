@@ -183,3 +183,25 @@ class CosineExpressionSpec extends SparkSpec {
     assert(math.abs(got(0) - 1.0) < 1e-12 && got(1) == 0.0)
   }
 }
+
+class MultimodalStubSpec extends SparkSpec {
+  import graft.extensions.Multimodal
+
+  test("resize stub caps dimensions and keeps aspect handling deterministic") {
+    val docs = graft.sources.Tables.documents(spark, sf0001).limit(20)
+    val meta = Multimodal.decodeMeta(spark, Multimodal.withBinaryPayload(docs))
+    val resized = Multimodal.resizeStub(meta, maxW = 64, maxH = 64).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { m => assert(m.width <= 64 && m.height <= 64 && m.width >= 1) }
+  }
+
+  test("frame sampling stub reduces frames by the stride") {
+    val docs = graft.sources.Tables.documents(spark, sf0001).limit(20)
+    val meta = Multimodal.decodeMeta(spark, Multimodal.withBinaryPayload(docs))
+    val orig = meta.collect().map(m => m.doc_id -> m.frames).toMap
+    val sampled = Multimodal.frameSampleStub(meta, stride = 4).collect()
+    sampled.foreach { m =>
+      assert(m.frames == math.max(1, orig(m.doc_id) / 4))
+    }
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+/** Plan-shape regression tests — the 100 TB levers must stay visible in
+  * the physical plan, not just be intended: pruned scans with pushed
+  * filters, broadcast joins for bounded sides, heap-based top-k, no
+  * redundant shuffles. */
+class PlanSpec extends SparkSpec {
+
+  private def planString(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("s7: filter and projection reach the parquet scan") {
+    val p = planString("s7_scan_pruned")
+    assert(p.contains("PushedFilters"), "expected pushed filters in scan")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "shipdate predicate should be pushed to parquet")
+    // pruned read schema: no l_quantity/l_discount in the scan
+    assert(!p.contains("l_discount"), "scan should prune unused columns")
+  }
+
+  test("j2: dimension sides broadcast, no sort-merge join at this scale") {
+    val df = SparkEntry.queries("j2_multiway_join")(spark, sf0001)
+    df.count() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 4, s"expected >=4 broadcast joins, got $bhj in\n$p")
+    assert(!p.contains("SortMergeJoin"), "no SMJ expected at this scale")
+  }
+
+  test("w5: top-k plans as TakeOrderedAndProject (no global sort)") {
+    assert(planString("w5_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("w1: window ops introduce exactly one exchange (partition by key)") {
+    val df = SparkEntry.queries("w1_ffill")(spark, sf0001)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1,
+      s"ffill should need one hash exchange, got $exchanges")
+  }
+}
