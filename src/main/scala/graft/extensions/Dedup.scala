@@ -63,10 +63,15 @@ object Dedup {
     * reorderings that unigram Jaccard misses). Same blocking strategy,
     * so pair count stays ~linear in corpus size. */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    // Shingles are hashed to 64-bit longs before the pair join: set
+    // cardinalities (and hence Jaccard) are preserved (collision odds
+    // ~|shingles|²/2⁶⁴), and long-array intersection is far cheaper than
+    // string-array intersection in the O(pairs) inner loop.
     val prepared = docs.select(
       col("doc_id"), col("source"),
       floor(col("n_chars") / 32.0).cast("long").as("bkt"),
-      ngramShingles(col("text"), n).as("toks"))
+      array_distinct(transform(ngramShingles(col("text"), n), s => xxhash64(s)))
+        .as("toks"))
     val a = prepared.select(col("doc_id").as("a_id"), col("source"),
       col("bkt"), col("toks").as("a_toks"))
     val b = prepared.select(col("doc_id").as("b_id"), col("source"),
