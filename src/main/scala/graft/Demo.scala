@@ -69,6 +69,23 @@ object Demo {
     println(s"[demo] csv export rows = " +
       spark.read.option("header", "true").csv(csvOut).count())
 
+    // --- §3.2 dashboard: persist once, tab queries re-use the cache ------
+    val cached = CovidPipeline.cachedDashboard(merged)
+    val gapTab = cached
+      .orderBy(col("cases_data_gap_percent").desc).limit(10).count()
+    val filterTab = cached
+      .filter(col("cases_data_gap_percent") > 10).count()
+    println(s"[demo] dashboard tabs over cached frame: topk=$gapTab filtered=$filterTab")
+    cached.unpersist()
+
+    // --- typed Dataset surface -------------------------------------------
+    val typedTrends = CovidPipeline.trendMetricsTyped(
+      CovidPipeline.cleanOwid(owid),
+      CovidPipeline.Config(30, java.time.LocalDate.parse("2024-01-05")))
+    typedTrends.collect().foreach(t =>
+      println(s"[demo] typed trend: ${t.country_standardized} " +
+        s"cases_change=${t.cases_change_pct}% points=${t.data_points_available}"))
+
     // --- skew-safe salted join: result identical to the plain join -------
     val fact = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select("l_orderkey", "l_linenumber", "l_quantity")

@@ -152,6 +152,34 @@ object CovidPipeline {
         else lit(cfg.asOf.toString + " 00:00:00").cast("timestamp"))
   }
 
+  /** Stable record shape of the trend output — the one place SURVEY.md
+    * §1.1 calls for a typed `Dataset[T]` (compile-time field checks for
+    * downstream consumers). */
+  case class TrendRow(
+      country_standardized: String,
+      cases_change_pct: Double,
+      deaths_change_pct: Double,
+      avg_daily_new_cases: Option[Double],
+      avg_daily_new_deaths: Option[Double],
+      window_start: java.sql.Date,
+      window_end: java.sql.Date,
+      data_points_available: Long)
+
+  /** Typed view of [[trendMetrics]]. */
+  def trendMetricsTyped(cleanedOwid: DataFrame, cfg: Config)
+      : org.apache.spark.sql.Dataset[TrendRow] = {
+    val spark = cleanedOwid.sparkSession
+    import spark.implicits._
+    trendMetrics(cleanedOwid, cfg).as[TrendRow]
+  }
+
+  /** §3.2 dashboard equivalence: the reference memoizes the integrated
+    * frame with `@st.cache_data` (streamlit_app.py:46) and re-queries it
+    * per interaction. Spark form: persist the merged plan once, express
+    * each tab as a short job over the cached data. */
+  def cachedDashboard(merged: DataFrame): DataFrame =
+    merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Integration summary (generate_integration_summary,
     * data_merger.py:355-419) as a 1-row DataFrame. */
   def integrationSummary(merged: DataFrame): DataFrame =

@@ -95,3 +95,39 @@ class PipelineSpec extends SparkSpec {
     assert(cleaned.getAs[Long]("current_cases") == 0L)
   }
 }
+
+class TypedPipelineSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.pipeline.CovidPipeline
+
+  test("typed trend Dataset round-trips the 35-day fixture") {
+    val rows = (0 until 35).map { i =>
+      ("Testland",
+        java.sql.Date.valueOf(java.time.LocalDate.parse("2024-01-01").plusDays(i)),
+        Some(1000.0 + i), Some(50.0 + i), Some(1.0), Some(1.0), Some(1.0e6),
+        "TST")
+    }
+    val cleaned = rows.toDF("country_standardized", "date", "total_cases",
+      "total_deaths", "new_cases", "new_deaths", "population", "iso_code")
+      .withColumn("country", org.apache.spark.sql.functions.col("country_standardized"))
+    val ds = CovidPipeline.trendMetricsTyped(cleaned,
+      CovidPipeline.Config(trendWindowDays = 30))
+    val t = ds.collect()(0)
+    assert(t.country_standardized == "Testland")
+    assert(t.avg_daily_new_cases.contains(1.0))
+    assert(t.data_points_available >= 30)
+  }
+
+  test("cached dashboard serves repeated tab queries from the persisted plan") {
+    import org.apache.spark.sql.functions._
+    val merged = Seq(("A", 10.0), ("B", 250.0), ("C", 90.0))
+      .toDF("country_standardized", "cases_data_gap_percent")
+    val cached = CovidPipeline.cachedDashboard(merged)
+    try {
+      val topk = cached.orderBy(col("cases_data_gap_percent").desc).limit(2).count()
+      val filtered = cached.filter(col("cases_data_gap_percent") > 50).count()
+      assert(topk == 2 && filtered == 2)
+      assert(cached.storageLevel.useMemory)
+    } finally cached.unpersist()
+  }
+}
