@@ -31,6 +31,49 @@ object Joins {
       .withColumn("can_merge", col("in_left") && col("in_right"))
   }
 
+  /** As-of join — for each left row, the latest right row with
+    * `rightTime <= leftTime` on the same key. Spark has no native asof
+    * operator; rather than a range-join (quadratic blowup per key), this
+    * composes it as **union + ordered window forward-fill**: tag both
+    * sides, sort within key by (time, side) putting right rows first at
+    * equal times (inclusive asof), carry the last right payload forward,
+    * keep left rows with a match.
+    *
+    * Scale: one hash exchange on `key`, one in-partition sort — the same
+    * cost envelope as any windowed op; no per-key quadratic work. Right
+    * rows should be unique per (key, rightTime) (dedupe upstream) so the
+    * match is deterministic.
+    */
+  def asOfJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      payloadCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+    val lAligned = payloadCols.foldLeft(l)((d, c) =>
+      d.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+    val r = right
+      .withColumnRenamed(key, "__rkey")
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+    val rAligned = leftCols.filterNot(_ == key).foldLeft(r)((d, c) =>
+      d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+      .withColumn(key, col("__rkey"))
+    val cols = (leftCols ++ payloadCols ++ Seq("__t", "__side")).distinct
+    val unioned = lAligned.select(cols.map(col): _*)
+      .unionByName(rAligned.select(cols.map(col): _*))
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payloadCols.foldLeft(unioned)((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    filled
+      .filter(col("__side") === 1 && col(payloadCols.head).isNotNull)
+      .drop("__t", "__side")
+  }
+
   /** Skew-safe equi-join: salt the (possibly skewed) fact side into
     * `factor` sub-keys derived from a caller-named high-cardinality
     * column (deterministic — no `rand()`), replicate the dim side across

@@ -357,6 +357,57 @@ object ParityQueries {
         .select(col("l_returnflag"), col("l_linestatus"))
         .distinct()
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // J6 — as-of join (operator Spark lacks; composed as union +
+    // ordered-window ffill per SURVEY §7.1 preference (a); oracled
+    // against DuckDB's native ASOF JOIN).
+    "j6_asof_join" -> ((s, d) => {
+      // dedupe right side to one row per (custkey, day) so the asof
+      // match is deterministic
+      val perDay = Tables.orders(s, d)
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("o_custkey"), col("o_orderdate"))
+            .orderBy(col("o_orderkey").desc)))
+        .filter(col("__rn") === 1).drop("__rn")
+        .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+          col("o_orderkey"), col("o_totalprice"))
+      val events = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      Joins.asOfJoin(events, perDay, "user_id",
+          leftTime = "ts", rightTime = "o_orderdate",
+          payloadCols = Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("matched_orderkey"),
+          col("o_totalprice").as("matched_totalprice"))
+        .orderBy(col("event_id"))
+        .limit(2000)
+    }),
+
+    // W16 — window ranking (rank per group, top-3).
+    "w16_rank" -> ((s, d) => {
+      Tables.orders(s, d)
+        .withColumn("rnk", rank().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("o_custkey"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("rnk").cast("long").as("rnk"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
+    }),
+
+    // J7 — semi/anti joins (EXISTS / NOT EXISTS surface).
+    "j7_semi_anti" -> ((s, d) => {
+      val f = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+      val c = Tables.customer(s, d)
+      val semi = c.join(f, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_f_order").as("tag"))
+      val anti = c.join(f, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_f_order").as("tag"))
+      semi.unionByName(anti).orderBy(col("c_custkey"), col("tag"))
     })
   )
 
@@ -587,6 +638,35 @@ object ParityQueries {
 
     "o3_distinct_sort" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "j6_asof_join" ->
+      """WITH per_day AS (
+        |  SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice
+        |  FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1
+        |)
+        |SELECT e.event_id, e.user_id, r.o_orderkey AS matched_orderkey,
+        |  r.o_totalprice AS matched_totalprice
+        |FROM events e ASOF JOIN per_day r
+        |  ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+        |ORDER BY e.event_id LIMIT 2000""".stripMargin,
+
+    "w16_rank" ->
+      """SELECT o_custkey, CAST(rnk AS BIGINT) AS rnk, o_orderkey, o_totalprice
+        |FROM (SELECT *, rank() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+
+    "j7_semi_anti" ->
+      """SELECT c_custkey, 'has_f_order' AS tag FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |UNION ALL
+        |SELECT c_custkey, 'no_f_order' AS tag FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey, tag""".stripMargin
   )
 }

@@ -120,3 +120,29 @@ class WindowOpsSpec extends SparkSpec {
     assert(got == Set("y", "z"))
   }
 }
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+  import graft.operators.Joins
+
+  test("asOfJoin picks the latest right row at or before each left time") {
+    val quotes = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 100.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), 110.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 50.0)
+    ).toDF("key", "qt", "price")
+    val trades = Seq(
+      (10L, 1L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00")), // → 100
+      (11L, 1L, java.sql.Timestamp.valueOf("2024-01-03 00:00:00")), // → 110 (inclusive)
+      (12L, 1L, java.sql.Timestamp.valueOf("2024-01-09 00:00:00")), // → 110
+      (13L, 2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")), // no match → dropped
+      (14L, 2L, java.sql.Timestamp.valueOf("2024-01-05 00:00:00"))  // → 50
+    ).toDF("trade_id", "key", "tt")
+    val got = Joins.asOfJoin(trades, quotes, "key",
+        leftTime = "tt", rightTime = "qt", payloadCols = Seq("price"))
+      .select(col("trade_id"), col("price"))
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((10L, 100.0), (11L, 110.0), (12L, 110.0), (14L, 50.0)))
+  }
+}
