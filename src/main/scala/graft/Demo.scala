@@ -78,6 +78,17 @@ object Demo {
     println(s"[demo] dashboard tabs over cached frame: topk=$gapTab filtered=$filterTab")
     cached.unpersist()
 
+    // --- SQL surface for the custom functions ----------------------------
+    graft.functions.GraftFunctions.register(spark)
+    graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .createOrReplaceTempView("emb")
+    val sqlSim = spark.sql(
+      """SELECT a.vec_id, round(cosine_sim(a.embedding, b.embedding), 4) AS sim
+        |FROM emb a JOIN emb b ON b.vec_id = 0 AND a.vec_id <> 0
+        |ORDER BY sim DESC, a.vec_id LIMIT 3""".stripMargin)
+    sqlSim.show()
+    println(s"[demo] sql cosine_sim rows = ${sqlSim.count()}")
+
     // --- typed Dataset surface -------------------------------------------
     val typedTrends = CovidPipeline.trendMetricsTyped(
       CovidPipeline.cleanOwid(owid),

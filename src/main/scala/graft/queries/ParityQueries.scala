@@ -398,6 +398,20 @@ object ParityQueries {
         .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
     }),
 
+    // W17 — custom heap-based top-k Aggregator: same semantics as the
+    // rank form, but the partial aggregate carries <=k values per group
+    // per partition (no per-group sort/spill on wide groups).
+    "w17_topk_agg" -> ((s, d) => {
+      val topk = udaf(new graft.functions.TopKAggregator(3))
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(topk(col("l_extendedprice")).as("tk"))
+        .select(col("l_returnflag"), posexplode(col("tk")))
+        .select(col("l_returnflag"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col").as("value"))
+        .orderBy(col("l_returnflag"), col("rnk"))
+    }),
+
     // J7 — semi/anti joins (EXISTS / NOT EXISTS surface).
     "j7_semi_anti" -> ((s, d) => {
       val f = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
@@ -658,6 +672,13 @@ object ParityQueries {
         |FROM (SELECT *, rank() OVER (PARTITION BY o_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders)
         |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+
+    "w17_topk_agg" ->
+      """SELECT l_returnflag, CAST(rn AS BIGINT) AS rnk, l_extendedprice AS value
+        |FROM (SELECT l_returnflag, l_extendedprice, row_number() OVER (
+        |  PARTITION BY l_returnflag ORDER BY l_extendedprice DESC) AS rn
+        |FROM lineitem) WHERE rn <= 3
+        |ORDER BY l_returnflag, rnk""".stripMargin,
 
     "j7_semi_anti" ->
       """SELECT c_custkey, 'has_f_order' AS tag FROM customer

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, TopKAggregator}
+
+/** Custom function surface: SQL registration + heap top-k aggregator. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine_sim is callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(2.0D, 0.0D)) AS c").collect()(0)
+    assert(got.getDouble(0) == 1.0)
+  }
+
+  test("top-k aggregator equals the window-sort form on real data") {
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+    val topk = udaf(new TopKAggregator(3))
+    val viaAgg = li.groupBy("l_returnflag")
+      .agg(topk(col("l_extendedprice")).as("tk"))
+      .select(col("l_returnflag"), posexplode(col("tk")))
+      .select(col("l_returnflag"), col("pos"), col("col").as("v"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+    val viaWindow = li
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag")
+          .orderBy(col("l_extendedprice").desc)))
+      .filter(col("rn") <= 3)
+      .select(col("l_returnflag"), (col("rn") - 1).as("pos"),
+        col("l_extendedprice").as("v"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("top_k_3 udaf is callable from SQL") {
+    GraftFunctions.register(spark)
+    graft.sources.Tables.lineitem(spark, sf0001).createOrReplaceTempView("li_v")
+    val got = spark.sql(
+      "SELECT size(top_k_3(l_quantity)) FROM li_v GROUP BY l_returnflag")
+      .collect().map(_.getInt(0))
+    assert(got.forall(_ == 3))
+  }
+}
