@@ -412,6 +412,35 @@ object ParityQueries {
         .orderBy(col("l_returnflag"), col("rnk"))
     }),
 
+    // O5 — explicit set operators (intersect/except on key frames,
+    // SURVEY §2.G; the relational form of the reference's Python-set
+    // algebra, data_loader.py:236-242).
+    "o5_intersect_except" -> ((s, d) => {
+      val fCusts = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey")).distinct()
+      val oCusts = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("custkey")).distinct()
+      fCusts.intersect(oCusts).withColumn("setop", lit("both_status"))
+        .unionByName(
+          fCusts.except(oCusts).withColumn("setop", lit("f_only")))
+        .orderBy(col("custkey"), col("setop"))
+    }),
+
+    // W18 — running total over an ordered window (cumulative per key).
+    "w18_running_total" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.orders(s, d)
+        .withColumn("running_spend",
+          round(sum(col("o_totalprice").cast("decimal(38,6)")).over(w), 2)
+            .cast("double"))
+        .select(col("o_orderkey"), col("o_custkey"), col("running_spend"))
+        .orderBy(col("o_orderkey"))
+        .limit(2000)
+    }),
+
     // J7 — semi/anti joins (EXISTS / NOT EXISTS surface).
     "j7_semi_anti" -> ((s, d) => {
       val f = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
@@ -679,6 +708,26 @@ object ParityQueries {
         |  PARTITION BY l_returnflag ORDER BY l_extendedprice DESC) AS rn
         |FROM lineitem) WHERE rn <= 3
         |ORDER BY l_returnflag, rnk""".stripMargin,
+
+    "o5_intersect_except" ->
+      """SELECT custkey, 'both_status' AS setop FROM (
+        |  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |UNION ALL
+        |SELECT custkey, 'f_only' AS setop FROM (
+        |  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |ORDER BY custkey, setop""".stripMargin,
+
+    "w18_running_total" ->
+      """SELECT o_orderkey, o_custkey,
+        |CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+        |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+        |  AS running_spend
+        |FROM orders ORDER BY o_orderkey LIMIT 2000""".stripMargin,
 
     "j7_semi_anti" ->
       """SELECT c_custkey, 'has_f_order' AS tag FROM customer

@@ -82,3 +82,22 @@ class ScaleSpec extends SparkSpec {
     }
   }
 }
+
+class PartitionPruningSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("partitioned parquet scans prune partitions on the filter key") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    graft.sources.Tables.events(spark, sf0001)
+      .withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").mode("overwrite").parquet(dir)
+    val pruned = spark.read.parquet(dir)
+      .filter(col("day") === "2024-01-05")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "expected partition filters in scan")
+    // pruning means only the matching partition directory is read
+    val expected = graft.sources.Tables.events(spark, sf0001)
+      .filter(to_date(col("ts")) === "2024-01-05").count()
+    assert(pruned.count() == expected && expected > 0)
+  }
+}
