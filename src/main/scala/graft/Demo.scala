@@ -118,6 +118,18 @@ object Demo {
     out.orderBy("bucket_start", "event_type").show(8, truncate = false)
     println(s"[demo] streaming agg rows = ${out.count()}")
 
+    // --- custom stateful streaming (flatMapGroupsWithState) --------------
+    import spark.implicits._
+    val typedStream = StreamingOps.readEventStream(spark, tmp)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamingOps.Event]
+    val sq = StreamingOps.statefulUserStats(typedStream)
+      .writeStream.format("memory").queryName("demo_stateful")
+      .outputMode("update").start()
+    sq.processAllAvailable(); sq.stop()
+    println(s"[demo] stateful user stats rows = " +
+      spark.table("demo_stateful").count())
+
     spark.stop()
   }
 }

@@ -55,6 +55,43 @@ object StreamingOps {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
 
+  /** Event record for the typed stateful API. */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Per-user custom state for [[statefulUserStats]]. */
+  case class UserState(nEvents: Long, totalValue: Double, lastSeenSec: Long)
+
+  /** Output row of the stateful operator. */
+  case class UserStats(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom stateful aggregation via `flatMapGroupsWithState` — the
+    * escape hatch when built-in windows can't express the state machine
+    * (SURVEY.md §2.H). Keeps one bounded `UserState` per key in the
+    * state store (hash-partitioned by key across executors), emits the
+    * updated stats per key per micro-batch. */
+  def statefulUserStats(events: org.apache.spark.sql.Dataset[Event])
+      : org.apache.spark.sql.Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserStats](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0, 0L))
+          val evs = batch.toSeq
+          val next = UserState(
+            prev.nEvents + evs.size,
+            prev.totalValue + evs.map(_.value).sum,
+            math.max(prev.lastSeenSec,
+              evs.map(_.ts.getTime / 1000).foldLeft(0L)(math.max)))
+          state.update(next)
+          Iterator(UserStats(userId, next.nEvents,
+            math.rint(next.totalValue * 100) / 100))
+      }
+  }
+
   /** Convenience: run a streaming aggregation to completion against a
     * static directory via an in-memory sink (local smoke path — the
     * production sink is kafka/parquet/delta). */

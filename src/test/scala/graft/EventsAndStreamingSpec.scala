@@ -86,3 +86,35 @@ object EventWindowsBatch {
       .collect().map(r => (r.getAs[Long]("bucket_start_s"),
         r.getAs[String]("event_type"), r.getAs[Long]("n_events"))).toSet
 }
+
+class StatefulStreamingSpec extends SparkSpec {
+
+  test("flatMapGroupsWithState accumulates per-user state across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.Event
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingOps.statefulUserStats(input.toDS())
+      .writeStream.format("memory").queryName("stateful_out")
+      .outputMode("update").start()
+    try {
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+      input.addData(Event(1, ts(10), 1L, "view", 1.5),
+        Event(2, ts(20), 1L, "click", 2.5), Event(3, ts(30), 2L, "view", 4.0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts(40), 1L, "view", 6.0))
+      q.processAllAvailable()
+      val rows = spark.table("stateful_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // update mode appends one row per key per batch: last user-1 row
+      // must reflect accumulated state across BOTH batches
+      val user1 = rows.filter(_._1 == 1L)
+      assert(user1.contains((1L, 2L, 4.0)))   // after batch 1
+      assert(user1.contains((1L, 3L, 10.0)))  // after batch 2 (state carried)
+      assert(rows.contains((2L, 1L, 4.0)))
+    } finally q.stop()
+  }
+}
