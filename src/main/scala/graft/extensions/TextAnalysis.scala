@@ -36,6 +36,26 @@ object TextAnalysis {
     round(lengthOk * 0.4 + least(ttr * 2, lit(1.0)) * 0.6, 4)
   }
 
+  /** BPE-ish token count: word-or-symbol chunks via regex, the cheap
+    * stand-in for a real tokenizer's piece count (same order of
+    * magnitude, pure codegen). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("""\w+|[^\w\s]"""), lit(0))).cast("long")
+
+  /** Punctuation density per character — boilerplate/code-dump signal. */
+  def punctuationRatio(text: Column, nChars: Column): Column =
+    round(size(regexp_extract_all(text, lit("""[^\w\s]"""), lit(0)))
+      .cast("double") / nChars, 4)
+
+  /** Share of tokens that are (any-language) stopwords — natural-prose
+    * signal used by quality classifiers. */
+  def stopwordRatio(text: Column): Column = {
+    val all = StopwordSets.flatMap(_._2).distinct
+    val toks = tokens(text)
+    round(size(filter(toks, t => t.isin(all.map(lit): _*))).cast("double") /
+      size(toks), 4)
+  }
+
   /** Stopword tables for the n-gram language-ID heuristic. Tiny constant
     * lists — folded into codegen, never a join. */
   val StopwordSets: Seq[(String, Seq[String])] = Seq(

@@ -93,7 +93,11 @@ object ExtensionQueries {
           TextAnalysis.avgTokenLength(col("text"), col("n_chars"))
             .as("avg_token_len"),
           TextAnalysis.qualityScore(col("text"), col("n_chars"))
-            .as("quality_score"))
+            .as("quality_score"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("n_tokens_bpe"),
+          TextAnalysis.punctuationRatio(col("text"), col("n_chars"))
+            .as("punct_ratio"),
+          TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"))
         .orderBy(col("doc_id"))
     }),
 
@@ -247,10 +251,19 @@ object ExtensionQueries {
         |round(dt * 1.0 / nt, 4) AS ttr,
         |round((n_chars - nt + 1) * 1.0 / nt, 4) AS avg_token_len,
         |round((CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.5 END) * 0.4
-        |  + least(dt * 1.0 / nt * 2, 1.0) * 0.6, 4) AS quality_score
+        |  + least(dt * 1.0 / nt * 2, 1.0) * 0.6, 4) AS quality_score,
+        |nb AS n_tokens_bpe,
+        |round(np * 1.0 / n_chars, 4) AS punct_ratio,
+        |round(sw * 1.0 / nt, 4) AS stopword_ratio
         |FROM (SELECT doc_id, n_chars,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
-        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS dt
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS dt,
+        |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS nb,
+        |  CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS np,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x IN
+        |    ('the','a','of','and','to','in','is','el','la','de','y','que','en',
+        |     'un','der','die','das','und','ist','ein','zu','le','et','est',
+        |     'dans'))) AS BIGINT) AS sw
         |FROM documents) ORDER BY doc_id""".stripMargin,
 
     "t2_lang_id" ->
