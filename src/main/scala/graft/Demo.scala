@@ -118,6 +118,18 @@ object Demo {
     out.orderBy("bucket_start", "event_type").show(8, truncate = false)
     println(s"[demo] streaming agg rows = ${out.count()}")
 
+    // --- streaming ingest dedup: re-delivered files collapse to one copy -
+    val dupDir = java.nio.file.Files.createTempDirectory("graft-dup").toString
+    val slice = graft.sources.Tables.events(spark, "/root/testdata/sf0.001").limit(200)
+    slice.write.mode("overwrite").parquet(dupDir)
+    slice.write.mode("append").parquet(dupDir) // simulate at-least-once delivery
+    StreamingOps.runToMemory(
+      StreamingOps.dedupedStream(
+        StreamingOps.readEventStream(spark, dupDir), "event_id"),
+      "demo_dedup", "append")
+    println(s"[demo] stream dedup: ${spark.table("demo_dedup").count()} unique " +
+      s"of ${spark.read.parquet(dupDir).count()} delivered")
+
     // --- custom stateful streaming (flatMapGroupsWithState) --------------
     import spark.implicits._
     val typedStream = StreamingOps.readEventStream(spark, tmp)

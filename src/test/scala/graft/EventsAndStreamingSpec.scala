@@ -118,3 +118,29 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class StreamDedupSpec extends SparkSpec {
+
+  test("watermarked stream dedup drops re-delivered events") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.Event
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val deduped = StreamingOps.dedupedStream(input.toDS().toDF(), "event_id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+      val e1 = Event(1, ts(10), 1L, "view", 1.0)
+      val e2 = Event(2, ts(20), 1L, "click", 2.0)
+      input.addData(e1, e2, e1)          // duplicate within batch
+      q.processAllAvailable()
+      input.addData(e2)                  // re-delivery across batches
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+}
