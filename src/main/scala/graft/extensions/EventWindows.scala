@@ -57,6 +57,24 @@ object EventWindows {
       .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start_s"),
         col("n_events"))
 
+  /** Calendar densification (time-series resample): per key, emit one
+    * row per day across that key's [min, max] date span, zero-filling
+    * days with no events. `sequence` + `explode` keeps generation
+    * distributed (each key's range materializes on its executor, never
+    * the driver); pair with [[graft.operators.WindowOps.forwardFill]]
+    * for carry-forward instead of zero-fill. */
+  def densifyDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val spans = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val calendar = spans.select(col("user_id"),
+      explode(sequence(col("d0"), col("d1"))).as("day"))
+    calendar.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+  }
+
   /** `from_json` over the `props` JSON string column — the map/json
     * scalar surface the reference lacks (SURVEY.md §2.H). */
   def parsedProps(events: DataFrame): DataFrame =

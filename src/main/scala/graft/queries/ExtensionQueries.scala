@@ -127,6 +127,46 @@ object ExtensionQueries {
         .orderBy(col("bucket_start_s"), col("event_type"))
     }),
 
+    // V3 — calendar densification (resample to daily grain, zero-fill).
+    "v3_densify_daily" -> ((s, d) => {
+      EventWindows.densifyDaily(Tables.events(s, d))
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+    // T5 — fuzzy string matching (edit distance within blocks) — the
+    // near-dup-titles flavor of dedup.
+    "t5_fuzzy_match" -> ((s, d) => {
+      // block on (type, size): hundreds of balanced blocks, not 6 huge
+      // skewed ones — pairs stay ~linear and the join parallelizes
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_type"),
+        col("p_size"), col("p_name"))
+      val a = p.select(col("p_partkey").as("a_id"), col("p_type"),
+        col("p_size"), col("p_name").as("a_name"))
+      val b = p.select(col("p_partkey").as("b_id"), col("p_type"),
+        col("p_size"), col("p_name").as("b_name"))
+      a.join(b, Seq("p_type", "p_size"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
+        .filter(col("dist") <= 3 && col("dist") > 0)
+        .select(col("a_id"), col("b_id"), col("dist"))
+        .orderBy(col("a_id"), col("b_id"))
+        .limit(2000)
+    }),
+
+    // W19 — cube aggregation (all grouping-set combinations).
+    "w19_cube" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          graft.operators.Summaries.exactSum(col("l_quantity"), 2).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("cnt"), col("sum_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // V2 — sessionization (30-minute inactivity gap).
     "v2_sessionize" -> ((s, d) => {
       EventWindows.sessionize(Tables.events(s, d), gapSeconds = 1800)
@@ -298,6 +338,40 @@ object ExtensionQueries {
         |  AS bucket_start_s, event_type, count(*) AS n_events,
         |CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket_start_s, event_type""".stripMargin,
+
+    "v3_densify_daily" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)
+        |), spans AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+        |), calendar AS (
+        |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+        |    AS day FROM spans
+        |)
+        |SELECT c.user_id, strftime(c.day, '%Y-%m-%d') AS day,
+        |  COALESCE(daily.n_events, 0) AS n_events
+        |FROM calendar c LEFT JOIN daily
+        |  ON c.user_id = daily.user_id AND c.day = daily.day
+        |ORDER BY c.user_id, day""".stripMargin,
+
+    "t5_fuzzy_match" ->
+      """SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+        |CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_type = b.p_type AND a.p_size = b.p_size
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |  AND levenshtein(a.p_name, b.p_name) > 0
+        |ORDER BY a_id, b_id LIMIT 2000""".stripMargin,
+
+    "w19_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+        |COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+        |count(*) AS cnt,
+        |CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "v2_sessionize" ->
       """WITH e AS (
