@@ -67,11 +67,14 @@ object Dedup {
     // cardinalities (and hence Jaccard) are preserved (collision odds
     // ~|shingles|²/2⁶⁴), and long-array intersection is far cheaper than
     // string-array intersection in the O(pairs) inner loop.
+    // localCheckpoint materializes the (expensive) shingle projection
+    // once; without it each side of the self-join re-evaluates it.
     val prepared = docs.select(
       col("doc_id"), col("source"),
       floor(col("n_chars") / 32.0).cast("long").as("bkt"),
       array_distinct(transform(ngramShingles(col("text"), n), s => xxhash64(s)))
         .as("toks"))
+      .localCheckpoint(eager = false)
     val a = prepared.select(col("doc_id").as("a_id"), col("source"),
       col("bkt"), col("toks").as("a_toks"))
     val b = prepared.select(col("doc_id").as("b_id"), col("source"),
