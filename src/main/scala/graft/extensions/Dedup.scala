@@ -35,12 +35,25 @@ object Dedup {
       col("doc_id"), col("source"),
       floor(col("n_chars") / 32.0).cast("long").as("bkt"),
       array_distinct(TextAnalysis.tokens(col("text"))).as("toks"))
-    val a = prepared.select(col("doc_id").as("a_id"), col("source"),
-      col("bkt"), col("toks").as("a_toks"))
-    val b = prepared.select(col("doc_id").as("b_id"), col("source"),
-      col("bkt"), col("toks").as("b_toks"))
-    a.join(b, Seq("source", "bkt"))
+    jaccardOverBlocks(prepared, threshold)
+  }
+
+  /** Shared blocked-pair Jaccard: each doc probes its own length bucket
+    * AND the next one (docs emit block keys {bkt, bkt+1}; two docs share
+    * a key iff |Δbkt| ≤ 1), so near-dups straddling a bucket boundary
+    * are still compared — without this, a one-word edit that crosses the
+    * 32-char line silently escapes dedup. Pair volume stays ~3× the
+    * single-bucket form (still linear in corpus size). */
+  private def jaccardOverBlocks(prepared: DataFrame, threshold: Double): DataFrame = {
+    val blocked = prepared.select(col("doc_id"), col("source"), col("bkt"),
+      col("toks"), explode(array(col("bkt"), col("bkt") + 1)).as("blk"))
+    val a = blocked.select(col("doc_id").as("a_id"), col("source"),
+      col("blk"), col("toks").as("a_toks"))
+    val b = blocked.select(col("doc_id").as("b_id"), col("source"),
+      col("blk"), col("toks").as("b_toks"))
+    a.join(b, Seq("source", "blk"))
       .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
       .withColumn("shared",
         size(array_intersect(col("a_toks"), col("b_toks"))).cast("double"))
       .withColumn("jaccard", round(
@@ -75,19 +88,7 @@ object Dedup {
       array_distinct(transform(ngramShingles(col("text"), n), s => xxhash64(s)))
         .as("toks"))
       .localCheckpoint(eager = false)
-    val a = prepared.select(col("doc_id").as("a_id"), col("source"),
-      col("bkt"), col("toks").as("a_toks"))
-    val b = prepared.select(col("doc_id").as("b_id"), col("source"),
-      col("bkt"), col("toks").as("b_toks"))
-    a.join(b, Seq("source", "bkt"))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("shared",
-        size(array_intersect(col("a_toks"), col("b_toks"))).cast("double"))
-      .withColumn("jaccard", round(
-        col("shared") /
-          (size(col("a_toks")) + size(col("b_toks")) - col("shared")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
+    jaccardOverBlocks(prepared, threshold)
   }
 
   /** MinHash signature: k permutations approximated by k seeded xxhash64
@@ -119,6 +120,9 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.5,
       maxBucket: Int = 100): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) — trailing " +
+        "signature slots would silently drop out of banding")
     val rows = numHashes / bands
     val signed = withMinHashSignature(docs, "text", numHashes, 3)
       .select(col("doc_id"), col("minhash_sig"))
@@ -167,8 +171,13 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: block on 4×16-bit chunks (any chunk equal →
-    * candidate; Hamming ≤ 3 guarantees ≥1 equal chunk by pigeonhole),
-    * verify with bit_count(xor). */
+    * candidate), verify with bit_count(xor).
+    *
+    * Recall contract: the pigeonhole guarantee only covers
+    * `maxHamming <= 3` (4 chunks ⇒ any pair within Hamming 3 shares a
+    * chunk). Larger thresholds are best-effort — pairs whose differing
+    * bits spread across all 4 chunks are never generated. Raise the
+    * chunk count if a complete guarantee at a larger radius is needed. */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 100): DataFrame = {
     val signed = withSimHash(docs, "text").select(col("doc_id"), col("simhash"))

@@ -50,28 +50,36 @@ object Joins {
       payloadCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val leftCols = left.columns.toSeq
+    // carry the payload as ONE struct so the fill is row-atomic:
+    // per-column ffill could blend values from different right rows when
+    // a payload value is null, and a null head column would be mistaken
+    // for "no match".
+    val payloadStruct = struct(payloadCols.map(col): _*)
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
-    val lAligned = payloadCols.foldLeft(l)((d, c) =>
-      d.withColumn(c, lit(null).cast(right.schema(c).dataType)))
     val r = right
       .withColumnRenamed(key, "__rkey")
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
+      .withColumn("__payload", payloadStruct)
+    val payloadType = r.schema("__payload").dataType
+    val lAligned = l.withColumn("__payload", lit(null).cast(payloadType))
     val rAligned = leftCols.filterNot(_ == key).foldLeft(r)((d, c) =>
       d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
       .withColumn(key, col("__rkey"))
-    val cols = (leftCols ++ payloadCols ++ Seq("__t", "__side")).distinct
+    val cols = (leftCols ++ Seq("__payload", "__t", "__side")).distinct
     val unioned = lAligned.select(cols.map(col): _*)
       .unionByName(rAligned.select(cols.map(col): _*))
     val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payloadCols.foldLeft(unioned)((d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    filled
-      .filter(col("__side") === 1 && col(payloadCols.head).isNotNull)
-      .drop("__t", "__side")
+    val filled = unioned.withColumn("__payload",
+      last(col("__payload"), ignoreNulls = true).over(w))
+    val matched = filled
+      .filter(col("__side") === 1 && col("__payload").isNotNull)
+    payloadCols.foldLeft(matched)((d, c) =>
+        d.withColumn(c, col(s"__payload.$c")))
+      .drop("__t", "__side", "__payload")
   }
 
   /** Skew-safe equi-join: salt the (possibly skewed) fact side into

@@ -45,8 +45,11 @@ object RowOps {
     * single-partition window, scale-safe at 100 TB. */
   def lastNDays(df: DataFrame, dateCol: String, n: Int): DataFrame = {
     val maxDf = df.agg(max(col(dateCol)).as("__max_date"))
+    // interval subtraction, NOT date_sub: date_sub truncates a timestamp
+    // cutoff to midnight, silently widening the window by up to a day
+    // for intraday data (and diverging from `max - INTERVAL n DAY` SQL)
     df.crossJoin(broadcast(maxDf))
-      .filter(col(dateCol) >= date_sub(col("__max_date"), n))
+      .filter(col(dateCol) >= col("__max_date") - expr(s"INTERVAL '$n' DAY"))
       .drop("__max_date")
   }
 

@@ -16,12 +16,14 @@ object Summaries {
     * (data_cleaner.py:110-122, data_merger.py:378-392): per column,
     * null count + null %, one row per profiled column. Single scan. */
   def missingProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "missingProfile needs at least one column")
     val aggs = count(lit(1)).as("total_rows") +:
       cols.map(c => sum(col(c).isNull.cast("long")).as(s"__null_$c"))
     val one = df.agg(aggs.head, aggs.tail: _*)
-    // unpivot to (column, total, nulls, pct) — stack() stays one pass
+    // unpivot to (column, total, nulls, pct) — stack() stays one pass;
+    // backtick-quote generated identifiers (column names may need it)
     val stackArgs = cols
-      .map(c => s"'$c', __null_$c")
+      .map(c => s"'${c.replace("'", "\\'")}', `__null_$c`")
       .mkString(", ")
     one.selectExpr(
         "total_rows",
@@ -56,7 +58,11 @@ object Summaries {
   def pearson(df: DataFrame, groupCols: Seq[Column], x: Column, y: Column,
       scale: Int = 6): DataFrame = {
     val dec = "decimal(38,10)"
-    df.groupBy(groupCols: _*)
+    // pairwise-complete: a row with either side NULL must not contribute
+    // to ANY moment (pandas/Spark corr semantics) — without this filter,
+    // n counts rows whose x was skipped by sum(x), corrupting the result
+    df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(groupCols: _*)
       .agg(
         count(lit(1)).cast("double").as("__n"),
         sum(x.cast(dec)).cast("double").as("__sx"),

@@ -51,7 +51,7 @@ object ExtensionQueries {
     // (rows-only oracle).
     "d4_simhash" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.simHashPairs(docs, maxHamming = 16)
+      val pairs = Dedup.simHashPairs(docs, maxHamming = 3)
       val perDoc = pairs
         .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))
@@ -159,10 +159,17 @@ object ExtensionQueries {
     "w19_cube" -> ((s, d) => {
       Tables.lineitem(s, d)
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("cnt"),
+        .agg(grouping(col("l_returnflag")).as("__gf"),
+          grouping(col("l_linestatus")).as("__gs"),
+          count(lit(1)).as("cnt"),
           graft.operators.Summaries.exactSum(col("l_quantity"), 2).as("sum_qty"))
-        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
-          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        .select(
+          when(col("__gf") === 1, lit("ALL"))
+            .otherwise(coalesce(col("l_returnflag"), lit("(null)")))
+            .as("l_returnflag"),
+          when(col("__gs") === 1, lit("ALL"))
+            .otherwise(coalesce(col("l_linestatus"), lit("(null)")))
+            .as("l_linestatus"),
           col("cnt"), col("sum_qty"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -222,11 +229,18 @@ object ExtensionQueries {
           col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, d)),
           col("n_regionkey") === col("r_regionkey"))
+      // grouping() distinguishes the subtotal rows from a genuine NULL
+      // group value — coalesce alone would conflate the two
       joined.rollup(col("r_name"), col("n_name"))
-        .agg(count(lit(1)).as("n_customers"),
+        .agg(grouping(col("r_name")).as("__gr"),
+          grouping(col("n_name")).as("__gn"),
+          count(lit(1)).as("n_customers"),
           graft.operators.Summaries.exactSum(col("c_acctbal"), 2).as("sum_acctbal"))
-        .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
-          coalesce(col("n_name"), lit("ALL")).as("n_name"),
+        .select(
+          when(col("__gr") === 1, lit("ALL"))
+            .otherwise(coalesce(col("r_name"), lit("(null)"))).as("r_name"),
+          when(col("__gn") === 1, lit("ALL"))
+            .otherwise(coalesce(col("n_name"), lit("(null)"))).as("n_name"),
           col("n_customers"), col("sum_acctbal"))
         .orderBy(col("r_name"), col("n_name"))
     }),
@@ -262,7 +276,8 @@ object ExtensionQueries {
         |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4)
         |    AS jaccard
         |FROM prepared a JOIN prepared b
-        |  ON a.source = b.source AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+        |  ON a.source = b.source AND abs(a.bkt - b.bkt) <= 1
+        |  AND a.doc_id < b.doc_id
         |WHERE round(len(list_intersect(a.toks, b.toks)) * 1.0 /
         |  (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4)
         |  >= 0.5
@@ -366,8 +381,11 @@ object ExtensionQueries {
         |ORDER BY a_id, b_id LIMIT 2000""".stripMargin,
 
     "w19_cube" ->
-      """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
-        |COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+      """SELECT
+        |CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+        |  ELSE COALESCE(l_returnflag, '(null)') END AS l_returnflag,
+        |CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+        |  ELSE COALESCE(l_linestatus, '(null)') END AS l_linestatus,
         |count(*) AS cnt,
         |CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
@@ -400,7 +418,7 @@ object ExtensionQueries {
       """WITH prepared AS (
         |  SELECT doc_id, source, CAST(floor(n_chars / 32.0) AS BIGINT) AS bkt,
         |    list_distinct(list_transform(
-        |      range(1, len(string_split(text,' ')) - 2 + 2),
+        |      range(1, greatest(len(string_split(text,' ')) - 2 + 2, 2)),
         |      i -> array_to_string(list_slice(string_split(text,' '), i, i + 1), ' ')))
         |      AS toks
         |  FROM documents
@@ -410,7 +428,8 @@ object ExtensionQueries {
         |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4)
         |    AS jaccard
         |FROM prepared a JOIN prepared b
-        |  ON a.source = b.source AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+        |  ON a.source = b.source AND abs(a.bkt - b.bkt) <= 1
+        |  AND a.doc_id < b.doc_id
         |WHERE round(len(list_intersect(a.toks, b.toks)) * 1.0 /
         |  (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4)
         |  >= 0.2
@@ -432,7 +451,11 @@ object ExtensionQueries {
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     "w14_rollup" ->
-      """SELECT COALESCE(r_name, 'ALL') AS r_name, COALESCE(n_name, 'ALL') AS n_name,
+      """SELECT
+        |CASE WHEN GROUPING(r_name) = 1 THEN 'ALL'
+        |  ELSE COALESCE(r_name, '(null)') END AS r_name,
+        |CASE WHEN GROUPING(n_name) = 1 THEN 'ALL'
+        |  ELSE COALESCE(n_name, '(null)') END AS n_name,
         |count(*) AS n_customers,
         |CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_acctbal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

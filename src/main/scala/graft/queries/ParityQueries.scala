@@ -621,7 +621,9 @@ object ParityQueries {
         |  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sxy,
         |  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
         |  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS syy
-        |FROM lineitem GROUP BY l_returnflag)
+        |FROM lineitem
+        |WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
 
     "w9_missing_profile" ->

@@ -45,12 +45,13 @@ class DedupSpec extends SparkSpec {
   }
 
   test("SimHash: identical docs collide at hamming 0, unrelated docs do not") {
-    val pairs = Dedup.simHashPairs(docs, maxHamming = 10)
+    // maxHamming = 3 is the radius the 4-chunk blocking fully guarantees
+    val pairs = Dedup.simHashPairs(docs, maxHamming = 3)
       .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
         r.getAs[Long]("hamming"))).toSeq
     val exact = pairs.find(p => p._1 == 1L && p._2 == 2L)
     assert(exact.isDefined && exact.get._3 == 0L)
-    assert(!pairs.exists(p => (p._1 == 4L || p._2 == 4L) && p._3 <= 10))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 }
 

@@ -145,4 +145,20 @@ class AsOfJoinSpec extends SparkSpec {
       .as[(Long, Double)].collect().sortBy(_._1).toSeq
     assert(got == Seq((10L, 100.0), (11L, 110.0), (12L, 110.0), (14L, 50.0)))
   }
+
+  test("asOfJoin never blends payload values across right rows (null fields)") {
+    // right rows: t=1 has (a=7, b=null); t=2 has (a=null, b=9). A
+    // per-column fill would fabricate (a=7, b=9); the true as-of match
+    // at t=3 is the t=2 row exactly.
+    val quotes = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), Some(7.0), Option.empty[Double]),
+      (1L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), Option.empty[Double], Some(9.0))
+    ).toDF("key", "qt", "a", "b")
+    val trades = Seq((10L, 1L, java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+      .toDF("trade_id", "key", "tt")
+    val got = Joins.asOfJoin(trades, quotes, "key", "tt", "qt", Seq("a", "b"))
+      .select("trade_id", "a", "b")
+      .as[(Long, Option[Double], Option[Double])].collect().toSeq
+    assert(got == Seq((10L, None, Some(9.0))))
+  }
 }

@@ -65,7 +65,7 @@ def main(sf_dir: str, out_dir: str) -> None:
         except Exception as ex:
             print(f"FAIL {name}: EXC {str(ex)[:200]}")
             n_fail += 1
-    rows_only = set(json.load(open(f"{out_dir}/oracle_sql.json")))
+
     print(f"\n{n_pass} pass / {n_fail} fail (oracled); rows-only queries not checked here")
 
 
