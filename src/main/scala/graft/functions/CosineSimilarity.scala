@@ -18,12 +18,20 @@ import org.apache.spark.sql.types._
   *
   * Arithmetic contract (oracle determinism): accumulate dot/norms in
   * double, strictly in index order — bit-identical to the
-  * `zip_with`/`aggregate` formulation it replaces.
+  * `zip_with`/`aggregate` formulation it replaces, INCLUDING its NULL
+  * edges: unequal-length arrays yield NULL (zip_with null-pads the
+  * shorter side, so the aggregate sum is NULL) and any NULL element
+  * yields NULL (NULL product poisons the sum).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // NULL can arise from non-null inputs (length mismatch / null element),
+  // so nullability must not be inferred from the children alone — it also
+  // keeps nullSafeCodeGen's isNull a real variable, not a folded literal.
+  override def nullable: Boolean = true
 
   private def elemIsDouble(e: Expression): Boolean = e.dataType match {
     case ArrayType(DoubleType, _) => true
@@ -47,12 +55,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     val lx = elemIsDouble(left)
     val ly = elemIsDouble(right)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = if (lx) x.getDouble(i) else x.getFloat(i).toDouble
       val yi = if (ly) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi
@@ -73,14 +83,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.$getX($i);
-         |  double $yi = (double) $b.$getY($i);
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $xi = (double) $a.$getX($i);
+         |    double $yi = (double) $b.$getY($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+         |  }
          |}
-         |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
        """.stripMargin
     })
   }

@@ -28,43 +28,43 @@ object Standardize {
       .drop("__map_key", "__map_value")
   }
 
-  /** The reference's OWID→API country rename rules
-    * (config/constants.py:14-41). */
+  /** The reference's OWID→API country rename rules, verbatim
+    * (COUNTRY_NAME_MAPPING, config/constants.py:14-41). */
   val CountryNameMapping: Map[String, String] = Map(
+    "Bosnia and Herzegovina" -> "Bosnia",
+    "Cape Verde" -> "Cabo Verde",
+    "Cote d'Ivoire" -> "Côte d'Ivoire",
+    "Democratic Republic of Congo" -> "DRC",
+    "East Timor" -> "Timor-Leste",
+    "Curacao" -> "Curaçao",
+    "Bonaire Sint Eustatius and Saba" -> "Caribbean Netherlands",
     "United States" -> "USA",
     "United Kingdom" -> "UK",
     "South Korea" -> "S. Korea",
-    "Democratic Republic of Congo" -> "DRC",
-    "Congo" -> "Congo",
-    "Czechia" -> "Czechia",
-    "United Arab Emirates" -> "UAE",
-    "Central African Republic" -> "Central African Republic",
-    "Bosnia and Herzegovina" -> "Bosnia",
+    "Czech Republic" -> "Czechia",
     "North Macedonia" -> "Macedonia",
-    "Cote d'Ivoire" -> "Ivory Coast",
-    "Curacao" -> "Curaçao",
-    "Faeroe Islands" -> "Faroe Islands",
-    "Falkland Islands" -> "Falkland Islands (Malvinas)",
-    "Micronesia (country)" -> "Micronesia",
-    "Saint Kitts and Nevis" -> "Saint Kitts and Nevis",
-    "Saint Vincent and the Grenadines" -> "Saint Vincent and the Grenadines",
-    "Sao Tome and Principe" -> "São Tomé and Príncipe",
-    "Sint Maarten (Dutch part)" -> "Sint Maarten",
-    "Timor" -> "Timor-Leste",
-    "Turks and Caicos Islands" -> "Turks and Caicos Islands",
-    "Vatican" -> "Holy See (Vatican City State)",
-    "Wallis and Futuna" -> "Wallis and Futuna",
     "Myanmar" -> "Burma",
-    "Cape Verde" -> "Cabo Verde"
+    "Republic of the Congo" -> "Congo",
+    "Eswatini" -> "Swaziland",
+    "Vatican" -> "Holy See (Vatican City State)",
+    "Brunei" -> "Brunei Darussalam",
+    "Moldova" -> "Moldova, Republic of",
+    "Russia" -> "Russian Federation",
+    "Syria" -> "Syrian Arab Republic",
+    "Tanzania" -> "Tanzania, United Republic of",
+    "Turkey" -> "Turkey",
+    "Venezuela" -> "Venezuela, Bolivarian Republic of",
+    "Vietnam" -> "Viet Nam",
+    "Laos" -> "Lao People's Democratic Republic"
   )
 
-  /** The reference's non-country exclusion list
-    * (config/constants.py:44-61). */
+  /** The reference's non-country exclusion list, verbatim
+    * (EXCLUDE_REGIONS, config/constants.py:44-61). */
   val ExcludeRegions: Seq[String] = Seq(
-    "World", "Africa", "Asia", "Europe", "European Union", "North America",
-    "Oceania", "South America", "International", "High income", "Low income",
-    "Lower middle income", "Upper middle income", "England", "Scotland",
-    "Wales"
+    "World", "Africa", "Asia", "Europe", "North America", "South America",
+    "Oceania", "European Union", "High income", "Low income",
+    "Lower middle income", "Upper middle income", "OECD countries",
+    "International", "MS Zaandam", "Diamond Princess"
   )
 
   /** OWID aggregate pseudo-ISO codes (data_loader.py:114-116). */

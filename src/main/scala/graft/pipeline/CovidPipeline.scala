@@ -32,8 +32,9 @@ object CovidPipeline {
     * standardize → exclusion filters → ffill cumulative cols →
     * lag-diff daily metrics → source tag. */
   def cleanOwid(owid: DataFrame): DataFrame = {
+    // cumulative_cols verbatim from the reference (data_cleaner.py:173-179)
     val cumulative = Seq("total_cases", "total_deaths", "total_tests",
-      "people_vaccinated", "total_vaccinations")
+      "people_vaccinated", "people_fully_vaccinated")
       .filter(owid.columns.contains) // ffill only the cumulative cols present
     val std = Standardize.standardize(
       owid, "country", Standardize.CountryNameMapping, "country_standardized")
@@ -42,12 +43,18 @@ object CovidPipeline {
         RowOps.excludeValues(std, col("iso_code"), Standardize.ExcludeIsoCodes),
         col("country"), Standardize.ExcludeRegions),
       col("country"), Standardize.ExcludePattern)
+    // reference ffills/diffs per raw `country` (groupby("country"),
+    // data_cleaner.py:184), not the standardized key
     val filled = WindowOps.forwardFill(
-      filtered, "country_standardized", Seq("date"), cumulative)
+      filtered, "country", Seq("date"), cumulative)
+    // daily changes are DERIVED ONLY WHEN ABSENT from the source — the
+    // reference guards with `if "new_cases" not in df_clean.columns`
+    // (data_cleaner.py:186-192); source-provided dailies pass through
     val withDiffs = Seq("total_cases" -> "new_cases", "total_deaths" -> "new_deaths")
       .foldLeft(filled) { case (d, (src, out)) =>
-        WindowOps.fillAndClip(
-          WindowOps.lagDiff(d, "country_standardized", Seq("date"), src, out), out)
+        if (d.columns.contains(out) || !d.columns.contains(src)) d
+        else WindowOps.fillAndClip(
+          WindowOps.lagDiff(d, "country", Seq("date"), src, out), out)
       }
     withDiffs.withColumn("data_source", lit("owid_historical"))
   }
@@ -68,6 +75,8 @@ object CovidPipeline {
     clipped
       .withColumn("cases_per_100k",
         RowOps.per100k(col("current_cases"), col("population")))
+      .withColumn("deaths_per_100k",                 // data_cleaner.py:235-238
+        RowOps.per100k(col("current_deaths"), col("population")))
       .withColumn("case_fatality_rate",
         RowOps.guardedRatio(col("current_deaths"), col("current_cases")))
       .withColumn("data_source", lit("disease_sh_current"))

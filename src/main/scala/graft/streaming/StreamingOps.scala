@@ -55,14 +55,16 @@ object StreamingOps {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
 
-  /** Streaming ingest dedup: drop re-delivered events by id, with the
-    * watermark bounding how long ids are held in state — the standard
-    * at-least-once → effectively-once repair step in front of a
+  /** Streaming ingest dedup: drop re-delivered events by id ALONE —
+    * `dropDuplicatesWithinWatermark` collapses redeliveries even when the
+    * broker jittered the event timestamp (same id, different ts), while
+    * the watermark still bounds how long each id is held in state — the
+    * standard at-least-once → effectively-once repair step in front of a
     * training-data ingest at scale (state is hash-partitioned by id). */
   def dedupedStream(events: DataFrame, idCol: String): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
-      .dropDuplicates(idCol, "ts")
+      .dropDuplicatesWithinWatermark(idCol)
 
   /** Event record for the typed stateful API. */
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

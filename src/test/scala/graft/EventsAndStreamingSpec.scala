@@ -138,7 +138,9 @@ class StreamDedupSpec extends SparkSpec {
       val e2 = Event(2, ts(20), 1L, "click", 2.0)
       input.addData(e1, e2, e1)          // duplicate within batch
       q.processAllAvailable()
-      input.addData(e2)                  // re-delivery across batches
+      // re-delivery across batches, including one with a jittered broker
+      // timestamp — id-only dedup must still collapse it
+      input.addData(e2, e2.copy(ts = ts(25)))
       q.processAllAvailable()
       assert(spark.table("dedup_out").count() == 2)
     } finally q.stop()

@@ -87,6 +87,27 @@ class PipelineSpec extends SparkSpec {
     assert(s.getAs[Long]("stale_data_countries") == 0L)
   }
 
+  test("daily changes derived only when absent from the source (reference guard)") {
+    // source-provided dailies pass through untouched (data_cleaner.py:186-192):
+    // a lag-diff recompute would turn USA 01-01 new_cases (no prior row) into 0
+    val withDailies = CovidPipeline.cleanOwid(owidFixture)
+      .filter(col("country") === "United States" && col("date") === d("2024-01-01"))
+      .collect()(0)
+    assert(withDailies.getAs[Double]("new_cases") == 10.0)
+    // absent → derived via per-country lag diff, fillna(0), clip ≥0
+    val derived = CovidPipeline.cleanOwid(owidFixture.drop("new_cases", "new_deaths"))
+      .filter(col("country") === "United States")
+      .orderBy(col("date"))
+      .select("new_cases").as[Double].collect().toSeq
+    assert(derived == Seq(0.0, 100.0))
+  }
+
+  test("clean API computes deaths_per_100k alongside cases_per_100k") {
+    val usa = CovidPipeline.cleanApi(apiFixture)
+      .filter(col("country") === "USA").collect()(0)
+    assert(usa.getAs[Double]("deaths_per_100k") == 0.15) // 60/4e7*1e5
+  }
+
   test("clean API clips negatives but keeps lat/long untouched semantics") {
     val api = apiFixture
       .withColumn("current_cases", lit(-5L))
