@@ -31,10 +31,16 @@ object Dedup {
   def tokenJaccardPairs(
       docs: DataFrame,
       threshold: Double): DataFrame = {
+    // Tokens are hashed to 64-bit longs before the pair join — set
+    // cardinality (hence Jaccard) is preserved up to ~|tokens|²/2⁶⁴
+    // collision odds, and the per-pair intersection runs over sorted
+    // longs instead of strings (see jaccardOverBlocks).
     val prepared = docs.select(
       col("doc_id"), col("source"),
       floor(col("n_chars") / 32.0).cast("long").as("bkt"),
-      array_distinct(TextAnalysis.tokens(col("text"))).as("toks"))
+      sort_array(array_distinct(
+        transform(TextAnalysis.tokens(col("text")), t => xxhash64(t))))
+        .as("toks"))
     jaccardOverBlocks(prepared, threshold)
   }
 
@@ -43,19 +49,32 @@ object Dedup {
     * a key iff |Δbkt| ≤ 1), so near-dups straddling a bucket boundary
     * are still compared — without this, a one-word edit that crosses the
     * 32-char line silently escapes dedup. Pair volume stays ~3× the
-    * single-bucket form (still linear in corpus size). */
+    * single-bucket form (still linear in corpus size).
+    *
+    * Exactly-once pair generation: a pair with equal buckets meets at its
+    * own block as (self, self) and at bkt+1 as (probe, probe); a pair one
+    * bucket apart meets only at the higher block as (probe, self).
+    * Keeping pairs where NOT both sides are probes therefore emits every
+    * |Δbkt| ≤ 1 pair exactly once — no post-join dropDuplicates, which
+    * would re-shuffle the wide token arrays a second time. */
   private def jaccardOverBlocks(prepared: DataFrame, threshold: Double): DataFrame = {
-    val blocked = prepared.select(col("doc_id"), col("source"), col("bkt"),
-      col("toks"), explode(array(col("bkt"), col("bkt") + 1)).as("blk"))
+    val blocked = prepared.select(col("doc_id"), col("source"), col("toks"),
+      explode(array(
+        struct(col("bkt").as("blk"), lit(false).as("probe")),
+        struct((col("bkt") + 1).as("blk"), lit(true).as("probe")))).as("bb"))
+      .select(col("doc_id"), col("source"), col("toks"),
+        col("bb.blk").as("blk"), col("bb.probe").as("probe"))
     val a = blocked.select(col("doc_id").as("a_id"), col("source"),
-      col("blk"), col("toks").as("a_toks"))
+      col("blk"), col("probe").as("a_probe"), col("toks").as("a_toks"))
     val b = blocked.select(col("doc_id").as("b_id"), col("source"),
-      col("blk"), col("toks").as("b_toks"))
+      col("blk"), col("probe").as("b_probe"), col("toks").as("b_toks"))
     a.join(b, Seq("source", "blk"))
-      .filter(col("a_id") < col("b_id"))
-      .dropDuplicates("a_id", "b_id")
+      .filter(col("a_id") < col("b_id") && !(col("a_probe") && col("b_probe")))
+      // allocation-free merge-loop intersection (toks arrive sorted
+      // distinct from the prepared projection) — the per-pair hot loop
       .withColumn("shared",
-        size(array_intersect(col("a_toks"), col("b_toks"))).cast("double"))
+        graft.functions.SortedIntersectSize
+          .sorted_intersect_size(col("a_toks"), col("b_toks")).cast("double"))
       .withColumn("jaccard", round(
         col("shared") /
           (size(col("a_toks")) + size(col("b_toks")) - col("shared")), 4))
@@ -85,7 +104,8 @@ object Dedup {
     val prepared = docs.select(
       col("doc_id"), col("source"),
       floor(col("n_chars") / 32.0).cast("long").as("bkt"),
-      array_distinct(transform(ngramShingles(col("text"), n), s => xxhash64(s)))
+      sort_array(array_distinct(
+        transform(ngramShingles(col("text"), n), s => xxhash64(s))))
         .as("toks"))
       .localCheckpoint(eager = false)
     jaccardOverBlocks(prepared, threshold)

@@ -15,6 +15,10 @@ object GraftFunctions {
       "cosine_sim",
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_size",
+      (exprs: Seq[Expression]) => SortedIntersectSize(exprs(0), exprs(1)),
+      "built-in")
     spark.udf.register("top_k_3", udaf(new TopKAggregator(3)))
   }
 }

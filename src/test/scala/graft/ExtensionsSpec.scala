@@ -206,3 +206,32 @@ class MultimodalStubSpec extends SparkSpec {
     }
   }
 }
+
+class SortedIntersectSizeSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.functions.SortedIntersectSize.sorted_intersect_size
+
+  test("merge-loop intersection matches array_intersect on sorted distinct arrays") {
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)), // partial overlap
+      (Seq(1L, 2L), Seq(1L, 2L)),                  // identical
+      (Seq(1L, 2L), Seq(3L, 4L)),                  // disjoint
+      (Seq.empty[Long], Seq(1L, 2L))               // empty side
+    ).toDF("a", "b")
+    val got = df.select(
+        sorted_intersect_size(col("a"), col("b")).as("fast"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
+
+  test("null input arrays yield null; SQL registration works") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT sorted_intersect_size(array(1L,2L,3L), array(2L,3L,4L)) AS c, " +
+        "sorted_intersect_size(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS n")
+      .collect()(0)
+    assert(r.getInt(0) == 2 && r.isNullAt(1))
+  }
+}
