@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators._
-import graft.queries.{ExtensionQueries, ParityQueries}
+import graft.queries.{ExtensionQueries, ParityQueries, TrainingQueries}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -37,11 +37,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2 (+ §7.4 extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries ++ ExtensionQueries.queries
+    ParityQueries.queries ++ ExtensionQueries.queries ++ TrainingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (MinHash-LSH, SimHash, ANN) → driver records a rows-only check. */
   def oracleSql: Map[String, String] =
-    ParityQueries.oracles ++ ExtensionQueries.oracles
+    ParityQueries.oracles ++ ExtensionQueries.oracles ++ TrainingQueries.oracles
 }

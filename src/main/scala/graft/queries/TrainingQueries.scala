@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.extensions.{Dedup, Multimodal, TextAnalysis}
+import graft.operators.Summaries
+import graft.sources.Tables
+
+/** Round-2 additions to the training-data pipeline surface: deterministic
+  * sampling, dedup application, exact grouped percentiles, text
+  * normalization, TF-IDF, a flagship multiway analytical join, and the
+  * multimodal decode path — all DuckDB-oracled.
+  *
+  * Determinism notes follow the engine-wide policy (ParityQueries doc):
+  * integer arithmetic for sampling hashes (bit-exact in both engines),
+  * decimal-exact sums, total-order ORDER BY everywhere.
+  */
+object TrainingQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S8 — stratified deterministic sampling via a multiplicative integer
+    // hash: the scale-safe substitute for rand()-based sampleBy (seeded
+    // rand is engine-specific and re-shuffles nondeterministically at
+    // resume; an integer hash of the row key is reproducible on any
+    // cluster layout and pushes down to the scan). Per-stratum rates:
+    // A 5%, R 10%, N 2%. All arithmetic stays in BIGINT range:
+    // (key % 999983) * 2654435761 < 2^63.
+    "s8_hash_sample" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .withColumn("h",
+          ((col("l_orderkey") * 7 + col("l_linenumber")) % 999983)
+            * lit(2654435761L) % 1000)
+        .filter(col("h") <
+          when(col("l_returnflag") === "A", 50)
+            .when(col("l_returnflag") === "R", 100)
+            .otherwise(20))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_sampled"),
+          Summaries.exactSum(col("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // D6 — dedup APPLICATION: materialize the survivor set (min-id doc
+    // per exact-dup group) via a left-semi join — the step that actually
+    // shrinks the corpus after d1's group discovery. Semi join keeps the
+    // plan skinny (no payload duplication) and hash-partitions on doc_id.
+    "d6_dedup_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val keep = Dedup.exactGroups(docs, "text", "doc_id").select(col("keep_id"))
+      docs.join(keep, docs("doc_id") === keep("keep_id"), "left_semi")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // W20 — exact grouped percentiles (quantile_cont interpolation, same
+    // (n-1)*p rank formula in Spark `percentile` and DuckDB
+    // `quantile_cont`). Quantities are small integers so interpolated
+    // values are exact binary fractions — hash-stable across engines.
+    "w20_percentiles" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // T6 — text normalization (lowercase, strip non-alphanumerics,
+    // collapse runs of spaces): the canonicalization step in front of
+    // exact dedup/fingerprinting. Emitted as md5 + length so the verified
+    // row stays narrow.
+    "t6_normalize" -> ((s, d) => {
+      val norm = regexp_replace(
+        regexp_replace(lower(trim(col("text"))), "[^a-z0-9 ]", ""),
+        " +", " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(norm.cast("binary")).as("norm_hash"),
+          length(norm).cast("long").as("n_norm_chars"))
+        .orderBy(col("doc_id"))
+        .limit(500)
+    }),
+
+    // T8 — TF-IDF scoring: explode → per-(doc,term) counts → doc lengths
+    // + document frequencies → broadcast the corpus size (1-row agg, not
+    // a driver-side count). The two groupBys share the exploded shuffle;
+    // df and dl are derived aggregations of the same tf frame.
+    "t8_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("cnt"))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("cnt")).as("total"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      tf.join(dl, "doc_id").join(dfreq, "term").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          round((col("cnt") * lit(1.0) / col("total"))
+            * log(col("n") * lit(1.0) / col("df")), 6).as("tfidf"))
+        .orderBy(col("tfidf").desc, col("doc_id"), col("term"))
+        .limit(20)
+    }),
+
+    // J8 — flagship analytical join (TPC-H Q3 shape): selective dimension
+    // filter → 3-way equi-join → decimal-exact revenue agg → top-k.
+    // Filters sit under the joins (pushed to the scans); the aggregation
+    // is partial+final; top-10 plans as TakeOrderedAndProject.
+    "j8_flagship_join" -> ((s, d) => {
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d).filter(col("o_orderdate") < cutoff),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(Summaries.exactSum(
+          col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+          .as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // M2 — the multimodal DECODE path (mapPartitions batch decode +
+    // frame sampling), verified on its deterministic outputs: the fake
+    // codec's byte length and stride-sampled frame count are pure integer
+    // functions of the payload, so the oracle can replay them in SQL.
+    "m2_decode_meta" -> ((s, d) => {
+      val meta = Multimodal.decodeMeta(s,
+        Multimodal.withBinaryPayload(Tables.documents(s, d)))
+      Multimodal.frameSampleStub(meta, stride = 2).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("frames"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s8_hash_sample" ->
+      """SELECT l_returnflag, count(*) AS n_sampled,
+        |CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_qty
+        |FROM (SELECT *,
+        |  ((l_orderkey * 7 + l_linenumber) % 999983) * 2654435761 % 1000 AS h
+        |  FROM lineitem)
+        |WHERE h < CASE l_returnflag WHEN 'A' THEN 50 WHEN 'R' THEN 100 ELSE 20 END
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "d6_dedup_apply" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents
+        |                 GROUP BY md5(lower(trim(text))))
+        |ORDER BY doc_id""".stripMargin,
+
+    "w20_percentiles" ->
+      """SELECT l_returnflag,
+        |quantile_cont(l_quantity, 0.25) AS p25,
+        |quantile_cont(l_quantity, 0.5) AS p50,
+        |quantile_cont(l_quantity, 0.9) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "t6_normalize" ->
+      """SELECT doc_id,
+        |md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'),
+        |    ' +', ' ', 'g')) AS norm_hash,
+        |CAST(length(regexp_replace(regexp_replace(lower(trim(text)),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS BIGINT) AS n_norm_chars
+        |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin,
+
+    "t8_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY doc_id, term
+        |), dl AS (
+        |  SELECT doc_id, sum(cnt) AS total FROM tf GROUP BY doc_id
+        |), df AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), n AS (SELECT count(*) AS n FROM documents)
+        |SELECT tf.doc_id, tf.term,
+        |  round((tf.cnt * 1.0 / dl.total) * ln(n.n * 1.0 / df.df), 6) AS tfidf
+        |FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n
+        |ORDER BY tfidf DESC, tf.doc_id, tf.term LIMIT 20""".stripMargin,
+
+    "j8_flagship_join" ->
+      """SELECT l_orderkey,
+        |CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))),
+        |  2) AS DOUBLE) AS revenue,
+        |strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "m2_decode_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |CAST(greatest((CAST(octet_length(encode(text)) AS BIGINT) // 64 + 1) // 2, 1)
+        |  AS INTEGER) AS frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
