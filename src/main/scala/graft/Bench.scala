@@ -13,12 +13,15 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up: absorb JVM/classloader/codegen startup so per-query times
-    // measure the queries, not first-touch JIT (not counted in totals).
+    // Steady-state measurement: one untimed warm-up pass over every query
+    // absorbs JVM/classloader/janino-codegen JIT, parquet footer reads and
+    // shuffle-infra startup (cold-vs-warm is 2.7s vs 0.26s for a simple
+    // hash groupBy), then the timed pass measures the queries themselves.
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect()
-      SparkEntry.queries.get("w6_group_aggregates")
-        .foreach(fn => fn(spark, sfDir).count())
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      }
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
