@@ -13,6 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Spread a small-scan input across the cluster before a CPU-heavy
+    * per-row projection (shingling, signature hashing). A tiny corpus
+    * arrives as one parquet split, which would serialize the projection
+    * onto one core; at production scale the scan already has >= target
+    * partitions and this is a no-op — no shuffle is added. */
+  private def parallelizeSmallScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact dedup: group by normalized-text hash, keep the min-id doc.
     * One map-side-combinable hash aggregation. */
   def exactGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
@@ -35,7 +45,7 @@ object Dedup {
     // cardinality (hence Jaccard) is preserved up to ~|tokens|²/2⁶⁴
     // collision odds, and the per-pair intersection runs over sorted
     // longs instead of strings (see jaccardOverBlocks).
-    val prepared = docs.select(
+    val prepared = parallelizeSmallScan(docs).select(
       col("doc_id"), col("source"),
       floor(col("n_chars") / 32.0).cast("long").as("bkt"),
       sort_array(array_distinct(
@@ -101,7 +111,7 @@ object Dedup {
     // string-array intersection in the O(pairs) inner loop.
     // localCheckpoint materializes the (expensive) shingle projection
     // once; without it each side of the self-join re-evaluates it.
-    val prepared = docs.select(
+    val prepared = parallelizeSmallScan(docs).select(
       col("doc_id"), col("source"),
       floor(col("n_chars") / 32.0).cast("long").as("bkt"),
       sort_array(array_distinct(
@@ -144,7 +154,8 @@ object Dedup {
       s"bands ($bands) must divide numHashes ($numHashes) — trailing " +
         "signature slots would silently drop out of banding")
     val rows = numHashes / bands
-    val signed = withMinHashSignature(docs, "text", numHashes, 3)
+    val signed = withMinHashSignature(parallelizeSmallScan(docs), "text",
+        numHashes, 3)
       .select(col("doc_id"), col("minhash_sig"))
     val banded = signed.select(
       col("doc_id"), col("minhash_sig"),
@@ -200,7 +211,8 @@ object Dedup {
     * chunk count if a complete guarantee at a larger radius is needed. */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 100): DataFrame = {
-    val signed = withSimHash(docs, "text").select(col("doc_id"), col("simhash"))
+    val signed = withSimHash(parallelizeSmallScan(docs), "text")
+      .select(col("doc_id"), col("simhash"))
     val chunked = signed.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { ci =>
         struct(lit(ci).as("chunk"),
