@@ -126,6 +126,81 @@ object TrainingQueries {
         .limit(10)
     }),
 
+    // V4 — sliding event-time windows (1 h window, 15 min slide): each
+    // event lands in exactly windowDur/slide = 4 buckets. The batch form
+    // of the streaming sliding aggregation; same map-side explode +
+    // partial agg shape at any scale.
+    "v4_sliding_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          Summaries.exactSum(col("value"), 2).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("bucket_start_s"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("bucket_start_s"), col("event_type"))
+    }),
+
+    // W21 — arbitrary GROUPING SETS (beyond the rollup/cube hierarchies):
+    // sets ((r,n),(n),()) mix a non-hierarchical slice with the total.
+    "w21_grouping_sets" -> ((s, d) => {
+      val joined = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+      joined.groupingSets(
+          Seq(Seq(col("r_name"), col("n_name")), Seq(col("n_name")), Seq()),
+          col("r_name"), col("n_name"))
+        .agg(grouping(col("r_name")).as("__gr"),
+          grouping(col("n_name")).as("__gn"),
+          count(lit(1)).as("n_customers"),
+          Summaries.exactSum(col("c_acctbal"), 2).as("sum_acctbal"))
+        .select(
+          when(col("__gr") === 1, lit("ALL"))
+            .otherwise(coalesce(col("r_name"), lit("(null)"))).as("r_name"),
+          when(col("__gn") === 1, lit("ALL"))
+            .otherwise(coalesce(col("n_name"), lit("(null)"))).as("n_name"),
+          col("n_customers"), col("sum_acctbal"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // W22 — ranking/distribution window-function suite: percent_rank,
+    // cume_dist, ntile, lead, nth_value over one shared window spec (one
+    // exchange + one sort serves all five).
+    "w22_window_suite" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_orderpriority"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          lead(col("o_orderkey"), 1).over(w).as("next_key"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+        .orderBy(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+        .limit(2000)
+    }),
+
+    // J9 — salted skew join parity: the fact side is salted by a
+    // high-cardinality column, the dim side replicated ×factor, so one
+    // hot key's rows spread over `factor` reducers instead of one — and
+    // the result is bit-identical to the plain equi-join (the oracle IS
+    // the plain join).
+    "j9_salted_join" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      graft.operators.Joins.saltedEquiJoin(
+          Tables.lineitem(s, d), orders, "l_orderkey",
+          saltSource = col("l_linenumber"), factor = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          Summaries.exactSum(
+            col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+            .as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // M2 — the multimodal DECODE path (mapPartitions batch decode +
     // frame sampling), verified on its deterministic outputs: the fake
     // codec's byte length and stride-sampled frame count are pure integer
@@ -197,6 +272,45 @@ object TrainingQueries {
         |  AND l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "v4_sliding_window" ->
+      """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 900 - gs.i) * 900
+        |  AS bucket_start_s, event_type, count(*) AS n_events,
+        |CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_value
+        |FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) gs
+        |GROUP BY 1, 2 ORDER BY bucket_start_s, event_type""".stripMargin,
+
+    "w21_grouping_sets" ->
+      """SELECT
+        |CASE WHEN GROUPING(r_name) = 1 THEN 'ALL'
+        |  ELSE COALESCE(r_name,'(null)') END AS r_name,
+        |CASE WHEN GROUPING(n_name) = 1 THEN 'ALL'
+        |  ELSE COALESCE(n_name,'(null)') END AS n_name,
+        |count(*) AS n_customers,
+        |CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,6))), 2) AS DOUBLE)
+        |  AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name, n_name), (n_name), ())
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "w22_window_suite" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |percent_rank() OVER w AS pct_rank,
+        |cume_dist() OVER w AS cdist,
+        |CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |lead(o_orderkey, 1) OVER w AS next_key,
+        |nth_value(o_orderkey, 2) OVER w AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_totalprice, o_orderkey LIMIT 2000""".stripMargin,
+
+    "j9_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))),
+        |  2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "m2_decode_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
