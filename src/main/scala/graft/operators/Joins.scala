@@ -95,7 +95,11 @@ object Joins {
     val salted = fact.withColumn("__salt", pmod(xxhash64(saltSource), lit(factor)))
     val replicated = dim.withColumn("__salt",
       explode(sequence(lit(0L), lit(factor - 1L))))
-    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+    // hash-build on the replicated dim side: a sort-merge join would sort
+    // the big (and by hypothesis skewed) fact side — exactly the cost
+    // salting exists to avoid; SHJ streams the fact side unsorted
+    salted.join(replicated.hint("shuffle_hash"), Seq(key, "__salt"))
+      .drop("__salt")
   }
 
   /** J5 — key-set diagnostics (reference compare_data_sources,

@@ -188,10 +188,12 @@ object TrainingQueries {
     // the result is bit-identical to the plain equi-join (the oracle IS
     // the plain join).
     "j9_salted_join" -> ((s, d) => {
+      val lineitem = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
       val orders = Tables.orders(s, d)
-        .withColumnRenamed("o_orderkey", "l_orderkey")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
       graft.operators.Joins.saltedEquiJoin(
-          Tables.lineitem(s, d), orders, "l_orderkey",
+          lineitem, orders, "l_orderkey",
           saltSource = col("l_linenumber"), factor = 8)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
