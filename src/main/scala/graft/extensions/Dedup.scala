@@ -186,6 +186,41 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("est_jaccard"))
   }
 
+  /** Benchmark decontamination, exact form: drop corpus docs whose
+    * normalized-text fingerprint appears in the benchmark/eval set — the
+    * standard "remove test-set leakage before training" step. The
+    * benchmark side is tiny by construction (an eval set), so it
+    * broadcasts; the corpus streams through an anti-join with no shuffle
+    * of the corpus at all. */
+  def decontaminateExact(
+      corpus: DataFrame, bench: DataFrame, textCol: String): DataFrame = {
+    val fps = bench
+      .select(TextAnalysis.normHash(col(textCol)).as("__fp")).distinct()
+    corpus
+      .withColumn("__fp", TextAnalysis.normHash(col(textCol)))
+      .join(broadcast(fps), Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
+  /** Benchmark decontamination, n-gram form: drop corpus docs sharing ANY
+    * word n-gram with the benchmark set (the 8-to-13-gram collision test
+    * used to scrub eval contamination that survives exact hashing —
+    * paraphrases, partial copies). Shingles are hashed to longs; the
+    * benchmark shingle set broadcasts; contaminated ids come from a
+    * semi-join, survivors from an anti-join on id. */
+  def decontaminateNgram(
+      corpus: DataFrame, bench: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    def shingleHashes(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ explode(array_distinct(
+        transform(ngramShingles(col(textCol), n), s => xxhash64(s)))).as("__sh"): _*)
+    val benchSh = shingleHashes(bench).distinct()
+    val contaminated = shingleHashes(parallelizeSmallScan(corpus), col(idCol))
+      .join(broadcast(benchSh), Seq("__sh"), "left_semi")
+      .select(col(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash over token hashes: bit j of the fingerprint is the
     * sign of Σ_tokens (bit_j(xxhash64(token)) ? +1 : −1). Near-dup docs
     * differ in few bits (small Hamming distance). */

@@ -203,6 +203,31 @@ object TrainingQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // D7 — exact decontamination against a held-out eval split
+    // (doc_id % 20 == 0 plays the benchmark set): corpus docs whose
+    // normalized hash matches any benchmark doc are dropped before
+    // training. Benchmark side broadcasts; corpus never shuffles.
+    "d7_decontaminate_exact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminateExact(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0), "text")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // D8 — n-gram decontamination (any shared 8-gram with the held-out
+    // split): catches paraphrase/partial-copy leakage exact hashing
+    // misses.
+    "d8_decontaminate_ngram" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminateNgram(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0), "text", "doc_id", n = 8)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // M2 — the multimodal DECODE path (mapPartitions batch decode +
     // frame sampling), verified on its deterministic outputs: the fake
     // codec's byte length and stride-sampled frame count are pure integer
@@ -313,6 +338,31 @@ object TrainingQueries {
         |  2) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "d7_decontaminate_exact" ->
+      """SELECT doc_id, source FROM documents a
+        |WHERE doc_id % 20 <> 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents b WHERE b.doc_id % 20 = 0
+        |  AND md5(lower(trim(b.text))) = md5(lower(trim(a.text))))
+        |ORDER BY doc_id""".stripMargin,
+
+    "d8_decontaminate_ngram" ->
+      """WITH csh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text,' ')) - 8 + 2, 2)),
+        |    i -> array_to_string(list_slice(string_split(text,' '), i, i + 7), ' '))))
+        |    AS sh
+        |  FROM documents WHERE doc_id % 20 <> 0
+        |), bsh AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text,' ')) - 8 + 2, 2)),
+        |    i -> array_to_string(list_slice(string_split(text,' '), i, i + 7), ' '))))
+        |    AS sh
+        |  FROM documents WHERE doc_id % 20 = 0
+        |)
+        |SELECT doc_id FROM documents WHERE doc_id % 20 <> 0 AND doc_id NOT IN
+        |  (SELECT DISTINCT c.doc_id FROM csh c JOIN bsh USING (sh))
+        |ORDER BY doc_id""".stripMargin,
 
     "m2_decode_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -44,6 +44,25 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("exact decontamination drops corpus docs matching benchmark content") {
+    val bench = Seq((100L, base, "eval", base.length.toLong))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val survivors = Dedup.decontaminateExact(docs, bench, "text")
+      .select("doc_id").as[Long].collect().toSet
+    // docs 1 and 2 are verbatim copies of the benchmark doc -> removed;
+    // the near-dup (3) survives the EXACT form
+    assert(survivors == Set(3L, 4L))
+  }
+
+  test("n-gram decontamination also drops partial/paraphrase overlap") {
+    val bench = Seq((100L, base, "eval", base.length.toLong))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val survivors = Dedup.decontaminateNgram(docs, bench, "text", "doc_id", n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    // doc 3 shares plenty of 8-grams with the benchmark despite the edit
+    assert(survivors == Set(4L))
+  }
+
   test("SimHash: identical docs collide at hamming 0, unrelated docs do not") {
     // maxHamming = 3 is the radius the 4-chunk blocking fully guarantees
     val pairs = Dedup.simHashPairs(docs, maxHamming = 3)
