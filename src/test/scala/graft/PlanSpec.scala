@@ -39,4 +39,36 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1,
       s"ffill should need one hash exchange, got $exchanges")
   }
+
+  test("j8: selective filters are pushed to all three scans; top-10 is heap-based") {
+    val df = SparkEntry.queries("j8_flagship_join")(spark, sf0001)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      "segment filter should be pushed to the customer scan")
+    assert(p.contains("LessThan(o_orderdate"),
+      "orderdate cutoff should be pushed to the orders scan")
+    assert(p.contains("GreaterThan(l_shipdate"),
+      "shipdate cutoff should be pushed to the lineitem scan")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 must not be a global sort")
+  }
+
+  test("j9: salted join plans as shuffled hash join (no sort of the fact side)") {
+    val df = SparkEntry.queries("j9_salted_join")(spark, sf0001)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"),
+      "salted join should hash-build the replicated dim side")
+    assert(!p.contains("SortMergeJoin"),
+      "SMJ would sort the skewed fact side the salt exists to protect")
+  }
+
+  test("d7: decontamination is a broadcast anti-join — corpus side never shuffles") {
+    val df = SparkEntry.queries("d7_decontaminate_exact")(spark, sf0001)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast left-anti join, got\n$p")
+  }
 }
