@@ -45,12 +45,16 @@ object Dedup {
     // cardinality (hence Jaccard) is preserved up to ~|tokens|²/2⁶⁴
     // collision odds, and the per-pair intersection runs over sorted
     // longs instead of strings (see jaccardOverBlocks).
+    // localCheckpoint materializes the hash+sort projection once; without
+    // it each side of the self-join re-evaluates it (same fix as the
+    // n-gram variant below)
     val prepared = parallelizeSmallScan(docs).select(
       col("doc_id"), col("source"),
       floor(col("n_chars") / 32.0).cast("long").as("bkt"),
       sort_array(array_distinct(
         transform(TextAnalysis.tokens(col("text")), t => xxhash64(t))))
         .as("toks"))
+      .localCheckpoint(eager = false)
     jaccardOverBlocks(prepared, threshold)
   }
 

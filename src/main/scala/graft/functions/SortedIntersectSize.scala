@@ -16,14 +16,21 @@ import org.apache.spark.sql.types._
   * allocation-free, branch-predictable, and fuses into whole-stage
   * codegen.
   *
-  * Contract: both inputs ascending-sorted, duplicate-free, no null
-  * elements (`sort_array(array_distinct(...))` of non-null hashes). On
-  * unsorted input the result is undefined — callers own the sort.
+  * Contract: both inputs ascending-sorted and duplicate-free
+  * (`sort_array(array_distinct(...))`). On unsorted input the result is
+  * undefined — callers own the sort. A NULL element yields NULL (the
+  * same poisoning `size(array_intersect(...))`-free formulations give),
+  * never a silent phantom match.
   */
 case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
+
+  // NULL can arise from non-null inputs (a null element), so nullability
+  // must not be inferred from the children alone — also keeps codegen's
+  // isNull a real variable rather than a folded literal.
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -45,6 +52,7 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     val n = x.numElements(); val m = y.numElements()
     var i = 0; var j = 0; var c = 0
     while (i < n && j < m) {
+      if (x.isNullAt(i) || y.isNullAt(j)) return null
       val xv = x.getLong(i); val yv = y.getLong(j)
       if (xv < yv) i += 1
       else if (xv > yv) j += 1
@@ -63,12 +71,13 @@ case class SortedIntersectSize(left: Expression, right: Expression)
          |int $n = $a.numElements(); int $m = $b.numElements();
          |int $i = 0; int $j = 0; int $c = 0;
          |while ($i < $n && $j < $m) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
          |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
          |  if ($xv < $yv) { $i++; }
          |  else if ($xv > $yv) { $j++; }
          |  else { $c++; $i++; $j++; }
          |}
-         |${ev.value} = $c;
+         |if (!${ev.isNull}) { ${ev.value} = $c; }
        """.stripMargin
     })
 

@@ -245,12 +245,13 @@ class SortedIntersectSizeSpec extends SparkSpec {
     got.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
   }
 
-  test("null input arrays yield null; SQL registration works") {
+  test("null input arrays and null elements yield null; SQL registration works") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
       "SELECT sorted_intersect_size(array(1L,2L,3L), array(2L,3L,4L)) AS c, " +
-        "sorted_intersect_size(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS n")
+        "sorted_intersect_size(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS n, " +
+        "sorted_intersect_size(array(CAST(NULL AS BIGINT), 1L), array(0L)) AS e")
       .collect()(0)
-    assert(r.getInt(0) == 2 && r.isNullAt(1))
+    assert(r.getInt(0) == 2 && r.isNullAt(1) && r.isNullAt(2))
   }
 }
