@@ -125,17 +125,43 @@ object Dedup {
     jaccardOverBlocks(prepared, threshold)
   }
 
-  /** MinHash signature: k permutations approximated by k seeded xxhash64
-    * functions over w-token shingles; signature[i] = min hash under seed
-    * i. Pure array expressions — one pass, no shuffle. */
+  /** Prime modulus of the universal-hash family used by MinHash. Products
+    * stay under 2⁶³: (P−1)² < 10¹⁸ < Long.MaxValue. */
+  val MinHashP: Long = 1000000007L
+
+  /** Per-seed (a, b) constants of the universal hash family, derived from
+    * md5 of the seed tag — reproducible in any engine with md5, so the
+    * DuckDB oracle can inline the identical literals. */
+  def seedConst(tag: String, s: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$tag$s".getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString.take(15)
+    (java.lang.Long.parseLong(hex, 16) % MinHashP + MinHashP) % MinHashP
+  }
+
+  /** 60-bit hash from the md5 hex prefix — an order of magnitude slower
+    * than xxhash64, but REPLAYABLE in any engine with md5 (DuckDB oracle
+    * parity). Production dedup keeps xxhash64; pass this when the result
+    * must be cross-engine verifiable. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** MinHash signature via a universal hash family over one base hash:
+    * signature[s] = min over shingles of (a_s·h(x) + b_s) mod P. One base
+    * hash per shingle (not k seeded hashes), pure array expressions — one
+    * pass, no shuffle. */
   def withMinHashSignature(
-      docs: DataFrame, textCol: String, numHashes: Int, shingleWidth: Int): DataFrame = {
+      docs: DataFrame, textCol: String, numHashes: Int, shingleWidth: Int,
+      hashFn: Column => Column = xxhash64(_)): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
     val shingles = transform(
       sequence(lit(1), greatest(size(toks) - (shingleWidth - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(shingleWidth))))
-    val sig = array((0 until numHashes).map { seed =>
-      array_min(transform(shingles, sh => xxhash64(lit(seed), sh)))
+    val baseHashes = transform(shingles, sh => pmod(hashFn(sh), lit(MinHashP)))
+    val sig = array((0 until numHashes).map { s =>
+      val (a, b) = (seedConst("a", s), seedConst("b", s))
+      array_min(transform(baseHashes,
+        h => (lit(a) * h + lit(b)) % MinHashP))
     }: _*)
     docs.withColumn("minhash_sig", sig)
   }
@@ -153,13 +179,14 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5,
-      maxBucket: Int = 100): DataFrame = {
+      maxBucket: Int = 100,
+      hashFn: Column => Column = xxhash64(_)): DataFrame = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes) — trailing " +
         "signature slots would silently drop out of banding")
     val rows = numHashes / bands
     val signed = withMinHashSignature(parallelizeSmallScan(docs), "text",
-        numHashes, 3)
+        numHashes, 3, hashFn)
       .select(col("doc_id"), col("minhash_sig"))
     val banded = signed.select(
       col("doc_id"), col("minhash_sig"),
@@ -225,13 +252,15 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
-  /** 64-bit SimHash over token hashes: bit j of the fingerprint is the
-    * sign of Σ_tokens (bit_j(xxhash64(token)) ? +1 : −1). Near-dup docs
-    * differ in few bits (small Hamming distance). */
-  def withSimHash(docs: DataFrame, textCol: String): DataFrame = {
+  /** SimHash over token hashes: bit j of the fingerprint is the sign of
+    * Σ_tokens (bit_j(h(token)) ? +1 : −1). Near-dup docs differ in few
+    * bits (small Hamming distance). Default 64 bits of xxhash64; pass
+    * `md5Hash60`/60 for a cross-engine-replayable fingerprint. */
+  def withSimHash(docs: DataFrame, textCol: String,
+      hashFn: Column => Column = xxhash64(_), bits: Int = 64): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
-    val hashes = transform(toks, t => xxhash64(t))
-    val sim = (0 until 64).map { j =>
+    val hashes = transform(toks, t => hashFn(t))
+    val sim = (0 until bits).map { j =>
       val votes = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L)
           .otherwise(lit(-1L)))
@@ -249,13 +278,18 @@ object Dedup {
     * bits spread across all 4 chunks are never generated. Raise the
     * chunk count if a complete guarantee at a larger radius is needed. */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
-      maxBucket: Int = 100): DataFrame = {
-    val signed = withSimHash(parallelizeSmallScan(docs), "text")
+      maxBucket: Int = 100,
+      hashFn: Column => Column = xxhash64(_), bits: Int = 64): DataFrame = {
+    require(bits % 4 == 0, s"bits ($bits) must split into 4 equal chunks")
+    val chunkWidth = bits / 4
+    val chunkMask = (1L << chunkWidth) - 1
+    val signed = withSimHash(parallelizeSmallScan(docs), "text", hashFn, bits)
       .select(col("doc_id"), col("simhash"))
     val chunked = signed.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { ci =>
         struct(lit(ci).as("chunk"),
-          shiftright(col("simhash"), ci * 16).bitwiseAND(0xFFFFL).as("ckey"))
+          shiftright(col("simhash"), ci * chunkWidth).bitwiseAND(chunkMask)
+            .as("ckey"))
       }: _*)).as("cc"))
       .select(col("doc_id"), col("simhash"),
         col("cc.chunk").as("chunk"), col("cc.ckey").as("ckey"))

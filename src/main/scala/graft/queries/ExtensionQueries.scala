@@ -8,10 +8,11 @@ import graft.sources.Tables
 
 /** Beyond-reference extension queries (SURVEY.md §7.4): dedup,
   * similarity search, text analysis, event-time windows, multimodal
-  * plumbing. SQL-expressible ones carry a DuckDB oracle; the
-  * hash-function-heavy ones (MinHash/SimHash/SRP — xxhash64 has no
-  * DuckDB equivalent) are rows-only checked here and exact-value checked
-  * in ScalaTest instead.
+  * plumbing. Nearly all carry a DuckDB oracle — the MinHash/SimHash
+  * pipelines use an md5-derived hash family precisely so the oracle can
+  * replay them; only the approximate-float ANN queries (SRP/IVF, whose
+  * candidate sets depend on seeded float projections) are rows-only,
+  * with recall checked in ScalaTest instead.
   */
 object ExtensionQueries {
 
@@ -29,16 +30,19 @@ object ExtensionQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
-    // D3 — MinHash-LSH: per-doc signature head + candidate count
-    // (rows-only oracle; exact-value coverage in DedupSpec).
+    // D3 — MinHash-LSH with the md5-derived universal hash family, so
+    // the full pipeline (signature → banding → skew cap → candidate
+    // pairs → similarity estimate) is replayed verbatim by the DuckDB
+    // oracle. Production corpora use the xxhash64 default (faster);
+    // the semantics are identical.
     "d3_minhash_lsh" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minHashLshPairs(docs, numHashes = 32, bands = 8,
-        threshold = 0.3)
+        threshold = 0.3, hashFn = Dedup.md5Hash60)
       val perDoc = pairs
         .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))
-      Dedup.withMinHashSignature(docs, "text", 32, 3)
+      Dedup.withMinHashSignature(docs, "text", 32, 3, Dedup.md5Hash60)
         .select(col("doc_id"),
           col("minhash_sig")(0).as("sig0"), col("minhash_sig")(1).as("sig1"),
           col("minhash_sig")(2).as("sig2"), col("minhash_sig")(3).as("sig3"))
@@ -47,15 +51,16 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // D4 — SimHash: 64-bit fingerprint + near-dup candidate count
-    // (rows-only oracle).
+    // D4 — SimHash (60-bit md5-derived fingerprint) + near-dup candidate
+    // count — fully oracle-replayed like d3.
     "d4_simhash" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.simHashPairs(docs, maxHamming = 3)
+      val pairs = Dedup.simHashPairs(docs, maxHamming = 3,
+        hashFn = Dedup.md5Hash60, bits = 60)
       val perDoc = pairs
         .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))
-      Dedup.withSimHash(docs, "text")
+      Dedup.withSimHash(docs, "text", Dedup.md5Hash60, bits = 60)
         .select(col("doc_id"), col("simhash"))
         .join(perDoc, Seq("doc_id"), "left")
         .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
@@ -259,7 +264,99 @@ object ExtensionQueries {
     })
   )
 
+  /** The MinHash universal-hash constants, inlined as SQL list literals —
+    * generated from the SAME Dedup.seedConst the Spark plan uses. */
+  private val minhashA =
+    (0 until 32).map(Dedup.seedConst("a", _)).mkString("LIST_VALUE(", ",", ")")
+  private val minhashB =
+    (0 until 32).map(Dedup.seedConst("b", _)).mkString("LIST_VALUE(", ",", ")")
+
   val oracles: Map[String, String] = Map(
+
+    "d3_minhash_lsh" ->
+      s"""WITH consts AS (SELECT $minhashA AS ca, $minhashB AS cb),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text,' ')) - 3 + 2, 2)),
+        |    i -> array_to_string(list_slice(string_split(text,' '), i, i + 2), ' ')))
+        |    AS shingles
+        |  FROM documents
+        |), hs AS (
+        |  SELECT doc_id, list_transform(shingles,
+        |    x -> CAST('0x' || substr(md5(x),1,15) AS BIGINT) % 1000000007) AS hs
+        |  FROM sh
+        |), sig AS (
+        |  SELECT doc_id, list_transform(range(1, 33), s ->
+        |    list_min(list_transform(hs, h -> (ca[s] * h + cb[s]) % 1000000007)))
+        |    AS sig
+        |  FROM hs CROSS JOIN consts
+        |), banded AS (
+        |  SELECT doc_id, sig, b.band,
+        |    array_to_string(list_slice(sig, b.band * 4 + 1, b.band * 4 + 4), ',')
+        |    AS bkey
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b
+        |), capped AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, sig, band, bkey,
+        |      count(*) OVER (PARTITION BY band, bkey) AS bsize
+        |    FROM banded) WHERE bsize <= 100
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    a.sig AS a_sig, b.sig AS b_sig
+        |  FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey
+        |    AND a.doc_id < b.doc_id
+        |), est AS (
+        |  SELECT a_id, b_id,
+        |    round(len(list_filter(range(1, 33), i -> a_sig[i] = b_sig[i])) / 32.0, 4)
+        |    AS ej
+        |  FROM pairs
+        |), cand AS (
+        |  SELECT doc_id, count(*) AS n_candidates FROM (
+        |    SELECT unnest(LIST_VALUE(a_id, b_id)) AS doc_id FROM est
+        |    WHERE ej >= 0.3)
+        |  GROUP BY doc_id
+        |)
+        |SELECT s.doc_id, s.sig[1] AS sig0, s.sig[2] AS sig1,
+        |  s.sig[3] AS sig2, s.sig[4] AS sig3,
+        |  COALESCE(c.n_candidates, 0) AS n_candidates
+        |FROM sig s LEFT JOIN cand c ON s.doc_id = c.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+
+    "d4_simhash" ->
+      """WITH hs AS (
+        |  SELECT doc_id, list_transform(string_split(text,' '),
+        |    t -> CAST('0x' || substr(md5(t),1,15) AS BIGINT)) AS hs
+        |  FROM documents
+        |), sim AS (
+        |  SELECT doc_id, list_sum(list_transform(range(0, 60), j ->
+        |    CASE WHEN list_sum(list_transform(hs,
+        |        h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |      THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS simhash
+        |  FROM hs
+        |), chunked AS (
+        |  SELECT doc_id, simhash, c.chunk,
+        |    (simhash >> (c.chunk * 15)) & 32767 AS ckey
+        |  FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS chunk) c
+        |), capped AS (
+        |  SELECT * FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY chunk, ckey) AS bsize
+        |    FROM chunked)
+        |  WHERE bsize <= 100
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    a.simhash AS a_sim, b.simhash AS b_sim
+        |  FROM capped a JOIN capped b ON a.chunk = b.chunk AND a.ckey = b.ckey
+        |    AND a.doc_id < b.doc_id
+        |), ok AS (
+        |  SELECT a_id, b_id FROM pairs WHERE bit_count(xor(a_sim, b_sim)) <= 3
+        |), cand AS (
+        |  SELECT doc_id, count(*) AS n_candidates FROM (
+        |    SELECT unnest(LIST_VALUE(a_id, b_id)) AS doc_id FROM ok)
+        |  GROUP BY doc_id
+        |)
+        |SELECT s.doc_id, s.simhash, COALESCE(c.n_candidates, 0) AS n_candidates
+        |FROM sim s LEFT JOIN cand c ON s.doc_id = c.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS fingerprint, count(*) AS n_dups,
         |min(doc_id) AS keep_id FROM documents
