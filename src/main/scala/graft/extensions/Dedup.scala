@@ -13,15 +13,10 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Spread a small-scan input across the cluster before a CPU-heavy
-    * per-row projection (shingling, signature hashing). A tiny corpus
-    * arrives as one parquet split, which would serialize the projection
-    * onto one core; at production scale the scan already has >= target
-    * partitions and this is a no-op — no shuffle is added. */
-  private def parallelizeSmallScan(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  /** See [[graft.sources.Tables.spread]] — spreads a small scan before a
+    * CPU-heavy per-row projection; no-op at production scan widths. */
+  private def parallelizeSmallScan(df: DataFrame): DataFrame =
+    graft.sources.Tables.spread(df)
 
   /** Exact dedup: group by normalized-text hash, keep the min-id doc.
     * One map-side-combinable hash aggregation. */
@@ -227,7 +222,7 @@ object Dedup {
       corpus: DataFrame, bench: DataFrame, textCol: String): DataFrame = {
     val fps = bench
       .select(TextAnalysis.normHash(col(textCol)).as("__fp")).distinct()
-    corpus
+    parallelizeSmallScan(corpus)
       .withColumn("__fp", TextAnalysis.normHash(col(textCol)))
       .join(broadcast(fps), Seq("__fp"), "left_anti")
       .drop("__fp")

@@ -30,9 +30,16 @@ object TextAnalysis {
 
   /** Composite quality score in [0,1]: length band + lexical diversity +
     * low repetition. Deterministic, tune weights per corpus. */
-  def qualityScore(text: Column, nChars: Column): Column = {
+  def qualityScore(text: Column, nChars: Column): Column =
+    qualityScoreFromTokens(tokens(text), nChars)
+
+  /** Token-array form of [[qualityScore]] — when several signals are
+    * computed per doc, project `tokens(text)` into a column ONCE and use
+    * the `FromTokens` forms: one split per row instead of one per signal
+    * (operators don't share subexpressions across plan nodes). */
+  def qualityScoreFromTokens(toks: Column, nChars: Column): Column = {
     val lengthOk = when(nChars.between(100, 5000), 1.0).otherwise(0.5)
-    val ttr = distinctTokenCount(text).cast("double") / tokenCount(text)
+    val ttr = size(array_distinct(toks)).cast("double") / size(toks)
     round(lengthOk * 0.4 + least(ttr * 2, lit(1.0)) * 0.6, 4)
   }
 
@@ -56,6 +63,20 @@ object TextAnalysis {
       size(toks), 4)
   }
 
+  /** Repeated word-n-gram ratio — the Gopher-style boilerplate signal:
+    * 1 − distinct/total n-grams. High values mean templated/repetitive
+    * text (headers, navigation, generated spam). */
+  def dupNgramRatio(text: Column, n: Int): Column =
+    dupNgramRatioFromTokens(tokens(text), n)
+
+  /** Token-array form of [[dupNgramRatio]] (see qualityScoreFromTokens). */
+  def dupNgramRatioFromTokens(toks: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 4)
+  }
+
   /** Stopword tables for the n-gram language-ID heuristic. Tiny constant
     * lists — folded into codegen, never a join. */
   val StopwordSets: Seq[(String, Seq[String])] = Seq(
@@ -68,8 +89,10 @@ object TextAnalysis {
   /** Language-ID: count stopword hits per candidate language, argmax
     * with a fixed precedence for ties (first in `StopwordSets` wins).
     * Unknown when nothing matches. */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
+  /** Token-array form of [[langId]] (see qualityScoreFromTokens). */
+  def langIdFromTokens(toks: Column): Column = {
     val scores = StopwordSets.map { case (lang, words) =>
       lang -> size(filter(toks, t => t.isin(words.map(lit): _*)))
     }

@@ -90,7 +90,7 @@ object TrainingQueries {
     // df and dl are derived aggregations of the same tf frame.
     "t8_tfidf" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val tok = docs.select(col("doc_id"),
+      val tok = Tables.spread(docs).select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("term"))
       val tf = tok.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("cnt"))
@@ -228,6 +228,39 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // T9 — C4/Gopher-style quality filtering: compose the text-analysis
+    // signals (language-ID, composite quality score, token-count band,
+    // repeated-3-gram boilerplate ratio) into the single cleaning filter
+    // a pretraining pipeline runs over the raw corpus. All signals are
+    // one codegen span over the scan — no shuffle until the final sort.
+    "t9_quality_filter" -> ((s, d) => {
+      val toks = col("toks")
+      // Materialize the token array once; every signal reads it instead
+      // of re-splitting the text (operators don't share subexpressions).
+      // The lazy checkpoint of the NARROW signals frame is a pushdown
+      // barrier: without it Catalyst substitutes the filter through both
+      // projections and the repartition, re-evaluating the heavy signal
+      // expressions at the (possibly single-split) scan.
+      val signals = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_chars"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          TextAnalysis.qualityScoreFromTokens(toks, col("n_chars"))
+            .as("quality_score"),
+          TextAnalysis.dupNgramRatioFromTokens(toks, 3).as("dup_3gram_ratio"),
+          size(toks).cast("long").as("n_tokens"),
+          TextAnalysis.langIdFromTokens(toks).as("lang"))
+        .localCheckpoint(eager = false)
+      signals
+        .filter(col("lang") === "en"
+          && col("quality_score") >= 0.5
+          && col("n_tokens").between(20, 1000)
+          && col("dup_3gram_ratio") <= 0.3)
+        .select(col("doc_id"), col("quality_score"), col("dup_3gram_ratio"),
+          col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // M2 — the multimodal DECODE path (mapPartitions batch decode +
     // frame sampling), verified on its deterministic outputs: the fake
     // codec's byte length and stride-sampled frame count are pure integer
@@ -362,6 +395,36 @@ object TrainingQueries {
         |)
         |SELECT doc_id FROM documents WHERE doc_id % 20 <> 0 AND doc_id NOT IN
         |  (SELECT DISTINCT c.doc_id FROM csh c JOIN bsh USING (sh))
+        |ORDER BY doc_id""".stripMargin,
+
+    "t9_quality_filter" ->
+      """WITH sig AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('el','la','de','y','que','en','un'))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('der','die','das','und','ist','ein','zu'))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('le','la','de','et','est','un','dans'))) AS BIGINT) AS s_fr,
+        |    round(1.0 - len(list_distinct(list_transform(
+        |        range(1, greatest(len(string_split(text,' ')) - 3 + 2, 2)),
+        |        i -> array_to_string(list_slice(string_split(text,' '), i, i + 2),
+        |          ' ')))) * 1.0
+        |      / greatest(len(string_split(text,' ')) - 3 + 1, 1), 4) AS dup3,
+        |    round((CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.5 END)
+        |        * 0.4
+        |      + least(len(list_distinct(string_split(text, ' '))) * 1.0 /
+        |          len(string_split(text, ' ')) * 2, 1.0) * 0.6, 4) AS q
+        |  FROM documents
+        |)
+        |SELECT doc_id, q AS quality_score, dup3 AS dup_3gram_ratio, nt AS n_tokens
+        |FROM sig
+        |WHERE s_en + s_es + s_de + s_fr > 0
+        |  AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+        |  AND q >= 0.5 AND nt BETWEEN 20 AND 1000 AND dup3 <= 0.3
         |ORDER BY doc_id""".stripMargin,
 
     "m2_decode_meta" ->

@@ -39,6 +39,17 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 
+  /** Spread a small-scan input across the cluster before a CPU-heavy
+    * per-row projection (shingling, signature hashing, multi-signal text
+    * scoring). A tiny corpus arrives as one parquet split, which would
+    * serialize the projection onto one core; at production scale the scan
+    * already has >= target partitions and this is a no-op — no shuffle is
+    * added. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** S5 — CSV export sink (reference `df.to_csv`, streamlit_app.py:651-657).
     * `coalesce(1)` mirrors the reference's single-file download contract;
     * drop it for sharded exports at scale. */

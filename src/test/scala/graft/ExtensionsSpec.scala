@@ -255,3 +255,21 @@ class SortedIntersectSizeSpec extends SparkSpec {
     assert(r.getInt(0) == 2 && r.isNullAt(1) && r.isNullAt(2))
   }
 }
+
+class QualityFilterSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  test("dup-n-gram ratio flags repetitive text, passes varied text") {
+    val df = Seq(
+      (1L, "buy now buy now buy now buy now buy now buy now"),
+      (2L, "the quick brown fox jumps over the lazy sleeping dog")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        graft.extensions.TextAnalysis.dupNgramRatio(col("text"), 3).as("r"))
+      .as[(Long, Double)].collect().toMap
+    // 12 tokens -> 10 3-grams; repetitive doc has only 2 distinct
+    assert(got(1L) == 0.8)
+    assert(got(2L) == 0.0)
+  }
+}
