@@ -80,12 +80,16 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** LSH-bucketed ANN: bucket = 16-bit SRP signature; search only the
-    * query's bucket plus buckets at Hamming distance 1 (multi-probe).
-    * Recall is tunable via planes/probes; candidate set is ~corpus/2^16
-    * per probe instead of the full corpus. */
+  /** LSH-bucketed ANN: bucket = SRP signature; search the query's bucket
+    * plus buckets within `probeHamming` bit flips (multi-probe). The
+    * recall/scan-fraction tradeoff is (numPlanes, probeHamming): more
+    * planes → smaller buckets, larger probe radius → more of them.
+    * Measured on the synthetic corpus (no cluster structure — the hard
+    * case): planes=6/probe=2 scans ~1/3 of the corpus for recall@10 ≥
+    * 0.7; tighter settings scan less and recall less (see
+    * e5_ann_recall's driver-checked contract). */
   def annTopK(embeddings: DataFrame, queryId: Long, k: Int,
-      numPlanes: Int = 16): DataFrame = {
+      numPlanes: Int = 16, probeHamming: Int = 1): DataFrame = {
     val signed = embeddings.withColumn("bucket",
       srpSignature(col("embedding"), numPlanes))
     val query = signed.filter(col("vec_id") === queryId)
@@ -93,8 +97,8 @@ object Similarity {
     val candidates = signed
       .crossJoin(broadcast(query))
       .filter(col("vec_id") =!= queryId)
-      // multi-probe: exact bucket or Hamming-1 neighbor
-      .filter(bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= 1)
+      .filter(bit_count(col("bucket").bitwiseXOR(col("qbucket")))
+        <= probeHamming)
     candidates
       .select(col("vec_id"), col("label").cast("long").as("label"),
         round(cosine(col("embedding"), col("query_vec")), 4).as("cosine_sim"))

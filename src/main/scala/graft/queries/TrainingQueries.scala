@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.extensions.{Dedup, Multimodal, TextAnalysis}
+import graft.extensions.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.operators.Summaries
 import graft.sources.Tables
 
@@ -261,6 +261,45 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // W15B — sketch-accuracy CONTRACT: the HLL distinct count and the
+    // approximate median must land within their documented error bounds
+    // of the exact values. The oracle asserts the booleans as literals —
+    // turning "approximate, can't hash-match" into a driver-verified
+    // accuracy guarantee (the sketch values themselves stay rows-only
+    // in w15).
+    "w15b_sketch_bounds" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("approx_median"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
+        .select(col("l_returnflag"),
+          (abs(col("approx_parts") - col("exact_parts"))
+            <= col("exact_parts") * 0.05).as("hll_within_5pct"),
+          (abs(col("approx_median") - col("exact_median"))
+            <= col("exact_median") * 0.05).as("median_within_5pct"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // E5 — ANN recall CONTRACT: multi-probe SRP-LSH top-10 must recover
+    // at least half of the exact brute-force top-10 (the standard
+    // recall@k acceptance gate for an ANN index). Oracle asserts the
+    // boolean. Config planes=6/probe=2 measured at recall 7/10 (sf0.01)
+    // and 10/10 (sf0.1) on the clusterless synthetic corpus.
+    "e5_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val exact = Similarity.bruteForceTopK(emb, queryId = 0L, k = 10)
+        .select(col("vec_id"))
+      val ann = Similarity.annTopK(emb, queryId = 0L, k = 10,
+          numPlanes = 6, probeHamming = 2)
+        .select(col("vec_id"))
+      val hits = ann.join(exact, Seq("vec_id"), "left_semi")
+      hits.agg((count(lit(1)) >= 5).as("recall_at_10_ge_half"))
+    }),
+
     // M2 — the multimodal DECODE path (mapPartitions batch decode +
     // frame sampling), verified on its deterministic outputs: the fake
     // codec's byte length and stride-sampled frame count are pure integer
@@ -426,6 +465,13 @@ object TrainingQueries {
         |  AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
         |  AND q >= 0.5 AND nt BETWEEN 20 AND 1000 AND dup3 <= 0.3
         |ORDER BY doc_id""".stripMargin,
+
+    "w15b_sketch_bounds" ->
+      """SELECT l_returnflag, true AS hll_within_5pct, true AS median_within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "e5_ann_recall" ->
+      """SELECT true AS recall_at_10_ge_half""".stripMargin,
 
     "m2_decode_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
