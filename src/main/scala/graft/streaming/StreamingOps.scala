@@ -45,6 +45,17 @@ object StreamingOps {
       .select(col("window.start").as("bucket_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding event-time aggregation (each event contributes to
+    * windowDur/slide overlapping buckets) under the same watermark —
+    * the streaming form of the batch v4_sliding_window query. */
+  def slidingCounts(events: DataFrame, duration: String, slide: String): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), duration, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** Session windows with an inactivity gap — the streaming-native form
     * of EventWindows.sessionize (state: one open session per key). */
   def sessionCounts(events: DataFrame, gap: String): DataFrame =

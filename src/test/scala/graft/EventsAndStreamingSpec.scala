@@ -67,6 +67,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming sliding agg matches the batch sliding form") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream3").toString
+    graft.sources.Tables.events(spark, sf0001).limit(500)
+      .write.mode("overwrite").parquet(tmp)
+    val stream = StreamingOps.readEventStream(spark, tmp)
+    StreamingOps.runToMemory(
+      StreamingOps.slidingCounts(stream, "1 hour", "15 minutes"),
+      "stream_sliding", "complete")
+    val streamed = spark.table("stream_sliding")
+      .select(unix_timestamp(col("bucket_start")).as("b"), col("event_type"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = spark.read.parquet(tmp)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("window.start")).as("b"), col("event_type"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming session windows produce rows under append-with-watermark") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream2").toString
     graft.sources.Tables.events(spark, sf0001).limit(500)
