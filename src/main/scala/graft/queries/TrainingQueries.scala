@@ -300,6 +300,19 @@ object TrainingQueries {
       hits.agg((count(lit(1)) >= 5).as("recall_at_10_ge_half"))
     }),
 
+    // E6 — IVF recall CONTRACT (companion to e5): probing 4 of 16 cells
+    // must recover >=8 of the exact top-10. Measured 10/10 at both SFs.
+    "e6_ivf_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val exact = Similarity.bruteForceTopK(emb, queryId = 0L, k = 10)
+        .select(col("vec_id"))
+      val ivf = Similarity.ivfTopK(emb, queryId = 0L, k = 10,
+          numCells = 16, nprobe = 4)
+        .select(col("vec_id"))
+      ivf.join(exact, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) >= 8).as("recall_at_10_ge_08"))
+    }),
+
     // M2 — the multimodal DECODE path (mapPartitions batch decode +
     // frame sampling), verified on its deterministic outputs: the fake
     // codec's byte length and stride-sampled frame count are pure integer
@@ -472,6 +485,9 @@ object TrainingQueries {
 
     "e5_ann_recall" ->
       """SELECT true AS recall_at_10_ge_half""".stripMargin,
+
+    "e6_ivf_recall" ->
+      """SELECT true AS recall_at_10_ge_08""".stripMargin,
 
     "m2_decode_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
