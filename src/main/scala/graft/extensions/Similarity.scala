@@ -109,17 +109,16 @@ object Similarity {
   /** IVF-style ANN: a coarse quantizer partitions the corpus into k
     * cells; queries probe only the `nprobe` nearest cells.
     *
-    * The quantizer here picks the first k vectors by id as centroids —
-    * deterministic and adequate for testing the *plumbing*; production
-    * swaps in k-means centroids (same dataflow: a bounded broadcast
-    * centroid table, one argmin-assign pass, equi-join on cell id). The
-    * scan per query drops from N to ~N·nprobe/k — the IVF scale path
-    * alongside the SRP-LSH one. */
+    * The default quantizer picks the first k vectors by id as centroids
+    * (deterministic seeding); pass `trainIters > 0` to refine them with
+    * Lloyd iterations ([[kMeansCentroids]]) — same dataflow either way:
+    * a bounded broadcast centroid table, one argmin-assign pass,
+    * equi-join on cell id. The scan per query drops from N to
+    * ~N·nprobe/k — the IVF scale path alongside the SRP-LSH one. */
   def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
-      numCells: Int = 16, nprobe: Int = 2): DataFrame = {
+      numCells: Int = 16, nprobe: Int = 2, trainIters: Int = 0): DataFrame = {
     val centroids = broadcast(
-      embeddings.filter(col("vec_id") < numCells)
-        .select(col("vec_id").as("cell_id"), col("embedding").as("centroid")))
+      kMeansCentroids(embeddings, numCells, trainIters))
     // assign every vector to its nearest centroid (exact argmin via
     // lexicographic min over (distance, cell_id) — deterministic ties)
     val assigned = embeddings
@@ -148,6 +147,44 @@ object Similarity {
         round(cosine(col("embedding"), col("query_vec")), 4).as("cosine_sim"))
       .orderBy(col("cosine_sim").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** Coarse-quantizer training: deterministic first-k seeding plus
+    * `iters` Lloyd k-means passes, entirely as DataFrame ops. Each pass
+    * is one argmin-assign (cross join against the bounded broadcast
+    * centroid table) and one per-dimension mean (posexplode → grouped
+    * avg → re-assembled array) — two shuffles per iteration, no driver
+    * math, so the same loop trains on 10⁹ vectors. Empty cells keep
+    * their previous centroid (the standard Lloyd fallback). */
+  def kMeansCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    var centroids = embeddings.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
+    for (_ <- 0 until iters) {
+      val assigned = embeddings
+        .crossJoin(broadcast(centroids))
+        .withColumn("dist", -cosine(col("embedding"), col("centroid")))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cell_id"))).as("best"),
+          first(col("embedding")).as("embedding"))
+        .select(col("best.cell_id").as("cell_id"), col("embedding"))
+      val means = assigned
+        .select(col("cell_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cell_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m").cast("float")).as("centroid"))
+      // empty cells (no vectors assigned) fall back to the previous
+      // centroid so the cell count stays k
+      centroids = centroids.select(col("cell_id"),
+          col("centroid").as("prev_centroid"))
+        .join(means, Seq("cell_id"), "left")
+        .select(col("cell_id"),
+          coalesce(col("centroid"), col("prev_centroid")).as("centroid"))
+        .localCheckpoint(eager = false)
+    }
+    centroids
   }
 
   /** Embedding-cosine near-duplicate pairs via SRP bucketing: vectors

@@ -273,3 +273,21 @@ class QualityFilterSpec extends SparkSpec {
     assert(got(2L) == 0.0)
   }
 }
+
+class KMeansIvfSpec extends SparkSpec {
+  import org.apache.spark.sql.functions.col
+
+  test("k-means quantizer keeps k cells and trained IVF retains recall") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val trained = Similarity.kMeansCentroids(emb, k = 8, iters = 2)
+    assert(trained.count() == 8)
+    assert(trained.select("cell_id").distinct().count() == 8)
+
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(emb, 0L, 10, numCells = 8, nprobe = 3,
+        trainIters = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((ivf & exact).size >= 5, s"recall ${(ivf & exact).size}/10")
+  }
+}
