@@ -124,4 +124,28 @@ object TextAnalysis {
 
   /** Exact normalized-text hash (full md5) for exact dedup. */
   def normHash(text: Column): Column = md5(lower(trim(text)).cast("binary"))
+
+  /** Document chunking: split each doc into fixed-size token windows with
+    * overlap (stride = chunkTokens − overlap) — the step that turns raw
+    * docs into embedding/training units. One row per chunk via
+    * posexplode; all array expressions, so chunking fuses into the scan
+    * stage and the explode multiplies rows map-side (no shuffle until
+    * whatever aggregation follows). */
+  def chunk(docs: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be smaller than the chunk")
+    val stride = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    val chunks = transform(
+      sequence(lit(1), size(toks), lit(stride)),
+      st => struct(
+        concat_ws(" ", slice(toks, st, lit(chunkTokens))).as("chunk_text"),
+        least(lit(chunkTokens), size(toks) - st + 1).cast("long")
+          .as("n_chunk_tokens")))
+    docs
+      .select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "c")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("c.n_chunk_tokens").as("n_chunk_tokens"),
+        col("c.chunk_text").as("chunk_text"))
+  }
 }

@@ -313,6 +313,17 @@ object TrainingQueries {
         .agg((count(lit(1)) >= 8).as("recall_at_10_ge_08"))
     }),
 
+    // T10 — document chunking (64-token windows, 16-token overlap):
+    // the doc → training-unit explosion, emitted as chunk hashes so the
+    // verified rows stay narrow.
+    "t10_chunking" -> ((s, d) => {
+      TextAnalysis.chunk(Tables.spread(Tables.documents(s, d)),
+          "text", "doc_id", chunkTokens = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
+          md5(col("chunk_text").cast("binary")).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // M2 — the multimodal DECODE path (mapPartitions batch decode +
     // frame sampling), verified on its deterministic outputs: the fake
     // codec's byte length and stride-sampled frame count are pure integer
@@ -488,6 +499,14 @@ object TrainingQueries {
 
     "e6_ivf_recall" ->
       """SELECT true AS recall_at_10_ge_08""".stripMargin,
+
+    "t10_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks, unnest(range(1, len(toks)+1, 48)) AS st FROM t)
+        |SELECT doc_id, (st-1)//48 AS chunk_id,
+        |  CAST(least(64, len(toks)-st+1) AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(list_slice(toks, st, st+63), ' ')) AS chunk_hash
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
 
     "m2_decode_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

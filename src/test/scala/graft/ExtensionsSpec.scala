@@ -291,3 +291,23 @@ class KMeansIvfSpec extends SparkSpec {
     assert((ivf & exact).size >= 5, s"recall ${(ivf & exact).size}/10")
   }
 }
+
+class ChunkingSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  test("chunking covers the doc with the configured stride and overlap") {
+    val doc = (1 to 100).map(i => s"w$i").mkString(" ")
+    val df = Seq((7L, doc)).toDF("doc_id", "text")
+    val chunks = graft.extensions.TextAnalysis
+      .chunk(df, "text", "doc_id", chunkTokens = 64, overlap = 16)
+      .orderBy(col("chunk_id"))
+      .select("chunk_id", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Long, String)].collect()
+    // starts at 1, 49, 97 -> 3 chunks of 64, 52, 4 tokens
+    assert(chunks.map(c => (c._1, c._2)).toSeq == Seq((0L, 64L), (1L, 52L), (2L, 4L)))
+    assert(chunks(0)._3.startsWith("w1 w2 ") && chunks(1)._3.startsWith("w49 "))
+    // overlap: chunk 1 re-covers tokens 49..64 of chunk 0
+    assert(chunks(0)._3.endsWith(" w64") && chunks(2)._3 == "w97 w98 w99 w100")
+  }
+}
