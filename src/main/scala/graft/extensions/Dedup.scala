@@ -212,6 +212,104 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("est_jaccard"))
   }
 
+  /** Near-dup cluster canonicalization: connected components over the
+    * candidate-pair graph, labeling every doc with the min doc id of its
+    * component (`cluster_id`) and flagging the canonical survivor — the
+    * step that turns pairwise similarity into dedup decisions.
+    *
+    * Algorithm: min-label propagation with pointer jumping (label(id) ←
+    * label(label(id)) each round) — a round extends reach ~2×, so long
+    * chains resolve in O(log diameter) rounds. Rounds are built LAZILY
+    * in batches of `checkEvery`; one convergence count per batch (not
+    * per round) keeps driver-synchronous actions to a handful, and the
+    * tiny label frame is coalesced so each materialization is a few
+    * tasks, not shuffle-partition-many. Runs until a batch changes
+    * nothing or `maxRounds`. */
+  def nearDupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
+      maxRounds: Int = 32, checkEvery: Int = 4,
+      driverEdgeLimit: Long = 5000000L): DataFrame = {
+    // Hybrid strategy. The pair list is the OUTPUT of blocked near-dup
+    // detection — orders of magnitude smaller than the corpus (it plays
+    // the same role as a broadcast join's small side). When it fits
+    // comfortably on the driver, a local union-find + broadcast map join
+    // beats a dozen distributed iterations (one job vs ~40); the
+    // iterative path below remains for pair graphs that genuinely don't
+    // fit (set driverEdgeLimit = 0 to force it). The corpus itself never
+    // moves to the driver on either path.
+    if (pairs.count() <= driverEdgeLimit) {
+      val edgeRows = pairs.select(col("a_id"), col("b_id")).collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElseUpdate(r, r) != r) {
+          parent(r) = parent(parent(r)); r = parent(r)
+        }
+        r
+      }
+      edgeRows.foreach { e =>
+        val (ra, rb) = (find(e.getLong(0)), find(e.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labelMap = parent.keys.map(k => (k, find(k))).toSeq
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val mapDf = labelMap.toDF("__cc_id", "__cc_lbl")
+      return docs.select(col(idCol))
+        .join(broadcast(mapDf), col(idCol) === col("__cc_id"), "left")
+        .select(col(idCol),
+          coalesce(col("__cc_lbl"), col(idCol)).as("cluster_id"))
+        .withColumn("is_canonical", col(idCol) === col("cluster_id"))
+    }
+    distributedClusters(docs, pairs, idCol, maxRounds, checkEvery)
+  }
+
+  /** Distributed connected-components path of [[nearDupClusters]]. */
+  private def distributedClusters(docs: DataFrame, pairs: DataFrame,
+      idCol: String, maxRounds: Int, checkEvery: Int): DataFrame = {
+    // Adaptive width for the iterated frames: ~1 task per 50k label rows,
+    // capped at cluster parallelism. A graph iteration runs dozens of
+    // tiny stages — at shuffle-partition width each stage pays
+    // tasks×overhead for near-empty tasks locally, while a hardcoded
+    // small width would bottleneck a billion-row corpus.
+    val width = math.max(1, math.min(
+      docs.sparkSession.sparkContext.defaultParallelism,
+      (docs.count() / 50000L).toInt))
+    val edges = pairs
+      .select(col("a_id").as("s"), col("b_id").as("t"))
+      .union(pairs.select(col("b_id").as("s"), col("a_id").as("t")))
+      .coalesce(width)
+      .localCheckpoint(eager = false)
+    var labels = docs.select(col(idCol).as("id"), col(idCol).as("lbl"))
+      .coalesce(width)
+      .localCheckpoint(eager = false)
+    var converged = false
+    var done = 0
+    while (!converged && done < maxRounds) {
+      val prev = labels
+      for (_ <- 0 until checkEvery) {
+        val nb = edges.join(labels, col("t") === col("id"))
+          .groupBy(col("s")).agg(min(col("lbl")).as("nb_lbl"))
+        val propagated = labels
+          .join(nb, labels("id") === nb("s"), "left")
+          // Spark least() skips nulls, so isolated nodes keep their label
+          .select(col("id"), least(col("lbl"), col("nb_lbl")).as("lbl"))
+        // pointer jumping: follow the label one hop (labels are doc ids)
+        val l2 = propagated.select(col("id").as("pid"), col("lbl").as("plbl"))
+        labels = propagated
+          .join(l2, propagated("lbl") === l2("pid"), "left")
+          .select(col("id"), coalesce(col("plbl"), col("lbl")).as("lbl"))
+          .coalesce(width)
+          .localCheckpoint(eager = false)
+      }
+      converged = labels
+        .join(prev.select(col("id"), col("lbl").as("old")), Seq("id"))
+        .filter(col("lbl") =!= col("old")).isEmpty
+      done += checkEvery
+    }
+    labels.select(col("id").as(idCol), col("lbl").as("cluster_id"),
+      (col("id") === col("lbl")).as("is_canonical"))
+  }
+
   /** Benchmark decontamination, exact form: drop corpus docs whose
     * normalized-text fingerprint appears in the benchmark/eval set — the
     * standard "remove test-set leakage before training" step. The

@@ -324,6 +324,16 @@ object TrainingQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // D9 — near-dup cluster canonicalization: connected components over
+    // the token-Jaccard pair graph (d2's generation), min-id canonical
+    // per cluster. The oracle replays it with a recursive CTE.
+    "d9_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.tokenJaccardPairs(docs, threshold = 0.5)
+      Dedup.nearDupClusters(docs, pairs, "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // M2 — the multimodal DECODE path (mapPartitions batch decode +
     // frame sampling), verified on its deterministic outputs: the fake
     // codec's byte length and stride-sampled frame count are pure integer
@@ -499,6 +509,31 @@ object TrainingQueries {
 
     "e6_ivf_recall" ->
       """SELECT true AS recall_at_10_ge_08""".stripMargin,
+
+    "d9_dedup_clusters" ->
+      """WITH RECURSIVE prepared AS (
+        |  SELECT doc_id, source, CAST(floor(n_chars / 32.0) AS BIGINT) AS bkt,
+        |    list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM prepared a JOIN prepared b
+        |    ON a.source = b.source AND abs(a.bkt - b.bkt) <= 1
+        |    AND a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+        |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4)
+        |    >= 0.5
+        |), edges AS (
+        |  SELECT a_id AS s, b_id AS t FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.t, r.r FROM reach r JOIN edges e ON e.s = r.id
+        |)
+        |SELECT id AS doc_id, min(r) AS cluster_id,
+        |  CASE WHEN id = min(r) THEN true ELSE false END AS is_canonical
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "t10_chunking" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),

@@ -311,3 +311,24 @@ class ChunkingSpec extends SparkSpec {
     assert(chunks(0)._3.endsWith(" w64") && chunks(2)._3 == "w97 w98 w99 w100")
   }
 }
+
+class ClusterSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  test("connected components label chains transitively with min id (both paths)") {
+    val docs = (1L to 7L).map(i => (i, s"d$i")).toDF("doc_id", "x")
+    // chain 1-2-3-4, pair 5-6, isolated 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("a_id", "b_id")
+    val want = Seq((1L,1L),(2L,1L),(3L,1L),(4L,1L),(5L,5L),(6L,5L),(7L,7L))
+    for (limit <- Seq(5000000L, 0L)) { // driver union-find vs iterative
+      val got = Dedup.nearDupClusters(docs, pairs, "doc_id",
+          driverEdgeLimit = limit)
+        .orderBy(col("doc_id"))
+        .select("doc_id", "cluster_id")
+        .as[(Long, Long)].collect().toSeq
+      assert(got == want, s"limit=$limit")
+    }
+  }
+}
