@@ -235,9 +235,13 @@ object Dedup {
     // beats a dozen distributed iterations (one job vs ~40); the
     // iterative path below remains for pair graphs that genuinely don't
     // fit (set driverEdgeLimit = 0 to force it). The corpus itself never
-    // moves to the driver on either path.
-    if (pairs.count() <= driverEdgeLimit) {
-      val edgeRows = pairs.select(col("a_id"), col("b_id")).collect()
+    // moves to the driver on either path. The (expensive) pair join is
+    // checkpointed so the size probe, the collect, and the distributed
+    // path's edge build all reuse one evaluation.
+    val edgeList = pairs.select(col("a_id"), col("b_id"))
+      .localCheckpoint(eager = false)
+    if (edgeList.count() <= driverEdgeLimit) {
+      val edgeRows = edgeList.collect()
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -260,10 +264,11 @@ object Dedup {
           coalesce(col("__cc_lbl"), col(idCol)).as("cluster_id"))
         .withColumn("is_canonical", col(idCol) === col("cluster_id"))
     }
-    distributedClusters(docs, pairs, idCol, maxRounds, checkEvery)
+    distributedClusters(docs, edgeList, idCol, maxRounds, checkEvery)
   }
 
-  /** Distributed connected-components path of [[nearDupClusters]]. */
+  /** Distributed connected-components path of [[nearDupClusters]];
+    * `pairs` arrives checkpointed with columns (a_id, b_id). */
   private def distributedClusters(docs: DataFrame, pairs: DataFrame,
       idCol: String, maxRounds: Int, checkEvery: Int): DataFrame = {
     // Adaptive width for the iterated frames: ~1 task per 50k label rows,
@@ -278,7 +283,6 @@ object Dedup {
       .select(col("a_id").as("s"), col("b_id").as("t"))
       .union(pairs.select(col("b_id").as("s"), col("a_id").as("t")))
       .coalesce(width)
-      .localCheckpoint(eager = false)
     var labels = docs.select(col(idCol).as("id"), col(idCol).as("lbl"))
       .coalesce(width)
       .localCheckpoint(eager = false)

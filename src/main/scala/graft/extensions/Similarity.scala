@@ -170,7 +170,12 @@ object Similarity {
       val means = assigned
         .select(col("cell_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell_id"), col("pos"))
-        .agg(avg(col("v")).as("m"))
+        // decimal-exact mean: a double avg() sums in shuffle arrival
+        // order, so centroids (and hence argmin cell assignments) would
+        // drift run-to-run; decimal accumulation is partition-order
+        // independent (same policy as the oracle determinism rules)
+        .agg((sum(col("v").cast("decimal(38,12)")) / count(lit(1)))
+          .cast("double").as("m"))
         .groupBy(col("cell_id"))
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),

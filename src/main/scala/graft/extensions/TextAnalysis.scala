@@ -136,8 +136,16 @@ object TextAnalysis {
     require(overlap < chunkTokens, "overlap must be smaller than the chunk")
     val stride = chunkTokens - overlap
     val toks = tokens(col(textCol))
-    val chunks = transform(
+    // drop a trailing start that falls entirely inside the previous
+    // chunk's overlap region (st + overlap > size ⇒ the previous chunk
+    // already reached the end of the doc) — without this, docs whose
+    // length mod stride lands in (0, overlap] emit a fully duplicated
+    // training unit
+    val starts = filter(
       sequence(lit(1), size(toks), lit(stride)),
+      st => st === 1 || st + overlap <= size(toks))
+    val chunks = transform(
+      starts,
       st => struct(
         concat_ws(" ", slice(toks, st, lit(chunkTokens))).as("chunk_text"),
         least(lit(chunkTokens), size(toks) - st + 1).cast("long")

@@ -541,7 +541,8 @@ object TrainingQueries {
         |SELECT doc_id, (st-1)//48 AS chunk_id,
         |  CAST(least(64, len(toks)-st+1) AS BIGINT) AS n_chunk_tokens,
         |  md5(array_to_string(list_slice(toks, st, st+63), ' ')) AS chunk_hash
-        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+        |FROM s WHERE st = 1 OR st + 16 <= len(toks)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "m2_decode_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

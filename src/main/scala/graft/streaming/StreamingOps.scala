@@ -36,14 +36,10 @@ object StreamingOps {
 
   /** Tumbling event-time aggregation with a watermark: late data beyond
     * 10 minutes is dropped, closed windows age out of the state store —
-    * bounded state at any scale. Mirrors EventWindows.tumbling. */
+    * bounded state at any scale. Mirrors EventWindows.tumbling.
+    * (Tumbling is the slide == duration special case of sliding.) */
   def tumblingCounts(events: DataFrame, duration: String): DataFrame =
-    events
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), duration), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
-      .select(col("window.start").as("bucket_start"), col("event_type"),
-        col("n_events"), col("sum_value"))
+    slidingCounts(events, duration, duration)
 
   /** Sliding event-time aggregation (each event contributes to
     * windowDur/slide overlapping buckets) under the same watermark —

@@ -304,11 +304,31 @@ class ChunkingSpec extends SparkSpec {
       .orderBy(col("chunk_id"))
       .select("chunk_id", "n_chunk_tokens", "chunk_text")
       .as[(Long, Long, String)].collect()
-    // starts at 1, 49, 97 -> 3 chunks of 64, 52, 4 tokens
-    assert(chunks.map(c => (c._1, c._2)).toSeq == Seq((0L, 64L), (1L, 52L), (2L, 4L)))
+    // starts at 1, 49 -> 2 chunks of 64 and 52 tokens; the start at 97
+    // is suppressed (w97..w100 is already fully inside chunk 1)
+    assert(chunks.map(c => (c._1, c._2)).toSeq == Seq((0L, 64L), (1L, 52L)))
     assert(chunks(0)._3.startsWith("w1 w2 ") && chunks(1)._3.startsWith("w49 "))
-    // overlap: chunk 1 re-covers tokens 49..64 of chunk 0
-    assert(chunks(0)._3.endsWith(" w64") && chunks(2)._3 == "w97 w98 w99 w100")
+    // overlap: chunk 1 re-covers tokens 49..64 of chunk 0, ends at doc end
+    assert(chunks(0)._3.endsWith(" w64") && chunks(1)._3.endsWith(" w100"))
+  }
+
+  test("chunking emits no chunk fully contained in its predecessor") {
+    import org.apache.spark.sql.functions.{size => asize, split}
+    // lengths straddling the stride/overlap boundary cases
+    val docs = Seq(48, 49, 64, 65, 80, 81, 112, 113).zipWithIndex.map {
+      case (n, i) => (i.toLong, (1 to n).map(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val chunks = graft.extensions.TextAnalysis
+      .chunk(docs, "text", "doc_id", chunkTokens = 64, overlap = 16)
+      .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"))
+      .as[(Long, Long, Long)].collect()
+    // every non-first chunk must extend past the previous chunk's end:
+    // its start (1 + 48*chunk_id) + overlap must be within the doc
+    val lens = docs.select(col("doc_id"), asize(split(col("text"), " ")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    chunks.filter(_._2 > 0).foreach { case (id, cid, _) =>
+      assert(1 + 48 * cid + 16 <= lens(id), s"doc $id chunk $cid is redundant")
+    }
   }
 }
 
