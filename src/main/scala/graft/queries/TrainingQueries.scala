@@ -334,6 +334,51 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Q1 — TPC-H Q1 pricing summary (the canonical scan-heavy
+    // aggregation benchmark): one wide partial+final hash aggregate over
+    // the filtered scan, decimal-exact sums, UNROUNDED decimal-quotient
+    // averages (engine-divergent round-half ties live exactly there).
+    "q1_pricing_summary" -> ((s, d) => {
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(38,6)"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(dsum(col("l_quantity")), 2).cast("double").as("sum_qty"),
+          round(dsum(col("l_extendedprice")), 2).cast("double")
+            .as("sum_base_price"),
+          round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .cast("double").as("sum_disc_price"),
+          round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))), 2).cast("double").as("sum_charge"),
+          (dsum(col("l_quantity")).cast("double") / count(col("l_quantity")))
+            .as("avg_qty"),
+          (dsum(col("l_extendedprice")).cast("double")
+            / count(col("l_extendedprice"))).as("avg_price"),
+          (dsum(col("l_discount")).cast("double") / count(col("l_discount")))
+            .as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // W23 — RANGE-frame window (trailing 7 calendar days per customer):
+    // value-based frames are a different window surface than the ROWS
+    // frames of w18 — peers enter by timestamp distance, not row count.
+    "w23_range_frame" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("od_s"))
+        .rangeBetween(-7L * 86400L, 0L)
+      Tables.orders(s, d)
+        .withColumn("od_s", unix_timestamp(col("o_orderdate")))
+        .select(col("o_custkey"), col("od_s"), col("o_orderkey"),
+          round(sum(col("o_totalprice").cast("decimal(38,6)")).over(w), 2)
+            .cast("double").as("trailing_7d_total"))
+        .orderBy(col("o_custkey"), col("od_s"), col("o_orderkey"))
+        .limit(2000)
+    }),
+
     // M2 — the multimodal DECODE path (mapPartitions batch decode +
     // frame sampling), verified on its deterministic outputs: the fake
     // codec's byte length and stride-sampled frame count are pure integer
@@ -509,6 +554,38 @@ object TrainingQueries {
 
     "e6_ivf_recall" ->
       """SELECT true AS recall_at_10_ge_08""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE)
+        |  AS sum_qty,
+        |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE)
+        |  AS sum_base_price,
+        |CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |  AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_disc_price,
+        |CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        |  AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_charge,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |  / count(l_quantity) AS avg_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+        |  / count(l_extendedprice) AS avg_price,
+        |CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE)
+        |  / count(l_discount) AS avg_disc,
+        |count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "w23_range_frame" ->
+      """SELECT o_custkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS od_s,
+        |  o_orderkey,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW), 2)
+        |    AS DOUBLE) AS trailing_7d_total
+        |FROM orders
+        |ORDER BY o_custkey, od_s, o_orderkey LIMIT 2000""".stripMargin,
 
     "d9_dedup_clusters" ->
       """WITH RECURSIVE prepared AS (
