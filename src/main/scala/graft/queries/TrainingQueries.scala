@@ -379,6 +379,23 @@ object TrainingQueries {
         .limit(2000)
     }),
 
+    // O6 — schema-evolution append: unionByName with missing columns
+    // (the shape of appending a newer, narrower batch to an existing
+    // table — columns align by NAME, absent ones null-fill).
+    "o6_union_by_name" -> ((s, d) => {
+      val customer = Tables.customer(s, d)
+      val base = customer.select(col("c_custkey"), col("c_name"),
+        col("c_acctbal"))
+      val evolved = customer.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_acctbal"), col("c_custkey")) // reordered, no c_name
+      base.unionByName(evolved, allowMissingColumns = true)
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal").cast("decimal(38,6)"), 2).cast("double")
+            .as("c_acctbal"))
+        .orderBy(col("c_custkey"), col("c_name").asc_nulls_first)
+        .limit(1000)
+    }),
+
     // M2 — the multimodal DECODE path (mapPartitions batch decode +
     // frame sampling), verified on its deterministic outputs: the fake
     // codec's byte length and stride-sampled frame count are pure integer
@@ -554,6 +571,17 @@ object TrainingQueries {
 
     "e6_ivf_recall" ->
       """SELECT true AS recall_at_10_ge_08""".stripMargin,
+
+    "o6_union_by_name" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(round(CAST(c_acctbal AS DECIMAL(38,6)), 2) AS DOUBLE) AS c_acctbal
+        |FROM (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer
+        |  UNION ALL BY NAME
+        |  SELECT c_acctbal, c_custkey FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'
+        |)
+        |ORDER BY c_custkey, c_name NULLS FIRST LIMIT 1000""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
