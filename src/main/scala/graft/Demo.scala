@@ -45,7 +45,7 @@ object Demo {
       CovidPipeline.Config(30, java.time.LocalDate.parse("2024-01-05")))
     merged.select("country_standardized", "owid_total_cases",
       "api_current_cases", "cases_data_gap", "cases_data_gap_percent",
-      "current_cfr", "owid_data_age_days", "merge_timestamp")
+      "current_case_fatality_rate", "owid_data_age_days", "merge_timestamp")
       .show(truncate = false)
 
     // multimodal batch pipeline: payload → decode → resize → frame-sample

@@ -14,8 +14,12 @@ object Summaries {
 
   /** W9/W10 — missing-data / completeness profile
     * (data_cleaner.py:110-122, data_merger.py:378-392): per column,
-    * null count + null %, one row per profiled column. Single scan. */
-  def missingProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * null count + null %, one row per profiled column. Single scan.
+    * `scale`: the reference rounds the W9 missing_percentage to 2
+    * decimals (data_cleaner.py:119) but the W10 completeness_percent to
+    * 1 (data_merger.py:390) — pick per call site. */
+  def missingProfile(df: DataFrame, cols: Seq[String], scale: Int = 2)
+      : DataFrame = {
     require(cols.nonEmpty, "missingProfile needs at least one column")
     val aggs = count(lit(1)).as("total_rows") +:
       cols.map(c => sum(col(c).isNull.cast("long")).as(s"__null_$c"))
@@ -32,14 +36,16 @@ object Summaries {
         col("column_name"),
         col("total_rows"),
         col("null_count"),
-        round(col("null_count") / col("total_rows") * 100, 1)
+        round(col("null_count") / col("total_rows") * 100, scale)
           .as("null_percent"))
   }
 
   /** W7/W11 — conditional counts (reference `(cond).sum()` idiom,
     * visualizer.py:279-315, data_merger.py:394-401,
-    * data_cleaner.py:125-144). */
-  def countIf(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
+    * data_cleaner.py:125-144). Coalesced to 0 on empty input — SQL sum
+    * over zero rows is NULL, but the reference's `(cond).sum()` is 0. */
+  def countIf(cond: Column): Column =
+    coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L))
 
   /** W12 — histogram binning with fixed bounds
     * (visualizer.py:266-272 et al.): bin id = floor((x−min)/width),

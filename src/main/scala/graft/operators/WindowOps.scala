@@ -115,8 +115,11 @@ object WindowOps {
         coalesce(min(col(s"__first_$c")), lit(0.0)).as(s"first_$c"),
         coalesce(min(col(s"__last_$c")), lit(0.0)).as(s"last_$c"))) ++
       avgCols.map(c =>
-        (sum(col(c).cast("decimal(38,6)")).cast("double") / count(col(c)))
-          .as(s"avg_$c")) ++
+        // all-NULL window → 0, mirroring the reference guard
+        // `mean() if not isna().all() else 0` (data_merger.py:177-190)
+        coalesce(
+          sum(col(c).cast("decimal(38,6)")).cast("double") / count(col(c)),
+          lit(0.0)).as(s"avg_$c")) ++
       Seq(
         min(col(dateCol)).as("window_start"),
         max(col(dateCol)).as("window_end"),

@@ -67,8 +67,14 @@ object CovidPipeline {
     val filtered = RowOps.excludeRegex(
       RowOps.excludeValues(std, col("country"), Standardize.ExcludeRegions),
       col("country"), Standardize.ExcludePattern)
-    val clipCols = Seq("current_cases", "current_deaths", "current_recovered",
-      "current_active", "current_critical", "tests_total", "population")
+    // reference clips EVERY numeric column except the geographic
+    // coordinates (select_dtypes(include=[np.number]) loop,
+    // data_cleaner.py:224-228) — derive the list from the schema rather
+    // than hand-listing, exactly like the dtype-driven reference
+    val clipCols = filtered.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+        && f.name != "latitude" && f.name != "longitude" => f.name
+    }.toSeq
     val clipped = clipCols.foldLeft(filtered) { (d, c) =>
       d.withColumn(c, RowOps.clipNonNegative(col(c)))
     }
@@ -88,7 +94,9 @@ object CovidPipeline {
   def alignOwid(cleanedOwid: DataFrame): DataFrame = {
     val latest = WindowOps.latestPerGroup(
       cleanedOwid, "country_standardized",
-      orderCols = Seq(col("date")),
+      // country tiebreak: two raw names mapping to one standardized key
+      // (or duplicate upstream rows) must not pick nondeterministically
+      orderCols = Seq(col("date"), col("country")),
       lastNonNullCols = Seq("total_cases", "total_deaths", "new_cases",
         "new_deaths", "population", "iso_code"))
     val picked = latest.select("country_standardized", "date", "total_cases",
@@ -145,9 +153,13 @@ object CovidPipeline {
         RowOps.gap(col("api_current_deaths"), col("owid_total_deaths")))
       .withColumn("deaths_data_gap_percent",
         RowOps.gapPercent(col("api_current_deaths"), col("owid_total_deaths")))
+      // per-100k metrics divide by the OWID population — the reference
+      // deliberately uses owid_population for both (data_merger.py:330-340)
       .withColumn("current_cases_per_100k",
-        RowOps.per100k(col("api_current_cases"), col("api_population")))
-      .withColumn("current_cfr",
+        RowOps.per100k(col("api_current_cases"), col("owid_population")))
+      .withColumn("current_deaths_per_100k",
+        RowOps.per100k(col("api_current_deaths"), col("owid_population")))
+      .withColumn("current_case_fatality_rate",
         RowOps.guardedRatio(col("api_current_deaths"), col("api_current_cases")))
       .withColumn("owid_data_age_days",
         RowOps.dataAgeDays(col("owid_date"), lit(cfg.asOf.toString).cast("date")))
@@ -200,6 +212,10 @@ object CovidPipeline {
         .as("stale_data_countries"),                      // constants.py:70
       Summaries.countIf(col("api_population") < 1000 ||
         col("api_population") > 2000000000L).as("population_outliers"),
-      round(avg(col("cases_data_gap_percent")), 2).as("avg_cases_gap_pct"),
-      round(avg(col("current_cfr")), 3).as("avg_cfr"))
+      // decimal-exact means: plain avg() over doubles is partition-order
+      // nondeterministic in the last ulp (same policy as exactSum)
+      round(Summaries.exactAvg(col("cases_data_gap_percent")), 2)
+        .as("avg_cases_gap_pct"),
+      round(Summaries.exactAvg(col("current_case_fatality_rate")), 3)
+        .as("avg_cfr"))
 }

@@ -572,8 +572,8 @@ object ParityQueries {
          |), g AS (
          |  SELECT o_custkey, COALESCE(min(fp), 0.0) AS first_totalprice,
          |    COALESCE(min(lp), 0.0) AS last_totalprice,
-         |    CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
-         |      / count(o_totalprice) AS avg_raw,
+         |    COALESCE(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+         |      / count(o_totalprice), 0.0) AS avg_raw,
          |    strftime(min(o_orderdate), '%Y-%m-%d') AS window_start,
          |    strftime(max(o_orderdate), '%Y-%m-%d') AS window_end,
          |    count(*) AS data_points_available
@@ -628,7 +628,7 @@ object ParityQueries {
 
     "w9_missing_profile" ->
       """SELECT column_name, total_rows, null_count,
-        |round(null_count * 100.0 / total_rows, 1) AS null_percent FROM (
+        |round(null_count * 100.0 / total_rows, 2) AS null_percent FROM (
         |SELECT 'text' AS column_name, count(*) AS total_rows,
         |  count(*) - count(text) AS null_count FROM documents
         |UNION ALL SELECT 'lang', count(*), count(*) - count(lang) FROM documents

@@ -36,7 +36,7 @@ object CovidSources {
     StructField("people_fully_vaccinated", DoubleType),
     StructField("total_vaccinations", DoubleType),
     StructField("population", DoubleType),
-    StructField("median_age", DoubleType)
+    StructField("new_tests", DoubleType)
   ))
 
   /** disease.sh JSON — raw shape with the nested `countryInfo` struct

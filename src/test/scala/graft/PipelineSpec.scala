@@ -58,8 +58,10 @@ class PipelineSpec extends SparkSpec {
     val usa = merged.filter(col("country_standardized") === "USA").collect()(0)
     assert(usa.getAs[Double]("cases_data_gap") == 200.0)
     assert(usa.getAs[Double]("cases_data_gap_percent") == 20.0)
+    // per-100k divides by the OWID population (data_merger.py:330-340)
     assert(usa.getAs[Double]("current_cases_per_100k") == 3.0)
-    assert(usa.getAs[Double]("current_cfr") == 5.0)
+    assert(usa.getAs[Double]("current_deaths_per_100k") == 0.15)
+    assert(usa.getAs[Double]("current_case_fatality_rate") == 5.0)
   }
 
   test("temporal alignment takes max-date owid values") {

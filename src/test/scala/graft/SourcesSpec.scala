@@ -14,9 +14,9 @@ class SourcesSpec extends SparkSpec {
     // columns in owidSchema order (csv schema matches by position)
     val header = "iso_code,country,date,total_cases,new_cases,total_deaths," +
       "new_deaths,total_tests,positive_rate,tests_per_case,people_vaccinated," +
-      "people_fully_vaccinated,total_vaccinations,population,median_age"
+      "people_fully_vaccinated,total_vaccinations,population,new_tests"
     val rows = Seq(
-      "USA,United States,2024-01-01,1000,10,50,1,,,,,,,40000000,38.1",
+      "USA,United States,2024-01-01,1000,10,50,1,,,,,,,40000000,200",
       "AFG,Afghanistan,2024-01-01,500,,25,,,,,,,,40000000,")
     Files.write(java.nio.file.Paths.get(dir, "owid.csv"),
       (header +: rows).mkString("\n").getBytes)
