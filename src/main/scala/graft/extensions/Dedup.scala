@@ -148,10 +148,10 @@ object Dedup {
   def withMinHashSignature(
       docs: DataFrame, textCol: String, numHashes: Int, shingleWidth: Int,
       hashFn: Column => Column = xxhash64(_)): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    val shingles = transform(
-      sequence(lit(1), greatest(size(toks) - (shingleWidth - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(shingleWidth))))
+    // reuse the canonical shingle construction — its array_distinct is
+    // harmless under array_min and keeps the shingle-set definition in
+    // exactly one place
+    val shingles = ngramShingles(col(textCol), shingleWidth)
     val baseHashes = transform(shingles, sh => pmod(hashFn(sh), lit(MinHashP)))
     val sig = array((0 until numHashes).map { s =>
       val (a, b) = (seedConst("a", s), seedConst("b", s))

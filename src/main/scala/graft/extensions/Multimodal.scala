@@ -63,6 +63,10 @@ object Multimodal {
   def decodeMeta(spark: SparkSession, withPayload: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
     withPayload
+      // rows with no payload are dropped by the decode stage (a codec
+      // cannot decode a missing blob) — without the filter a NULL
+      // payload deserializes to null bytes and NPEs the whole task
+      .filter(col("payload").isNotNull)
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>

@@ -69,6 +69,10 @@ object Similarity {
     * ignored via the zip; shorter vectors degrade to fewer effective
     * planes, which only costs recall, not correctness). */
   def srpSignature(vec: Column, numPlanes: Int, dims: Int = 64): Column = {
+    require(numPlanes >= 1 && numPlanes <= 64,
+      s"numPlanes ($numPlanes) must be in [1,64] — the signature packs " +
+        "one bit per plane into a 64-bit long; 1L << p wraps mod 64 and " +
+        "would silently alias planes onto shared bits")
     val planes = planeMatrix(numPlanes, dims)
     (0 until numPlanes).map { p =>
       val plane = typedlit(planes(p).toSeq)
@@ -157,7 +161,11 @@ object Similarity {
     * math, so the same loop trains on 10⁹ vectors. Empty cells keep
     * their previous centroid (the standard Lloyd fallback). */
   def kMeansCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
-    var centroids = embeddings.filter(col("vec_id") < k)
+    // genuinely the first k vectors BY ID (TakeOrdered, cheap) — a
+    // `vec_id < k` filter would silently yield fewer/zero centroids on
+    // corpora whose ids are not dense from 0 (shard offsets, gaps)
+    var centroids = embeddings
+      .orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
     for (_ <- 0 until iters) {
       val assigned = embeddings
@@ -196,9 +204,16 @@ object Similarity {
     * sharing a bucket are candidates; verify with exact cosine. Scale:
     * equi-join on bucket key, no O(n²). */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
-      numPlanes: Int = 12): DataFrame = {
+      numPlanes: Int = 12, maxBucket: Int = 10000): DataFrame = {
     val signed = embeddings.select(col("vec_id"),
       col("embedding"), srpSignature(col("embedding"), numPlanes).as("bucket"))
+      // same skew guard as the MinHash/SimHash pair generators: a
+      // degenerate bucket (duplicate-heavy corpus, near-parallel
+      // embeddings) would make the self-join quadratic
+      .withColumn("__bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
+      .filter(col("__bsize") <= maxBucket)
+      .drop("__bsize")
     val a = signed.select(col("bucket"), col("vec_id").as("a_id"),
       col("embedding").as("a_vec"))
     val b = signed.select(col("bucket"), col("vec_id").as("b_id"),

@@ -23,8 +23,11 @@ object GraftFunctions {
   }
 }
 
-/** `SparkSessionExtensions` hook: injects the native functions at
-  * session build time (`--conf spark.sql.extensions=...`). */
+/** `SparkSessionExtensions` hook: injects the native EXPRESSION functions
+  * at session build time (`--conf spark.sql.extensions=...`). The udaf
+  * (`top_k_3`) is an `Aggregator`, which the extensions API cannot
+  * inject — sessions needing it in SQL call [[GraftFunctions.register]]
+  * once after session build. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction((
@@ -32,5 +35,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_intersect_size"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
+      (exprs: Seq[Expression]) => SortedIntersectSize(exprs(0), exprs(1))))
   }
 }

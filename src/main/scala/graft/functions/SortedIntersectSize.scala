@@ -17,10 +17,11 @@ import org.apache.spark.sql.types._
   * codegen.
   *
   * Contract: both inputs ascending-sorted and duplicate-free
-  * (`sort_array(array_distinct(...))`). On unsorted input the result is
-  * undefined — callers own the sort. A NULL element yields NULL (the
-  * same poisoning `size(array_intersect(...))`-free formulations give),
-  * never a silent phantom match.
+  * (`sort_array(array_distinct(...))` — which places NULLs FIRST). On
+  * unsorted input the result is undefined — callers own the sort. A NULL
+  * element yields NULL, never a silent phantom match; under the sorted
+  * contract any NULL sits at index 0, so one leading check per side
+  * upholds this without per-element null tests in the merge loop.
   */
 case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -50,9 +51,9 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements(); val m = y.numElements()
+    if ((n > 0 && x.isNullAt(0)) || (m > 0 && y.isNullAt(0))) return null
     var i = 0; var j = 0; var c = 0
     while (i < n && j < m) {
-      if (x.isNullAt(i) || y.isNullAt(j)) return null
       val xv = x.getLong(i); val yv = y.getLong(j)
       if (xv < yv) i += 1
       else if (xv > yv) j += 1
@@ -69,15 +70,18 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
       s"""
          |int $n = $a.numElements(); int $m = $b.numElements();
-         |int $i = 0; int $j = 0; int $c = 0;
-         |while ($i < $n && $j < $m) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
-         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
-         |  if ($xv < $yv) { $i++; }
-         |  else if ($xv > $yv) { $j++; }
-         |  else { $c++; $i++; $j++; }
+         |if (($n > 0 && $a.isNullAt(0)) || ($m > 0 && $b.isNullAt(0))) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $i = 0; int $j = 0; int $c = 0;
+         |  while ($i < $n && $j < $m) {
+         |    long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |    if ($xv < $yv) { $i++; }
+         |    else if ($xv > $yv) { $j++; }
+         |    else { $c++; $i++; $j++; }
+         |  }
+         |  ${ev.value} = $c;
          |}
-         |if (!${ev.isNull}) { ${ev.value} = $c; }
        """.stripMargin
     })
 

@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
-/** Heap-based exact top-k aggregate (`Aggregator[Double, _, Array[Double]]`).
+/** Heap-based exact top-k aggregate
+  * (`Aggregator[java.lang.Double, _, Array[Double]]`).
   *
   * Why: `rank() <= k` needs a full per-group sort (O(n log n) per group,
   * spills on wide groups); this keeps a bounded k-element min-heap per
@@ -13,18 +14,22 @@ import org.apache.spark.sql.expressions.Aggregator
   * sorted descending (ties keep all equal values up to k, same multiset
   * as the sort-based form).
   *
+  * Input is boxed so SQL NULLs reach `reduce` and are SKIPPED, matching
+  * the rank/window form this replaces (a primitive Double input would
+  * instead abort on the null-assertion in the deserializer).
+  *
   * Register with `udaf(new TopKAggregator(k))` or via
   * [[GraftFunctions.register]] for SQL.
   */
 class TopKAggregator(k: Int)
-    extends Aggregator[Double, Array[Double], Array[Double]] {
+    extends Aggregator[java.lang.Double, Array[Double], Array[Double]] {
 
   // buffer: min-heap laid out as a sorted-ascending bounded array
   // (k is small; insertion into a k-array is effectively O(k))
   override def zero: Array[Double] = Array.empty
 
-  override def reduce(buf: Array[Double], v: Double): Array[Double] =
-    insert(buf, v)
+  override def reduce(buf: Array[Double], v: java.lang.Double): Array[Double] =
+    if (v == null) buf else insert(buf, v.doubleValue())
 
   override def merge(a: Array[Double], b: Array[Double]): Array[Double] =
     b.foldLeft(a)(insert)

@@ -653,6 +653,6 @@ object TrainingQueries {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |CAST(greatest((CAST(octet_length(encode(text)) AS BIGINT) // 64 + 1) // 2, 1)
         |  AS INTEGER) AS frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
   )
 }

@@ -48,7 +48,12 @@ object StreamingOps {
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), duration, slide), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      // decimal-exact sum like the batch form (a raw double sum is
+      // shuffle-arrival-order dependent) so streaming output matches
+      // EventWindows' value column bit-for-bit
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(38,6)")), 2).cast("double")
+          .as("sum_value"))
       .select(col("window.start").as("bucket_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
@@ -77,8 +82,11 @@ object StreamingOps {
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 
-  /** Per-user custom state for [[statefulUserStats]]. */
-  case class UserState(nEvents: Long, totalValue: Double, lastSeenSec: Long)
+  /** Per-user custom state for [[statefulUserStats]]. `totalValue` is an
+    * exact decimal: a double accumulator would depend on the per-batch
+    * iterator order (nondeterministic across runs), the same defect class
+    * the engine-wide decimal-sum policy exists for. */
+  case class UserState(nEvents: Long, totalValue: BigDecimal, lastSeenSec: Long)
 
   /** Output row of the stateful operator. */
   case class UserStats(user_id: Long, n_events: Long, total_value: Double)
@@ -97,16 +105,22 @@ object StreamingOps {
       .flatMapGroupsWithState[UserState, UserStats](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[UserState]) =>
-          val prev = state.getOption.getOrElse(UserState(0L, 0.0, 0L))
+          val prev = state.getOption
+            .getOrElse(UserState(0L, BigDecimal(0), 0L))
           val evs = batch.toSeq
+          // BigDecimal addition is exact, hence order-independent — the
+          // iterator order varies run-to-run
           val next = UserState(
             prev.nEvents + evs.size,
-            prev.totalValue + evs.map(_.value).sum,
+            prev.totalValue + evs.map(e => BigDecimal(e.value)).sum,
             math.max(prev.lastSeenSec,
               evs.map(_.ts.getTime / 1000).foldLeft(0L)(math.max)))
           state.update(next)
+          // HALF_UP matches Spark/DuckDB round(), not rint's half-even
           Iterator(UserStats(userId, next.nEvents,
-            math.rint(next.totalValue * 100) / 100))
+            next.totalValue
+              .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP)
+              .toDouble))
       }
   }
 

@@ -250,9 +250,13 @@ class SortedIntersectSizeSpec extends SparkSpec {
     val r = spark.sql(
       "SELECT sorted_intersect_size(array(1L,2L,3L), array(2L,3L,4L)) AS c, " +
         "sorted_intersect_size(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS n, " +
-        "sorted_intersect_size(array(CAST(NULL AS BIGINT), 1L), array(0L)) AS e")
+        "sorted_intersect_size(array(CAST(NULL AS BIGINT), 1L), array(0L)) AS e, " +
+        // sorted contract puts NULLs first — sort_array of a null-bearing
+        // array must also poison, even when the other side is shorter
+        "sorted_intersect_size(array(1L,2L), sort_array(array(1L,2L," +
+        "CAST(NULL AS BIGINT)))) AS t")
       .collect()(0)
-    assert(r.getInt(0) == 2 && r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getInt(0) == 2 && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
   }
 }
 

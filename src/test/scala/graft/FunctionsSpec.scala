@@ -43,4 +43,13 @@ class FunctionsSpec extends SparkSpec {
       .collect().map(_.getInt(0))
     assert(got.forall(_ == 3))
   }
+
+  test("top_k skips SQL NULLs like the rank/window form it replaces") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT top_k_3(v) FROM VALUES (1.0D), (CAST(NULL AS DOUBLE)), (5.0D)," +
+        " (3.0D), (CAST(NULL AS DOUBLE)) AS t(v)")
+      .collect()(0).getSeq[Double](0)
+    assert(got == Seq(5.0, 3.0, 1.0))
+  }
 }
