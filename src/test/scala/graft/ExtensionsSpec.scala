@@ -316,6 +316,23 @@ class ChunkingSpec extends SparkSpec {
     assert(chunks(0)._3.endsWith(" w64") && chunks(1)._3.endsWith(" w100"))
   }
 
+  test("chunking covers every token of every doc at least once") {
+    val docs = Seq(5, 47, 48, 49, 63, 64, 65, 111, 200).zipWithIndex.map {
+      case (n, i) => (i.toLong, (1 to n).map(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val covered = graft.extensions.TextAnalysis
+      .chunk(docs, "text", "doc_id", chunkTokens = 64, overlap = 16)
+      .select(col("doc_id"), explode(split(col("chunk_text"), " ")).as("tok"))
+      .distinct()
+      .groupBy(col("doc_id")).count()
+      .as[(Long, Long)].collect().toMap
+    val lens = Seq(5, 47, 48, 49, 63, 64, 65, 111, 200).zipWithIndex
+      .map { case (n, i) => i.toLong -> n.toLong }.toMap
+    lens.foreach { case (id, n) =>
+      assert(covered(id) == n, s"doc $id: ${covered(id)} of $n tokens covered")
+    }
+  }
+
   test("chunking emits no chunk fully contained in its predecessor") {
     import org.apache.spark.sql.functions.{size => asize, split}
     // lengths straddling the stride/overlap boundary cases
@@ -339,6 +356,27 @@ class ChunkingSpec extends SparkSpec {
 class ClusterSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions.col
+
+  test("distributed CC agrees with driver union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 10
+      val ids = (1L to n.toLong)
+      val docsR = ids.map(i => (i, s"d$i")).toDF("doc_id", "x")
+      val edges = Seq.fill(n / 2)(
+        (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .distinct
+      val pairsR = edges.toDF("a_id", "b_id")
+      val driver = Dedup.nearDupClusters(docsR, pairsR, "doc_id")
+        .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+      val dist = Dedup.nearDupClusters(docsR, pairsR, "doc_id",
+          driverEdgeLimit = 0L)
+        .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+      assert(driver == dist, s"trial $trial: paths disagree")
+    }
+  }
 
   test("connected components label chains transitively with min id (both paths)") {
     val docs = (1L to 7L).map(i => (i, s"d$i")).toDF("doc_id", "x")
