@@ -80,13 +80,19 @@ object Dedup {
     a.join(b, Seq("source", "blk"))
       .filter(col("a_id") < col("b_id") && !(col("a_probe") && col("b_probe")))
       // allocation-free merge-loop intersection (toks arrive sorted
-      // distinct from the prepared projection) — the per-pair hot loop
-      .withColumn("shared",
-        graft.functions.SortedIntersectSize
-          .sorted_intersect_size(col("a_toks"), col("b_toks")).cast("double"))
-      .withColumn("jaccard", round(
-        col("shared") /
-          (size(col("a_toks")) + size(col("b_toks")) - col("shared")), 4))
+      // distinct from the prepared projection) — the per-pair hot loop.
+      // Emitted through explode(array(…)) as a Generate BARRIER: the
+      // threshold filter below references generator output, so Catalyst
+      // cannot substitute it into the join condition — without this it
+      // clones the merge loop into the BHJ condition AND the project
+      // above it (~3 evaluations per pair; EXPLAIN.md d2, round 2).
+      .select(col("a_id"), col("b_id"),
+        (size(col("a_toks")) + size(col("b_toks"))).as("n_total"),
+        explode(array(graft.functions.SortedIntersectSize
+          .sorted_intersect_size(col("a_toks"), col("b_toks"))
+          .cast("double"))).as("shared"))
+      .withColumn("jaccard",
+        round(col("shared") / (col("n_total") - col("shared")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }

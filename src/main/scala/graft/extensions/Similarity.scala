@@ -123,17 +123,7 @@ object Similarity {
       numCells: Int = 16, nprobe: Int = 2, trainIters: Int = 0): DataFrame = {
     val centroids = broadcast(
       kMeansCentroids(embeddings, numCells, trainIters))
-    // assign every vector to its nearest centroid (exact argmin via
-    // lexicographic min over (distance, cell_id) — deterministic ties)
-    val assigned = embeddings
-      .crossJoin(centroids)
-      .withColumn("dist", -cosine(col("embedding"), col("centroid")))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("dist"), col("cell_id"))).as("best"),
-        first(col("embedding")).as("embedding"),
-        first(col("label")).as("label"))
-      .select(col("vec_id"), col("label"), col("embedding"),
-        col("best.cell_id").as("cell_id"))
+    val assigned = assignCells(embeddings, centroids)
     val probeCentroids = centroids
       .select(col("cell_id").as("probe_cell"), col("centroid"))
     val queryCells = assigned.filter(col("vec_id") === queryId)
@@ -153,12 +143,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** Nearest-centroid assignment as ONE narrow map pass: the centroid
+    * table is folded into a single broadcast array-of-structs row and the
+    * argmin is a per-row `array_min` over it (lexicographic min over
+    * (distance, cell_id) — deterministic ties, same semantics as the
+    * former `groupBy(vec_id).agg(min(struct(…)))` form). At 100 TB this
+    * matters: the old crossJoin+groupBy shape inflated the wide-vector
+    * corpus ×k and shuffled all of it; this shape shuffles nothing. */
+  private def assignCells(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val centroidArr = centroids.agg(
+      array_sort(collect_list(struct(col("cell_id"), col("centroid"))))
+        .as("__cents"))
+    embeddings
+      .crossJoin(broadcast(centroidArr))
+      .withColumn("cell_id",
+        array_min(transform(col("__cents"), c => struct(
+          (-cosine(col("embedding"), c.getField("centroid"))).as("dist"),
+          c.getField("cell_id").as("cell_id"))))
+          .getField("cell_id"))
+      .drop("__cents")
+  }
+
   /** Coarse-quantizer training: deterministic first-k seeding plus
     * `iters` Lloyd k-means passes, entirely as DataFrame ops. Each pass
-    * is one argmin-assign (cross join against the bounded broadcast
-    * centroid table) and one per-dimension mean (posexplode → grouped
-    * avg → re-assembled array) — two shuffles per iteration, no driver
-    * math, so the same loop trains on 10⁹ vectors. Empty cells keep
+    * is one argmin-assign ([[assignCells]] — a shuffle-free map over the
+    * broadcast centroid array) and one per-dimension mean (posexplode →
+    * grouped avg → re-assembled array) — one shuffle per iteration, no
+    * driver math, so the same loop trains on 10⁹ vectors. Empty cells keep
     * their previous centroid (the standard Lloyd fallback). */
   def kMeansCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
     // genuinely the first k vectors BY ID (TakeOrdered, cheap) — a
@@ -168,13 +179,8 @@ object Similarity {
       .orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
     for (_ <- 0 until iters) {
-      val assigned = embeddings
-        .crossJoin(broadcast(centroids))
-        .withColumn("dist", -cosine(col("embedding"), col("centroid")))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("dist"), col("cell_id"))).as("best"),
-          first(col("embedding")).as("embedding"))
-        .select(col("best.cell_id").as("cell_id"), col("embedding"))
+      val assigned = assignCells(embeddings, centroids)
+        .select(col("cell_id"), col("embedding"))
       val means = assigned
         .select(col("cell_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell_id"), col("pos"))
@@ -214,6 +220,10 @@ object Similarity {
         org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
       .filter(col("__bsize") <= maxBucket)
       .drop("__bsize")
+      // materialize once: without the barrier the 12-plane SRP signature
+      // and the bucket-size window re-evaluate on BOTH sides of the
+      // self-join (same pattern as Dedup's token-set projection)
+      .localCheckpoint(eager = false)
     val a = signed.select(col("bucket"), col("vec_id").as("a_id"),
       col("embedding").as("a_vec"))
     val b = signed.select(col("bucket"), col("vec_id").as("b_id"),

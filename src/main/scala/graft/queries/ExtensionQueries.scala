@@ -328,10 +328,12 @@ object ExtensionQueries {
         |    t -> CAST('0x' || substr(md5(t),1,15) AS BIGINT)) AS hs
         |  FROM documents
         |), sim AS (
-        |  SELECT doc_id, list_sum(list_transform(range(0, 60), j ->
+        |  -- CAST: DuckDB list_sum returns HUGEINT; Spark emits BIGINT —
+        |  -- identical values hash-mismatch without the narrowing cast
+        |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), j ->
         |    CASE WHEN list_sum(list_transform(hs,
         |        h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-        |      THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS simhash
+        |      THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS BIGINT) AS simhash
         |  FROM hs
         |), chunked AS (
         |  SELECT doc_id, simhash, c.chunk,

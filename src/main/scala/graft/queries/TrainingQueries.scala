@@ -94,6 +94,10 @@ object TrainingQueries {
         explode(TextAnalysis.tokens(col("text"))).as("term"))
       val tf = tok.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("cnt"))
+        // materialize once: tf feeds itself, dl, and dfreq — Spark shares
+        // no subplans across DataFrame reuse, so without the barrier the
+        // explode+groupBy evaluates three times
+        .localCheckpoint(eager = false)
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("cnt")).as("total"))
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))

@@ -64,6 +64,24 @@ class PlanSpec extends SparkSpec {
       "SMJ would sort the skewed fact side the salt exists to protect")
   }
 
+  test("d2: merge-loop intersection evaluates exactly once per pair") {
+    val df = SparkEntry.queries("d2_token_jaccard")(spark, sf0001)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    val n = "sortedintersectsize".r.findAllIn(p).size
+    assert(n == 1,
+      s"the Generate barrier should leave exactly one sorted_intersect_size" +
+        s" in the plan (join-condition pushdown clones it), got $n in\n$p")
+  }
+
+  test("e4: IVF assign is a map pass — no corpus-wide argmin shuffle") {
+    val df = SparkEntry.queries("e4_ivf_ann")(spark, sf0001)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"cell assignment must not shuffle the corpus by vec_id\n$p")
+  }
+
   test("d7: decontamination is a broadcast anti-join — corpus side never shuffles") {
     val df = SparkEntry.queries("d7_decontaminate_exact")(spark, sf0001)
     df.count()
