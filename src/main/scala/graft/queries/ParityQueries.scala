@@ -451,6 +451,101 @@ object ParityQueries {
       val anti = c.join(f, col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), lit("no_f_order").as("tag"))
       semi.unionByName(anti).orderBy(col("c_custkey"), col("tag"))
+    }),
+
+    // S1 — driver-checked CSV scan: parse the committed reference-shaped
+    // OWID fixture with the declared schema (reference: HTTP fetch +
+    // pd.read_csv, data_loader.py:32-69). The oracle parses the SAME
+    // bytes with DuckDB read_csv, so header handling, NULL-as-empty and
+    // double/date coercion are all verified, not just assumed.
+    "s1_csv_scan" -> ((s, _) => {
+      graft.sources.CovidSources.readOwidCsv(
+          s, s"${graft.sources.CovidSources.fixturesDir}/owid_sample.csv")
+        .select(col("iso_code"), col("country"),
+          date_format(col("date"), "yyyy-MM-dd").as("dt"),
+          col("total_cases"), col("new_cases"), col("total_tests"),
+          col("population"))
+        .orderBy(col("country"), col("dt"))
+    }),
+
+    // S2 (+S3/S4 on a real file source) — multiline nested-JSON scan,
+    // struct flatten, epoch-ms conversion against the committed
+    // disease.sh-shaped array fixture (data_loader.py:124-218). Covers
+    // NULL struct fields and a row with the struct entirely absent.
+    "s2_json_scan" -> ((s, _) => {
+      graft.sources.CovidSources.flattenDiseaseSh(
+          graft.sources.CovidSources.readDiseaseShJson(
+            s, s"${graft.sources.CovidSources.fixturesDir}/disease_sh_sample.json"))
+        .select(col("country"), col("iso_code"), col("iso2_code"),
+          col("country_id"), col("latitude"), col("longitude"),
+          col("population"), col("current_cases"), col("current_deaths"),
+          col("current_recovered"), col("tests_total"), col("today_cases"),
+          date_format(col("last_updated"), "yyyy-MM-dd HH:mm:ss")
+            .as("last_updated"))
+        .orderBy(col("country"))
+    }),
+
+    // S5 — CSV sink round-trip: export customer as a header CSV
+    // (reference df.to_csv download, streamlit_app.py:651-657), read the
+    // WRITTEN BYTES back with the declared schema, verify against the
+    // parquet source of truth via the oracle. Proves long/double/string
+    // values survive the write+parse cycle bit-exactly.
+    "s5_csv_roundtrip" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_s5_").toString
+      Tables.exportCsv(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment")), out)
+      s.read.option("header", "true")
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("c_custkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("c_name",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("c_acctbal",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("c_mktsegment",
+            org.apache.spark.sql.types.StringType))))
+        .csv(out)
+        .orderBy(col("c_custkey"))
+        .limit(500)
+    }),
+
+    // W24 — the composed integration report
+    // (generate_integration_summary, data_merger.py:368-419): source
+    // match-rate completeness, quality-flag counts, decimal-exact average
+    // gap, and the top-10 largest-gap name list, assembled into ONE
+    // artifact row. Each ingredient is a previously-oracled operator
+    // class (w9 counts, w7 conditional flags, w5 top-k); this verifies
+    // their composition. The top-10 list is order-canonicalized via
+    // array_sort over (−gap, key) structs so collect_list's partition
+    // arrival order can never leak into the artifact.
+    "w24_integration_report" -> ((s, d) => {
+      val spend = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(Summaries.exactSum(col("o_totalprice"), 2).as("total_spend"),
+          count(lit(1)).as("n_orders"))
+      val merged = Tables.customer(s, d)
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .withColumn("spend_gap", col("total_spend") - col("c_acctbal"))
+      val summary = merged.agg(
+        count(lit(1)).as("total_customers"),
+        count(col("n_orders")).as("matched_customers"),
+        (lit(100.0) * count(col("n_orders")) / count(lit(1)))
+          .as("match_rate_pct"),
+        count(when(col("c_acctbal") < 0, lit(1)))
+          .as("negative_balance_flags"),
+        count(when(col("spend_gap") > 200000, lit(1)))
+          .as("large_gap_flags"),
+        Summaries.exactAvg(col("spend_gap")).as("avg_spend_gap"))
+      val top10 = merged.filter(col("spend_gap").isNotNull)
+        .orderBy(col("spend_gap").desc, col("c_custkey"))
+        .limit(10)
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(
+            (-col("spend_gap")).as("g"), col("c_custkey").as("k"),
+            col("c_name").as("nm")))),
+          x => x.getField("nm")), "|").as("top10_gap_customers"))
+      summary.crossJoin(top10)
     })
   )
 
@@ -739,6 +834,70 @@ object ParityQueries {
         |SELECT c_custkey, 'no_f_order' AS tag FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
-        |ORDER BY c_custkey, tag""".stripMargin
+        |ORDER BY c_custkey, tag""".stripMargin,
+
+    // Parses the SAME committed fixture bytes as the Spark reader; the
+    // absolute path is part of the driver contract (repo at /root/repo).
+    "s1_csv_scan" ->
+      """SELECT iso_code, country, strftime("date", '%Y-%m-%d') AS dt,
+        |  total_cases, new_cases, total_tests, population
+        |FROM read_csv('/root/repo/fixtures/owid_sample.csv', header=true,
+        |  columns={'iso_code':'VARCHAR','country':'VARCHAR','date':'DATE',
+        |    'total_cases':'DOUBLE','new_cases':'DOUBLE','total_deaths':'DOUBLE',
+        |    'new_deaths':'DOUBLE','total_tests':'DOUBLE','positive_rate':'DOUBLE',
+        |    'tests_per_case':'DOUBLE','people_vaccinated':'DOUBLE',
+        |    'people_fully_vaccinated':'DOUBLE','total_vaccinations':'DOUBLE',
+        |    'population':'DOUBLE','new_tests':'DOUBLE'})
+        |ORDER BY country, dt""".stripMargin,
+
+    "s2_json_scan" ->
+      """SELECT country, countryInfo.iso3 AS iso_code, countryInfo.iso2 AS iso2_code,
+        |  countryInfo._id AS country_id, countryInfo.lat AS latitude,
+        |  countryInfo."long" AS longitude, population, cases AS current_cases,
+        |  deaths AS current_deaths, recovered AS current_recovered,
+        |  tests AS tests_total, todayCases AS today_cases,
+        |  strftime(epoch_ms(updated), '%Y-%m-%d %H:%M:%S') AS last_updated
+        |FROM read_json('/root/repo/fixtures/disease_sh_sample.json', format='array',
+        |  columns={'country':'VARCHAR',
+        |    'countryInfo':'STRUCT(_id BIGINT, iso2 VARCHAR, iso3 VARCHAR, lat DOUBLE, "long" DOUBLE, flag VARCHAR)',
+        |    'population':'BIGINT','cases':'BIGINT','deaths':'BIGINT',
+        |    'recovered':'BIGINT','active':'BIGINT','critical':'BIGINT',
+        |    'casesPerOneMillion':'DOUBLE','deathsPerOneMillion':'DOUBLE',
+        |    'tests':'BIGINT','testsPerOneMillion':'DOUBLE','todayCases':'BIGINT',
+        |    'todayDeaths':'BIGINT','todayRecovered':'BIGINT','updated':'BIGINT'})
+        |ORDER BY country""".stripMargin,
+
+    // Round-trip check: the Spark side re-reads its own CSV export; the
+    // oracle is the untouched parquet source of truth.
+    "s5_csv_roundtrip" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+        |ORDER BY c_custkey LIMIT 500""".stripMargin,
+
+    "w24_integration_report" ->
+      """WITH merged AS (
+        |  SELECT c.c_custkey, c.c_name, c.c_acctbal, s.n_orders,
+        |    s.total_spend - c.c_acctbal AS spend_gap
+        |  FROM customer c LEFT JOIN (
+        |    SELECT o_custkey, count(*) AS n_orders,
+        |      CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))),2) AS DOUBLE)
+        |        AS total_spend
+        |    FROM orders GROUP BY o_custkey) s ON c.c_custkey = s.o_custkey
+        |), summary AS (
+        |  SELECT count(*) AS total_customers,
+        |    count(n_orders) AS matched_customers,
+        |    100.0 * count(n_orders) / count(*) AS match_rate_pct,
+        |    count(CASE WHEN c_acctbal < 0 THEN 1 END) AS negative_balance_flags,
+        |    count(CASE WHEN spend_gap > 200000 THEN 1 END) AS large_gap_flags,
+        |    CAST(sum(CAST(spend_gap AS DECIMAL(38,6))) AS DOUBLE)
+        |      / count(spend_gap) AS avg_spend_gap
+        |  FROM merged
+        |), top10 AS (
+        |  SELECT string_agg(c_name, '|' ORDER BY spend_gap DESC, c_custkey)
+        |    AS top10_gap_customers
+        |  FROM (SELECT c_name, spend_gap, c_custkey FROM merged
+        |    WHERE spend_gap IS NOT NULL
+        |    ORDER BY spend_gap DESC, c_custkey LIMIT 10)
+        |)
+        |SELECT * FROM summary, top10""".stripMargin
   )
 }

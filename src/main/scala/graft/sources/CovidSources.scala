@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.util.Try
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -15,6 +17,13 @@ import org.apache.spark.sql.types._
   * "if column present" branch at design time.
   */
 object CovidSources {
+
+  /** Committed reference-shaped sample files (one OWID-style CSV, one
+    * disease.sh-style JSON array) scanned by the driver-checked S1/S2
+    * queries. The oracle SQL embeds the same absolute path for DuckDB's
+    * `read_csv`/`read_json`, so both engines parse the identical bytes. */
+  val fixturesDir: String =
+    sys.env.getOrElse("GRAFT_FIXTURES_DIR", "/root/repo/fixtures")
 
   /** OWID historical CSV — the 15 `key_columns` the reference projects
     * (data_loader.py:92-108), grain = (country, date). Metric columns
@@ -78,6 +87,63 @@ object CovidSources {
     * top-level JSON array. */
   def readDiseaseShJson(spark: SparkSession, path: String): DataFrame =
     spark.read.option("multiLine", "true").schema(diseaseShRawSchema).json(path)
+
+  /** Empty OWID-shaped frame — the fallback value when a source is
+    * unreachable (the analogue of the reference returning `None` from a
+    * failed fetch and every consumer short-circuiting on it). */
+  def emptyOwid(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], owidSchema)
+
+  /** S1/S2 error surface. The reference fetches each source over HTTP
+    * with a 30 s timeout and degrades to `None` plus a logged error
+    * (data_loader.py:32-69 and :124-163; timeout constants.py:66; the
+    * failure mode is mocked in tests/test_integration.py:115-147).
+    * Transport itself is out of scope (SURVEY.md §1.1 — at 100 TB the
+    * fetch is an upstream ingest job, not a query-time HTTP call); the
+    * query-engine-visible error semantics are mirrored exactly:
+    *   - unreachable/missing source → `Failure` here, and callers fall
+    *     back to [[emptyOwid]] (the `None` short-circuit);
+    *   - malformed records → PERMISSIVE quarantine
+    *     ([[readOwidCsvQuarantine]]) or strict FAILFAST
+    *     ([[readOwidCsvStrict]]).
+    * `spark.read.csv` resolves the path eagerly, so the `Try` captures
+    * missing-source failures at call time, not at first action. */
+  def readOwidCsvSafe(spark: SparkSession, path: String): Try[DataFrame] =
+    Try(readOwidCsv(spark, path))
+
+  /** Strict ingestion: any row that fails to parse against
+    * [[owidSchema]] aborts the scan (reference: an unparseable payload
+    * raises inside `pd.read_csv` / `response.json()` and is caught as a
+    * load failure). */
+  def readOwidCsvStrict(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("mode", "FAILFAST")
+      .schema(owidSchema).csv(path)
+
+  /** Permissive ingestion with a quarantine channel: returns
+    * (cleanRows, corruptRawLines). Malformed rows surface as the raw
+    * input line instead of killing a 100 TB scan — the distributed
+    * replacement for the reference's row-loop `try/except` at
+    * data_loader.py:176-218. The frame is materialized once via a lazy
+    * checkpoint because Spark disallows filtering on the internal
+    * corrupt-record column of a streaming-parsed CSV otherwise. */
+  def readOwidCsvQuarantine(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame) = {
+    val withCorrupt = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(owidSchema.add(StructField("_corrupt_record", StringType)))
+      .csv(path)
+      .localCheckpoint(eager = false)
+    (withCorrupt.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      withCorrupt.filter(col("_corrupt_record").isNotNull)
+        .select(col("_corrupt_record")))
+  }
+
+  /** JSON twin of [[readOwidCsvSafe]] (data_loader.py:124-163). */
+  def readDiseaseShJsonSafe(spark: SparkSession, path: String): Try[DataFrame] =
+    Try(readDiseaseShJson(spark, path))
 
   /** S3 + S4 — flatten the nested `countryInfo` struct and convert the
     * epoch-ms `updated` field (reference row-loop at

@@ -66,6 +66,28 @@ class ScaleSpec extends SparkSpec {
     assert(fewer <= ivf.length)
   }
 
+  test("d9 distributed CC path at bench scale agrees with union-find (and is timed)") {
+    // the fallback path for pair graphs too big for the driver, forced
+    // via driverEdgeLimit = 0 and exercised at sf0.1 (50k docs) so it
+    // has a measured perf number, not just a small-graph property test
+    val d = "/root/testdata/sf0.1"
+    val docs = Tables.documents(spark, d)
+    val pairs = graft.extensions.Dedup.tokenJaccardPairs(docs, threshold = 0.5)
+      .localCheckpoint(eager = false)
+    val t0 = System.nanoTime()
+    val distributed = graft.extensions.Dedup
+      .nearDupClusters(docs, pairs, "doc_id", driverEdgeLimit = 0L)
+      .localCheckpoint(eager = false)
+    val nDist = distributed.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"distributed pointer-jumping CC at sf0.1: $secs%.1f s ($nDist docs)")
+    val local = graft.extensions.Dedup.nearDupClusters(docs, pairs, "doc_id")
+    assert(nDist == docs.count())
+    assert(distributed.join(local,
+      Seq("doc_id", "cluster_id", "is_canonical"), "inner").count() == nDist,
+      "distributed CC must produce identical labels to driver union-find")
+  }
+
   test("sketch aggregates stay within documented error of exact values") {
     val li = Tables.lineitem(spark, sf0001)
     val exact = li.groupBy("l_returnflag")
