@@ -23,6 +23,16 @@ object TextAnalysis {
   def typeTokenRatio(text: Column): Column =
     round(distinctTokenCount(text).cast("double") / tokenCount(text), 4)
 
+  /** Word bigrams ("a b") — the unit of the Gopher/MassiveText
+    * top-n-gram repetition filters (Rae et al. 2021, §A1.1): documents
+    * dominated by one repeated n-gram are boilerplate. Pure array
+    * expression, no explode at this level. */
+  def bigrams(toks: Column): Column =
+    zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b))
+
   /** Mean token length, computed from char count + token count (exact
     * for single-space text: chars = sum(len) + (n-1) separators). */
   def avgTokenLength(text: Column, nChars: Column): Column =

@@ -218,6 +218,41 @@ object ExtensionQueries {
         .limit(20)
     }),
 
+    // T11 — Gopher/MassiveText repetition filters (Rae et al. 2021
+    // §A1.1): duplicate-word fraction plus the frequency fraction of the
+    // single most common word and bigram — the boilerplate signals a
+    // pretraining pipeline thresholds on. Per-doc modes come from two
+    // (doc_id, gram) partial+final aggregates — the grouping key includes
+    // doc_id, so global stopword skew cannot concentrate on one reducer.
+    // Ratios are emitted UNROUNDED: a/b over the same ints is
+    // bit-identical IEEE in both engines, while rounding a ratio risks
+    // engine-specific half-tie behavior.
+    "t11_repetition" -> ((s, d) => {
+      val docs = Tables.spread(Tables.documents(s, d))
+      val stats = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("nt"),
+        TextAnalysis.distinctTokenCount(col("text")).as("dt"))
+      val topWord = docs.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("twc"))
+      val topBigram = docs.select(col("doc_id"),
+          explode(TextAnalysis.bigrams(TextAnalysis.tokens(col("text"))))
+            .as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("tbc"))
+      stats.join(topWord, Seq("doc_id"))
+        .join(topBigram, Seq("doc_id"), "left") // 1-token docs: no bigram
+        .select(col("doc_id"),
+          ((col("nt") - col("dt")) * lit(1.0) / col("nt"))
+            .as("dup_word_frac"),
+          (col("twc") * lit(1.0) / col("nt")).as("top_word_frac"),
+          when(col("nt") > 1,
+            coalesce(col("tbc"), lit(0L)) * lit(1.0) / (col("nt") - 1))
+            .otherwise(lit(0.0)).as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // W13 — manual pivot (sum per key spread over category columns).
     "w13_pivot" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -538,6 +573,36 @@ object ExtensionQueries {
       """SELECT word, count(*) AS n FROM (
         |SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+
+    "t11_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), stats AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS nt,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS dt FROM base
+        |), topw AS (
+        |  SELECT doc_id, max(c) AS twc FROM (
+        |    SELECT doc_id, word, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(toks) AS word FROM base)
+        |    GROUP BY doc_id, word)
+        |  GROUP BY doc_id
+        |), topb AS (
+        |  SELECT doc_id, max(c) AS tbc FROM (
+        |    SELECT doc_id, bg, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1])) AS bg FROM base)
+        |    GROUP BY doc_id, bg)
+        |  GROUP BY doc_id
+        |)
+        |SELECT s.doc_id,
+        |  (s.nt - s.dt) * 1.0 / s.nt AS dup_word_frac,
+        |  w.twc * 1.0 / s.nt AS top_word_frac,
+        |  CASE WHEN s.nt > 1
+        |    THEN COALESCE(b.tbc, 0) * 1.0 / (s.nt - 1)
+        |    ELSE 0.0 END AS top_bigram_frac
+        |FROM stats s JOIN topw w USING (doc_id)
+        |  LEFT JOIN topb b USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
 
     "w13_pivot" ->
       """SELECT l_linestatus,

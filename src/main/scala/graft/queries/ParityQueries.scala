@@ -510,6 +510,24 @@ object ParityQueries {
         .limit(500)
     }),
 
+    // S9 — partitioned parquet SINK round-trip: write events partitioned
+    // by day (the 100 TB layout — partition pruning is the first-order
+    // scale lever), read the written files back with a single-partition
+    // filter, verify values against the untouched source via the oracle.
+    // The read-back scan prunes to one directory (PartitionFilters;
+    // shape asserted in PartitionPruningSpec).
+    "s9_partitioned_sink" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_s9_").toString
+      Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .write.partitionBy("day").mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .filter(col("day") === lit("2024-01-05").cast("date"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), date_format(col("day"), "yyyy-MM-dd").as("day"))
+        .orderBy(col("event_id"))
+    }),
+
     // W24 — the composed integration report
     // (generate_integration_summary, data_merger.py:368-419): source
     // match-rate completeness, quality-flag counts, decimal-exact average
@@ -872,6 +890,12 @@ object ParityQueries {
     "s5_csv_roundtrip" ->
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
         |ORDER BY c_custkey LIMIT 500""".stripMargin,
+
+    "s9_partitioned_sink" ->
+      """SELECT event_id, user_id, event_type, value,
+        |  strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+        |ORDER BY event_id""".stripMargin,
 
     "w24_integration_report" ->
       """WITH merged AS (

@@ -84,24 +84,31 @@ object TrainingQueries {
         .limit(500)
     }),
 
-    // T8 — TF-IDF scoring: explode → per-(doc,term) counts → doc lengths
-    // + document frequencies → broadcast the corpus size (1-row agg, not
-    // a driver-side count). The two groupBys share the exploded shuffle;
-    // df and dl are derived aggregations of the same tf frame.
+    // T8 — TF-IDF scoring: explode → per-(doc,term) counts, then exactly
+    // ONE shuffle of the fat (doc,term) frame. Doc length is a window
+    // over the doc partition (per-doc data is bounded — no skew risk);
+    // document frequency is a vocabulary-sized partial+final aggregate
+    // that BROADCASTS, so the fat frame never shuffles by term — which
+    // is where stopword skew lives. (If the vocabulary outgrows the
+    // broadcast threshold at extreme scale, drop the hint and AQE's
+    // skew-join handles the term exchange instead.) The corpus size is a
+    // broadcast 1-row agg, not a driver-side count.
     "t8_tfidf" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val tok = Tables.spread(docs).select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("term"))
       val tf = tok.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("cnt"))
-        // materialize once: tf feeds itself, dl, and dfreq — Spark shares
-        // no subplans across DataFrame reuse, so without the barrier the
-        // explode+groupBy evaluates three times
+        // materialize once: tf feeds both the window side and dfreq —
+        // Spark shares no subplans across DataFrame reuse, so without
+        // the barrier the explode+groupBy evaluates twice
         .localCheckpoint(eager = false)
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("cnt")).as("total"))
+      val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
-      tf.join(dl, "doc_id").join(dfreq, "term").crossJoin(broadcast(n))
+      tf.withColumn("total", sum(col("cnt")).over(wDoc))
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(n))
         .select(col("doc_id"), col("term"),
           round((col("cnt") * lit(1.0) / col("total"))
             * log(col("n") * lit(1.0) / col("df")), 6).as("tfidf"))

@@ -276,6 +276,36 @@ class QualityFilterSpec extends SparkSpec {
     assert(got(1L) == 0.8)
     assert(got(2L) == 0.0)
   }
+
+  test("bigrams + repetition fractions (Gopher §A1.1 signals)") {
+    val toks = graft.extensions.TextAnalysis.tokens(col("text"))
+    val bg = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+      .select(graft.extensions.TextAnalysis.bigrams(toks).as("bg"))
+      .as[Seq[String]].collect()(0)
+    assert(bg == Seq("a b", "b a", "a b", "b c"))
+    // single-token doc: no bigrams, empty array (not a crash / null)
+    val one = Seq((1L, "solo")).toDF("doc_id", "text")
+      .select(graft.extensions.TextAnalysis.bigrams(toks).as("bg"))
+      .as[Seq[String]].collect()(0)
+    assert(one.isEmpty)
+    // the t11 query end-to-end on the driver tables
+    val t11 = SparkEntry.queries("t11_repetition")(spark, sf0001)
+      .as[(Long, Double, Double, Double)].collect()
+    assert(t11.length == 500)
+    t11.foreach { case (_, dup, tw, tb) =>
+      assert(dup >= 0.0 && dup < 1.0)   // nt==dt gives 0; never all-dup
+      assert(tw > 0.0 && tw <= 1.0)     // the mode occurs at least once
+      assert(tb >= 0.0 && tb <= 1.0)
+    }
+    // dup_word_frac is 1 - ttr by construction (same token definition)
+    val both = SparkEntry.queries("t11_repetition")(spark, sf0001)
+      .join(SparkEntry.queries("t1_text_stats")(spark, sf0001), "doc_id")
+      .select(col("dup_word_frac"), col("ttr"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (dup, ttr) =>
+      assert(math.abs((1.0 - dup) - ttr) < 1e-3) // ttr is rounded to 4
+    }
+  }
 }
 
 class KMeansIvfSpec extends SparkSpec {
