@@ -209,6 +209,30 @@ object ExtensionQueries {
         numCells = 16, nprobe = 4)
     }),
 
+    // E7 — symmetric int8 embedding quantization (the compression step
+    // under product/scalar-quantized ANN at scale: 4× smaller vectors,
+    // one scale per vector). Quantizer is floor(x/scale + 0.5) clamped
+    // to ±127 — spelled as explicit IEEE ops, NOT round(), so both
+    // engines compute bit-identical codes. Verified via per-vector code
+    // statistics (L1 mass, extremes) instead of raw array compare; all
+    // math in promoted-to-double floats, a pure map pass (no shuffle).
+    "e7_embed_quantize" -> ((s, d) => {
+      val amax = array_max(transform(col("embd"), x => abs(x)))
+      Tables.embeddings(s, d)
+        .withColumn("embd", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("scale",
+          when(amax === 0, lit(1.0)).otherwise(amax / lit(127.0)))
+        .withColumn("codes", transform(col("embd"), x =>
+          greatest(lit(-127L),
+            least(lit(127L), floor(x / col("scale") + lit(0.5))))))
+        .select(col("vec_id"), col("scale"),
+          aggregate(col("codes"), lit(0L), (acc, c) => acc + abs(c))
+            .as("q_l1"),
+          array_max(col("codes")).as("q_max"),
+          array_min(col("codes")).as("q_min"))
+        .orderBy(col("vec_id"))
+    }),
+
     // T4 — explode/lateral surface: global word counts, top 20.
     "t4_word_counts" -> ((s, d) => {
       Tables.documents(s, d)
@@ -434,6 +458,27 @@ object ExtensionQueries {
         |)
         |SELECT vec_id, label, round(dot / (sqrt(vv) * sqrt(qq)), 4) AS cosine_sim
         |FROM m ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "e7_embed_quantize" ->
+      """WITH sc AS (
+        |  SELECT vec_id, e,
+        |    CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END AS scale
+        |  FROM (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS amax
+        |    FROM embeddings)
+        |), codes AS (
+        |  SELECT vec_id, scale, list_transform(e, x ->
+        |    greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+        |      CAST(floor(x / scale + 0.5) AS BIGINT)))) AS c
+        |  FROM sc
+        |)
+        |SELECT vec_id, scale,
+        |  CAST(list_sum(list_transform(c, x -> abs(x))) AS BIGINT) AS q_l1,
+        |  CAST(list_max(c) AS BIGINT) AS q_max,
+        |  CAST(list_min(c) AS BIGINT) AS q_min
+        |FROM codes ORDER BY vec_id""".stripMargin,
 
     "t1_text_stats" ->
       """SELECT doc_id, nt AS n_tokens, dt AS distinct_tokens,

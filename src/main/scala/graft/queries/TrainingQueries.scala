@@ -42,6 +42,34 @@ object TrainingQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // S10 — dataset MIXTURE up/down-sampling: each source gets an epoch
+    // weight (>1 repeats documents, <1 hash-samples them) — the
+    // data-mixing step that turns raw corpora into a training mixture.
+    // repeats = floor(w) + 1{hash < frac(w)·1000}; the expansion is a
+    // map-side explode(sequence(…)), so a 100 TB corpus up-samples
+    // without any shuffle before the (summary) aggregation. The same
+    // integer-hash determinism as s8: reproducible on any cluster layout.
+    "s10_mixture_upsample" -> ((s, d) => {
+      val w = when(col("source") === "src0", 2.5)
+        .when(col("source") === "src1", 1.0)
+        .when(col("source") === "src2", 0.25)
+        .otherwise(0.5)
+      Tables.documents(s, d)
+        .withColumn("w", w)
+        .withColumn("h", col("doc_id") * lit(2654435761L) % 1000)
+        .withColumn("repeats",
+          floor(col("w")) +
+            when(col("h") < (col("w") - floor(col("w"))) * 1000, 1L)
+              .otherwise(0L))
+        .filter(col("repeats") > 0)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(1L), col("repeats"))).as("epoch"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("source"))
+    }),
+
     // D6 — dedup APPLICATION: materialize the survivor set (min-id doc
     // per exact-dup group) via a left-semi join — the step that actually
     // shrinks the corpus after d1's group discovery. Semi join keeps the
@@ -429,6 +457,23 @@ object TrainingQueries {
         |  FROM lineitem)
         |WHERE h < CASE l_returnflag WHEN 'A' THEN 50 WHEN 'R' THEN 100 ELSE 20 END
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "s10_mixture_upsample" ->
+      """WITH rep AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor(w) AS BIGINT) +
+        |      CASE WHEN doc_id * 2654435761 % 1000 < (w - floor(w)) * 1000
+        |        THEN 1 ELSE 0 END AS repeats
+        |  FROM (SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+        |      WHEN 'src2' THEN 0.25 ELSE 0.5 END AS w
+        |    FROM documents)
+        |)
+        |SELECT source, count(*) AS n_rows,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, source,
+        |  unnest(generate_series(1, repeats)) AS epoch FROM rep)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "d6_dedup_apply" ->
       """SELECT doc_id, n_chars FROM documents
