@@ -252,20 +252,31 @@ object ExtensionQueries {
     // bit-identical IEEE in both engines, while rounding a ratio risks
     // engine-specific half-tie behavior.
     "t11_repetition" -> ((s, d) => {
-      val docs = Tables.spread(Tables.documents(s, d))
-      val stats = docs.select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("nt"),
-        TextAnalysis.distinctTokenCount(col("text")).as("dt"))
-      val topWord = docs.select(col("doc_id"),
-          explode(TextAnalysis.tokens(col("text"))).as("word"))
-        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id")).agg(max(col("c")).as("twc"))
-      val topBigram = docs.select(col("doc_id"),
-          explode(TextAnalysis.bigrams(TextAnalysis.tokens(col("text"))))
-            .as("bg"))
+      // the corpus is scanned ONCE: the tokenized frame materializes
+      // behind a lazy checkpoint and both signal branches (word modes,
+      // bigram modes) read it via map-side explodes — at 100 TB
+      // re-deriving each signal from its own corpus scan is the
+      // difference between one pass and three, and deriving bigrams
+      // from the array keeps them shuffle-free (vs a pos-window, which
+      // would re-sort the whole token stream per doc)
+      val toks = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .localCheckpoint(eager = false)
+      // nt (token count), dt (distinct count) and the top-word mode all
+      // fall out of ONE (doc,word) aggregate
+      val wordStats = toks
+        .select(col("doc_id"), explode(col("toks")).as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("nt"), count(lit(1)).as("dt"),
+          max(col("c")).as("twc"))
+      val topBigram = toks
+        .select(col("doc_id"),
+          explode(TextAnalysis.bigrams(col("toks"))).as("bg"))
         .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id")).agg(max(col("c")).as("tbc"))
-      stats.join(topWord, Seq("doc_id"))
+      wordStats
         .join(topBigram, Seq("doc_id"), "left") // 1-token docs: no bigram
         .select(col("doc_id"),
           ((col("nt") - col("dt")) * lit(1.0) / col("nt"))
