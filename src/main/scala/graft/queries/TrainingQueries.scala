@@ -435,6 +435,65 @@ object TrainingQueries {
         .limit(1000)
     }),
 
+    // T12 — sequence PACKING (concat-and-chunk): the step that turns a
+    // deduped corpus into fixed-budget training sequences. Docs are
+    // concatenated in doc_id order and cut every `budget` tokens, so a
+    // doc's placement is a pure function of the running token offset:
+    // seq_id = floor(start/B), plus how many chunk boundaries the doc
+    // straddles (the packer must split it that many times). The running
+    // sum is windowed PER SHARD (doc_id % 8) — a global pack order would
+    // serialize 100 TB through one reducer; sharded packing is how real
+    // pipelines parallelize this (each shard emits its own sequence
+    // stream), and the integer shard hash keeps it deterministic on any
+    // cluster layout.
+    "t12_pack_sequences" -> ((s, d) => {
+      val budget = 512
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          TextAnalysis.tokenCount(col("text")).as("nt"))
+        .withColumn("start", coalesce(sum(col("nt")).over(w), lit(0L)))
+        .select(col("doc_id"), col("shard"), col("nt"),
+          floor(col("start") / budget).as("seq_id"),
+          (col("start") % budget).as("seq_offset"),
+          (floor((col("start") + col("nt") - 1) / budget)
+            - floor(col("start") / budget) + 1).as("n_seqs_spanned"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // T13 — unigram LM quality score (the CCNet-style signal: docs whose
+    // words are globally rare are likelier noise; docs dominated by the
+    // top of the vocabulary are likelier boilerplate). Kept in EXACT
+    // integer arithmetic — mean corpus frequency of the doc's tokens and
+    // the fraction of tokens in the global top-20 vocabulary — instead of
+    // log-probs, because libm log() and Java Math.log() can disagree in
+    // the last ulp and break the oracle hash. Plan shape is t8's: ONE
+    // shuffle of the (doc,word) frame; the vocabulary aggregate and the
+    // top-K list are vocabulary-sized and BROADCAST back, so the fat
+    // frame never shuffles by word (stopword skew lives there).
+    "t13_unigram_quality" -> ((s, d) => {
+      val tokc = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = false) // vocab agg + scoring join share it
+      val vocab = tokc.groupBy(col("word")).agg(sum(col("c")).as("freq"))
+      val top = vocab.orderBy(col("freq").desc, col("word")).limit(20)
+        .select(col("word"), lit(1L).as("in_top"))
+      tokc.join(broadcast(vocab), Seq("word"))
+        .join(broadcast(top), Seq("word"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("nt"),
+          sum(col("c") * col("freq")).as("sum_freq"),
+          sum(col("c") * coalesce(col("in_top"), lit(0L))).as("top_toks"))
+        .select(col("doc_id"),
+          (col("sum_freq") * lit(1.0) / col("nt")).as("mean_word_freq"),
+          (col("top_toks") * lit(1.0) / col("nt")).as("top20_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // M2 — the multimodal DECODE path (mapPartitions batch decode +
     // frame sampling), verified on its deterministic outputs: the fake
     // codec's byte length and stride-sampled frame count are pure integer
@@ -449,6 +508,45 @@ object TrainingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t12_pack_sequences" ->
+      """WITH docs AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, shard, nt,
+        |    CAST(COALESCE(sum(nt) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS start
+        |  FROM docs
+        |)
+        |SELECT doc_id, shard, nt,
+        |  CAST(floor(start / 512) AS BIGINT) AS seq_id,
+        |  start % 512 AS seq_offset,
+        |  CAST(floor((start + nt - 1) / 512) - floor(start / 512) + 1
+        |    AS BIGINT) AS n_seqs_spanned
+        |FROM pos ORDER BY doc_id""".stripMargin,
+
+    "t13_unigram_quality" ->
+      """WITH tokc AS (
+        |  SELECT doc_id, word, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |    FROM documents)
+        |  GROUP BY doc_id, word
+        |), vocab AS (
+        |  SELECT word, CAST(sum(c) AS BIGINT) AS freq FROM tokc GROUP BY word
+        |), top AS (
+        |  SELECT word, 1 AS in_top FROM vocab
+        |  ORDER BY freq DESC, word LIMIT 20
+        |)
+        |SELECT t.doc_id,
+        |  CAST(sum(t.c * v.freq) AS BIGINT) * 1.0
+        |    / CAST(sum(t.c) AS BIGINT) AS mean_word_freq,
+        |  CAST(sum(t.c * COALESCE(p.in_top, 0)) AS BIGINT) * 1.0
+        |    / CAST(sum(t.c) AS BIGINT) AS top20_frac
+        |FROM tokc t JOIN vocab v USING (word) LEFT JOIN top p USING (word)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
     "s8_hash_sample" ->
       """SELECT l_returnflag, count(*) AS n_sampled,
         |CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_qty
