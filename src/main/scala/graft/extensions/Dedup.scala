@@ -355,6 +355,47 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Bloom-filter decontamination: the memory-constant form of
+    * [[decontaminateExact]] for when even the distinct benchmark
+    * fingerprint set is too wide to broadcast as an exact hash set. The
+    * m-bit filter is built once from the benchmark side — the driver
+    * collects only the distinct BIT POSITIONS (≤ k per benchmark doc,
+    * bounded by construction exactly like the d7 broadcast; the corpus
+    * side never leaves the executors) — and embedded as a literal
+    * Array[Long]. The corpus-side membership test is k independently
+    * seeded xxhash64 probes expressed as
+    * pure column arithmetic over the literal words array, so the whole
+    * filter stays inside whole-stage codegen: no UDF, no join, no
+    * shuffle of the corpus. False positives only drop extra docs (the
+    * safe direction for decontamination); false negatives are
+    * impossible, so the survivors are always a subset of the exact
+    * survivors — the d10 contract query asserts both properties.
+    */
+  def bloomDecontaminate(corpus: DataFrame, bench: DataFrame,
+      textCol: String, mBits: Int = 1 << 14, k: Int = 4): DataFrame = {
+    require(mBits % 64 == 0, s"mBits ($mBits) must be a multiple of 64")
+    // both sides derive probe positions from the SAME column expressions,
+    // so the driver never needs to re-implement the hash; one xxhash64
+    // per probe with a distinct literal seed column keeps the probes
+    // independent without any long arithmetic (ANSI mode forbids the
+    // classic h1 + i·h2 wrap)
+    def positions(fp: Column): Seq[Column] =
+      (0 until k).map(i => pmod(xxhash64(fp, lit(i)), lit(mBits.toLong)))
+    val fp = TextAnalysis.normHash(col(textCol))
+    val setBits = bench
+      .select(explode(array(positions(fp): _*)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val words = new Array[Long](mBits / 64)
+    setBits.foreach(p => words(p.toInt / 64) |= (1L << (p.toInt % 64)))
+    val bits = typedLit(words.toSeq)
+    val contaminated = positions(fp).map { p =>
+      val word = element_at(bits, (p / 64).cast("int") + 1)
+      call_function("shiftright", word, (p % 64).cast("int"))
+        .bitwiseAND(lit(1L)) === 1L
+    }.reduce(_ && _)
+    parallelizeSmallScan(corpus).filter(!contaminated)
+  }
+
   /** SimHash over token hashes: bit j of the fingerprint is the sign of
     * Σ_tokens (bit_j(h(token)) ? +1 : −1). Near-dup docs differ in few
     * bits (small Hamming distance). Default 64 bits of xxhash64; pass

@@ -80,4 +80,32 @@ object EventWindows {
   def parsedProps(events: DataFrame): DataFrame =
     events.withColumn("k",
       get_json_object(col("props"), "$.k").cast("long"))
+
+  /** Per-key interval join (view→click attribution: for each left event,
+    * every right event by the same user in [l_ts, l_ts + maxLag)).
+    *
+    * Joining on user_id alone would put a power-user's entire history in
+    * one hash bucket, so the equi-key is (user_id, time bucket) with
+    * bucket width = maxLag: a right event lands in exactly one bucket,
+    * the left side probes its own bucket and the next, and a matching
+    * pair is generated exactly once (the right event's bucket is unique
+    * — no dedup pass needed, same trick as the d2 blocked join). State
+    * per bucket is bounded by maxLag regardless of how hot the user is.
+    * The streaming twin is StreamingOps.intervalJoinStream. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      maxLagSeconds: Long): DataFrame = {
+    def bucket(ts: Column): Column =
+      floor(unix_timestamp(ts) / maxLagSeconds).cast("long")
+    val l = left.select(col("user_id"), col("event_id").as("l_id"),
+        col("ts").as("l_ts"),
+        explode(array(bucket(col("ts")), bucket(col("ts")) + 1)).as("bkt"))
+    val r = right.select(col("user_id"), col("event_id").as("r_id"),
+      col("ts").as("r_ts"), bucket(col("ts")).as("bkt"))
+    l.join(r, Seq("user_id", "bkt"))
+      .filter(col("r_ts") >= col("l_ts") &&
+        col("r_ts") < col("l_ts") + expr(s"INTERVAL $maxLagSeconds SECONDS"))
+      .select(col("l_id"), col("r_id"),
+        (unix_timestamp(col("r_ts")) - unix_timestamp(col("l_ts")))
+          .as("lag_s"))
+  }
 }

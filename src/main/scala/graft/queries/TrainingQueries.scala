@@ -179,6 +179,24 @@ object TrainingQueries {
         .orderBy(col("bucket_start_s"), col("event_type"))
     }),
 
+    // V5 — per-user INTERVAL JOIN (view → click attribution within 2 h).
+    // The equi-key is (user_id, 2-h bucket), not user_id
+    // alone — a power user's whole history would otherwise pile into one
+    // hash bucket; the bucketed key bounds every join partition by the
+    // lag window (exactly-once pair generation, see
+    // EventWindows.intervalJoin). The oracle replays it as the plain
+    // interval θ-join, proving the blocked form loses/duplicates nothing.
+    "v5_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.extensions.EventWindows.intervalJoin(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "click"),
+          maxLagSeconds = 7200L)
+        .select(col("l_id").as("view_id"), col("r_id").as("click_id"),
+          col("lag_s"))
+        .orderBy(col("view_id"), col("click_id"))
+    }),
+
     // W21 — arbitrary GROUPING SETS (beyond the rollup/cube hierarchies):
     // sets ((r,n),(n),()) mix a non-hierarchical slice with the total.
     "w21_grouping_sets" -> ((s, d) => {
@@ -265,6 +283,33 @@ object TrainingQueries {
           docs.filter(col("doc_id") % 20 === 0), "text", "doc_id", n = 8)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
+    }),
+
+    // D10 — bloom-filter decontamination CONTRACT (companion to d7, same
+    // pattern as e5/e6): the bloom path must (a) never keep a doc the
+    // exact path drops — false negatives are structurally impossible —
+    // and (b) over-drop at most 1% of the corpus to false positives
+    // (the 16Ki-bit / 4-probe filter's expected rate is orders of
+    // magnitude below that at these benchmark sizes). The oracle asserts
+    // the two booleans as literals.
+    "d10_bloom_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+      val exact = Dedup.decontaminateExact(corpus, bench, "text")
+        .select(col("doc_id")).localCheckpoint(eager = false)
+      val bloom = Dedup.bloomDecontaminate(corpus, bench, "text")
+        .select(col("doc_id")).localCheckpoint(eager = false)
+      val falseNeg = bloom.join(exact, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_false_neg"))
+      val fpDropped = exact.join(bloom, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_fp_dropped"))
+      val total = corpus.agg(count(lit(1)).as("n_corpus"))
+      falseNeg.crossJoin(fpDropped).crossJoin(total)
+        .select(
+          (col("n_false_neg") === 0).as("bloom_subset_of_exact"),
+          (col("n_fp_dropped") * lit(1.0) / col("n_corpus") <= 0.01)
+            .as("fp_rate_le_1pct"))
     }),
 
     // T9 — C4/Gopher-style quality filtering: compose the text-analysis
@@ -719,6 +764,20 @@ object TrainingQueries {
     "w15b_sketch_bounds" ->
       """SELECT l_returnflag, true AS hll_within_5pct, true AS median_within_5pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "d10_bloom_decontaminate" ->
+      """SELECT true AS bloom_subset_of_exact,
+        |  true AS fp_rate_le_1pct""".stripMargin,
+
+    "v5_interval_join" ->
+      """SELECT v.event_id AS view_id, c.event_id AS click_id,
+        |  CAST(floor(epoch(c.ts)) AS BIGINT)
+        |    - CAST(floor(epoch(v.ts)) AS BIGINT) AS lag_s
+        |FROM events v JOIN events c
+        |  ON v.user_id = c.user_id
+        |  AND v.event_type = 'view' AND c.event_type = 'click'
+        |  AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 120 MINUTE
+        |ORDER BY view_id, click_id""".stripMargin,
 
     "e5_ann_recall" ->
       """SELECT true AS recall_at_10_ge_half""".stripMargin,

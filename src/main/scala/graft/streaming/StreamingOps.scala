@@ -78,6 +78,30 @@ object StreamingOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Watermarked stream-stream INTERVAL JOIN — the streaming twin of
+    * EventWindows.intervalJoin (view→click attribution within maxLag).
+    * Both sides carry a watermark and the join condition bounds r_ts to
+    * [l_ts, l_ts + maxLag), so Spark can age out left rows once the
+    * right watermark passes l_ts + maxLag: state stays bounded by the
+    * lag window at any stream rate, hash-partitioned by user_id. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      maxLagSeconds: Long): DataFrame = {
+    val l = left
+      .select(col("user_id"), col("event_id").as("l_id"), col("ts").as("l_ts"))
+      .withWatermark("l_ts", "30 minutes")
+    val r = right
+      .select(col("user_id").as("r_user_id"), col("event_id").as("r_id"),
+        col("ts").as("r_ts"))
+      .withWatermark("r_ts", "30 minutes")
+    l.join(r,
+        col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") < col("l_ts") + expr(s"INTERVAL $maxLagSeconds SECONDS"))
+      .select(col("l_id"), col("r_id"),
+        (unix_timestamp(col("r_ts")) - unix_timestamp(col("l_ts")))
+          .as("lag_s"))
+  }
+
   /** Event record for the typed stateful API. */
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)

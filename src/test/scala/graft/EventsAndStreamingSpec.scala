@@ -88,6 +88,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("stream-stream interval join matches the blocked batch form") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream4").toString
+    graft.sources.Tables.events(spark, sf0001).limit(500)
+      .write.mode("overwrite").parquet(tmp)
+    val staged = spark.read.parquet(tmp)
+    val views = staged.filter(col("event_type") === "view")
+    val clicks = staged.filter(col("event_type") === "click")
+
+    val stream = StreamingOps.readEventStream(spark, tmp)
+    StreamingOps.runToMemory(
+      StreamingOps.intervalJoinStream(
+        stream.filter(col("event_type") === "view"),
+        stream.filter(col("event_type") === "click"), maxLagSeconds = 7200L),
+      "stream_ijoin", "append")
+    val streamed = spark.table("stream_ijoin")
+      .select("l_id", "r_id", "lag_s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val batch = graft.extensions.EventWindows
+      .intervalJoin(views, clicks, maxLagSeconds = 7200L)
+      .collect().map(r => (r.getAs[Long]("l_id"), r.getAs[Long]("r_id"),
+        r.getAs[Long]("lag_s"))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming session windows produce rows under append-with-watermark") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream2").toString
     graft.sources.Tables.events(spark, sf0001).limit(500)

@@ -63,6 +63,20 @@ class DedupSpec extends SparkSpec {
     assert(survivors == Set(4L))
   }
 
+  test("bloom decontamination drops every exact hit and nothing it shouldn't") {
+    val bench = Seq((100L, base, "eval", base.length.toLong))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val bloom = Dedup.bloomDecontaminate(docs, bench, "text")
+      .select("doc_id").as[Long].collect().toSet
+    val exact = Dedup.decontaminateExact(docs, bench, "text")
+      .select("doc_id").as[Long].collect().toSet
+    // no false negatives, ever: bloom survivors ⊆ exact survivors
+    assert(bloom.subsetOf(exact))
+    // at this corpus size a false positive is ~impossible (16Ki bits,
+    // 4 probes, 1 benchmark doc) — the sets should be identical
+    assert(bloom == exact)
+  }
+
   test("SimHash: identical docs collide at hamming 0, unrelated docs do not") {
     // maxHamming = 3 is the radius the 4-chunk blocking fully guarantees
     val pairs = Dedup.simHashPairs(docs, maxHamming = 3)
