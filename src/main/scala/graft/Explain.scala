@@ -23,7 +23,12 @@ object Explain {
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries.get(n) match {
-        case Some(fn) => fn(spark, sfDir).explain("formatted")
+        case Some(fn) =>
+          val df = fn(spark, sfDir)
+          // run it first so AQE finalizes: the printed plan is the one
+          // that actually executed, not the pre-adaptive guess
+          df.count()
+          println(df.queryExecution.executedPlan.toString)
         case None => println(s"unknown query: $n")
       }
     }

@@ -89,4 +89,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       s"expected broadcast left-anti join, got\n$p")
   }
+
+  test("t11: both signal branches read the checkpoint — one corpus scan") {
+    val df = SparkEntry.queries("t11_repetition")(spark, sf0001)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    // the tokenized frame materializes once behind the lazy checkpoint;
+    // neither the word-mode nor the bigram-mode branch may re-scan the
+    // documents parquet
+    assert(!p.contains("Scan parquet"),
+      s"t11 branches must share the checkpointed token frame, not re-scan\n$p")
+    val rdds = "Scan ExistingRDD".r.findAllIn(p).size
+    assert(rdds == 2, s"expected both branches on the checkpoint RDD, got $rdds\n$p")
+  }
+
+  test("d10: bloom probe is a scan-level filter — no join, no corpus shuffle") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val corpus = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 20 =!= 0)
+    val bench = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 20 === 0)
+    val survivors = graft.extensions.Dedup.bloomDecontaminate(corpus, bench, "text")
+    survivors.count()
+    val p = survivors.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"),
+      s"the bloom filter must be a literal probe, not a join\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the corpus must stream through the probe without shuffling\n$p")
+  }
 }
