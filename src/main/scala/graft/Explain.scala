@@ -25,9 +25,10 @@ object Explain {
       SparkEntry.queries.get(n) match {
         case Some(fn) =>
           val df = fn(spark, sfDir)
-          // run it first so AQE finalizes: the printed plan is the one
-          // that actually executed, not the pre-adaptive guess
-          df.count()
+          // collect() runs THIS Dataset's own QueryExecution (count()
+          // would build a separate one and leave this plan un-finalized)
+          // so AQE finalizes and the printed plan is the executed one
+          df.collect()
           println(df.queryExecution.executedPlan.toString)
         case None => println(s"unknown query: $n")
       }

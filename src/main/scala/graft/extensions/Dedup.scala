@@ -372,7 +372,22 @@ object Dedup {
     * survivors — the d10 contract query asserts both properties.
     */
   def bloomDecontaminate(corpus: DataFrame, bench: DataFrame,
-      textCol: String, mBits: Int = 1 << 14, k: Int = 4): DataFrame = {
+      textCol: String, mBitsOverride: Int = 0, k: Int = 4): DataFrame = {
+    // Size the filter to the benchmark: a fixed m saturates once
+    // n ≈ m/(4·k) and the "safe" false positives silently eat the
+    // corpus. 16 bits/entry at k=4 keeps fill ≈ 22% and the per-doc FP
+    // rate ≈ 0.2% no matter how large the eval set grows; the extra
+    // count() runs on the small side only. (Beyond ~10^8 entries the
+    // literal bitset itself outgrows a task binary — shard the
+    // benchmark and intersect survivor sets at that point.)
+    val mBits =
+      if (mBitsOverride > 0) mBitsOverride
+      else {
+        val n = bench.select(TextAnalysis.normHash(col(textCol)))
+          .distinct().count()
+        val next = java.lang.Long.highestOneBit(math.max(1L, 16L * n - 1L)) << 1
+        math.max(1L << 14, math.min(next, 1L << 30)).toInt
+      }
     require(mBits % 64 == 0, s"mBits ($mBits) must be a multiple of 64")
     // both sides derive probe positions from the SAME column expressions,
     // so the driver never needs to re-implement the hash; one xxhash64

@@ -491,7 +491,9 @@ object ParityQueries {
     // parquet source of truth via the oracle. Proves long/double/string
     // values survive the write+parse cycle bit-exactly.
     "s5_csv_roundtrip" -> ((s, d) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_s5_").toString
+      // fixed path + overwrite mode: a fresh temp dir per invocation
+      // leaks one full export per bench/verify run (never cleaned up)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_s5_sink"
       Tables.exportCsv(Tables.customer(s, d)
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
           col("c_mktsegment")), out)
@@ -517,7 +519,8 @@ object ParityQueries {
     // The read-back scan prunes to one directory (PartitionFilters;
     // shape asserted in PartitionPruningSpec).
     "s9_partitioned_sink" -> ((s, d) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_s9_").toString
+      // fixed path + overwrite mode (see s5: per-invocation temp dirs leak)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_s9_sink"
       Tables.events(s, d)
         .withColumn("day", to_date(col("ts")))
         .write.partitionBy("day").mode("overwrite").parquet(out)
@@ -542,9 +545,13 @@ object ParityQueries {
         .groupBy(col("o_custkey"))
         .agg(Summaries.exactSum(col("o_totalprice"), 2).as("total_spend"),
           count(lit(1)).as("n_orders"))
+      // both report branches (summary agg, top-10 gap list) read the
+      // joined frame — materialize it once instead of running the
+      // orders aggregate + customer join twice
       val merged = Tables.customer(s, d)
         .join(spend, col("c_custkey") === col("o_custkey"), "left")
         .withColumn("spend_gap", col("total_spend") - col("c_acctbal"))
+        .localCheckpoint(eager = false)
       val summary = merged.agg(
         count(lit(1)).as("total_customers"),
         count(col("n_orders")).as("matched_customers"),
@@ -854,12 +861,13 @@ object ParityQueries {
         |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         |ORDER BY c_custkey, tag""".stripMargin,
 
-    // Parses the SAME committed fixture bytes as the Spark reader; the
-    // absolute path is part of the driver contract (repo at /root/repo).
+    // Parses the SAME committed fixture bytes as the Spark reader — the
+    // path interpolates from CovidSources.fixturesDir so a
+    // GRAFT_FIXTURES_DIR override moves BOTH engines together.
     "s1_csv_scan" ->
-      """SELECT iso_code, country, strftime("date", '%Y-%m-%d') AS dt,
+      s"""SELECT iso_code, country, strftime("date", '%Y-%m-%d') AS dt,
         |  total_cases, new_cases, total_tests, population
-        |FROM read_csv('/root/repo/fixtures/owid_sample.csv', header=true,
+        |FROM read_csv('${graft.sources.CovidSources.fixturesDir}/owid_sample.csv', header=true,
         |  columns={'iso_code':'VARCHAR','country':'VARCHAR','date':'DATE',
         |    'total_cases':'DOUBLE','new_cases':'DOUBLE','total_deaths':'DOUBLE',
         |    'new_deaths':'DOUBLE','total_tests':'DOUBLE','positive_rate':'DOUBLE',
@@ -869,13 +877,13 @@ object ParityQueries {
         |ORDER BY country, dt""".stripMargin,
 
     "s2_json_scan" ->
-      """SELECT country, countryInfo.iso3 AS iso_code, countryInfo.iso2 AS iso2_code,
+      s"""SELECT country, countryInfo.iso3 AS iso_code, countryInfo.iso2 AS iso2_code,
         |  countryInfo._id AS country_id, countryInfo.lat AS latitude,
         |  countryInfo."long" AS longitude, population, cases AS current_cases,
         |  deaths AS current_deaths, recovered AS current_recovered,
         |  tests AS tests_total, todayCases AS today_cases,
         |  strftime(epoch_ms(updated), '%Y-%m-%d %H:%M:%S') AS last_updated
-        |FROM read_json('/root/repo/fixtures/disease_sh_sample.json', format='array',
+        |FROM read_json('${graft.sources.CovidSources.fixturesDir}/disease_sh_sample.json', format='array',
         |  columns={'country':'VARCHAR',
         |    'countryInfo':'STRUCT(_id BIGINT, iso2 VARCHAR, iso3 VARCHAR, lat DOUBLE, "long" DOUBLE, flag VARCHAR)',
         |    'population':'BIGINT','cases':'BIGINT','deaths':'BIGINT',

@@ -56,7 +56,9 @@ object TrainingQueries {
         .otherwise(0.5)
       Tables.documents(s, d)
         .withColumn("w", w)
-        .withColumn("h", col("doc_id") * lit(2654435761L) % 1000)
+        // mod-first keeps the product under 2^63 (same guard as s8):
+        // doc_id alone overflows ANSI multiplication past ~3.5e9 docs
+        .withColumn("h", (col("doc_id") % 999983) * lit(2654435761L) % 1000)
         .withColumn("repeats",
           floor(col("w")) +
             when(col("h") < (col("w") - floor(col("w"))) * 1000, 1L)
@@ -289,9 +291,9 @@ object TrainingQueries {
     // pattern as e5/e6): the bloom path must (a) never keep a doc the
     // exact path drops — false negatives are structurally impossible —
     // and (b) over-drop at most 1% of the corpus to false positives
-    // (the 16Ki-bit / 4-probe filter's expected rate is orders of
-    // magnitude below that at these benchmark sizes). The oracle asserts
-    // the two booleans as literals.
+    // (the filter auto-sizes to 16 bits per benchmark entry, keeping the
+    // expected rate orders of magnitude below that at ANY eval-set
+    // size). The oracle asserts the two booleans as literals.
     "d10_bloom_decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val corpus = docs.filter(col("doc_id") % 20 =!= 0)
@@ -605,7 +607,7 @@ object TrainingQueries {
       """WITH rep AS (
         |  SELECT doc_id, source,
         |    CAST(floor(w) AS BIGINT) +
-        |      CASE WHEN doc_id * 2654435761 % 1000 < (w - floor(w)) * 1000
+        |      CASE WHEN (doc_id % 999983) * 2654435761 % 1000 < (w - floor(w)) * 1000
         |        THEN 1 ELSE 0 END AS repeats
         |  FROM (SELECT doc_id, source,
         |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0

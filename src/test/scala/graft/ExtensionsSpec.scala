@@ -72,8 +72,8 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     // no false negatives, ever: bloom survivors ⊆ exact survivors
     assert(bloom.subsetOf(exact))
-    // at this corpus size a false positive is ~impossible (16Ki bits,
-    // 4 probes, 1 benchmark doc) — the sets should be identical
+    // at this corpus size a false positive is ~impossible (auto-sized
+    // ≥16Ki bits, 4 probes, 1 benchmark doc) — the sets should be identical
     assert(bloom == exact)
   }
 

@@ -9,6 +9,14 @@ class PlanSpec extends SparkSpec {
   private def planString(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
 
+  /** The finalized plan only: after collect(), AdaptiveSparkPlanExec's
+    * toString appends the pre-adaptive "Initial Plan" section, which
+    * would double-count every pattern asserted below. */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // run THIS plan so AQE finalizes (count() builds a separate one)
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
   test("s7: filter and projection reach the parquet scan") {
     val p = planString("s7_scan_pruned")
     assert(p.contains("PushedFilters"), "expected pushed filters in scan")
@@ -20,8 +28,7 @@ class PlanSpec extends SparkSpec {
 
   test("j2: dimension sides broadcast, no sort-merge join at this scale") {
     val df = SparkEntry.queries("j2_multiway_join")(spark, sf0001)
-    df.count() // finalize the adaptive plan
-    val p = df.queryExecution.executedPlan.toString
+    val p = finalPlan(df)
     val bhj = "BroadcastHashJoin".r.findAllIn(p).size
     assert(bhj >= 4, s"expected >=4 broadcast joins, got $bhj in\n$p")
     assert(!p.contains("SortMergeJoin"), "no SMJ expected at this scale")
@@ -33,8 +40,7 @@ class PlanSpec extends SparkSpec {
 
   test("w1: window ops introduce exactly one exchange (partition by key)") {
     val df = SparkEntry.queries("w1_ffill")(spark, sf0001)
-    df.count()
-    val p = df.queryExecution.executedPlan.toString
+    val p = finalPlan(df)
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges <= 1,
       s"ffill should need one hash exchange, got $exchanges")
@@ -42,8 +48,7 @@ class PlanSpec extends SparkSpec {
 
   test("j8: selective filters are pushed to all three scans; top-10 is heap-based") {
     val df = SparkEntry.queries("j8_flagship_join")(spark, sf0001)
-    df.count()
-    val p = df.queryExecution.executedPlan.toString
+    val p = finalPlan(df)
     assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
       "segment filter should be pushed to the customer scan")
     assert(p.contains("LessThan(o_orderdate"),
@@ -56,8 +61,7 @@ class PlanSpec extends SparkSpec {
 
   test("j9: salted join plans as shuffled hash join (no sort of the fact side)") {
     val df = SparkEntry.queries("j9_salted_join")(spark, sf0001)
-    df.count()
-    val p = df.queryExecution.executedPlan.toString
+    val p = finalPlan(df)
     assert(p.contains("ShuffledHashJoin"),
       "salted join should hash-build the replicated dim side")
     assert(!p.contains("SortMergeJoin"),
@@ -66,8 +70,7 @@ class PlanSpec extends SparkSpec {
 
   test("d2: merge-loop intersection evaluates exactly once per pair") {
     val df = SparkEntry.queries("d2_token_jaccard")(spark, sf0001)
-    df.count()
-    val p = df.queryExecution.executedPlan.toString
+    val p = finalPlan(df)
     val n = "sortedintersectsize".r.findAllIn(p).size
     assert(n == 1,
       s"the Generate barrier should leave exactly one sorted_intersect_size" +
@@ -76,24 +79,21 @@ class PlanSpec extends SparkSpec {
 
   test("e4: IVF assign is a map pass — no corpus-wide argmin shuffle") {
     val df = SparkEntry.queries("e4_ivf_ann")(spark, sf0001)
-    df.count()
-    val p = df.queryExecution.executedPlan.toString
+    val p = finalPlan(df)
     assert(!p.contains("hashpartitioning(vec_id"),
       s"cell assignment must not shuffle the corpus by vec_id\n$p")
   }
 
   test("d7: decontamination is a broadcast anti-join — corpus side never shuffles") {
     val df = SparkEntry.queries("d7_decontaminate_exact")(spark, sf0001)
-    df.count()
-    val p = df.queryExecution.executedPlan.toString
+    val p = finalPlan(df)
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       s"expected broadcast left-anti join, got\n$p")
   }
 
   test("t11: both signal branches read the checkpoint — one corpus scan") {
     val df = SparkEntry.queries("t11_repetition")(spark, sf0001)
-    df.count()
-    val p = df.queryExecution.executedPlan.toString
+    val p = finalPlan(df)
     // the tokenized frame materializes once behind the lazy checkpoint;
     // neither the word-mode nor the bigram-mode branch may re-scan the
     // documents parquet
@@ -108,8 +108,7 @@ class PlanSpec extends SparkSpec {
     val corpus = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 20 =!= 0)
     val bench = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 20 === 0)
     val survivors = graft.extensions.Dedup.bloomDecontaminate(corpus, bench, "text")
-    survivors.count()
-    val p = survivors.queryExecution.executedPlan.toString
+    val p = finalPlan(survivors)
     assert(!p.contains("Join"),
       s"the bloom filter must be a literal probe, not a join\n$p")
     assert(!p.contains("Exchange hashpartitioning"),

@@ -68,7 +68,7 @@ class ScaleSpec extends SparkSpec {
 
   test("d9 distributed CC path at bench scale agrees with union-find (and is timed)") {
     // the fallback path for pair graphs too big for the driver, forced
-    // via driverEdgeLimit = 0 and exercised at sf0.1 (50k docs) so it
+    // via driverEdgeLimit = 0 and exercised at sf0.1 (5,000 docs) so it
     // has a measured perf number, not just a small-graph property test
     val d = "/root/testdata/sf0.1"
     val docs = Tables.documents(spark, d)
