@@ -355,6 +355,28 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Incremental (cross-snapshot) dedup — the ingest shape at 100 TB:
+    * an already-deduped corpus persists only its FINGERPRINT INDEX
+    * (the [[exactGroups]] output), and each incoming batch dedups
+    * against that index without the existing corpus ever being re-read
+    * or re-hashed. Within-batch dups keep the min-id doc (same policy
+    * as d1/d6); cross-snapshot dups drop via a left-anti join that
+    * hash-partitions both sides on the fingerprint — the index side is
+    * corpus-sized, so no broadcast is assumed. Returns the batch
+    * survivors; union their fingerprints into the index to advance the
+    * snapshot. */
+  def incrementalDedup(incoming: DataFrame, existingFps: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val batch = parallelizeSmallScan(incoming)
+      .withColumn("__fp", TextAnalysis.normHash(col(textCol)))
+    val firstInBatch = batch.groupBy(col("__fp"))
+      .agg(min(col(idCol)).as(idCol))
+    batch.join(firstInBatch, Seq("__fp", idCol), "left_semi")
+      .join(existingFps.select(col("fingerprint").as("__fp")).distinct(),
+        Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Bloom-filter decontamination: the memory-constant form of
     * [[decontaminateExact]] for when even the distinct benchmark
     * fingerprint set is too wide to broadcast as an exact hash set. The

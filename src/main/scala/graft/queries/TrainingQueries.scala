@@ -287,6 +287,24 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // D11 — incremental ingest dedup: the first 400 doc_ids play the
+    // already-deduped snapshot (only its fingerprint INDEX is touched),
+    // the rest arrive as the new batch. Survivors are batch docs that
+    // are first among their within-batch fingerprint AND absent from
+    // the snapshot index — the existing corpus text is never re-read,
+    // which is the property that makes dedup affordable per-ingest at
+    // 100 TB.
+    "d11_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val index = Dedup.exactGroups(
+        docs.filter(col("doc_id") < 400), "text", "doc_id")
+        .select(col("fingerprint"))
+      Dedup.incrementalDedup(
+          docs.filter(col("doc_id") >= 400), index, "text", "doc_id")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // D10 — bloom-filter decontamination CONTRACT (companion to d7, same
     // pattern as e5/e6): the bloom path must (a) never keep a doc the
     // exact path drops — false negatives are structurally impossible —
@@ -770,6 +788,21 @@ object TrainingQueries {
     "d10_bloom_decontaminate" ->
       """SELECT true AS bloom_subset_of_exact,
         |  true AS fp_rate_le_1pct""".stripMargin,
+
+    "d11_incremental_dedup" ->
+      """WITH idx AS (
+        |  SELECT DISTINCT md5(lower(trim(text))) AS fp
+        |  FROM documents WHERE doc_id < 400
+        |), batch AS (
+        |  SELECT doc_id, source, md5(lower(trim(text))) AS fp
+        |  FROM documents WHERE doc_id >= 400
+        |), firstb AS (
+        |  SELECT fp, min(doc_id) AS doc_id FROM batch GROUP BY fp
+        |)
+        |SELECT b.doc_id, b.source FROM batch b
+        |JOIN firstb f ON b.fp = f.fp AND b.doc_id = f.doc_id
+        |WHERE b.fp NOT IN (SELECT fp FROM idx)
+        |ORDER BY b.doc_id""".stripMargin,
 
     "v5_interval_join" ->
       """SELECT v.event_id AS view_id, c.event_id AS click_id,
