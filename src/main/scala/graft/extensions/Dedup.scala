@@ -97,13 +97,26 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** Word n-gram shingles as a distinct array column. */
-  def ngramShingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
+  /** Word n-gram shingles from a PRE-MATERIALIZED token-array column.
+    *
+    * The token argument must be a materialized attribute, not a raw
+    * `split(...)` tree: higher-order lambdas run interpreted
+    * (CodegenFallback) and re-evaluate every subtree reference PER
+    * ELEMENT, so an inline split makes shingling O(positions ×
+    * split-cost) per document — measured 16× on the d12 ingest path.
+    * Callers tokenize in their own projection first (Catalyst's
+    * CollapseProject keeps a non-cheap alias referenced more than once
+    * in its own projection, so the split stays single-evaluation). */
+  def ngramShinglesFromTokens(toks: Column, n: Int): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+
+  /** Word n-gram shingles as a distinct array column — convenience form
+    * for one-shot/cold paths; hot paths pre-tokenize (see
+    * [[ngramShinglesFromTokens]]). */
+  def ngramShingles(text: Column, n: Int): Column =
+    ngramShinglesFromTokens(TextAnalysis.tokens(text), n)
 
   /** Blocked n-gram Jaccard near-dup pairs — like [[tokenJaccardPairs]]
     * but over word n-gram shingle sets (order-sensitive: catches
@@ -116,12 +129,15 @@ object Dedup {
     // string-array intersection in the O(pairs) inner loop.
     // localCheckpoint materializes the (expensive) shingle projection
     // once; without it each side of the self-join re-evaluates it.
-    val prepared = parallelizeSmallScan(docs).select(
-      col("doc_id"), col("source"),
-      floor(col("n_chars") / 32.0).cast("long").as("bkt"),
-      sort_array(array_distinct(
-        transform(ngramShingles(col("text"), n), s => xxhash64(s))))
-        .as("toks"))
+    val prepared = parallelizeSmallScan(docs)
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .select(
+        col("doc_id"), col("source"),
+        floor(col("n_chars") / 32.0).cast("long").as("bkt"),
+        sort_array(array_distinct(
+          transform(ngramShinglesFromTokens(col("__toks"), n),
+            s => xxhash64(s))))
+          .as("toks"))
       .localCheckpoint(eager = false)
     jaccardOverBlocks(prepared, threshold)
   }
@@ -150,21 +166,101 @@ object Dedup {
   /** MinHash signature via a universal hash family over one base hash:
     * signature[s] = min over shingles of (a_s·h(x) + b_s) mod P. One base
     * hash per shingle (not k seeded hashes), pure array expressions — one
-    * pass, no shuffle. */
+    * pass, no shuffle.
+    *
+    * Evaluated in three STACKED projections (tokens → base hashes →
+    * signature slots), not one: the signature array references the
+    * base-hash subtree `numHashes` times, and shingling references the
+    * token split per position — inlined, the interpreted lambda
+    * evaluator would recompute the whole hash chain 32× per document
+    * (measured 16× wall-clock on the ingest path). CollapseProject
+    * leaves non-cheap aliases with multiple consumers in their own
+    * projection, so each stage is evaluated exactly once per row. */
   def withMinHashSignature(
       docs: DataFrame, textCol: String, numHashes: Int, shingleWidth: Int,
       hashFn: Column => Column = xxhash64(_)): DataFrame = {
-    // reuse the canonical shingle construction — its array_distinct is
-    // harmless under array_min and keeps the shingle-set definition in
-    // exactly one place
-    val shingles = ngramShingles(col(textCol), shingleWidth)
-    val baseHashes = transform(shingles, sh => pmod(hashFn(sh), lit(MinHashP)))
+    val staged = docs
+      .withColumn("__mh_toks", TextAnalysis.tokens(col(textCol)))
+      // the array_distinct inside ngramShinglesFromTokens is harmless
+      // under array_min and keeps the shingle-set definition in one place
+      .withColumn("__mh_base", transform(
+        ngramShinglesFromTokens(col("__mh_toks"), shingleWidth),
+        sh => pmod(hashFn(sh), lit(MinHashP))))
     val sig = array((0 until numHashes).map { s =>
       val (a, b) = (seedConst("a", s), seedConst("b", s))
-      array_min(transform(baseHashes,
+      array_min(transform(col("__mh_base"),
         h => (lit(a) * h + lit(b)) % MinHashP))
     }: _*)
-    docs.withColumn("minhash_sig", sig)
+    staged.withColumn("minhash_sig", sig)
+      .drop("__mh_toks", "__mh_base")
+  }
+
+  /** Banded MinHash signature index: one row per (doc, band) with the
+    * band's bucket hash — `(doc_id, minhash_sig, band, bhash)`. This is
+    * the frame an already-deduped corpus snapshot PERSISTS (parquet,
+    * partitioned by `band`): ingest batches join against it
+    * ([[incrementalMinHashPairs]]) without the corpus text ever being
+    * re-read or re-shingled, and [[minHashLshPairs]] self-joins it for
+    * the one-shot form. The band explode is bounded (~`bands`×) and
+    * map-side; no shuffle happens here. */
+  def minHashBandIndex(
+      docs: DataFrame,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) — trailing " +
+        "signature slots would silently drop out of banding")
+    val rows = numHashes / bands
+    withMinHashSignature(parallelizeSmallScan(docs), "text",
+        numHashes, 3, hashFn)
+      .select(col("doc_id"), col("minhash_sig"),
+        explode(array((0 until bands).map { bi =>
+          struct(lit(bi).as("band"),
+            xxhash64(slice(col("minhash_sig"), bi * rows + 1, rows))
+              .as("bhash"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("minhash_sig"),
+        col("bb.band").as("band"), col("bb.bhash").as("bhash"))
+  }
+
+  /** Incremental (cross-snapshot) near-dup candidates: each incoming
+    * batch doc is matched against the persisted corpus band index —
+    * `(new_id, old_id, est_jaccard)` pairs above `threshold`. The
+    * streaming-ingest twin of [[minHashLshPairs]], and the near-dup
+    * analogue of [[incrementalDedup]]: per-ingest cost is
+    * O(|batch| · bands) probe rows hash-joined against the index on
+    * uniformly-distributed `(band, bhash)` keys — independent of corpus
+    * size, no self-join, no corpus re-scan. The skew cap bounds INDEX
+    * bucket width (a boilerplate bucket of m docs would otherwise cost
+    * every colliding batch doc m verifications). Union the batch's own
+    * [[minHashBandIndex]] rows into the index to advance the snapshot. */
+  def incrementalMinHashPairs(
+      batch: DataFrame,
+      index: DataFrame,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      maxBucket: Int = 100,
+      hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    val cappedIdx = index
+      .withColumn("__bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bhash")))
+      .filter(col("__bsize") <= maxBucket)
+      .drop("__bsize")
+      .select(col("band"), col("bhash"),
+        col("doc_id").as("old_id"), col("minhash_sig").as("old_sig"))
+    minHashBandIndex(batch, numHashes, bands, hashFn)
+      .select(col("band"), col("bhash"),
+        col("doc_id").as("new_id"), col("minhash_sig").as("new_sig"))
+      .join(cappedIdx, Seq("band", "bhash"))
+      .select(col("new_id"), col("old_id"), col("new_sig"), col("old_sig"))
+      .distinct()
+      .withColumn("est_jaccard", round(
+        size(filter(zip_with(col("new_sig"), col("old_sig"),
+          (x, y) => x === y), m => m)).cast("double") / numHashes, 4))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("new_id"), col("old_id"), col("est_jaccard"))
   }
 
   /** MinHash-LSH candidate pairs: split the signature into `bands` bands
@@ -185,18 +281,7 @@ object Dedup {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes) — trailing " +
         "signature slots would silently drop out of banding")
-    val rows = numHashes / bands
-    val signed = withMinHashSignature(parallelizeSmallScan(docs), "text",
-        numHashes, 3, hashFn)
-      .select(col("doc_id"), col("minhash_sig"))
-    val banded = signed.select(
-      col("doc_id"), col("minhash_sig"),
-      explode(array((0 until bands).map { bi =>
-        struct(lit(bi).as("band"),
-          xxhash64(slice(col("minhash_sig"), bi * rows + 1, rows)).as("bhash"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("minhash_sig"),
-        col("bb.band").as("band"), col("bb.bhash").as("bhash"))
+    val banded = minHashBandIndex(docs, numHashes, bands, hashFn)
       // skew guard: a degenerate bucket (e.g. boilerplate-heavy corpora)
       // would make the self-join quadratic; cap candidate buckets.
       .withColumn("__bsize", count(lit(1)).over(
@@ -346,8 +431,10 @@ object Dedup {
       corpus: DataFrame, bench: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {
     def shingleHashes(df: DataFrame, cols: Column*): DataFrame =
-      df.select(cols :+ explode(array_distinct(
-        transform(ngramShingles(col(textCol), n), s => xxhash64(s)))).as("__sh"): _*)
+      df.withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+        .select(cols :+ explode(array_distinct(
+          transform(ngramShinglesFromTokens(col("__toks"), n),
+            s => xxhash64(s)))).as("__sh"): _*)
     val benchSh = shingleHashes(bench).distinct()
     val contaminated = shingleHashes(parallelizeSmallScan(corpus), col(idCol))
       .join(broadcast(benchSh), Seq("__sh"), "left_semi")
@@ -439,15 +526,19 @@ object Dedup {
     * `md5Hash60`/60 for a cross-engine-replayable fingerprint. */
   def withSimHash(docs: DataFrame, textCol: String,
       hashFn: Column => Column = xxhash64(_), bits: Int = 64): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    val hashes = transform(toks, t => hashFn(t))
+    // per-token hashes staged in their own projection: the per-bit vote
+    // aggregates reference them `bits` times, and inlined they would be
+    // recomputed per bit (same interpreted-lambda pitfall as
+    // withMinHashSignature — see that Scaladoc)
+    val staged = docs.withColumn("__sh_hashes",
+      transform(TextAnalysis.tokens(col(textCol)), t => hashFn(t)))
     val sim = (0 until bits).map { j =>
-      val votes = aggregate(hashes, lit(0L),
+      val votes = aggregate(col("__sh_hashes"), lit(0L),
         (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L)
           .otherwise(lit(-1L)))
       when(votes > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    docs.withColumn("simhash", sim)
+    staged.withColumn("simhash", sim).drop("__sh_hashes")
   }
 
   /** SimHash near-dup pairs: block on 4×16-bit chunks (any chunk equal →

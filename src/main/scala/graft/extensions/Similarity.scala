@@ -234,4 +234,46 @@ object Similarity {
       .filter(col("cosine_sim") >= threshold)
       .select(col("a_id"), col("b_id"), col("cosine_sim"))
   }
+
+  /** Batch k-NN join: the top-k cosine neighbors in `corpus` for EVERY
+    * vector in `queries`, in ONE corpus pass — the retrieval/eval shape
+    * (probe a training corpus with a whole benchmark set at once) that
+    * single-query top-k (e1/e2/e4) doesn't cover.
+    *
+    * Plan shape at scale: the query set folds into a single broadcast
+    * array-of-structs row (same pattern as the IVF centroid broadcast),
+    * each corpus row scores all queries map-side (explode is bounded by
+    * |Q|), and the grouped top-k runs through
+    * [[graft.functions.TopKPairAggregator]] — the partial aggregate
+    * carries at most k (score, id) pairs per query per partition, so
+    * corpus rows never shuffle and the exchange after map-side combine
+    * is |Q|·k·partitions, independent of corpus size. A query set too
+    * large to broadcast should be chunked into broadcastable slices (or
+    * use the bucketed LSH path, [[annTopK]]): the corpus-side plan is
+    * unchanged per slice.
+    *
+    * Ties are deterministic: score descending, then vec_id ascending —
+    * scores are pre-rounded to 4 decimals so the ordering is the one the
+    * oracle replays. */
+  def knnJoin(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val qArr = queries.agg(
+      array_sort(collect_list(struct(col("vec_id").as("q_id"),
+        col("embedding").as("q_vec")))).as("__qs"))
+    val topk = udaf(new graft.functions.TopKPairAggregator(k))
+    corpus
+      .crossJoin(broadcast(qArr))
+      .select(col("vec_id"), explode(transform(col("__qs"), q => struct(
+        q.getField("q_id").as("q_id"),
+        round(cosine(col("embedding"), q.getField("q_vec")), 4)
+          .as("sim")))).as("qs"))
+      .select(col("qs.q_id").as("q_id"), col("qs.sim").as("sim"),
+        col("vec_id"))
+      .filter(col("sim").isNotNull)
+      .groupBy(col("q_id"))
+      .agg(topk(col("sim"), col("vec_id")).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("vec_id"), col("col.score").as("cosine_sim"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
 }

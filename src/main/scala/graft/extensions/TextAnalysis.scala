@@ -135,6 +135,30 @@ object TextAnalysis {
   /** Exact normalized-text hash (full md5) for exact dedup. */
   def normHash(text: Column): Column = md5(lower(trim(text)).cast("binary"))
 
+  /** PII patterns, restricted to syntax with identical semantics in
+    * Java regex (Spark codegen) and RE2 (DuckDB oracle): character
+    * classes, bounded repetition, `\b` word boundaries — no lookaround,
+    * no backreferences. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\+1-555-\\d{4}"
+
+  /** PII redaction — the scrub pass a training corpus runs before
+    * anything else sees the text. Email → IP → phone, each a global
+    * regexp_replace (pure codegen string ops, map-side only). The email
+    * pass runs first so an address's host part is never half-claimed by
+    * the IP pattern. */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Pattern, "<IP>")
+    regexp_replace(noIp, PhonePattern, "<PHONE>")
+  }
+
+  /** Count of matches of `pattern` — paired with [[redactPii]] for
+    * per-doc scrub accounting. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
   /** Document chunking: split each doc into fixed-size token windows with
     * overlap (stride = chunkTokens − overlap) — the step that turns raw
     * docs into embedding/training units. One row per chunk via

@@ -51,6 +51,24 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // D12 — incremental MinHash near-dup: docs < 400 play the deduped
+    // snapshot (only its banded signature INDEX is touched), docs >= 400
+    // the ingest batch. Candidates are batch-vs-index band joins — the
+    // corpus text is never re-shingled, which is what keeps near-dup
+    // affordable per-ingest at 100 TB. Same md5-derived family as d3 so
+    // DuckDB replays the whole pipeline.
+    "d12_incremental_minhash" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val index = Dedup.minHashBandIndex(
+        docs.filter(col("doc_id") < 400), numHashes = 32, bands = 8,
+        hashFn = Dedup.md5Hash60)
+      Dedup.incrementalMinHashPairs(
+          docs.filter(col("doc_id") >= 400), index,
+          numHashes = 32, bands = 8, threshold = 0.3,
+          hashFn = Dedup.md5Hash60)
+        .orderBy(col("new_id"), col("old_id"))
+    }),
+
     // D4 — SimHash (60-bit md5-derived fingerprint) + near-dup candidate
     // count — fully oracle-replayed like d3.
     "d4_simhash" -> ((s, d) => {
@@ -233,6 +251,17 @@ object ExtensionQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // E8 — batch k-NN join: top-5 neighbors for the first 8 vectors
+    // (the query set) against the rest (the corpus) in one corpus pass;
+    // the bounded map-side top-k aggregator keeps the shuffle at
+    // |Q|·k·partitions regardless of corpus size.
+    "e8_knn_join" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.knnJoin(
+        emb.filter(col("vec_id") >= 8),
+        emb.filter(col("vec_id") < 8), k = 5)
+    }),
+
     // T4 — explode/lateral surface: global word counts, top 20.
     "t4_word_counts" -> ((s, d) => {
       Tables.documents(s, d)
@@ -392,6 +421,54 @@ object ExtensionQueries {
         |FROM sig s LEFT JOIN cand c ON s.doc_id = c.doc_id
         |ORDER BY s.doc_id""".stripMargin,
 
+    // d3's signature/banding replay, split into snapshot index
+    // (doc_id < 400, skew-capped) and ingest batch (>= 400); band
+    // equality via the slice value — the same bucketing Spark's
+    // xxhash64(band slice) keys express.
+    "d12_incremental_minhash" ->
+      s"""WITH consts AS (SELECT $minhashA AS ca, $minhashB AS cb),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text,' ')) - 3 + 2, 2)),
+        |    i -> array_to_string(list_slice(string_split(text,' '), i, i + 2), ' ')))
+        |    AS shingles
+        |  FROM documents
+        |), hs AS (
+        |  SELECT doc_id, list_transform(shingles,
+        |    x -> CAST('0x' || substr(md5(x),1,15) AS BIGINT) % 1000000007) AS hs
+        |  FROM sh
+        |), sig AS (
+        |  SELECT doc_id, list_transform(range(1, 33), s ->
+        |    list_min(list_transform(hs, h -> (ca[s] * h + cb[s]) % 1000000007)))
+        |    AS sig
+        |  FROM hs CROSS JOIN consts
+        |), banded AS (
+        |  SELECT doc_id, sig, b.band,
+        |    array_to_string(list_slice(sig, b.band * 4 + 1, b.band * 4 + 4), ',')
+        |    AS bkey
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b
+        |), idx AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, sig, band, bkey,
+        |      count(*) OVER (PARTITION BY band, bkey) AS bsize
+        |    FROM banded WHERE doc_id < 400)
+        |  WHERE bsize <= 100
+        |), bat AS (
+        |  SELECT doc_id, sig, band, bkey FROM banded WHERE doc_id >= 400
+        |), pairs AS (
+        |  SELECT DISTINCT b.doc_id AS new_id, i.doc_id AS old_id,
+        |    b.sig AS new_sig, i.sig AS old_sig
+        |  FROM bat b JOIN idx i ON b.band = i.band AND b.bkey = i.bkey
+        |), est AS (
+        |  SELECT new_id, old_id,
+        |    round(len(list_filter(range(1, 33), k -> new_sig[k] = old_sig[k]))
+        |      / 32.0, 4) AS est_jaccard
+        |  FROM pairs
+        |)
+        |SELECT new_id, old_id, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.3
+        |ORDER BY new_id, old_id""".stripMargin,
+
     "d4_simhash" ->
       """WITH hs AS (
         |  SELECT doc_id, list_transform(string_split(text,' '),
@@ -490,6 +567,32 @@ object ExtensionQueries {
         |  CAST(list_max(c) AS BIGINT) AS q_max,
         |  CAST(list_min(c) AS BIGINT) AS q_min
         |FROM codes ORDER BY vec_id""".stripMargin,
+
+    // Same unnest/rejoin dot-product replay as e1, generalized to all
+    // query vectors at once; row_number replays the aggregator's
+    // (score DESC, vec_id) tie order.
+    "e8_knn_join" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS qv
+        |  FROM embeddings WHERE vec_id < 8
+        |), v AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS ev
+        |  FROM embeddings WHERE vec_id >= 8
+        |), m AS (
+        |  SELECT q.q_id, v.vec_id,
+        |    round(sum(v.ev * q.qv)
+        |      / (sqrt(sum(v.ev * v.ev)) * sqrt(sum(q.qv * q.qv))), 4)
+        |      AS cosine_sim
+        |  FROM v JOIN q ON v.i = q.i GROUP BY q.q_id, v.vec_id
+        |), r AS (
+        |  SELECT q_id, vec_id, cosine_sim, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cosine_sim DESC, vec_id) AS rnk
+        |  FROM m
+        |)
+        |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cosine_sim
+        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
 
     "t1_text_stats" ->
       """SELECT doc_id, nt AS n_tokens, dt AS distinct_tokens,

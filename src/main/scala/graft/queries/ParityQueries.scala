@@ -531,6 +531,16 @@ object ParityQueries {
         .orderBy(col("event_id"))
     }),
 
+    // S12 — bucketed-table join: both sides written bucketBy(8, custkey)
+    // + sortBy into the session catalog, then joined with ZERO exchange
+    // (PlanSpec asserts no ShuffleExchange) — the write-time-shuffle
+    // layout that amortizes a recurring join's shuffle across every
+    // downstream consumer at 100 TB. Oracle = the plain join.
+    "s12_bucketed_join" -> ((s, d) => {
+      graft.sources.Bucketing.bucketedCustomerOrders(s, d)
+        .orderBy(col("c_custkey"), col("o_orderkey"))
+    }),
+
     // W24 — the composed integration report
     // (generate_integration_summary, data_merger.py:368-419): source
     // match-rate completeness, quality-flag counts, decimal-exact average
@@ -904,6 +914,11 @@ object ParityQueries {
         |  strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
         |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'
         |ORDER BY event_id""".stripMargin,
+
+    "s12_bucketed_join" ->
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin,
 
     "w24_integration_report" ->
       """WITH merged AS (

@@ -199,6 +199,18 @@ object TrainingQueries {
         .orderBy(col("view_id"), col("click_id"))
     }),
 
+    // V6 — stream-static enrichment join (batch form of
+    // StreamingOps.enrichedSegmentCounts; streaming parity in
+    // StreamingSpec): events decorated from the broadcast customer dim,
+    // rolled up by market segment. The stream side never shuffles for
+    // the join — the scale property that holds at any event rate.
+    "v6_stream_static_join" -> ((s, d) => {
+      graft.streaming.StreamingOps.enrichedSegmentCounts(
+          Tables.events(s, d),
+          Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")))
+        .orderBy(col("c_mktsegment"), col("event_type"))
+    }),
+
     // W21 — arbitrary GROUPING SETS (beyond the rollup/cube hierarchies):
     // sets ((r,n),(n),()) mix a non-hierarchical slice with the total.
     "w21_grouping_sets" -> ((s, d) => {
@@ -538,6 +550,31 @@ object TrainingQueries {
     // shuffle of the (doc,word) frame; the vocabulary aggregate and the
     // top-K list are vocabulary-sized and BROADCAST back, so the fat
     // frame never shuffles by word (stopword skew lives there).
+    // T14 — PII redaction: the scrub pass before any text ships to
+    // training. The synthetic corpus carries no PII, so each doc is
+    // AUGMENTED with a deterministic email / IPv4 / phone derived from
+    // its id (both engines build the identical string), then scrubbed;
+    // verified via match counts + md5 of the scrubbed text. Pure
+    // codegen regexp ops, map-side only — no shuffle at any width.
+    "t14_pii_redact" -> ((s, d) => {
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com from 10."),
+        pmod(col("doc_id"), lit(256)), lit(".0.1 call +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          TextAnalysis.piiCount(col("aug"), TextAnalysis.EmailPattern)
+            .as("n_emails"),
+          TextAnalysis.piiCount(col("aug"), TextAnalysis.Ipv4Pattern)
+            .as("n_ips"),
+          TextAnalysis.piiCount(col("aug"), TextAnalysis.PhonePattern)
+            .as("n_phones"),
+          md5(TextAnalysis.redactPii(col("aug")).cast("binary"))
+            .as("redacted_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     "t13_unigram_quality" -> ((s, d) => {
       val tokc = Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"),
@@ -611,6 +648,31 @@ object TrainingQueries {
         |    / CAST(sum(t.c) AS BIGINT) AS top20_frac
         |FROM tokc t JOIN vocab v USING (word) LEFT JOIN top p USING (word)
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // DuckDB regexes are RE2; the patterns use only syntax with
+    // identical semantics in Java regex ('g' = Spark's replace-all
+    // default).
+    "t14_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text || ' contact user' || doc_id
+        |    || '@example.com from 10.' || (doc_id % 256)
+        |    || '.0.1 call +1-555-'
+        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(aug,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(aug, '\+1-555-\d{4}')) AS BIGINT)
+        |    AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+1-555-\d{4}', '<PHONE>', 'g')) AS redacted_hash
+        |FROM aug ORDER BY doc_id""".stripMargin,
 
     "s8_hash_sample" ->
       """SELECT l_returnflag, count(*) AS n_sampled,
@@ -813,6 +875,14 @@ object TrainingQueries {
         |  AND v.event_type = 'view' AND c.event_type = 'click'
         |  AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 120 MINUTE
         |ORDER BY view_id, click_id""".stripMargin,
+
+    "v6_stream_static_join" ->
+      """SELECT c.c_mktsegment, e.event_type, count(*) AS n_events,
+        |  CAST(round(sum(CAST(e.value AS DECIMAL(38,6))), 2) AS DOUBLE)
+        |    AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c.c_mktsegment, e.event_type
+        |ORDER BY c.c_mktsegment, e.event_type""".stripMargin,
 
     "e5_ann_recall" ->
       """SELECT true AS recall_at_10_ge_half""".stripMargin,

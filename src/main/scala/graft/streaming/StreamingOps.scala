@@ -78,6 +78,24 @@ object StreamingOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-STATIC enrichment join + segment rollup — the streaming twin
+    * of the batch left-enrichment joins (J3/J4): each arriving event is
+    * decorated from a bounded dimension table and aggregated by segment.
+    * The dim side is `broadcast()` so the unbounded stream side never
+    * shuffles for the join (Spark re-resolves the static relation per
+    * micro-batch — a dim refresh is picked up without restarting the
+    * query). Works identically on a batch frame (the driver-oracled
+    * v6 form) and a readStream frame (complete-mode parity in
+    * StreamingSpec) — same plan, same semantics. */
+  def enrichedSegmentCounts(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(38,6)")).as("sum_dec"))
+      .select(col("c_mktsegment"), col("event_type"), col("n_events"),
+        round(col("sum_dec"), 2).cast("double").as("sum_value"))
+
   /** Watermarked stream-stream INTERVAL JOIN — the streaming twin of
     * EventWindows.intervalJoin (view→click attribution within maxLag).
     * Both sides carry a watermark and the join condition bounds r_ts to

@@ -88,6 +88,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("stream-static enrichment join matches the batch form") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream5").toString
+    graft.sources.Tables.events(spark, sf0001).limit(500)
+      .write.mode("overwrite").parquet(tmp)
+    val dim = graft.sources.Tables.customer(spark, sf0001)
+      .select(col("c_custkey"), col("c_mktsegment"))
+
+    val stream = StreamingOps.readEventStream(spark, tmp)
+    StreamingOps.runToMemory(
+      StreamingOps.enrichedSegmentCounts(stream, dim), "stream_enrich",
+      "complete")
+    val streamed = spark.table("stream_enrich")
+      .select("c_mktsegment", "event_type", "n_events", "sum_value")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+
+    val batch = StreamingOps
+      .enrichedSegmentCounts(spark.read.parquet(tmp), dim)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("stream-stream interval join matches the blocked batch form") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream4").toString
     graft.sources.Tables.events(spark, sf0001).limit(500)

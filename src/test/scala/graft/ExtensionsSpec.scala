@@ -44,6 +44,16 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("incremental minhash matches batch docs against the snapshot index only") {
+    val index = Dedup.minHashBandIndex(docs.filter(col("doc_id") <= 2))
+    val pairs = Dedup.incrementalMinHashPairs(
+        docs.filter(col("doc_id") >= 3), index, threshold = 0.3)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    // doc 3 is a one-word edit of snapshot docs 1/2; doc 4 shares nothing
+    assert(pairs.contains((3L, 1L)) && pairs.contains((3L, 2L)))
+    assert(pairs.forall { case (n, o) => n >= 3L && o <= 2L })
+  }
+
   test("exact decontamination drops corpus docs matching benchmark content") {
     val bench = Seq((100L, base, "eval", base.length.toLong))
       .toDF("doc_id", "text", "source", "n_chars")
@@ -122,6 +132,23 @@ class SimilaritySpec extends SparkSpec {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)))
   }
+
+  test("batch knn join agrees with per-query brute force (sf0.001)") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 4)
+    val corpus = emb.filter(col("vec_id") >= 4)
+    val got = Similarity.knnJoin(corpus, queries, k = 3)
+      .select("q_id", "rnk", "vec_id", "cosine_sim")
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq)
+    (0L until 4L).foreach { q =>
+      // brute force against the same corpus: crossJoin trick via filter
+      val brute = corpus.unionByName(emb.filter(col("vec_id") === q))
+      val want = Similarity.bruteForceTopK(brute, q, 3)
+        .select("vec_id", "cosine_sim").as[(Long, Double)].collect().toSeq
+      assert(got(q) == want, s"query $q: ${got(q)} vs $want")
+    }
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
@@ -136,6 +163,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Long]("n") == 4L)
     assert(r.getAs[Long]("d") == 3L)
     assert(r.getAs[Double]("ttr") == 0.75)
+  }
+
+  test("PII redaction scrubs emails, IPs and phones; counts match") {
+    val df = Seq((1L,
+      "mail a.user+x@foo-bar.org or b@c.io, host 192.168.0.1, call +1-555-0199 done"))
+      .toDF("doc_id", "text")
+    val r = df.select(
+      TextAnalysis.redactPii(col("text")).as("red"),
+      TextAnalysis.piiCount(col("text"), TextAnalysis.EmailPattern).as("ne"),
+      TextAnalysis.piiCount(col("text"), TextAnalysis.Ipv4Pattern).as("ni"),
+      TextAnalysis.piiCount(col("text"), TextAnalysis.PhonePattern).as("np"))
+      .collect()(0)
+    assert(r.getAs[String]("red") ==
+      "mail <EMAIL> or <EMAIL>, host <IP>, call <PHONE> done")
+    assert(r.getAs[Long]("ne") == 2L)
+    assert(r.getAs[Long]("ni") == 1L)
+    assert(r.getAs[Long]("np") == 1L)
   }
 
   test("language-ID picks the language with most stopword hits") {

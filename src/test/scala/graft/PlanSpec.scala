@@ -68,6 +68,16 @@ class PlanSpec extends SparkSpec {
       "SMJ would sort the skewed fact side the salt exists to protect")
   }
 
+  test("s12: bucketed join joins with zero hash-partition exchange") {
+    val df = SparkEntry.queries("s12_bucketed_join")(spark, sf0001)
+    val p = finalPlan(df)
+    assert(p.contains("SortMergeJoin"), s"merge hint should force SMJ\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed sides must scan pre-shuffled — no exchange before the join\n$p")
+    assert(p.contains("SelectedBucketsCount"),
+      s"expected bucketed file scans\n$p")
+  }
+
   test("d2: merge-loop intersection evaluates exactly once per pair") {
     val df = SparkEntry.queries("d2_token_jaccard")(spark, sf0001)
     val p = finalPlan(df)
