@@ -202,17 +202,24 @@ object Dedup {
     * ([[incrementalMinHashPairs]]) without the corpus text ever being
     * re-read or re-shingled, and [[minHashLshPairs]] self-joins it for
     * the one-shot form. The band explode is bounded (~`bands`×) and
-    * map-side; no shuffle happens here. */
+    * map-side.
+    *
+    * `maxBucket` is the skew guard: a degenerate bucket
+    * (boilerplate-heavy corpora) would make downstream joins quadratic,
+    * so over-wide (band, bhash) buckets are dropped HERE, at build time —
+    * the cap is a property of the snapshot, paid once when the index is
+    * built or advanced, never per ingest batch. */
   def minHashBandIndex(
       docs: DataFrame,
       numHashes: Int = 32,
       bands: Int = 8,
-      hashFn: Column => Column = xxhash64(_)): DataFrame = {
+      hashFn: Column => Column = xxhash64(_),
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes) — trailing " +
         "signature slots would silently drop out of banding")
     val rows = numHashes / bands
-    withMinHashSignature(parallelizeSmallScan(docs), "text",
+    val banded = withMinHashSignature(parallelizeSmallScan(docs), "text",
         numHashes, 3, hashFn)
       .select(col("doc_id"), col("minhash_sig"),
         explode(array((0 until bands).map { bi =>
@@ -222,7 +229,20 @@ object Dedup {
         }: _*)).as("bb"))
       .select(col("doc_id"), col("minhash_sig"),
         col("bb.band").as("band"), col("bb.bhash").as("bhash"))
+    if (maxBucket == Int.MaxValue) banded
+    else banded
+      .withColumn("__bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bhash")))
+      .filter(col("__bsize") <= maxBucket)
+      .drop("__bsize")
   }
+
+  /** Signature-agreement Jaccard estimate — the verification step shared
+    * by the one-shot and incremental LSH paths (and replayed verbatim by
+    * the DuckDB oracle). */
+  private def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
+    round(size(filter(zip_with(sigA, sigB, (x, y) => x === y), m => m))
+      .cast("double") / numHashes, 4)
 
   /** Incremental (cross-snapshot) near-dup candidates: each incoming
     * batch doc is matched against the persisted corpus band index —
@@ -231,34 +251,28 @@ object Dedup {
     * analogue of [[incrementalDedup]]: per-ingest cost is
     * O(|batch| · bands) probe rows hash-joined against the index on
     * uniformly-distributed `(band, bhash)` keys — independent of corpus
-    * size, no self-join, no corpus re-scan. The skew cap bounds INDEX
-    * bucket width (a boilerplate bucket of m docs would otherwise cost
-    * every colliding batch doc m verifications). Union the batch's own
-    * [[minHashBandIndex]] rows into the index to advance the snapshot. */
+    * size, no self-join, no corpus re-scan, and no per-batch pass over
+    * the index (the skew cap is baked in at index build time — build the
+    * index with `minHashBandIndex(maxBucket = ...)`). Union the batch's
+    * own [[minHashBandIndex]] rows into the index to advance the
+    * snapshot. */
   def incrementalMinHashPairs(
       batch: DataFrame,
       index: DataFrame,
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5,
-      maxBucket: Int = 100,
       hashFn: Column => Column = xxhash64(_)): DataFrame = {
-    val cappedIdx = index
-      .withColumn("__bsize", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bhash")))
-      .filter(col("__bsize") <= maxBucket)
-      .drop("__bsize")
-      .select(col("band"), col("bhash"),
-        col("doc_id").as("old_id"), col("minhash_sig").as("old_sig"))
+    val idx = index.select(col("band"), col("bhash"),
+      col("doc_id").as("old_id"), col("minhash_sig").as("old_sig"))
     minHashBandIndex(batch, numHashes, bands, hashFn)
       .select(col("band"), col("bhash"),
         col("doc_id").as("new_id"), col("minhash_sig").as("new_sig"))
-      .join(cappedIdx, Seq("band", "bhash"))
+      .join(idx, Seq("band", "bhash"))
       .select(col("new_id"), col("old_id"), col("new_sig"), col("old_sig"))
       .distinct()
-      .withColumn("est_jaccard", round(
-        size(filter(zip_with(col("new_sig"), col("old_sig"),
-          (x, y) => x === y), m => m)).cast("double") / numHashes, 4))
+      .withColumn("est_jaccard",
+        estJaccard(col("new_sig"), col("old_sig"), numHashes))
       .filter(col("est_jaccard") >= threshold)
       .select(col("new_id"), col("old_id"), col("est_jaccard"))
   }
@@ -278,16 +292,7 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 100,
       hashFn: Column => Column = xxhash64(_)): DataFrame = {
-    require(numHashes % bands == 0,
-      s"bands ($bands) must divide numHashes ($numHashes) — trailing " +
-        "signature slots would silently drop out of banding")
-    val banded = minHashBandIndex(docs, numHashes, bands, hashFn)
-      // skew guard: a degenerate bucket (e.g. boilerplate-heavy corpora)
-      // would make the self-join quadratic; cap candidate buckets.
-      .withColumn("__bsize", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bhash")))
-      .filter(col("__bsize") <= maxBucket)
-      .drop("__bsize")
+    val banded = minHashBandIndex(docs, numHashes, bands, hashFn, maxBucket)
     val a = banded.select(col("band"), col("bhash"),
       col("doc_id").as("a_id"), col("minhash_sig").as("a_sig"))
     val b = banded.select(col("band"), col("bhash"),
@@ -296,9 +301,8 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), col("a_sig"), col("b_sig"))
       .distinct()
-      .withColumn("est_jaccard", round(
-        size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
-          b => b)).cast("double") / numHashes, 4))
+      .withColumn("est_jaccard",
+        estJaccard(col("a_sig"), col("b_sig"), numHashes))
       .filter(col("est_jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("est_jaccard"))
   }
@@ -454,8 +458,12 @@ object Dedup {
     * snapshot. */
   def incrementalDedup(incoming: DataFrame, existingFps: DataFrame,
       textCol: String, idCol: String): DataFrame = {
+    // the fingerprinted batch feeds both the min-id agg and the semi-join
+    // probe side on DIFFERENT keys, so without a barrier the scan +
+    // per-row md5 runs twice (same fix as tokenJaccardPairs)
     val batch = parallelizeSmallScan(incoming)
       .withColumn("__fp", TextAnalysis.normHash(col(textCol)))
+      .localCheckpoint(eager = false)
     val firstInBatch = batch.groupBy(col("__fp"))
       .agg(min(col(idCol)).as(idCol))
     batch.join(firstInBatch, Seq("__fp", idCol), "left_semi")

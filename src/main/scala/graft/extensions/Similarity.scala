@@ -256,17 +256,30 @@ object Similarity {
     * scores are pre-rounded to 4 decimals so the ordering is the one the
     * oracle replays. */
   def knnJoin(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val qArr = queries.agg(
-      array_sort(collect_list(struct(col("vec_id").as("q_id"),
-        col("embedding").as("q_vec")))).as("__qs"))
+    // norms are hoisted OUT of the per-query lambda: anything inside the
+    // transform re-evaluates per query element (interpreted HOF), so the
+    // lambda computes only the pair-specific dot product; the corpus
+    // row's norm is a plain column evaluated once per row, the query
+    // norms ride pre-computed in the broadcast struct. Same
+    // xy/(sqrt(xx)·sqrt(yy)) grouping as the fused cosine expression —
+    // bit-identical values, |Q|× less arithmetic per corpus row.
+    val qArr = queries
+      .withColumn("__qnorm", norm(col("embedding")))
+      .agg(array_sort(collect_list(struct(col("vec_id").as("q_id"),
+        col("embedding").as("q_vec"), col("__qnorm").as("q_norm"))))
+        .as("__qs"))
     val topk = udaf(new graft.functions.TopKPairAggregator(k))
     corpus
+      .withColumn("__norm", norm(col("embedding")))
       .crossJoin(broadcast(qArr))
-      .select(col("vec_id"), explode(transform(col("__qs"), q => struct(
-        q.getField("q_id").as("q_id"),
-        round(cosine(col("embedding"), q.getField("q_vec")), 4)
-          .as("sim")))).as("qs"))
-      .select(col("qs.q_id").as("q_id"), col("qs.sim").as("sim"),
+      .select(col("vec_id"), col("__norm"),
+        explode(transform(col("__qs"), q => struct(
+          q.getField("q_id").as("q_id"),
+          dot(col("embedding"), q.getField("q_vec")).as("dotp"),
+          q.getField("q_norm").as("q_norm")))).as("qs"))
+      .select(col("qs.q_id").as("q_id"),
+        round(col("qs.dotp") / (col("__norm") * col("qs.q_norm")), 4)
+          .as("sim"),
         col("vec_id"))
       .filter(col("sim").isNotNull)
       .groupBy(col("q_id"))

@@ -61,7 +61,7 @@ object ExtensionQueries {
       val docs = Tables.documents(s, d)
       val index = Dedup.minHashBandIndex(
         docs.filter(col("doc_id") < 400), numHashes = 32, bands = 8,
-        hashFn = Dedup.md5Hash60)
+        hashFn = Dedup.md5Hash60, maxBucket = 100)
       Dedup.incrementalMinHashPairs(
           docs.filter(col("doc_id") >= 400), index,
           numHashes = 32, bands = 8, threshold = 0.3,
@@ -260,6 +260,44 @@ object ExtensionQueries {
       Similarity.knnJoin(
         emb.filter(col("vec_id") >= 8),
         emb.filter(col("vec_id") < 8), k = 5)
+    }),
+
+    // E9 — embedding near-dup cluster CONTRACT (companion to e3 + d9;
+    // same pattern as e5/e6: float-derived candidates can't hash-match,
+    // so the oracle asserts structural invariants the clustering must
+    // satisfy): (a) every SRP candidate pair is assigned to ONE cluster,
+    // (b) every vector is labeled exactly once, (c) each cluster's
+    // canonical survivor is its min id.
+    "e9_embed_clusters" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      // reused by the cluster build AND the colocation check
+      val pairs = Similarity.cosineNearDupPairs(emb, threshold = 0.95,
+          numPlanes = 8)
+        .localCheckpoint(eager = false)
+      val clusters = Dedup.nearDupClusters(
+          emb.select(col("vec_id")), pairs, "vec_id")
+        .localCheckpoint(eager = false)
+      val la = clusters.select(col("vec_id").as("a_id"),
+        col("cluster_id").as("a_cl"))
+      val lb = clusters.select(col("vec_id").as("b_id"),
+        col("cluster_id").as("b_cl"))
+      val colocated = pairs.join(la, Seq("a_id")).join(lb, Seq("b_id"))
+        .agg(coalesce(count(when(col("a_cl") =!= col("b_cl"), 1)), lit(0L))
+          .as("n_split"))
+      val labeled = clusters.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("vec_id")).as("n_ids"))
+      val total = emb.agg(count(lit(1)).as("n_vecs"))
+      val canon = clusters.groupBy(col("cluster_id"))
+        .agg(min(col("vec_id")).as("min_id"),
+          max(when(col("is_canonical"), col("vec_id"))).as("canon_id"))
+        .agg(count(when(col("min_id") =!= col("canon_id")
+          || col("canon_id").isNull, 1)).as("n_bad_canon"))
+      colocated.crossJoin(labeled).crossJoin(total).crossJoin(canon)
+        .select(
+          (col("n_split") === 0).as("pairs_colocated"),
+          (col("n_rows") === col("n_vecs")
+            && col("n_ids") === col("n_vecs")).as("all_labeled_once"),
+          (col("n_bad_canon") === 0).as("canonical_is_min_id"))
     }),
 
     // T4 — explode/lateral surface: global word counts, top 20.
@@ -593,6 +631,12 @@ object ExtensionQueries {
         |)
         |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cosine_sim
         |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    // Contract oracle (e5/e6 pattern): Spark emits the invariant checks
+    // as booleans; the oracle asserts they all hold.
+    "e9_embed_clusters" ->
+      """SELECT true AS pairs_colocated, true AS all_labeled_once,
+        |  true AS canonical_is_min_id""".stripMargin,
 
     "t1_text_stats" ->
       """SELECT doc_id, nt AS n_tokens, dt AS distinct_tokens,

@@ -550,6 +550,27 @@ object TrainingQueries {
     // shuffle of the (doc,word) frame; the vocabulary aggregate and the
     // top-K list are vocabulary-sized and BROADCAST back, so the fat
     // frame never shuffles by word (stopword skew lives there).
+    "t13_unigram_quality" -> ((s, d) => {
+      val tokc = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = false) // vocab agg + scoring join share it
+      val vocab = tokc.groupBy(col("word")).agg(sum(col("c")).as("freq"))
+      val top = vocab.orderBy(col("freq").desc, col("word")).limit(20)
+        .select(col("word"), lit(1L).as("in_top"))
+      tokc.join(broadcast(vocab), Seq("word"))
+        .join(broadcast(top), Seq("word"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("nt"),
+          sum(col("c") * col("freq")).as("sum_freq"),
+          sum(col("c") * coalesce(col("in_top"), lit(0L))).as("top_toks"))
+        .select(col("doc_id"),
+          (col("sum_freq") * lit(1.0) / col("nt")).as("mean_word_freq"),
+          (col("top_toks") * lit(1.0) / col("nt")).as("top20_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // T14 — PII redaction: the scrub pass before any text ships to
     // training. The synthetic corpus carries no PII, so each doc is
     // AUGMENTED with a deterministic email / IPv4 / phone derived from
@@ -572,27 +593,6 @@ object TrainingQueries {
             .as("n_phones"),
           md5(TextAnalysis.redactPii(col("aug")).cast("binary"))
             .as("redacted_hash"))
-        .orderBy(col("doc_id"))
-    }),
-
-    "t13_unigram_quality" -> ((s, d) => {
-      val tokc = Tables.spread(Tables.documents(s, d))
-        .select(col("doc_id"),
-          explode(TextAnalysis.tokens(col("text"))).as("word"))
-        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
-        .localCheckpoint(eager = false) // vocab agg + scoring join share it
-      val vocab = tokc.groupBy(col("word")).agg(sum(col("c")).as("freq"))
-      val top = vocab.orderBy(col("freq").desc, col("word")).limit(20)
-        .select(col("word"), lit(1L).as("in_top"))
-      tokc.join(broadcast(vocab), Seq("word"))
-        .join(broadcast(top), Seq("word"), "left")
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c")).as("nt"),
-          sum(col("c") * col("freq")).as("sum_freq"),
-          sum(col("c") * coalesce(col("in_top"), lit(0L))).as("top_toks"))
-        .select(col("doc_id"),
-          (col("sum_freq") * lit(1.0) / col("nt")).as("mean_word_freq"),
-          (col("top_toks") * lit(1.0) / col("nt")).as("top20_frac"))
         .orderBy(col("doc_id"))
     }),
 
