@@ -78,6 +78,26 @@ class PlanSpec extends SparkSpec {
       s"expected bucketed file scans\n$p")
   }
 
+  test("d12: signature staging survives — one text split per corpus scan") {
+    val df = SparkEntry.queries("d12_incremental_minhash")(spark, sf0001)
+    val p = finalPlan(df)
+    val n = "split\\(text".r.findAllIn(p).size
+    // one staged __mh_toks projection per side (batch + in-query index);
+    // more means CollapseProject re-inlined the split into the
+    // interpreted shingle lambda (the 16× regression of round 3)
+    assert(n <= 2, s"expected <=2 staged splits, got $n in\n$p")
+  }
+
+  test("e8: corpus norm is computed below the per-query explode, not in it") {
+    val df = SparkEntry.queries("e8_knn_join")(spark, sf0001)
+    val p = finalPlan(df)
+    val gen = p.linesIterator.filter(_.contains("Generate explode(transform(__qs"))
+    assert(gen.nonEmpty, s"expected the query-scoring explode in\n$p")
+    assert(gen.forall(!_.contains("SQRT")),
+      "norms must stay staged per corpus row — a SQRT inside the scoring " +
+        s"lambda re-evaluates per query element\n$p")
+  }
+
   test("d2: merge-loop intersection evaluates exactly once per pair") {
     val df = SparkEntry.queries("d2_token_jaccard")(spark, sf0001)
     val p = finalPlan(df)
