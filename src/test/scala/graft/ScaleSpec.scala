@@ -88,6 +88,44 @@ class ScaleSpec extends SparkSpec {
       "distributed CC must produce identical labels to driver union-find")
   }
 
+  test("incremental ingest against PERSISTED indexes never re-scans the corpus") {
+    // the d11/d12 100 TB contract: once the snapshot's fingerprint /
+    // band index is persisted, dedup of an ingest batch reads the
+    // documents table exactly once (the batch filter) — the snapshot
+    // corpus text is untouched
+    val docs = Tables.documents(spark, sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-inc").toString
+
+    graft.extensions.Dedup.exactGroups(
+        docs.filter(col("doc_id") < 400), "text", "doc_id")
+      .select("fingerprint").write.mode("overwrite").parquet(s"$tmp/fps")
+    val d11 = graft.extensions.Dedup.incrementalDedup(
+      docs.filter(col("doc_id") >= 400),
+      spark.read.parquet(s"$tmp/fps"), "text", "doc_id")
+    d11.collect()
+    val p11 = d11.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the batch side sits behind incrementalDedup's localCheckpoint (an
+    // RDD leaf in the plan), so documents.parquet appears AT MOST once —
+    // a snapshot re-scan would surface as an extra parquet scan here
+    assert("documents\\.parquet".r.findAllIn(p11).size <= 1,
+      s"d11 ingest must not re-scan the snapshot corpus\n$p11")
+    assert("/fps".r.findAllIn(p11).nonEmpty,
+      s"d11 must read the persisted fingerprint index\n$p11")
+
+    graft.extensions.Dedup.minHashBandIndex(
+        docs.filter(col("doc_id") < 400), maxBucket = 100)
+      .write.mode("overwrite").parquet(s"$tmp/bands")
+    val d12 = graft.extensions.Dedup.incrementalMinHashPairs(
+      docs.filter(col("doc_id") >= 400),
+      spark.read.parquet(s"$tmp/bands"), threshold = 0.3)
+    d12.collect()
+    val p12 = d12.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("documents\\.parquet".r.findAllIn(p12).size == 1,
+      s"d12 ingest must scan documents once (batch only)\n$p12")
+  }
+
   test("sketch aggregates stay within documented error of exact values") {
     val li = Tables.lineitem(spark, sf0001)
     val exact = li.groupBy("l_returnflag")
