@@ -42,6 +42,28 @@ object TrainingQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // S13 — deterministic shuffle + sharding: epoch-stable pseudo-random
+    // order and shard assignment from a seeded md5-derived key — the
+    // step that makes training-data ORDER reproducible across runs and
+    // engines. No rand(): the key is a pure function of (seed, doc_id),
+    // so a resumed or re-run export produces identical shards byte for
+    // byte. One narrow map pass + one per-shard window; at 100 TB the
+    // export writes partitionBy(shard_id) with the key as sort column —
+    // the window never sees more than one shard per task.
+    "s13_shuffle_shard" -> ((s, d) => {
+      val key = conv(substring(md5(concat(lit("epoch42:"),
+          col("doc_id").cast("string")).cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"), key.as("__key"))
+        .withColumn("shard_id", pmod(col("__key"), lit(8)))
+        .withColumn("pos_in_shard", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("shard_id")
+            .orderBy(col("__key"), col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("shard_id"), col("pos_in_shard"))
+        .orderBy(col("shard_id"), col("pos_in_shard"))
+    }),
+
     // S10 — dataset MIXTURE up/down-sampling: each source gets an epoch
     // weight (>1 repeats documents, <1 hash-samples them) — the
     // data-mixing step that turns raw corpora into a training mixture.
@@ -682,6 +704,18 @@ object TrainingQueries {
         |  FROM lineitem)
         |WHERE h < CASE l_returnflag WHEN 'A' THEN 50 WHEN 'R' THEN 100 ELSE 20 END
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "s13_shuffle_shard" ->
+      """WITH k AS (
+        |  SELECT doc_id, CAST('0x' || substr(
+        |    md5('epoch42:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |    AS key
+        |  FROM documents
+        |)
+        |SELECT doc_id, key % 8 AS shard_id,
+        |  CAST(row_number() OVER (PARTITION BY key % 8
+        |    ORDER BY key, doc_id) AS BIGINT) AS pos_in_shard
+        |FROM k ORDER BY shard_id, pos_in_shard""".stripMargin,
 
     "s10_mixture_upsample" ->
       """WITH rep AS (
