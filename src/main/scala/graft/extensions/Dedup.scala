@@ -237,6 +237,22 @@ object Dedup {
       .drop("__bsize")
   }
 
+  /** Advance a snapshot's band index with an ingest batch's rows,
+    * re-applying the bucket cap to the UNION. Cap maintenance lives
+    * HERE — on the advance job, which is already rewriting the index —
+    * never on the ingest probe ([[incrementalMinHashPairs]] reads the
+    * index as-is): a boilerplate bucket that stays under the cap in
+    * every individual batch but grows past it across many batches is
+    * dropped exactly as the one-shot path would drop it, so ingest cost
+    * cannot creep quadratic with snapshot age. */
+  def advanceBandIndex(index: DataFrame, batchBands: DataFrame,
+      maxBucket: Int = 100): DataFrame =
+    index.unionByName(batchBands)
+      .withColumn("__bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bhash")))
+      .filter(col("__bsize") <= maxBucket)
+      .drop("__bsize")
+
   /** Signature-agreement Jaccard estimate — the verification step shared
     * by the one-shot and incremental LSH paths (and replayed verbatim by
     * the DuckDB oracle). */
@@ -252,10 +268,11 @@ object Dedup {
     * O(|batch| · bands) probe rows hash-joined against the index on
     * uniformly-distributed `(band, bhash)` keys — independent of corpus
     * size, no self-join, no corpus re-scan, and no per-batch pass over
-    * the index (the skew cap is baked in at index build time — build the
-    * index with `minHashBandIndex(maxBucket = ...)`). Union the batch's
-    * own [[minHashBandIndex]] rows into the index to advance the
-    * snapshot. */
+    * the index — the skew cap is a SNAPSHOT property, applied at build
+    * time (`minHashBandIndex(maxBucket = ...)`) and re-applied on every
+    * advance ([[advanceBandIndex]], which folds the batch's rows in and
+    * re-caps the union so buckets can't grow unbounded across batches).
+    * This function trusts the index it is given. */
   def incrementalMinHashPairs(
       batch: DataFrame,
       index: DataFrame,

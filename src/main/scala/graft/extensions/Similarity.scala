@@ -262,15 +262,24 @@ object Similarity {
     // row's norm is a plain column evaluated once per row, the query
     // norms ride pre-computed in the broadcast struct. Same
     // xy/(sqrt(xx)·sqrt(yy)) grouping as the fused cosine expression —
-    // bit-identical values, |Q|× less arithmetic per corpus row.
+    // bit-identical values (for the non-degenerate vectors this join
+    // ranks), |Q|× less arithmetic per corpus row.
+    //
+    // Zero-norm vectors are EXCLUDED from both sides explicitly: cosine
+    // is undefined there (the fused expression yields NaN — which Spark
+    // orderings rank above every real score, silently topping neighbor
+    // lists), so dropping them is the deliberate semantic, not a side
+    // effect of null division.
     val qArr = queries
       .withColumn("__qnorm", norm(col("embedding")))
+      .filter(col("__qnorm") > 0)
       .agg(array_sort(collect_list(struct(col("vec_id").as("q_id"),
         col("embedding").as("q_vec"), col("__qnorm").as("q_norm"))))
         .as("__qs"))
     val topk = udaf(new graft.functions.TopKPairAggregator(k))
     corpus
       .withColumn("__norm", norm(col("embedding")))
+      .filter(col("__norm") > 0)
       .crossJoin(broadcast(qArr))
       .select(col("vec_id"), col("__norm"),
         explode(transform(col("__qs"), q => struct(

@@ -54,6 +54,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (n, o) => n >= 3L && o <= 2L })
   }
 
+  test("advancing the band index re-applies the bucket cap to the union") {
+    // two batches of identical boilerplate: each alone is under the cap,
+    // the accumulated union is not — advance must drop the overgrown
+    // bucket so ingest cost can't creep quadratic with snapshot age
+    def boiler(ids: Range) = ids.map(i =>
+        (i.toLong, base, "s1", base.length.toLong))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val cap = 6
+    val idx0 = Dedup.minHashBandIndex(boiler(0 until 4), maxBucket = cap)
+    val idx1 = Dedup.advanceBandIndex(idx0,
+      Dedup.minHashBandIndex(boiler(4 until 6)), maxBucket = cap)
+    assert(idx1.count() == 6 * 8, "6 docs x 8 bands still under the cap")
+    // 8 identical docs share every band bucket — over cap 6 → dropped
+    val idx2 = Dedup.advanceBandIndex(idx1,
+      Dedup.minHashBandIndex(boiler(6 until 8)), maxBucket = cap)
+    assert(idx2.count() == 0,
+      "accumulated boilerplate bucket must be dropped once past the cap")
+  }
+
   test("exact decontamination drops corpus docs matching benchmark content") {
     val bench = Seq((100L, base, "eval", base.length.toLong))
       .toDF("doc_id", "text", "source", "n_chars")

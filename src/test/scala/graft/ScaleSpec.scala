@@ -124,6 +124,11 @@ class ScaleSpec extends SparkSpec {
       .split("== Initial Plan ==")(0)
     assert("documents\\.parquet".r.findAllIn(p12).size == 1,
       s"d12 ingest must scan documents once (batch only)\n$p12")
+
+    // clean up the persisted fixtures (parquet dirs under tmp)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
 
   test("sketch aggregates stay within documented error of exact values") {
