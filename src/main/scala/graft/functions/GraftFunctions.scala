@@ -19,6 +19,10 @@ object GraftFunctions {
       "sorted_intersect_size",
       (exprs: Seq[Expression]) => SortedIntersectSize(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize",
+      (exprs: Seq[Expression]) => NfcNormalize(exprs(0)),
+      "built-in")
     spark.udf.register("top_k_3", udaf(new TopKAggregator(3)))
   }
 }
@@ -40,5 +44,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
       (exprs: Seq[Expression]) => SortedIntersectSize(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
   }
 }

@@ -300,6 +300,26 @@ object ExtensionQueries {
           (col("n_bad_canon") === 0).as("canonical_is_min_id"))
     }),
 
+    // T15 — Unicode NFC normalization (native codegen expression,
+    // functions/NfcNormalize.scala): multilingual corpora carry visually
+    // identical strings with different codepoint sequences; without NFC
+    // in front of hashing, near-identical docs escape exact dedup. The
+    // ASCII test corpus is AUGMENTED with deterministic DECOMPOSED
+    // sequences (e+U+0301, A+U+030A) so the op does real work; verified
+    // via md5 of the normalized text + the codepoint-count drop the
+    // composition causes. DuckDB `nfc_normalize` is the oracle twin.
+    "t15_unicode_nfc" -> ((s, d) => {
+      val aug = concat(col("text"), lit(ExtensionQueries.DecomposedSuffix))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(graft.functions.NfcNormalize.nfc_normalize(aug).cast("binary"))
+            .as("nfc_hash"),
+          length(aug).cast("long").as("n_raw_chars"),
+          length(graft.functions.NfcNormalize.nfc_normalize(aug))
+            .cast("long").as("n_nfc_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // T4 — explode/lateral surface: global word counts, top 20.
     "t4_word_counts" -> ((s, d) => {
       Tables.documents(s, d)
@@ -400,6 +420,13 @@ object ExtensionQueries {
         .orderBy(col("l_returnflag"))
     })
   )
+
+  /** Decomposed-form Unicode suffix for t15: "café Å" spelled as
+    * e+COMBINING ACUTE and A+COMBINING RING — NFC composes both, so raw
+    * vs normalized codepoint counts differ by exactly 2. Defined once and
+    * interpolated into BOTH the Spark literal and the oracle SQL (the
+    * oracle JSON carries the same UTF-8 bytes). */
+  val DecomposedSuffix: String = " caf\u0065\u0301 \u0041\u030A"
 
   /** The MinHash universal-hash constants, inlined as SQL list literals —
     * generated from the SAME Dedup.seedConst the Spark plan uses. */
@@ -637,6 +664,18 @@ object ExtensionQueries {
     "e9_embed_clusters" ->
       """SELECT true AS pairs_colocated, true AS all_labeled_once,
         |  true AS canonical_is_min_id""".stripMargin,
+
+    // DuckDB's nfc_normalize implements the same Unicode NFC form as
+    // java.text.Normalizer; the suffix literal carries the decomposed
+    // codepoints (same UTF-8 bytes both engines).
+    "t15_unicode_nfc" ->
+      s"""SELECT doc_id,
+        |  md5(nfc_normalize(text || '$DecomposedSuffix')) AS nfc_hash,
+        |  CAST(length(text || '$DecomposedSuffix') AS BIGINT)
+        |    AS n_raw_chars,
+        |  CAST(length(nfc_normalize(text || '$DecomposedSuffix')) AS BIGINT)
+        |    AS n_nfc_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t1_text_stats" ->
       """SELECT doc_id, nt AS n_tokens, dt AS distinct_tokens,

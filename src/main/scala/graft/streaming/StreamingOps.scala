@@ -166,6 +166,48 @@ object StreamingOps {
       }
   }
 
+  /** STREAMING incremental exact dedup — the end-to-end ingest loop the
+    * batch primitives ([[graft.extensions.Dedup.incrementalDedup]])
+    * exist for: every micro-batch dedups against the persisted
+    * fingerprint index, appends its survivors to `outDir`, and advances
+    * the index with the survivors' fingerprints. `foreachBatch` is the
+    * right sink shape because the index must be READ at the start of
+    * each batch and EXTENDED at the end — per-batch transactional
+    * batch-DataFrame work no pure streaming sink expresses. At scale
+    * both directories are snapshot-versioned table-format tables; the
+    * shape here (read index → anti-join → append both) is unchanged.
+    *
+    * Bootstrap: a missing index directory means an empty snapshot. */
+  def incrementalIngest(docsStream: DataFrame, indexDir: String,
+      outDir: String, checkpointDir: String,
+      textCol: String = "text", idCol: String = "doc_id")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val index =
+          try spark.read.parquet(indexDir)
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField(
+                  "fingerprint", org.apache.spark.sql.types.StringType))))
+          }
+        val survivors = graft.extensions.Dedup
+          .incrementalDedup(batch, index, textCol, idCol)
+          .localCheckpoint(eager = false) // written twice below
+        survivors.write.mode("append").parquet(outDir)
+        survivors
+          .select(graft.extensions.TextAnalysis.normHash(col(textCol))
+            .as("fingerprint"))
+          .distinct()
+          .write.mode("append").parquet(indexDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Convenience: run a streaming aggregation to completion against a
     * static directory via an in-memory sink (local smoke path — the
     * production sink is kafka/parquet/delta). */

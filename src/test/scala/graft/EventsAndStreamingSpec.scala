@@ -88,6 +88,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming incremental ingest dedups across micro-batches via the index") {
+    import graft.extensions.TextAnalysis
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 100)
+    val b1 = docs.filter(col("doc_id") < 50)
+    // batch 2 re-delivers five batch-1 docs under new ids + 50 fresh docs
+    val redelivered = b1.filter(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + 1000)
+    val b2 = docs.filter(col("doc_id") >= 50).unionByName(redelivered)
+    b1.coalesce(1).write.parquet(s"$root/in")
+    Thread.sleep(1100) // distinct mtimes → deterministic batch order
+    b2.coalesce(1).write.mode("append").parquet(s"$root/in")
+
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+    val q = StreamingOps.incrementalIngest(
+      stream, s"$root/idx", s"$root/out", s"$root/chk")
+    q.processAllAvailable(); q.stop()
+
+    val out = spark.read.parquet(s"$root/out")
+    // redelivered content was dropped by the cross-batch index
+    assert(out.filter(col("doc_id") >= 1000).count() == 0)
+    // output is content-unique and covers every distinct input content
+    val expected = b1.unionByName(b2)
+      .select(TextAnalysis.normHash(col("text"))).distinct().count()
+    assert(out.count() == expected)
+    assert(out.select(TextAnalysis.normHash(col("text"))).distinct()
+      .count() == expected)
+  }
+
   test("stream-static enrichment join matches the batch form") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream5").toString
     graft.sources.Tables.events(spark, sf0001).limit(500)

@@ -281,6 +281,36 @@ class CosineExpressionSpec extends SparkSpec {
   }
 }
 
+class NfcNormalizeSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.{col, length}
+  import graft.functions.NfcNormalize.nfc_normalize
+
+  test("NFC composes decomposed sequences; codegen and SQL agree") {
+    val decomposed = "caf\u0065\u0301 \u0041\u030A"
+    val composed = "caf\u00e9 \u00c5"
+    val df = Seq((1L, decomposed), (2L, composed), (3L, "plain ascii"))
+      .toDF("id", "s")
+    val got = df.select(col("id"), nfc_normalize(col("s")).as("n"),
+        length(col("s")).as("raw"), length(nfc_normalize(col("s"))).as("nfc"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getInt(1 + 1), r.getInt(3))).toList
+    assert(got(0)._2 == composed && got(0)._3 == 8 && got(0)._4 == 6)
+    assert(got(1)._2 == composed && got(1)._3 == 6)
+    assert(got(2)._2 == "plain ascii")
+    // SQL surface
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = df.createOrReplaceTempView("nfc_t")
+    val s1 = spark.sql("SELECT nfc_normalize(s) AS n FROM nfc_t WHERE id = 1")
+      .collect()(0).getString(0)
+    assert(s1 == composed)
+    // null-safety
+    val n = Seq((1L, null: String)).toDF("id", "s")
+      .select(nfc_normalize(col("s"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
+}
+
 class MultimodalStubSpec extends SparkSpec {
   import graft.extensions.Multimodal
 
