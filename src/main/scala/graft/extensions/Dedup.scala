@@ -205,10 +205,15 @@ object Dedup {
     * map-side.
     *
     * `maxBucket` is the skew guard: a degenerate bucket
-    * (boilerplate-heavy corpora) would make downstream joins quadratic,
-    * so over-wide (band, bhash) buckets are dropped HERE, at build time —
-    * the cap is a property of the snapshot, paid once when the index is
-    * built or advanced, never per ingest batch. */
+    * (boilerplate-heavy corpora) would make downstream joins quadratic.
+    * The cap KEEPS the `maxBucket` min-id exemplars of each (band,
+    * bhash) bucket and drops the rest — retention, not whole-bucket
+    * deletion, so capped buckets still match future near-dups against
+    * their exemplars, and the capped membership is STABLE under
+    * [[advanceBandIndex]] (min ids never change when rows are only
+    * appended; a drop-the-bucket cap would oscillate: drop at cap+1,
+    * re-admit from zero next advance). The cap is a property of the
+    * snapshot, paid at build/advance time, never per ingest batch. */
   def minHashBandIndex(
       docs: DataFrame,
       numHashes: Int = 32,
@@ -229,29 +234,34 @@ object Dedup {
         }: _*)).as("bb"))
       .select(col("doc_id"), col("minhash_sig"),
         col("bb.band").as("band"), col("bb.bhash").as("bhash"))
+    capBuckets(banded, maxBucket)
+  }
+
+  /** Keep each (band, bhash) bucket's `maxBucket` min-id rows — the
+    * shared skew cap of the build and advance paths (and of the
+    * one-shot [[minHashLshPairs]]). */
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
     if (maxBucket == Int.MaxValue) banded
     else banded
-      .withColumn("__bsize", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bhash")))
-      .filter(col("__bsize") <= maxBucket)
-      .drop("__bsize")
-  }
+      .withColumn("__brank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bhash")
+          .orderBy(col("doc_id"))))
+      .filter(col("__brank") <= maxBucket)
+      .drop("__brank")
 
   /** Advance a snapshot's band index with an ingest batch's rows,
     * re-applying the bucket cap to the UNION. Cap maintenance lives
     * HERE — on the advance job, which is already rewriting the index —
     * never on the ingest probe ([[incrementalMinHashPairs]] reads the
-    * index as-is): a boilerplate bucket that stays under the cap in
-    * every individual batch but grows past it across many batches is
-    * dropped exactly as the one-shot path would drop it, so ingest cost
-    * cannot creep quadratic with snapshot age. */
+    * index as-is). Pass the SAME `maxBucket` used at build time: the
+    * default matches [[minHashBandIndex]]'s (uncapped), so advancing
+    * never silently tightens a cap the builder didn't set. Because the
+    * cap retains min-id exemplars, repeated advances are stable — an
+    * over-cap bucket keeps its original exemplars and simply stops
+    * admitting new members. */
   def advanceBandIndex(index: DataFrame, batchBands: DataFrame,
-      maxBucket: Int = 100): DataFrame =
-    index.unionByName(batchBands)
-      .withColumn("__bsize", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bhash")))
-      .filter(col("__bsize") <= maxBucket)
-      .drop("__bsize")
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    capBuckets(index.unionByName(batchBands), maxBucket)
 
   /** Signature-agreement Jaccard estimate — the verification step shared
     * by the one-shot and incremental LSH paths (and replayed verbatim by
@@ -486,7 +496,10 @@ object Dedup {
     batch.join(firstInBatch, Seq("__fp", idCol), "left_semi")
       .join(existingFps.select(col("fingerprint").as("__fp")).distinct(),
         Seq("__fp"), "left_anti")
-      .drop("__fp")
+      // surfaced (not dropped) as `fingerprint`: the caller advancing the
+      // snapshot needs exactly these values — recomputing md5 over the
+      // survivor text would be a second full pass over the wide column
+      .withColumnRenamed("__fp", "fingerprint")
   }
 
   /** Bloom-filter decontamination: the memory-constant form of

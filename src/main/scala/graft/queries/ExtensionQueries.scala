@@ -460,10 +460,12 @@ object ExtensionQueries {
         |    AS bkey
         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b
         |), capped AS (
+        |  -- keep-min-k cap (exemplar retention), not whole-bucket drop
         |  SELECT * FROM (
         |    SELECT doc_id, sig, band, bkey,
-        |      count(*) OVER (PARTITION BY band, bkey) AS bsize
-        |    FROM banded) WHERE bsize <= 100
+        |      row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id)
+        |        AS brank
+        |    FROM banded) WHERE brank <= 100
         |), pairs AS (
         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
         |    a.sig AS a_sig, b.sig AS b_sig
@@ -513,11 +515,13 @@ object ExtensionQueries {
         |    AS bkey
         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b
         |), idx AS (
+        |  -- keep-min-k cap (exemplar retention), not whole-bucket drop
         |  SELECT * FROM (
         |    SELECT doc_id, sig, band, bkey,
-        |      count(*) OVER (PARTITION BY band, bkey) AS bsize
+        |      row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id)
+        |        AS brank
         |    FROM banded WHERE doc_id < 400)
-        |  WHERE bsize <= 100
+        |  WHERE brank <= 100
         |), bat AS (
         |  SELECT doc_id, sig, band, bkey FROM banded WHERE doc_id >= 400
         |), pairs AS (

@@ -175,34 +175,46 @@ object StreamingOps {
     * each batch and EXTENDED at the end — per-batch transactional
     * batch-DataFrame work no pure streaming sink expresses. At scale
     * both directories are snapshot-versioned table-format tables; the
-    * shape here (read index → anti-join → append both) is unchanged.
+    * shape here (read index → anti-join → write both) is unchanged.
     *
-    * Bootstrap: a missing index directory means an empty snapshot. */
+    * Replay safety: both sinks write per-batch subdirectories
+    * (`batch_id=N`) with overwrite — a replayed micro-batch (crash after
+    * a partial write, before the checkpoint commit) overwrites its own
+    * output instead of appending duplicates, and its own fingerprints
+    * are EXCLUDED from the index read (otherwise the replayed batch
+    * would look already-ingested and its documents would be lost).
+    * Bootstrap: a missing/empty index directory is an empty snapshot —
+    * detected by an explicit existence check, so a CORRUPT index fails
+    * loudly instead of silently disabling dedup. */
   def incrementalIngest(docsStream: DataFrame, indexDir: String,
       outDir: String, checkpointDir: String,
       textCol: String = "text", idCol: String = "doc_id")
       : org.apache.spark.sql.streaming.StreamingQuery =
     docsStream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = idxPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
         val index =
-          try spark.read.parquet(indexDir)
-          catch { case _: org.apache.spark.sql.AnalysisException =>
+          if (fs.exists(idxPath) && fs.listStatus(idxPath).nonEmpty)
+            spark.read.parquet(indexDir)
+              .filter(col("batch_id") =!= lit(batchId))
+              .select(col("fingerprint"))
+          else
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               org.apache.spark.sql.types.StructType(Seq(
                 org.apache.spark.sql.types.StructField(
                   "fingerprint", org.apache.spark.sql.types.StringType))))
-          }
         val survivors = graft.extensions.Dedup
           .incrementalDedup(batch, index, textCol, idCol)
           .localCheckpoint(eager = false) // written twice below
-        survivors.write.mode("append").parquet(outDir)
-        survivors
-          .select(graft.extensions.TextAnalysis.normHash(col(textCol))
-            .as("fingerprint"))
-          .distinct()
-          .write.mode("append").parquet(indexDir)
+        survivors.write.mode("overwrite")
+          .parquet(s"$outDir/batch_id=$batchId")
+        survivors.select(col("fingerprint")).distinct()
+          .write.mode("overwrite")
+          .parquet(s"$indexDir/batch_id=$batchId")
         ()
       }
       .option("checkpointLocation", checkpointDir)

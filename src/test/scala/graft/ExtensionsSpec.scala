@@ -54,10 +54,11 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (n, o) => n >= 3L && o <= 2L })
   }
 
-  test("advancing the band index re-applies the bucket cap to the union") {
-    // two batches of identical boilerplate: each alone is under the cap,
-    // the accumulated union is not — advance must drop the overgrown
-    // bucket so ingest cost can't creep quadratic with snapshot age
+  test("advancing the band index caps buckets stably (min-id exemplars kept)") {
+    // batches of identical boilerplate: each alone is under the cap, the
+    // accumulated union is not — advance must bound the bucket WITHOUT
+    // forgetting it (a drop-the-bucket cap would oscillate: drop at
+    // cap+1, re-admit from zero on the next advance)
     def boiler(ids: Range) = ids.map(i =>
         (i.toLong, base, "s1", base.length.toLong))
       .toDF("doc_id", "text", "source", "n_chars")
@@ -66,11 +67,18 @@ class DedupSpec extends SparkSpec {
     val idx1 = Dedup.advanceBandIndex(idx0,
       Dedup.minHashBandIndex(boiler(4 until 6)), maxBucket = cap)
     assert(idx1.count() == 6 * 8, "6 docs x 8 bands still under the cap")
-    // 8 identical docs share every band bucket — over cap 6 → dropped
+    // 8 identical docs share every band bucket — cap retains the 6
+    // min-id exemplars; later advances keep the SAME exemplars
     val idx2 = Dedup.advanceBandIndex(idx1,
       Dedup.minHashBandIndex(boiler(6 until 8)), maxBucket = cap)
-    assert(idx2.count() == 0,
-      "accumulated boilerplate bucket must be dropped once past the cap")
+    assert(idx2.count() == 6 * 8, "bucket bounded at cap, not dropped")
+    assert(idx2.agg(max(col("doc_id"))).collect()(0).getLong(0) == 5L,
+      "exemplars are the min-id members — stable across advances")
+    val idx3 = Dedup.advanceBandIndex(idx2,
+      Dedup.minHashBandIndex(boiler(8 until 10)), maxBucket = cap)
+    assert(idx3.count() == 6 * 8 &&
+      idx3.agg(max(col("doc_id"))).collect()(0).getLong(0) == 5L,
+      "no regrow cycle: membership unchanged once the bucket is full")
   }
 
   test("exact decontamination drops corpus docs matching benchmark content") {

@@ -95,7 +95,7 @@ class ScaleSpec extends SparkSpec {
     // corpus text is untouched
     val docs = Tables.documents(spark, sf0001)
     val tmp = java.nio.file.Files.createTempDirectory("graft-inc").toString
-
+    try {
     graft.extensions.Dedup.exactGroups(
         docs.filter(col("doc_id") < 400), "text", "doc_id")
       .select("fingerprint").write.mode("overwrite").parquet(s"$tmp/fps")
@@ -124,11 +124,15 @@ class ScaleSpec extends SparkSpec {
       .split("== Initial Plan ==")(0)
     assert("documents\\.parquet".r.findAllIn(p12).size == 1,
       s"d12 ingest must scan documents once (batch only)\n$p12")
-
-    // clean up the persisted fixtures (parquet dirs under tmp)
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
-      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } finally {
+      // unconditional cleanup of the persisted fixtures; materialize the
+      // walk before deleting (and thereby close the stream) so no handle
+      // outlives the traversal
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+      val paths = try walk.iterator().asScala.toSeq finally walk.close()
+      paths.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("sketch aggregates stay within documented error of exact values") {
