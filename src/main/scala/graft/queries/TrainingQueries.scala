@@ -593,6 +593,24 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // T16 — best-k docs per source via the bounded PAIR aggregator (the
+    // curation step that selects exemplar documents per corpus slice).
+    // Same scale shape as e8: the shuffle after map-side combine carries
+    // at most k (score, id) pairs per (source, partition) — a
+    // rank()<=k window would shuffle and sort every document.
+    "t16_topk_docs" -> ((s, d) => {
+      val topk = udaf(new graft.functions.TopKPairAggregator(3))
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          TextAnalysis.qualityScore(col("text"), col("n_chars")).as("q"))
+        .groupBy(col("source"))
+        .agg(topk(col("q"), col("doc_id")).as("tk"))
+        .select(col("source"), posexplode(col("tk")))
+        .select(col("source"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.id").as("doc_id"), col("col.score").as("quality_score"))
+        .orderBy(col("source"), col("rnk"))
+    }),
+
     // T14 — PII redaction: the scrub pass before any text ships to
     // training. The synthetic corpus carries no PII, so each doc is
     // AUGMENTED with a deterministic email / IPv4 / phone derived from
@@ -670,6 +688,25 @@ object TrainingQueries {
         |    / CAST(sum(t.c) AS BIGINT) AS top20_frac
         |FROM tokc t JOIN vocab v USING (word) LEFT JOIN top p USING (word)
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // Same quality-score formula as the t1 oracle; row_number replays
+    // the aggregator's (score DESC, doc_id) tie order.
+    "t16_topk_docs" ->
+      """WITH q AS (
+        |  SELECT source, doc_id,
+        |    round((CASE WHEN n_chars BETWEEN 100 AND 5000
+        |        THEN 1.0 ELSE 0.5 END) * 0.4
+        |      + least(len(list_distinct(string_split(text, ' '))) * 1.0
+        |        / len(string_split(text, ' ')) * 2, 1.0) * 0.6, 4) AS q
+        |  FROM documents
+        |), r AS (
+        |  SELECT source, doc_id, q, row_number() OVER (
+        |    PARTITION BY source ORDER BY q DESC, doc_id) AS rnk
+        |  FROM q
+        |)
+        |SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id,
+        |  q AS quality_score
+        |FROM r WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin,
 
     // DuckDB regexes are RE2; the patterns use only syntax with
     // identical semantics in Java regex ('g' = Spark's replace-all

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{GraftFunctions, TopKAggregator}
+import graft.functions.{GraftFunctions, TopKAggregator, TopKPairAggregator}
 
 /** Custom function surface: SQL registration + heap top-k aggregator. */
 class FunctionsSpec extends SparkSpec {
@@ -42,6 +42,34 @@ class FunctionsSpec extends SparkSpec {
       "SELECT size(top_k_3(l_quantity)) FROM li_v GROUP BY l_returnflag")
       .collect().map(_.getInt(0))
     assert(got.forall(_ == 3))
+  }
+
+  test("pair top-k aggregator matches sort-based reference under duplicate scores") {
+    // deterministic pseudo-random pairs with heavy score collisions, so
+    // tie-breaking (score desc, id asc) is genuinely exercised across
+    // partial-aggregate merges
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 2000).map { i =>
+      (i % 7L, rnd.nextInt(50).toDouble / 10.0, i.toLong) // (grp, score, id)
+    }
+    val df = spark.createDataFrame(rows).toDF("grp", "score", "id")
+      .repartition(8) // force multi-partition partial merges
+    val k = 5
+    val topk = udaf(new TopKPairAggregator(k))
+    val got = df.groupBy("grp")
+      .agg(topk(col("score"), col("id")).as("tk"))
+      .select(col("grp"), posexplode(col("tk")))
+      .select(col("grp"), col("pos"), col("col.score"), col("col.id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq)
+    val want = rows.groupBy(_._1).view.mapValues(
+      _.map(t => (t._2, t._3))
+        .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+        .take(k).toSeq)
+    want.toMap.foreach { case (g, exp) =>
+      assert(got(g) == exp, s"group $g: ${got(g)} vs $exp")
+    }
   }
 
   test("top_k skips SQL NULLs like the rank/window form it replaces") {
