@@ -265,13 +265,15 @@ object ExtensionQueries {
     // E9 — embedding near-dup cluster CONTRACT (companion to e3 + d9;
     // same pattern as e5/e6: float-derived candidates can't hash-match,
     // so the oracle asserts structural invariants the clustering must
-    // satisfy): (a) every SRP candidate pair is assigned to ONE cluster,
-    // (b) every vector is labeled exactly once, (c) each cluster's
-    // canonical survivor is its min id.
+    // satisfy): (a) the candidate set is non-empty (the contract BITES —
+    // the synthetic embeddings top out near cos 0.51, so a "dup-like"
+    // threshold would vacuously pass), (b) every SRP candidate pair is
+    // assigned to ONE cluster, (c) every vector is labeled exactly once,
+    // (d) each cluster's canonical survivor is its min id.
     "e9_embed_clusters" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       // reused by the cluster build AND the colocation check
-      val pairs = Similarity.cosineNearDupPairs(emb, threshold = 0.95,
+      val pairs = Similarity.cosineNearDupPairs(emb, threshold = 0.3,
           numPlanes = 8)
         .localCheckpoint(eager = false)
       val clusters = Dedup.nearDupClusters(
@@ -283,7 +285,8 @@ object ExtensionQueries {
         col("cluster_id").as("b_cl"))
       val colocated = pairs.join(la, Seq("a_id")).join(lb, Seq("b_id"))
         .agg(coalesce(count(when(col("a_cl") =!= col("b_cl"), 1)), lit(0L))
-          .as("n_split"))
+          .as("n_split"),
+          count(lit(1)).as("n_pairs"))
       val labeled = clusters.agg(count(lit(1)).as("n_rows"),
         countDistinct(col("vec_id")).as("n_ids"))
       val total = emb.agg(count(lit(1)).as("n_vecs"))
@@ -294,6 +297,7 @@ object ExtensionQueries {
           || col("canon_id").isNull, 1)).as("n_bad_canon"))
       colocated.crossJoin(labeled).crossJoin(total).crossJoin(canon)
         .select(
+          (col("n_pairs") > 0).as("has_candidate_pairs"),
           (col("n_split") === 0).as("pairs_colocated"),
           (col("n_rows") === col("n_vecs")
             && col("n_ids") === col("n_vecs")).as("all_labeled_once"),
@@ -666,8 +670,8 @@ object ExtensionQueries {
     // Contract oracle (e5/e6 pattern): Spark emits the invariant checks
     // as booleans; the oracle asserts they all hold.
     "e9_embed_clusters" ->
-      """SELECT true AS pairs_colocated, true AS all_labeled_once,
-        |  true AS canonical_is_min_id""".stripMargin,
+      """SELECT true AS has_candidate_pairs, true AS pairs_colocated,
+        |  true AS all_labeled_once, true AS canonical_is_min_id""".stripMargin,
 
     // DuckDB's nfc_normalize implements the same Unicode NFC form as
     // java.text.Normalizer; the suffix literal carries the decomposed
