@@ -145,6 +145,32 @@ object ParityQueries {
         .limit(1000)
     }),
 
+    // X14 — per-group winsorization (percentile clip): the robust-
+    // statistics outlier treatment a feature pipeline applies before
+    // aggregation. Percentile bounds per group broadcast back (bounded
+    // side), the clip is a map pass, and the winsorized sum uses the
+    // decimal-exact policy. `percentile` and DuckDB `quantile_cont`
+    // share the (n-1)·p interpolation in double (proven by w20), so the
+    // clip bounds — and therefore boundary comparisons — are identical.
+    "x14_winsorize" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+      val pct = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(x, 0.05)").as("p05"),
+          expr("percentile(x, 0.95)").as("p95"))
+      li.join(broadcast(pct), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("x") < col("p05"), 1)).as("n_clipped_low"),
+          count(when(col("x") > col("p95"), 1)).as("n_clipped_high"),
+          sum(greatest(col("p05"), least(col("p95"), col("x")))
+            .cast("decimal(38,6)")).as("wsum"))
+        .select(col("l_returnflag"), col("n"), col("n_clipped_low"),
+          col("n_clipped_high"),
+          round(col("wsum"), 2).cast("double").as("winsorized_sum"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // X5/X6/X7/X12 — derived ratio metrics with divide-by-zero guards
     // (data_cleaner.py:231-247; data_merger.py:315-348).
     "x_derived_ratios" -> ((s, d) => {
@@ -648,6 +674,21 @@ object ParityQueries {
         |FROM (SELECT *, CASE WHEN l_returnflag = 'N' THEN NULL
         |ELSE l_quantity - 25 END AS dev FROM lineitem)
         |ORDER BY l_orderkey, l_linenumber LIMIT 1000""".stripMargin,
+
+    "x14_winsorize" ->
+      """WITH pct AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS p05,
+        |    quantile_cont(l_extendedprice, 0.95) AS p95
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |  count(CASE WHEN l_extendedprice < p05 THEN 1 END) AS n_clipped_low,
+        |  count(CASE WHEN l_extendedprice > p95 THEN 1 END) AS n_clipped_high,
+        |  CAST(round(sum(CAST(greatest(p05, least(p95, l_extendedprice))
+        |    AS DECIMAL(38,6))), 2) AS DOUBLE) AS winsorized_sum
+        |FROM lineitem l JOIN pct USING (l_returnflag)
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
 
     "x_derived_ratios" ->
       s"""SELECT l_returnflag, gross, net, sum_tax, sum_qty,
