@@ -473,6 +473,38 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Graded n-gram contamination: for each corpus doc, the FRACTION of
+    * its distinct word n-gram shingles that occur anywhere in the
+    * benchmark set — the thresholdable form of [[decontaminateNgram]]'s
+    * binary any-collision drop (real pipelines keep docs below e.g. 5%
+    * overlap and only hard-drop above it). Same dataflow: the benchmark
+    * shingle set broadcasts, the corpus is shingled once map-side, and
+    * the per-doc tally is one combinable aggregate — integer counts and
+    * a single int/int division, so the score is bit-identical across
+    * engines with no rounding policy.
+    *
+    * The distinct is at the shingle-STRING level (inside
+    * [[ngramShinglesFromTokens]]); hashes keep that multiplicity, so
+    * `n_shingles` equals the count an engine without the hash
+    * optimization computes. */
+  def contaminationFraction(
+      corpus: DataFrame, bench: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    def shingleHashes(df: DataFrame, cols: Column*): DataFrame =
+      df.withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+        .select(cols :+ explode(
+          transform(ngramShinglesFromTokens(col("__toks"), n),
+            s => xxhash64(s))).as("__sh"): _*)
+    val benchSh = shingleHashes(bench).distinct().withColumn("__hit", lit(1))
+    shingleHashes(parallelizeSmallScan(corpus), col(idCol))
+      .join(broadcast(benchSh), Seq("__sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_contaminated"))
+      .withColumn("contamination_frac",
+        col("n_contaminated") * lit(1.0) / col("n_shingles"))
+  }
+
   /** Incremental (cross-snapshot) dedup — the ingest shape at 100 TB:
     * an already-deduped corpus persists only its FINGERPRINT INDEX
     * (the [[exactGroups]] output), and each incoming batch dedups

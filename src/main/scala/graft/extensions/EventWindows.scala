@@ -81,6 +81,63 @@ object EventWindows {
     events.withColumn("k",
       get_json_object(col("props"), "$.k").cast("long"))
 
+  /** Distributed EXCLUSIVE running max: for each row, the max of
+    * `valCol` over all rows with a strictly smaller `seqCol` (`seqCol`
+    * must be unique — ties would make the exclusive frame ambiguous).
+    *
+    * A naive `Window.orderBy(seq)` with no partition key collapses the
+    * whole table onto ONE task; this is the two-phase prefix-scan form
+    * instead: (1) per-bucket max — a combinable aggregate over n/B
+    * rows, (2) exclusive prefix max across the BOUNDED bucket table
+    * (the only single-partition window, n/B rows), broadcast back,
+    * (3) within-bucket exclusive running max partitioned by bucket.
+    * Same decomposition as a distributed prefix sum; works for any
+    * max-like (commutative, idempotent) running aggregate. The first
+    * row overall gets NULL (empty exclusive frame). */
+  def runningMaxExclusive(df: DataFrame, seqCol: String, valCol: String,
+      outCol: String, bucketSize: Long = 4096L): DataFrame = {
+    val bucketed = df.withColumn("__b",
+      floor(col(seqCol) / lit(bucketSize)).cast("long"))
+    val perBucket = bucketed.groupBy(col("__b"))
+      .agg(max(col(valCol)).as("__bmax"))
+    val wPrefix = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = perBucket.select(col("__b"),
+      max(col("__bmax")).over(wPrefix).as("__pmax"))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col(seqCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(prefix), Seq("__b"))
+      // greatest() skips NULLs: first bucket has no prefix, first row
+      // in a bucket has no in-bucket max — null only when both are
+      .withColumn(outCol,
+        greatest(max(col(valCol)).over(wIn), col("__pmax")))
+      .drop("__b", "__pmax")
+  }
+
+  /** Watermark lateness audit — the offline replay of Structured
+    * Streaming's `withWatermark(delay)` semantics: an event is LATE iff
+    * its event time precedes the running max event time over all
+    * earlier ARRIVALS (arrival order = `seqCol`) minus the delay — a
+    * streaming job with that watermark would have dropped it. Run this
+    * over the historical stream to size the delay BEFORE deploying
+    * (what fraction of real traffic does a candidate watermark drop?).
+    *
+    * Event times are floored to whole epoch seconds so every
+    * comparison is integer-exact (parquet carries nanoseconds, Spark
+    * truncates to micros — second flooring removes the sub-second
+    * precision mismatch class entirely). Built on
+    * [[runningMaxExclusive]]: no single-partition pass over the event
+    * table. */
+  def watermarkAudit(events: DataFrame, delaySeconds: Long,
+      seqCol: String = "event_id"): DataFrame =
+    runningMaxExclusive(
+      events.withColumn("__ts_s", col("ts").cast("long")),
+      seqCol, "__ts_s", "__run_max_s")
+      .withColumn("watermark_s", col("__run_max_s") - delaySeconds)
+      .withColumn("is_late",
+        coalesce(col("__ts_s") < col("watermark_s"), lit(false)))
+      .drop("__run_max_s", "__ts_s")
+
   /** Per-key interval join (view→click attribution: for each left event,
     * every right event by the same user in [l_ts, l_ts + maxLag)).
     *

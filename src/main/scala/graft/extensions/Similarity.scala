@@ -235,6 +235,52 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("cosine_sim"))
   }
 
+  /** Semantic outlier scoring — the SemDeDup / SSL-prototype pruning
+    * shape: each vector is scored by cosine against the CENTROID of its
+    * own label group, and the k least-similar vectors per label are the
+    * prune/review candidates (mislabeled points, embedding-space noise,
+    * out-of-distribution samples).
+    *
+    * Scale shape: the centroid pass is one posexplode + combinable
+    * aggregate (labels × dims rows — bounded, never corpus-sized), the
+    * per-dimension means are decimal-exact so centroids do not drift
+    * with shuffle arrival order (same policy as [[kMeansCentroids]]),
+    * the assembled centroid table broadcasts back, scoring is a narrow
+    * map pass, and the per-label bottom-k runs through the bounded
+    * [[graft.functions.TopKPairAggregator]] — at most k pairs per label
+    * per partition shuffle, no skewed rank window over few-label data.
+    * Zero-norm vectors are excluded (cosine undefined). */
+  def centroidOutliers(embeddings: DataFrame, k: Int): DataFrame = {
+    val nonzero = embeddings
+      .filter(norm(col("embedding")) > 0)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding"))
+    val cents = nonzero
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      // double-first cast: float→decimal via the exact double value in
+      // both engines, then one IEEE division at the end (exactAvg policy)
+      .agg((sum(col("v").cast("double").cast("decimal(38,12)"))
+        .cast("double") / count(lit(1))).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("centroid"))
+    val bottomK = udaf(new graft.functions.TopKPairAggregator(k))
+    nonzero
+      .join(broadcast(cents), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        round(cosine(col("embedding"), col("centroid")), 4).as("cosine_sim"))
+      // negated score → the aggregator's top-k-desc keeps the SMALLEST
+      // cosines; -(-x) round-trips every double bit-exactly (±0 incl.)
+      .groupBy(col("label"))
+      .agg(bottomK(-col("cosine_sim"), col("vec_id")).as("tk"))
+      .select(col("label"), posexplode(col("tk")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("vec_id"), (-col("col.score")).as("cosine_sim"))
+      .orderBy(col("label"), col("rnk"))
+  }
+
   /** Batch k-NN join: the top-k cosine neighbors in `corpus` for EVERY
     * vector in `queries`, in ONE corpus pass — the retrieval/eval shape
     * (probe a training corpus with a whole benchmark set at once) that

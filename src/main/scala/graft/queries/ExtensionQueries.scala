@@ -106,6 +106,16 @@ object ExtensionQueries {
         .limit(100)
     }),
 
+    // E10 — semantic outlier scoring (SemDeDup / SSL-prototype pruning):
+    // the 5 vectors per label least similar to their own label centroid
+    // — mislabel/noise candidates. Centroid means are decimal-exact (no
+    // shuffle-order drift), cosines round to 4 decimals (the e1
+    // precedent the oracle replays), bottom-k per label runs through
+    // the bounded TopKPairAggregator, not a rank window over 10 labels.
+    "e10_semantic_outliers" -> ((s, d) => {
+      Similarity.centroidOutliers(Tables.embeddings(s, d), k = 5)
+    }),
+
     // T1 — token counting + quality scoring.
     "t1_text_stats" -> ((s, d) => {
       Tables.documents(s, d).select(
@@ -321,6 +331,33 @@ object ExtensionQueries {
           length(aug).cast("long").as("n_raw_chars"),
           length(graft.functions.NfcNormalize.nfc_normalize(aug))
             .cast("long").as("n_nfc_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // T17 — corpus-novelty scoring via rare-bigram fraction: the share
+    // of a doc's bigram OCCURRENCES whose whole-corpus frequency is ≤ 2
+    // — high values flag gibberish/noise, low values flag boilerplate
+    // (the integer-exact cousin of an LM-perplexity quality filter).
+    // Two combinable aggs + one equi-join on the bigram key: the
+    // per-doc count table checkpoints so tokenize+explode runs once,
+    // and global counts JOIN back hash-partitioned on the bigram — no
+    // broadcast of the "rare" set, which at corpus scale is most of
+    // the vocabulary.
+    "t17_rare_bigram_frac" -> ((s, d) => {
+      val bg = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          explode(TextAnalysis.bigrams(col("toks"))).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = false)
+      val global = bg.groupBy(col("bg")).agg(sum(col("c")).as("gc"))
+      bg.join(global, Seq("bg"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_bigrams"),
+          coalesce(sum(when(col("gc") <= 2, col("c"))), lit(0L))
+            .as("n_rare"))
+        .withColumn("rare_bigram_frac",
+          col("n_rare") * lit(1.0) / col("n_bigrams"))
         .orderBy(col("doc_id"))
     }),
 
@@ -620,6 +657,36 @@ object ExtensionQueries {
         |SELECT vec_id, label, round(dot / (sqrt(vv) * sqrt(qq)), 4) AS cosine_sim
         |FROM m ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin,
 
+    "e10_semantic_outliers" ->
+      """WITH x AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |), nz AS (
+        |  SELECT vec_id FROM x GROUP BY vec_id HAVING sum(v * v) > 0
+        |), cent AS (
+        |  -- decimal-exact per-dimension mean (double-first cast, one
+        |  -- IEEE division at the end — the exactAvg policy)
+        |  SELECT label, i,
+        |    CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS c
+        |  FROM x WHERE vec_id IN (SELECT vec_id FROM nz)
+        |  GROUP BY label, i
+        |), m AS (
+        |  SELECT x.vec_id, x.label, sum(x.v * cent.c) AS dot,
+        |    sum(x.v * x.v) AS vv, sum(cent.c * cent.c) AS cc
+        |  FROM x JOIN cent ON x.label = cent.label AND x.i = cent.i
+        |  WHERE x.vec_id IN (SELECT vec_id FROM nz)
+        |  GROUP BY x.vec_id, x.label
+        |), rk AS (
+        |  SELECT label, vec_id,
+        |    round(dot / (sqrt(vv) * sqrt(cc)), 4) AS cosine_sim,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY round(dot / (sqrt(vv) * sqrt(cc)), 4), vec_id) AS rnk
+        |  FROM m)
+        |SELECT label, CAST(rnk AS BIGINT) AS rnk, vec_id, cosine_sim
+        |FROM rk WHERE rnk <= 5 ORDER BY label, rnk""".stripMargin,
+
     "e7_embed_quantize" ->
       """WITH sc AS (
         |  SELECT vec_id, e,
@@ -853,6 +920,25 @@ object ExtensionQueries {
         |FROM stats s JOIN topw w USING (doc_id)
         |  LEFT JOIN topb b USING (doc_id)
         |ORDER BY s.doc_id""".stripMargin,
+
+    "t17_rare_bigram_frac" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), bg AS (
+        |  SELECT doc_id, bg, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1])) AS bg FROM base)
+        |  GROUP BY doc_id, bg
+        |), g AS (
+        |  SELECT bg, CAST(sum(c) AS BIGINT) AS gc FROM bg GROUP BY bg
+        |)
+        |SELECT b.doc_id, CAST(sum(b.c) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(sum(CASE WHEN g.gc <= 2 THEN b.c END), 0) AS BIGINT)
+        |    AS n_rare,
+        |  CAST(coalesce(sum(CASE WHEN g.gc <= 2 THEN b.c END), 0) AS BIGINT)
+        |    * 1.0 / CAST(sum(b.c) AS BIGINT) AS rare_bigram_frac
+        |FROM bg b JOIN g USING (bg)
+        |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
 
     "w13_pivot" ->
       """SELECT l_linestatus,

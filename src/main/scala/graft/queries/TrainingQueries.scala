@@ -233,6 +233,38 @@ object TrainingQueries {
         .orderBy(col("c_mktsegment"), col("event_type"))
     }),
 
+    // V7 — watermark lateness audit: replay `withWatermark(10 min)` over
+    // the historical stream in arrival order (event_id) and count, per
+    // type, the events the streaming job would have dropped as late —
+    // the sizing query you run BEFORE picking a production watermark.
+    // The running max is the two-phase distributed prefix scan
+    // (EventWindows.runningMaxExclusive): no single-partition global
+    // window; second-floored integer comparisons keep the late verdict
+    // engine-exact; int/int late_frac is bit-identical IEEE.
+    "v7_watermark_audit" -> ((s, d) => {
+      graft.extensions.EventWindows.watermarkAudit(
+          Tables.events(s, d), delaySeconds = 600L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          Summaries.countIf(col("is_late")).as("n_late"))
+        .withColumn("late_frac", col("n_late") * lit(1.0) / col("n_events"))
+        .orderBy(col("event_type"))
+    }),
+
+    // D13 — graded decontamination: instead of d8's binary any-collision
+    // drop, score every training doc by the FRACTION of its distinct
+    // 8-gram shingles that appear in the held-out set — the
+    // thresholdable form real pipelines act on (hard-drop above ~5%
+    // overlap, flag below). Integer counts + one int/int division:
+    // bit-identical across engines, no rounding policy needed.
+    "d13_contamination_frac" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationFraction(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0), "text", "doc_id", n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // W21 — arbitrary GROUPING SETS (beyond the rollup/cube hierarchies):
     // sets ((r,n),(n),()) mix a non-hierarchical slice with the total.
     "w21_grouping_sets" -> ((s, d) => {
@@ -883,6 +915,38 @@ object TrainingQueries {
         |SELECT doc_id FROM documents WHERE doc_id % 20 <> 0 AND doc_id NOT IN
         |  (SELECT DISTINCT c.doc_id FROM csh c JOIN bsh USING (sh))
         |ORDER BY doc_id""".stripMargin,
+
+    "d13_contamination_frac" ->
+      """WITH csh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text,' ')) - 8 + 2, 2)),
+        |    i -> array_to_string(list_slice(string_split(text,' '), i, i + 7), ' '))))
+        |    AS sh
+        |  FROM documents WHERE doc_id % 20 <> 0
+        |), bsh AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text,' ')) - 8 + 2, 2)),
+        |    i -> array_to_string(list_slice(string_split(text,' '), i, i + 7), ' '))))
+        |    AS sh
+        |  FROM documents WHERE doc_id % 20 = 0
+        |)
+        |SELECT c.doc_id, count(*) AS n_shingles,
+        |  count(b.sh) AS n_contaminated,
+        |  count(b.sh) * 1.0 / count(*) AS contamination_frac
+        |FROM csh c LEFT JOIN bsh b ON c.sh = b.sh
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+
+    "v7_watermark_audit" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |    max(CAST(floor(epoch(ts)) AS BIGINT)) OVER (ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 600 AS wm_s
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        |  count(CASE WHEN ts_s < wm_s THEN 1 END) AS n_late,
+        |  count(CASE WHEN ts_s < wm_s THEN 1 END) * 1.0 / count(*) AS late_frac
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "t9_quality_filter" ->
       """WITH sig AS (

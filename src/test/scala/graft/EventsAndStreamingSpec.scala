@@ -44,6 +44,32 @@ class EventWindowsSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSeq
     assert(got == Seq((0L, "view", 3L), (3600L, "click", 1L)))
   }
+
+  test("runningMaxExclusive agrees with the naive global window across buckets") {
+    val df = Seq(0L -> 5L, 1L -> 3L, 2L -> 9L, 3L -> 1L, 4L -> 9L,
+      5L -> 2L, 6L -> 12L, 7L -> 0L, 8L -> 7L, 9L -> 15L).toDF("seq", "v")
+    // bucketSize = 3 forces prefix handoff across 4 buckets
+    val got = EventWindows.runningMaxExclusive(df, "seq", "v", "rm", bucketSize = 3L)
+      .orderBy("seq").select("seq", "rm")
+      .as[(Long, Option[Long])].collect().toSeq
+    val want = Seq(0L -> None, 1L -> Some(5L), 2L -> Some(5L), 3L -> Some(9L),
+      4L -> Some(9L), 5L -> Some(9L), 6L -> Some(9L), 7L -> Some(12L),
+      8L -> Some(12L), 9L -> Some(12L))
+    assert(got == want)
+  }
+
+  test("watermarkAudit flags exactly the events a watermark would drop") {
+    val ev = Seq(
+      (1L, ts(1000), 1L, "view", 1.0, "{}"),
+      (2L, ts(2000), 1L, "view", 1.0, "{}"),
+      (3L, ts(500), 1L, "click", 1.0, "{}"),  // 500 < 2000-600 → late
+      (4L, ts(1500), 1L, "view", 1.0, "{}")   // 1500 ≥ 2000-600 → kept
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventWindows.watermarkAudit(ev, delaySeconds = 600L)
+      .orderBy("event_id").select("event_id", "is_late")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(got == Seq(1L -> false, 2L -> false, 3L -> true, 4L -> false))
+  }
 }
 
 class StreamingSpec extends SparkSpec {

@@ -123,6 +123,23 @@ class DedupSpec extends SparkSpec {
     assert(exact.isDefined && exact.get._3 == 0L)
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
+
+  test("contamination fraction grades overlap instead of binary-dropping") {
+    // bench = doc 1 (20 tokens → 13 distinct 8-gram shingles);
+    // doc 2 is an exact dup (13/13), doc 3 edits token #2 so the 2
+    // shingles covering it break (11/13), doc 4 (9 tokens → 2
+    // shingles) shares nothing (0/2)
+    val bench = docs.filter(col("doc_id") === 1L)
+    val corpus = docs.filter(col("doc_id") > 1L)
+    val got = Dedup.contaminationFraction(corpus, bench, "text", "doc_id", n = 8)
+      .orderBy("doc_id")
+      .select("doc_id", "n_shingles", "n_contaminated")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 13L, 13L), (3L, 13L, 11L), (4L, 2L, 0L)))
+    val fracs = Dedup.contaminationFraction(corpus, bench, "text", "doc_id", 8)
+      .orderBy("doc_id").select("contamination_frac").as[Double].collect().toSeq
+    assert(fracs == Seq(1.0, 11.0 / 13.0, 0.0))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -158,6 +175,20 @@ class SimilaritySpec extends SparkSpec {
         numPlanes = 8)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)))
+  }
+
+  test("centroid outliers surface the planted off-cluster vector first") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(1.0f, 0.05f), 0),
+      (3L, Array(-1.0f, 0.0f), 0),                 // planted outlier, label 0
+      (10L, Array(0.0f, 1.0f), 1), (11L, Array(0.1f, 0.9f), 1),
+      (12L, Array(1.0f, 0.0f), 1)                  // planted outlier, label 1
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidOutliers(emb, k = 2)
+      .filter(col("rnk") === 1)
+      .select("label", "vec_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 3L, 1L -> 12L))
   }
 
   test("batch knn join agrees with per-query brute force (sf0.001)") {
