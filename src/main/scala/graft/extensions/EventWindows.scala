@@ -96,8 +96,11 @@ object EventWindows {
     * row overall gets NULL (empty exclusive frame). */
   def runningMaxExclusive(df: DataFrame, seqCol: String, valCol: String,
       outCol: String, bucketSize: Long = 4096L): DataFrame = {
+    // integer `div`, not floor(x / double): a double quotient is exact
+    // only below 2^53 — sequence ids from a 100 TB ingest (snowflake
+    // ids, byte offsets) overflow that and would alias buckets
     val bucketed = df.withColumn("__b",
-      floor(col(seqCol) / lit(bucketSize)).cast("long"))
+      expr(s"`$seqCol` div ${bucketSize}L"))
     val perBucket = bucketed.groupBy(col("__b"))
       .agg(max(col(valCol)).as("__bmax"))
     val wPrefix = Window.orderBy(col("__b"))
