@@ -29,7 +29,19 @@ object EventWindows {
     * id = running count of session starts. Pure window functions —
     * deterministic, oracle-expressible, and the exact batch semantics of
     * `session_window`. */
-  def sessionize(events: DataFrame, gapSeconds: Long): DataFrame = {
+  def sessionize(events: DataFrame, gapSeconds: Long): DataFrame =
+    labelSessions(events, gapSeconds)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("__secs")).as("session_start_s"),
+        (max(col("__secs")) - min(col("__secs"))).as("duration_s"))
+
+  /** Event-level session labels — the gaps-and-islands core of
+    * [[sessionize]], exposed so sequence assembly and other
+    * session-grain consumers share one definition. Adds `session_id`
+    * (1-based per user) and `__secs` (epoch seconds). */
+  def labelSessions(events: DataFrame, gapSeconds: Long): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val secs = unix_timestamp(col("ts"))
@@ -40,12 +52,29 @@ object EventWindows {
       .withColumn("__secs", secs)
       .withColumn("session_id",
         sum(isNew).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** Per-session ordered event-sequence assembly — the
+    * behavior-sequence training-example shape (one row per session,
+    * the event-type trail as an ordered string). `collect_list` arrival
+    * order is nondeterministic, so the list collects (secs, event_id,
+    * type) structs and `array_sort` canonicalizes on the integer-exact
+    * (secs, event_id) prefix before the types are joined — same policy
+    * as the w24 top-gap list. The grouped collect rides the SAME
+    * (user_id) exchange the labeling window already forced: labeling,
+    * grouping and assembly are one shuffle. */
+  def sessionSequences(events: DataFrame, gapSeconds: Long): DataFrame =
+    labelSessions(events, gapSeconds)
       .groupBy(col("user_id"), col("session_id"))
       .agg(
         count(lit(1)).as("n_events"),
         min(col("__secs")).as("session_start_s"),
-        (max(col("__secs")) - min(col("__secs"))).as("duration_s"))
-  }
+        array_join(
+          transform(
+            array_sort(collect_list(
+              struct(col("__secs"), col("event_id"), col("event_type")))),
+            e => e.getField("event_type")),
+          ">").as("event_seq"))
 
   /** The built-in `session_window` form (same semantics, state-store
     * backed under streaming). Kept alongside `sessionize` so the batch

@@ -136,4 +136,35 @@ object WindowOps {
     * global sort; scale-safe. `sortCols` must totally order rows. */
   def topK(df: DataFrame, sortCols: Seq[Column], n: Int): DataFrame =
     df.orderBy(sortCols: _*).limit(n)
+
+  /** Deterministic global 1-based row number by `orderCols` (which must
+    * totally order the rows) WITHOUT a global sort window — the
+    * contiguous-example-id / leaderboard-position primitive.
+    *
+    * `row_number().over(Window.orderBy(...))` funnels the whole table
+    * through ONE task. This is the scalable decomposition instead (the
+    * DataFrame analog of RDD.zipWithIndex): range-repartition by the
+    * order key, number rows WITHIN each partition (parallel windows),
+    * and add each partition's exclusive offset — a prefix sum over the
+    * BOUNDED per-partition-count table. The lazy checkpoint pins one
+    * materialization so the count pass and the numbering pass see the
+    * SAME range boundaries (range sampling is not re-run per subplan);
+    * the emitted rank is the global rank by `orderCols`, invariant to
+    * however the sampler happened to place the boundaries. */
+  def globalRowNumber(df: DataFrame, orderCols: Seq[Column],
+      outCol: String): DataFrame = {
+    val ranged = df.repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .localCheckpoint(eager = false)
+    val wPrefix = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+      .select(col("__pid"),
+        coalesce(sum(col("__c")).over(wPrefix), lit(0L)).as("__off"))
+    val wIn = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+    ranged.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(outCol, col("__off") + row_number().over(wIn))
+      .drop("__pid", "__off")
+  }
 }

@@ -215,6 +215,17 @@ object ExtensionQueries {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // V8 — behavior-sequence assembly: one training example per
+    // session, the event-type trail as an ordered string. Labeling
+    // (v2's gaps-and-islands), grouping and assembly all ride ONE
+    // (user_id) exchange; collect_list arrival order is canonicalized
+    // by array_sort on the integer-exact (secs, event_id) struct prefix
+    // before the join — the w24 list policy.
+    "v8_session_sequences" -> ((s, d) => {
+      EventWindows.sessionSequences(Tables.events(s, d), gapSeconds = 1800)
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     // M1 — multimodal binary payload stats (relational fast path of the
     // media pipeline; the mapPartitions decode is ScalaTest-covered).
     "m1_payload_stats" -> ((s, d) => {
@@ -858,6 +869,27 @@ object ExtensionQueries {
         |)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(secs) AS session_start_s, max(secs) - min(secs) AS duration_s
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "v8_session_sequences" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS secs
+        |  FROM events
+        |), m AS (
+        |  SELECT *, CASE WHEN lag(secs) OVER w IS NULL
+        |    OR secs - lag(secs) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS session_id
+        |  FROM m
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(secs) AS session_start_s,
+        |  string_agg(event_type, '>' ORDER BY secs, event_id) AS event_seq
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.extensions.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.operators.Summaries
+import graft.operators.{Summaries, WindowOps}
 import graft.sources.Tables
 
 /** Round-2 additions to the training-data pipeline surface: deterministic
@@ -566,6 +566,46 @@ object TrainingQueries {
         .limit(1000)
     }),
 
+    // O7 — deterministic global row numbering (contiguous example ids /
+    // leaderboard positions) WITHOUT `row_number() OVER (ORDER BY …)`'s
+    // single-task global window: range repartition + parallel in-
+    // partition numbering + a prefix sum over the bounded per-partition
+    // count table (WindowOps.globalRowNumber — the DataFrame
+    // zipWithIndex). The oracle replays it as the naive global window,
+    // proving the decomposition loses/renumbers nothing.
+    "o7_global_rownum" -> ((s, d) => {
+      WindowOps.globalRowNumber(
+          Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal")),
+          Seq(col("c_acctbal").desc, col("c_custkey")), "global_rank")
+        .select(col("c_custkey"), col("global_rank"))
+        .orderBy(col("global_rank"))
+    }),
+
+    // T18 — curriculum/quality-decile binning: exact global decile
+    // bounds of the per-doc quality score (percentile ≡ quantile_cont
+    // interpolation, proven by w20) broadcast back, each doc assigned
+    // band = 1 + #bounds strictly below its score (an integer both
+    // engines compute identically on identical doubles), then per-band
+    // occupancy + score range — the table a curriculum sampler feeds
+    // on. Scale: one combinable agg for bounds (9 doubles), one narrow
+    // map for banding, one grouped agg; the corpus never sorts.
+    "t18_quality_deciles" -> ((s, d) => {
+      val scored = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text"), col("n_chars")).as("q"))
+        .localCheckpoint(eager = false) // feeds bounds AND banding
+      val bounds = scored.agg(
+        expr("percentile(q, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+          .as("bs"))
+      scored.crossJoin(broadcast(bounds))
+        .withColumn("decile",
+          (size(filter(col("bs"), b => col("q") > b)) + 1).cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("q")).as("min_q"), max(col("q")).as("max_q"))
+        .orderBy(col("decile"))
+    }),
+
     // T12 — sequence PACKING (concat-and-chunk): the step that turns a
     // deduped corpus into fixed-budget training sequences. Docs are
     // concatenated in doc_id order and cut every `budget` tokens, so a
@@ -815,6 +855,29 @@ object TrainingQueries {
         |quantile_cont(l_quantity, 0.5) AS p50,
         |quantile_cont(l_quantity, 0.9) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "o7_global_rownum" ->
+      """SELECT c_custkey,
+        |CAST(row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS BIGINT)
+        |  AS global_rank
+        |FROM customer ORDER BY global_rank""".stripMargin,
+
+    "t18_quality_deciles" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    round((CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.5 END)
+        |        * 0.4
+        |      + least(len(list_distinct(string_split(text, ' '))) * 1.0
+        |          / len(string_split(text, ' ')) * 2, 1.0) * 0.6, 4) AS q
+        |  FROM documents
+        |), b AS (
+        |  SELECT quantile_cont(q, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+        |  FROM s
+        |)
+        |SELECT CAST(len(list_filter(b.bs, x -> s.q > x)) + 1 AS BIGINT)
+        |    AS decile,
+        |  count(*) AS n_docs, min(s.q) AS min_q, max(s.q) AS max_q
+        |FROM s CROSS JOIN b GROUP BY 1 ORDER BY decile""".stripMargin,
 
     "t6_normalize" ->
       """SELECT doc_id,

@@ -45,6 +45,15 @@ class EventWindowsSpec extends SparkSpec {
     assert(got == Seq((0L, "view", 3L), (3600L, "click", 1L)))
   }
 
+  test("sessionSequences assembles ordered event-type trails per session") {
+    val got = EventWindows.sessionSequences(events, gapSeconds = 1800)
+      .orderBy("user_id", "session_id")
+      .select("user_id", "session_id", "event_seq")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 1L, "view>view"), (1L, 2L, "click"),
+      (2L, 1L, "view")))
+  }
+
   test("runningMaxExclusive agrees with the naive global window across buckets") {
     val df = Seq(0L -> 5L, 1L -> 3L, 2L -> 9L, 3L -> 1L, 4L -> 9L,
       5L -> 2L, 6L -> 12L, 7L -> 0L, 8L -> 7L, 9L -> 15L).toDF("seq", "v")

@@ -133,6 +133,26 @@ class PlanSpec extends SparkSpec {
     assert(rdds == 2, s"expected both branches on the checkpoint RDD, got $rdds\n$p")
   }
 
+  test("v7: the only single-partition stage is the bounded bucket-prefix table") {
+    val df = SparkEntry.queries("v7_watermark_audit")(spark, sf0001)
+    val p = finalPlan(df)
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1,
+      s"exactly one single-partition exchange (the n/4096-row bucket " +
+        s"prefix) expected in\n$p")
+    assert(p.contains("windowspecdefinition(__b"),
+      "the event-table running max must be partitioned by bucket")
+  }
+
+  test("o7: global numbering never puts the table through one task") {
+    val df = SparkEntry.queries("o7_global_rownum")(spark, sf0001)
+    val p = finalPlan(df)
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1,
+      s"exactly one single-partition exchange (the per-partition-count " +
+        s"offset prefix) expected in\n$p")
+    assert(p.contains("windowspecdefinition(__pid"),
+      "row numbering must run within range partitions")
+  }
+
   test("d10: bloom probe is a scan-level filter — no join, no corpus shuffle") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val corpus = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 20 =!= 0)

@@ -161,4 +161,18 @@ class AsOfJoinSpec extends SparkSpec {
       .as[(Long, Option[Double], Option[Double])].collect().toSeq
     assert(got == Seq((10L, None, Some(9.0))))
   }
+
+  test("globalRowNumber equals the naive global window on shuffled input") {
+    val rnd = new scala.util.Random(7)
+    val rows = rnd.shuffle((1L to 257L).toList).map(k => (k, rnd.nextInt(50)))
+    // many partitions + a value with heavy ties → exercises range
+    // boundaries, offset handoff, and the orderCols tiebreak
+    val df = rows.toDF("k", "v").repartition(7)
+    val got = WindowOps.globalRowNumber(
+        df, Seq(col("v").desc, col("k")), "rn")
+      .select("k", "rn").as[(Long, Long)].collect().toMap
+    val want = rows.sortBy { case (k, v) => (-v, k) }
+      .zipWithIndex.map { case ((k, _), i) => k -> (i + 1L) }.toMap
+    assert(got == want)
+  }
 }
