@@ -458,18 +458,24 @@ object Dedup {
     * paraphrases, partial copies). Shingles are hashed to longs; the
     * benchmark shingle set broadcasts; contaminated ids come from a
     * semi-join, survivors from an anti-join on id. */
+  /** One (row per shingle-hash) projection shared by the n-gram
+    * decontamination paths: tokenize once, shingle (string-distinct
+    * inside [[ngramShinglesFromTokens]]), hash, explode. */
+  private def shingleHashes(
+      df: DataFrame, textCol: String, n: Int, cols: Column*): DataFrame =
+    df.withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .select(cols :+ explode(
+        transform(ngramShinglesFromTokens(col("__toks"), n),
+          s => xxhash64(s))).as("__sh"): _*)
+
   def decontaminateNgram(
       corpus: DataFrame, bench: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {
-    def shingleHashes(df: DataFrame, cols: Column*): DataFrame =
-      df.withColumn("__toks", TextAnalysis.tokens(col(textCol)))
-        .select(cols :+ explode(array_distinct(
-          transform(ngramShinglesFromTokens(col("__toks"), n),
-            s => xxhash64(s)))).as("__sh"): _*)
-    val benchSh = shingleHashes(bench).distinct()
-    val contaminated = shingleHashes(parallelizeSmallScan(corpus), col(idCol))
-      .join(broadcast(benchSh), Seq("__sh"), "left_semi")
-      .select(col(idCol)).distinct()
+    val benchSh = shingleHashes(bench, textCol, n).distinct()
+    val contaminated =
+      shingleHashes(parallelizeSmallScan(corpus), textCol, n, col(idCol))
+        .join(broadcast(benchSh), Seq("__sh"), "left_semi")
+        .select(col(idCol)).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
@@ -490,13 +496,9 @@ object Dedup {
   def contaminationFraction(
       corpus: DataFrame, bench: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {
-    def shingleHashes(df: DataFrame, cols: Column*): DataFrame =
-      df.withColumn("__toks", TextAnalysis.tokens(col(textCol)))
-        .select(cols :+ explode(
-          transform(ngramShinglesFromTokens(col("__toks"), n),
-            s => xxhash64(s))).as("__sh"): _*)
-    val benchSh = shingleHashes(bench).distinct().withColumn("__hit", lit(1))
-    shingleHashes(parallelizeSmallScan(corpus), col(idCol))
+    val benchSh = shingleHashes(bench, textCol, n)
+      .distinct().withColumn("__hit", lit(1))
+    shingleHashes(parallelizeSmallScan(corpus), textCol, n, col(idCol))
       .join(broadcast(benchSh), Seq("__sh"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"),

@@ -116,20 +116,26 @@ object EventWindows {
     *
     * A naive `Window.orderBy(seq)` with no partition key collapses the
     * whole table onto ONE task; this is the two-phase prefix-scan form
-    * instead: (1) per-bucket max — a combinable aggregate over n/B
-    * rows, (2) exclusive prefix max across the BOUNDED bucket table
-    * (the only single-partition window, n/B rows), broadcast back,
-    * (3) within-bucket exclusive running max partitioned by bucket.
-    * Same decomposition as a distributed prefix sum; works for any
-    * max-like (commutative, idempotent) running aggregate. The first
-    * row overall gets NULL (empty exclusive frame). */
+    * instead: (1) range-repartition by `seqCol` — bucket = physical
+    * partition id, so the bucket count is the shuffle-partition
+    * setting, BOUNDED regardless of how sparse the sequence ids are
+    * (a value-based `seq div B` bucketing degenerates to one bucket
+    * per row on snowflake-style ids, whose low bits are a counter);
+    * (2) per-bucket max — a combinable aggregate over a
+    * #partitions-row table; (3) exclusive prefix max across that tiny
+    * table (the only single-partition window), broadcast back;
+    * (4) within-bucket exclusive running max, partitioned by bucket.
+    * The lazy checkpoint pins ONE materialization so the per-bucket
+    * aggregate and the per-row pass see the same range boundaries
+    * (same contract as [[graft.operators.WindowOps.globalRowNumber]]).
+    * Works for any max-like (commutative, idempotent) running
+    * aggregate. The first row overall gets NULL (empty frame). */
   def runningMaxExclusive(df: DataFrame, seqCol: String, valCol: String,
-      outCol: String, bucketSize: Long = 4096L): DataFrame = {
-    // integer `div`, not floor(x / double): a double quotient is exact
-    // only below 2^53 — sequence ids from a 100 TB ingest (snowflake
-    // ids, byte offsets) overflow that and would alias buckets
-    val bucketed = df.withColumn("__b",
-      expr(s"`$seqCol` div ${bucketSize}L"))
+      outCol: String): DataFrame = {
+    val bucketed = df.repartitionByRange(col(seqCol))
+      .sortWithinPartitions(col(seqCol))
+      .withColumn("__b", spark_partition_id().cast("long"))
+      .localCheckpoint(eager = false)
     val perBucket = bucketed.groupBy(col("__b"))
       .agg(max(col(valCol)).as("__bmax"))
     val wPrefix = Window.orderBy(col("__b"))

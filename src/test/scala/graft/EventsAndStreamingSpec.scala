@@ -57,8 +57,8 @@ class EventWindowsSpec extends SparkSpec {
   test("runningMaxExclusive agrees with the naive global window across buckets") {
     val df = Seq(0L -> 5L, 1L -> 3L, 2L -> 9L, 3L -> 1L, 4L -> 9L,
       5L -> 2L, 6L -> 12L, 7L -> 0L, 8L -> 7L, 9L -> 15L).toDF("seq", "v")
-    // bucketSize = 3 forces prefix handoff across 4 buckets
-    val got = EventWindows.runningMaxExclusive(df, "seq", "v", "rm", bucketSize = 3L)
+    // 4 test shuffle partitions force prefix handoff across range buckets
+    val got = EventWindows.runningMaxExclusive(df, "seq", "v", "rm")
       .orderBy("seq").select("seq", "rm")
       .as[(Long, Option[Long])].collect().toSeq
     val want = Seq(0L -> None, 1L -> Some(5L), 2L -> Some(5L), 3L -> Some(9L),

@@ -137,9 +137,12 @@ class PlanSpec extends SparkSpec {
     val df = SparkEntry.queries("v7_watermark_audit")(spark, sf0001)
     val p = finalPlan(df)
     assert("Exchange SinglePartition".r.findAllIn(p).size == 1,
-      s"exactly one single-partition exchange (the n/4096-row bucket " +
-        s"prefix) expected in\n$p")
-    assert(p.contains("windowspecdefinition(__b"),
+      s"exactly one single-partition exchange (the #partitions-row " +
+        s"bucket prefix) expected in\n$p")
+    // the PARTITIONED spec lists __b then the event_id sort key — the
+    // prefix-stage window (ordered by __b alone) cannot satisfy this
+    assert("windowspecdefinition\\(__b#\\d+L?, event_id#".r
+      .findFirstIn(p).isDefined,
       "the event-table running max must be partitioned by bucket")
   }
 
@@ -149,7 +152,10 @@ class PlanSpec extends SparkSpec {
     assert("Exchange SinglePartition".r.findAllIn(p).size == 1,
       s"exactly one single-partition exchange (the per-partition-count " +
         s"offset prefix) expected in\n$p")
-    assert(p.contains("windowspecdefinition(__pid"),
+    // partitioned spec = (__pid, <sort cols>); the offsets prefix
+    // window (ordered by __pid alone) cannot satisfy this
+    assert("windowspecdefinition\\(__pid#\\d+L?, c_acctbal#".r
+      .findFirstIn(p).isDefined,
       "row numbering must run within range partitions")
   }
 
