@@ -235,6 +235,47 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("cosine_sim"))
   }
 
+  /** Persistable SRP bucket index — the ANN ingest shape at 100 TB: the
+    * corpus persists `(bucket, vec_id, embedding)` ONCE; each incoming
+    * batch then probes by bucket without the corpus ever being
+    * re-signed. Build-time skew cap: a degenerate bucket (boilerplate
+    * embeddings, zero-ish vectors) keeps its `maxBucket` MIN-id
+    * exemplars — stable under snapshot advance, same keep-min-k policy
+    * as the MinHash band index. `numPlanes` is part of the index
+    * contract: probes must sign with the same value. */
+  def srpBucketIndex(embeddings: DataFrame, numPlanes: Int = 8,
+      maxBucket: Int = 10000): DataFrame = {
+    val signed = embeddings.select(col("vec_id"), col("embedding"),
+      srpSignature(col("embedding"), numPlanes).as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("vec_id")
+    signed.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxBucket).drop("__rk")
+  }
+
+  /** Incremental ANN near-dup probe: batch vectors against a persisted
+    * [[srpBucketIndex]]. The batch side signs once (lazy checkpoint)
+    * and BROADCASTS — the index streams through a broadcast hash join
+    * with no shuffle and no re-signing, so per-ingest cost is one index
+    * scan regardless of corpus size (the d12 ingest property, for
+    * embeddings). Candidates sharing a bucket verify with exact cosine
+    * against `threshold`. */
+  def incrementalAnnPairs(batch: DataFrame, index: DataFrame,
+      threshold: Double, numPlanes: Int = 8): DataFrame = {
+    val b = batch.select(col("vec_id").as("new_id"),
+        col("embedding").as("new_vec"),
+        srpSignature(col("embedding"), numPlanes).as("bucket"))
+      .localCheckpoint(eager = false)
+    index
+      .select(col("bucket"), col("vec_id").as("old_id"),
+        col("embedding").as("old_vec"))
+      .join(broadcast(b), Seq("bucket"))
+      .withColumn("cosine_sim",
+        round(cosine(col("new_vec"), col("old_vec")), 4))
+      .filter(col("cosine_sim") >= threshold)
+      .select(col("new_id"), col("old_id"), col("cosine_sim"))
+  }
+
   /** Semantic outlier scoring — the SemDeDup / SSL-prototype pruning
     * shape: each vector is scored by cosine against the CENTROID of its
     * own label group, and the k least-similar vectors per label are the

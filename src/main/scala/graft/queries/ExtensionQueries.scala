@@ -291,6 +291,41 @@ object ExtensionQueries {
     // threshold would vacuously pass), (b) every SRP candidate pair is
     // assigned to ONE cluster, (c) every vector is labeled exactly once,
     // (d) each cluster's canonical survivor is its min id.
+    // E11 — incremental ANN ingest CONTRACT (the d11/d12 ingest shape
+    // for embeddings; e5/e9 contract pattern since float-derived
+    // candidates can't hash-match): the first 400 vec_ids play the
+    // persisted SRP bucket index, the rest arrive as the batch and
+    // probe it — the index is never re-signed, the batch broadcasts.
+    // Asserts (a) the probe finds candidates at threshold 0.3 / 8
+    // planes (the settings e9 proved this data meets — the contract
+    // bites), (b) pairs only cross batch→index, (c) every emitted pair
+    // is a TRUE ≥-threshold pair (exact-cosine-verified subset of the
+    // brute-force cross truth).
+    "e11_incremental_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val index = Similarity.srpBucketIndex(emb.filter(col("vec_id") < 400))
+      val batch = emb.filter(col("vec_id") >= 400)
+      val pairs = Similarity.incrementalAnnPairs(batch, index, threshold = 0.3)
+        .localCheckpoint(eager = false) // feeds both contract aggregates
+      val stats = pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        count(when(col("new_id") < 400 || col("old_id") >= 400, 1))
+          .as("n_wrong_side"))
+      val truePairs = batch
+        .select(col("vec_id").as("new_id"), col("embedding").as("nv"))
+        .crossJoin(emb.filter(col("vec_id") < 400)
+          .select(col("vec_id").as("old_id"), col("embedding").as("ov")))
+        .filter(round(Similarity.cosine(col("nv"), col("ov")), 4) >= 0.3)
+        .select(col("new_id"), col("old_id"))
+      val falsePairs = pairs.join(truePairs, Seq("new_id", "old_id"),
+          "left_anti")
+        .agg(count(lit(1)).as("n_false"))
+      stats.crossJoin(falsePairs).select(
+        (col("n_pairs") > 0).as("has_pairs"),
+        (col("n_wrong_side") === 0).as("pairs_cross_only"),
+        (col("n_false") === 0).as("pairs_are_true_pairs"))
+    }),
+
     "e9_embed_clusters" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       // reused by the cluster build AND the colocation check
@@ -750,6 +785,10 @@ object ExtensionQueries {
     "e9_embed_clusters" ->
       """SELECT true AS has_candidate_pairs, true AS pairs_colocated,
         |  true AS all_labeled_once, true AS canonical_is_min_id""".stripMargin,
+
+    "e11_incremental_ann" ->
+      """SELECT true AS has_pairs, true AS pairs_cross_only,
+        |  true AS pairs_are_true_pairs""".stripMargin,
 
     // DuckDB's nfc_normalize implements the same Unicode NFC form as
     // java.text.Normalizer; the suffix literal carries the decomposed

@@ -171,6 +171,33 @@ object ParityQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // X16 — robust (median/MAD) outlier scoring: the scale- and
+    // offset-free outlier treatment for heavy-tailed metrics
+    // (Iglewicz–Hoaglin modified z-score 0.6745·(x−med)/MAD, flag
+    // |z| > 3.5 — W11's fixed-threshold cousin that needs no tuned
+    // cutoff). Two grouped percentile passes (median, then MAD over
+    // |x−med| after the medians broadcast back) and one map pass for
+    // the flag — the data never sorts globally. `percentile` ≡
+    // `quantile_cont` (proven by w20), so med/MAD — and every
+    // comparison against them — are engine-identical doubles.
+    "x16_robust_outliers" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+      val med = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(x, 0.5)").as("med"))
+      val withMed = li.join(broadcast(med), Seq("l_returnflag"))
+      val mad = withMed.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(abs(x - med), 0.5)").as("mad"))
+      withMed.join(broadcast(mad), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          count(when(
+            abs(lit(0.6745) * (col("x") - col("med")) / col("mad")) > 3.5, 1))
+            .as("n_outliers"),
+          max(col("med")).as("med"), max(col("mad")).as("mad"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // X5/X6/X7/X12 — derived ratio metrics with divide-by-zero guards
     // (data_cleaner.py:231-247; data_merger.py:315-348).
     "x_derived_ratios" -> ((s, d) => {
@@ -689,6 +716,25 @@ object ParityQueries {
         |    AS DECIMAL(38,6))), 2) AS DOUBLE) AS winsorized_sum
         |FROM lineitem l JOIN pct USING (l_returnflag)
         |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+
+    "x16_robust_outliers" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, l_extendedprice AS x FROM lineitem
+        |), med AS (
+        |  SELECT l_returnflag, quantile_cont(x, 0.5) AS med
+        |  FROM li GROUP BY l_returnflag
+        |), wm AS (
+        |  SELECT li.l_returnflag, x, med FROM li JOIN med USING (l_returnflag)
+        |), mad AS (
+        |  SELECT l_returnflag, quantile_cont(abs(x - med), 0.5) AS mad
+        |  FROM wm GROUP BY l_returnflag
+        |)
+        |SELECT wm.l_returnflag, count(*) AS n,
+        |  count(CASE WHEN abs(0.6745 * (x - med) / mad) > 3.5 THEN 1 END)
+        |    AS n_outliers,
+        |  max(med) AS med, max(mad) AS mad
+        |FROM wm JOIN mad USING (l_returnflag)
+        |GROUP BY wm.l_returnflag ORDER BY wm.l_returnflag""".stripMargin,
 
     "x_derived_ratios" ->
       s"""SELECT l_returnflag, gross, net, sum_tax, sum_qty,

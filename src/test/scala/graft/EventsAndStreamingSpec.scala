@@ -67,6 +67,43 @@ class EventWindowsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("watermarkAudit verdicts match Structured Streaming's actual drops") {
+    // feed the same four events ONE PER MICRO-BATCH through a real
+    // watermarked windowed aggregate: with one arrival per batch, the
+    // streaming watermark (max prior-batch event time − delay) is
+    // exactly the audit's running max over prior arrivals − delay
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps.Event
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(Event(1, ts(1000), 1L, "view", 1.0),
+      Event(2, ts(2000), 1L, "view", 1.0),
+      Event(3, ts(500), 1L, "click", 1.0),   // audit: late
+      Event(4, ts(1500), 1L, "view", 1.0))
+    val input = MemoryStream[Event]
+    val q = input.toDS().toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "100 seconds").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("wm_parity_out")
+      .outputMode("append").start()
+    try {
+      evs.foreach { e => input.addData(e); q.processAllAvailable() }
+      // a far-future flush event closes every surviving window
+      input.addData(Event(5, ts(100000), 1L, "view", 1.0))
+      q.processAllAvailable()
+      val streamedKept = spark.table("wm_parity_out")
+        .select(unix_timestamp(col("w.start")).as("ws"), col("n"))
+        .as[(Long, Long)].collect().toSet
+      // events 1/2/4 survive in their own 100 s windows; event 3 was
+      // dropped by the real watermark — exactly the audit's verdict
+      assert(streamedKept == Set((1000L, 1L), (1500L, 1L), (2000L, 1L)))
+      val auditLate = EventWindows.watermarkAudit(
+          spark.createDataset(evs).toDF(), delaySeconds = 600L)
+        .filter(col("is_late")).select("event_id").as[Long].collect().toSeq
+      assert(auditLate == Seq(3L))
+    } finally q.stop()
+  }
+
   test("watermarkAudit flags exactly the events a watermark would drop") {
     val ev = Seq(
       (1L, ts(1000), 1L, "view", 1.0, "{}"),

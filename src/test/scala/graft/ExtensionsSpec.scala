@@ -177,6 +177,27 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("incremental ANN finds the planted near-dup of an indexed vector") {
+    val index = Similarity.srpBucketIndex(
+      vecs.filter(col("vec_id") <= 1), numPlanes = 4)
+    val batch = Seq(
+      (10L, Array(1.0f, 0.01f, 0.0f), 0),  // near-dup of indexed 0 and 1
+      (11L, Array(0.0f, 1.0f, 0.0f), 1)    // orthogonal — below threshold
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.incrementalAnnPairs(batch, index,
+        threshold = 0.9, numPlanes = 4)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 0L), (10L, 1L)))
+  }
+
+  test("srpBucketIndex caps degenerate buckets to min-id exemplars") {
+    val clones = (0L until 20L).map(i => (i, Array(1.0f, 0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val idx = Similarity.srpBucketIndex(clones, numPlanes = 4, maxBucket = 5)
+      .select("vec_id").as[Long].collect().toSeq.sorted
+    assert(idx == Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("centroid outliers surface the planted off-cluster vector first") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.9f, 0.1f), 0),
