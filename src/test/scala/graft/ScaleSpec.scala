@@ -124,6 +124,25 @@ class ScaleSpec extends SparkSpec {
       .split("== Initial Plan ==")(0)
     assert("documents\\.parquet".r.findAllIn(p12).size == 1,
       s"d12 ingest must scan documents once (batch only)\n$p12")
+
+    // e11's embedding twin: once the SRP bucket index is persisted, a
+    // probe reads embeddings.parquet exactly once (the batch side,
+    // behind incrementalAnnPairs' checkpoint) and never re-signs the
+    // index — no SRP zip_with/aggregate lambdas above the index scan
+    val emb = Tables.embeddings(spark, sf0001)
+    graft.extensions.Similarity.srpBucketIndex(
+        emb.filter(col("vec_id") < 400))
+      .write.mode("overwrite").parquet(s"$tmp/srp")
+    val e11 = graft.extensions.Similarity.incrementalAnnPairs(
+      emb.filter(col("vec_id") >= 400),
+      spark.read.parquet(s"$tmp/srp"), threshold = 0.3)
+    e11.collect()
+    val p11e = e11.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("embeddings\\.parquet".r.findAllIn(p11e).size <= 1,
+      s"e11 probe must not re-scan/re-sign the indexed corpus\n$p11e")
+    assert("/srp".r.findAllIn(p11e).nonEmpty,
+      s"e11 must read the persisted SRP index\n$p11e")
     } finally {
       // unconditional cleanup of the persisted fixtures; materialize the
       // walk before deleting (and thereby close the stream) so no handle
