@@ -140,6 +140,17 @@ class DedupSpec extends SparkSpec {
       .orderBy("doc_id").select("contamination_frac").as[Double].collect().toSeq
     assert(fracs == Seq(1.0, 11.0 / 13.0, 0.0))
   }
+
+  test("d8 and d13 agree: zero-contamination docs are exactly the d8 survivors") {
+    val bench = docs.filter(col("doc_id") === 1L)
+    val corpus = docs.filter(col("doc_id") > 1L)
+    val survivors = Dedup.decontaminateNgram(corpus, bench, "text", "doc_id", 8)
+      .select("doc_id").as[Long].collect().toSet
+    val zeroFrac = Dedup.contaminationFraction(corpus, bench, "text", "doc_id", 8)
+      .filter(col("n_contaminated") === 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(zeroFrac == survivors)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

@@ -67,4 +67,29 @@ object WindowPropsSpec extends Properties("graft.windows") {
         case _ => false
       }
     }
+
+  property("globalRowNumber = rank of the sort key, any input layout") =
+    forAll(Gen.listOfN(40, Gen.choose(0, 15)), Gen.choose(1, 8)) {
+      (vals, parts) =>
+        val rows = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        val df = rows.toDF("id", "v").repartition(parts)
+        val got = WindowOps.globalRowNumber(
+            df, Seq(col("v"), col("id")), "rn")
+          .select("id", "rn").as[(Long, Long)].collect().toMap
+        val want = rows.sortBy { case (id, v) => (v, id) }
+          .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+        got == want
+    }
+
+  property("runningMaxExclusive = prefix max of prior arrivals") =
+    forAll(Gen.listOfN(30, Gen.choose(0L, 100L))) { vals =>
+      val rows = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val got = graft.extensions.EventWindows.runningMaxExclusive(
+          rows.toDF("seq", "v"), "seq", "v", "rm")
+        .orderBy("seq").select("rm").as[Option[Long]].collect().toSeq
+      val want = vals.scanLeft(Option.empty[Long]) {
+        case (acc, v) => Some(acc.fold(v)(math.max(_, v)))
+      }.init
+      got == want
+    }
 }
