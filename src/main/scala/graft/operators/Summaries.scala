@@ -98,4 +98,28 @@ object Summaries {
     * across engines instead. */
   def exactAvg(c: Column): Column =
     sum(c.cast("decimal(38,6)")).cast("double") / count(c)
+
+  /** Robust (median/MAD) outlier profile per group — the
+    * Iglewicz–Hoaglin modified z-score |0.6745·(x−med)/MAD| > zCut,
+    * the scale- and offset-free outlier rule for heavy-tailed metrics
+    * (W11's fixed-threshold cousin that needs no tuned cutoff). Two
+    * grouped exact-percentile passes (median, then MAD over |x−med|
+    * after the medians broadcast back) and one map pass for the flag —
+    * the data never sorts globally. A MAD of 0 (over half the group
+    * identical) yields NULL z-scores: those rows are not flagged. */
+  def robustOutliers(df: DataFrame, groupCol: String, valCol: String,
+      zCut: Double = 3.5): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile(`$valCol`, 0.5)").as("med"))
+    val withMed = df.join(broadcast(med), Seq(groupCol))
+    val mad = withMed.groupBy(col(groupCol))
+      .agg(expr(s"percentile(abs(`$valCol` - med), 0.5)").as("mad"))
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        count(when(
+          abs(lit(0.6745) * (col(valCol) - col("med")) / col("mad")) > zCut,
+          1)).as("n_outliers"),
+        max(col("med")).as("med"), max(col("mad")).as("mad"))
+  }
 }

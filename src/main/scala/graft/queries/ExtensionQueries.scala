@@ -283,14 +283,6 @@ object ExtensionQueries {
         emb.filter(col("vec_id") < 8), k = 5)
     }),
 
-    // E9 — embedding near-dup cluster CONTRACT (companion to e3 + d9;
-    // same pattern as e5/e6: float-derived candidates can't hash-match,
-    // so the oracle asserts structural invariants the clustering must
-    // satisfy): (a) the candidate set is non-empty (the contract BITES —
-    // the synthetic embeddings top out near cos 0.51, so a "dup-like"
-    // threshold would vacuously pass), (b) every SRP candidate pair is
-    // assigned to ONE cluster, (c) every vector is labeled exactly once,
-    // (d) each cluster's canonical survivor is its min id.
     // E11 — incremental ANN ingest CONTRACT (the d11/d12 ingest shape
     // for embeddings; e5/e9 contract pattern since float-derived
     // candidates can't hash-match): the first 400 vec_ids play the
@@ -326,6 +318,14 @@ object ExtensionQueries {
         (col("n_false") === 0).as("pairs_are_true_pairs"))
     }),
 
+    // E9 — embedding near-dup cluster CONTRACT (companion to e3 + d9;
+    // same pattern as e5/e6: float-derived candidates can't hash-match,
+    // so the oracle asserts structural invariants the clustering must
+    // satisfy): (a) the candidate set is non-empty (the contract BITES —
+    // the synthetic embeddings top out near cos 0.51, so a "dup-like"
+    // threshold would vacuously pass), (b) every SRP candidate pair is
+    // assigned to ONE cluster, (c) every vector is labeled exactly once,
+    // (d) each cluster's canonical survivor is its min id.
     "e9_embed_clusters" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       // reused by the cluster build AND the colocation check

@@ -181,20 +181,10 @@ object ParityQueries {
     // `quantile_cont` (proven by w20), so med/MAD — and every
     // comparison against them — are engine-identical doubles.
     "x16_robust_outliers" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_extendedprice").as("x"))
-      val med = li.groupBy(col("l_returnflag"))
-        .agg(expr("percentile(x, 0.5)").as("med"))
-      val withMed = li.join(broadcast(med), Seq("l_returnflag"))
-      val mad = withMed.groupBy(col("l_returnflag"))
-        .agg(expr("percentile(abs(x - med), 0.5)").as("mad"))
-      withMed.join(broadcast(mad), Seq("l_returnflag"))
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"),
-          count(when(
-            abs(lit(0.6745) * (col("x") - col("med")) / col("mad")) > 3.5, 1))
-            .as("n_outliers"),
-          max(col("med")).as("med"), max(col("mad")).as("mad"))
+      Summaries.robustOutliers(
+          Tables.lineitem(s, d)
+            .select(col("l_returnflag"), col("l_extendedprice").as("x")),
+          "l_returnflag", "x")
         .orderBy(col("l_returnflag"))
     }),
 

@@ -67,11 +67,18 @@ class EventWindowsSpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("watermarkAudit verdicts match Structured Streaming's actual drops") {
+  test("watermarkAudit verdicts match streaming drops (beyond window width)") {
     // feed the same four events ONE PER MICRO-BATCH through a real
     // watermarked windowed aggregate: with one arrival per batch, the
     // streaming watermark (max prior-batch event time − delay) is
-    // exactly the audit's running max over prior arrivals − delay
+    // exactly the audit's running max over prior arrivals − delay.
+    // SCOPE: the audit's verdict is ROW-level (ts < wm) while streaming
+    // windowed-agg eviction is WINDOW-level (window.end <= wm), so the
+    // two agree except for rows within one window-width below the
+    // watermark (audit-late but their window still open). The fixture's
+    // late event sits 900 s below the watermark — far past the 100 s
+    // window — so both rules give the same verdict here; the audit is
+    // the conservative (row-granularity) bound.
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingOps.Event
     implicit val sqlCtx = spark.sqlContext

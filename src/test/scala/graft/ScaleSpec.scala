@@ -143,6 +143,13 @@ class ScaleSpec extends SparkSpec {
       s"e11 probe must not re-scan/re-sign the indexed corpus\n$p11e")
     assert("/srp".r.findAllIn(p11e).nonEmpty,
       s"e11 must read the persisted SRP index\n$p11e")
+    // re-signing the index would surface as SRP signature lambdas
+    // (zip_with/aggregate HOFs) in the probe plan — the batch side's
+    // own signing is hidden behind its checkpoint RDD leaf, so ANY
+    // zip_with here means the index path regressed
+    assert(!p11e.contains("zip_with"),
+      s"e11 probe plan must contain no signature lambdas over the " +
+        s"index scan\n$p11e")
     } finally {
       // unconditional cleanup of the persisted fixtures; materialize the
       // walk before deleting (and thereby close the stream) so no handle

@@ -4,7 +4,7 @@ import java.sql.Date
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{RowOps, WindowOps}
+import graft.operators.{RowOps, Summaries, WindowOps}
 
 /** Exact-value tests for the window-op semantic core, mirroring the
   * reference's assertions (reference tests/test_integration.py:403-473).
@@ -160,6 +160,20 @@ class AsOfJoinSpec extends SparkSpec {
       .select("trade_id", "a", "b")
       .as[(Long, Option[Double], Option[Double])].collect().toSeq
     assert(got == Seq((10L, None, Some(9.0))))
+  }
+
+  test("robustOutliers flags the planted extreme point and nothing else") {
+    // group a: med=12, MAD=median(2,1,0,1,988)=1 → z(1000)≈666 flagged,
+    // z(10)=1.35 not; group b (101..109): med=105, MAD=2 → max z 1.35
+    val df = (Seq(("a", 10.0), ("a", 11.0), ("a", 12.0), ("a", 13.0),
+      ("a", 1000.0)) ++ (1 to 9).map(i => ("b", 100.0 + i)))
+      .toDF("g", "x")
+    val got = Summaries.robustOutliers(df, "g", "x")
+      .select("g", "n", "n_outliers", "med", "mad")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("a") == ((5L, 1L, 12.0, 1.0)))
+    assert(got("b") == ((9L, 0L, 105.0, 2.0)))
   }
 
   test("globalRowNumber equals the naive global window on shuffled input") {
