@@ -290,9 +290,12 @@ object ExtensionQueries {
     // probe it — the index is never re-signed, the batch broadcasts.
     // Asserts (a) the probe finds candidates at threshold 0.3 / 8
     // planes (the settings e9 proved this data meets — the contract
-    // bites), (b) pairs only cross batch→index, (c) every emitted pair
-    // is a TRUE ≥-threshold pair (exact-cosine-verified subset of the
-    // brute-force cross truth).
+    // bites), (b) pairs only cross batch→index, (c) every emitted
+    // pair's similarity re-verifies INDEPENDENTLY: the builtin
+    // zip_with/aggregate cosine recomputed from the raw table agrees
+    // with the fused codegen expression the probe used, pair by pair —
+    // O(pairs), not an O(batch×index) brute-force replay of the same
+    // expression.
     "e11_incremental_ann" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val index = Similarity.srpBucketIndex(emb.filter(col("vec_id") < 400))
@@ -303,19 +306,19 @@ object ExtensionQueries {
         count(lit(1)).as("n_pairs"),
         count(when(col("new_id") < 400 || col("old_id") >= 400, 1))
           .as("n_wrong_side"))
-      val truePairs = batch
-        .select(col("vec_id").as("new_id"), col("embedding").as("nv"))
-        .crossJoin(emb.filter(col("vec_id") < 400)
-          .select(col("vec_id").as("old_id"), col("embedding").as("ov")))
-        .filter(round(Similarity.cosine(col("nv"), col("ov")), 4) >= 0.3)
-        .select(col("new_id"), col("old_id"))
-      val falsePairs = pairs.join(truePairs, Seq("new_id", "old_id"),
-          "left_anti")
-        .agg(count(lit(1)).as("n_false"))
-      stats.crossJoin(falsePairs).select(
+      val reverified = pairs
+        .join(emb.select(col("vec_id").as("new_id"),
+          col("embedding").as("nv")), Seq("new_id"))
+        .join(emb.select(col("vec_id").as("old_id"),
+          col("embedding").as("ov")), Seq("old_id"))
+        .agg(count(when(
+          round(Similarity.cosineBuiltin(col("nv"), col("ov")), 4)
+            =!= col("cosine_sim") || col("cosine_sim") < 0.3, 1))
+          .as("n_mismatch"))
+      stats.crossJoin(reverified).select(
         (col("n_pairs") > 0).as("has_pairs"),
         (col("n_wrong_side") === 0).as("pairs_cross_only"),
-        (col("n_false") === 0).as("pairs_are_true_pairs"))
+        (col("n_mismatch") === 0).as("pairs_reverified"))
     }),
 
     // E9 — embedding near-dup cluster CONTRACT (companion to e3 + d9;
@@ -788,7 +791,7 @@ object ExtensionQueries {
 
     "e11_incremental_ann" ->
       """SELECT true AS has_pairs, true AS pairs_cross_only,
-        |  true AS pairs_are_true_pairs""".stripMargin,
+        |  true AS pairs_reverified""".stripMargin,
 
     // DuckDB's nfc_normalize implements the same Unicode NFC form as
     // java.text.Normalizer; the suffix literal carries the decomposed
