@@ -321,8 +321,21 @@ object ParityQueries {
     // W9/W10 — per-column missing-data profile in one pass
     // (data_cleaner.py:110-122; data_merger.py:378-392).
     "w9_missing_profile" -> ((s, d) => {
-      Summaries.missingProfile(Tables.documents(s, d),
-          Seq("text", "lang", "source", "n_chars"))
+      // the driver tables are fully dense, so profiling raw columns
+      // yields all-zero null counts — the null-accounting logic would
+      // be oracle-dead. Inject the missingness shapes the reference
+      // actually profiles (sparse metadata, periodic gaps) with
+      // deterministic rules both engines replay; `text`/`n_chars` stay
+      // raw as the zero-null control rows.
+      val docs = Tables.documents(s, d)
+        .withColumn("opt_lang",
+          when(col("lang") === "en", lit(null).cast("string"))
+            .otherwise(col("lang")))
+        .withColumn("sparse_chars",
+          when(col("doc_id") % 7 === 0, lit(null).cast("long"))
+            .otherwise(col("n_chars")))
+      Summaries.missingProfile(docs,
+          Seq("text", "opt_lang", "sparse_chars", "n_chars"))
         .orderBy(col("column_name"))
     }),
 
@@ -834,13 +847,20 @@ object ParityQueries {
         |ORDER BY l_returnflag""".stripMargin,
 
     "w9_missing_profile" ->
-      """SELECT column_name, total_rows, null_count,
+      """WITH docs AS (
+        |  SELECT text, n_chars,
+        |    CASE WHEN lang = 'en' THEN NULL ELSE lang END AS opt_lang,
+        |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS sparse_chars
+        |  FROM documents
+        |)
+        |SELECT column_name, total_rows, null_count,
         |round(null_count * 100.0 / total_rows, 2) AS null_percent FROM (
         |SELECT 'text' AS column_name, count(*) AS total_rows,
-        |  count(*) - count(text) AS null_count FROM documents
-        |UNION ALL SELECT 'lang', count(*), count(*) - count(lang) FROM documents
-        |UNION ALL SELECT 'source', count(*), count(*) - count(source) FROM documents
-        |UNION ALL SELECT 'n_chars', count(*), count(*) - count(n_chars) FROM documents
+        |  count(*) - count(text) AS null_count FROM docs
+        |UNION ALL SELECT 'opt_lang', count(*), count(*) - count(opt_lang) FROM docs
+        |UNION ALL SELECT 'sparse_chars', count(*), count(*) - count(sparse_chars)
+        |  FROM docs
+        |UNION ALL SELECT 'n_chars', count(*), count(*) - count(n_chars) FROM docs
         |) ORDER BY column_name""".stripMargin,
 
     "w11_outlier_count" ->
