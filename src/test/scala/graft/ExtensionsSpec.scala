@@ -272,6 +272,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Long]("np") == 1L)
   }
 
+  test("punctuation ratio counts punctuation chars over total chars") {
+    // the synthetic corpus has zero punctuation (t1's column is a dead
+    // discriminator there) — this fixture carries the signal
+    val t = "a, b. c! d?"
+    val got = Seq((1L, t)).toDF("doc_id", "text")
+      .select(TextAnalysis.punctuationRatio(col("text"), lit(t.length)))
+      .as[Double].collect().head
+    assert(got == 0.3636) // round(4/11, 4)
+  }
+
   test("language-ID picks the language with most stopword hits") {
     val df = Seq(
       (1L, "the cat of the house and the dog"),
