@@ -577,6 +577,53 @@ object TrainingQueries {
         .limit(1000)
     }),
 
+    // W26 — incremental aggregate maintenance (metric-state merge): a
+    // 100 TB metrics pipeline never re-scans history to refresh an
+    // aggregate — it keeps per-key STATE (count + decimal-exact sum)
+    // and folds each batch's partial aggregate into it. The ORACLE
+    // recomputes from ALL raw rows, so the merge algebra (count add,
+    // exact-sum add, avg re-derived from merged sums — never averaged
+    // averages) must agree with the from-scratch truth exactly.
+    "w26_incremental_agg_merge" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      def partial(df: DataFrame) = df.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(38,6)")).as("s"))
+      val state = partial(li.filter(col("l_orderkey") % 10 =!= 0))
+      val batch = partial(li.filter(col("l_orderkey") % 10 === 0))
+      state.unionByName(batch)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("n")).as("n_rows"), sum(col("s")).as("s2"))
+        .select(col("l_returnflag"), col("n_rows"),
+          round(col("s2"), 2).cast("double").as("sum_qty"),
+          (col("s2").cast("double") / col("n_rows")).as("avg_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // O8 — CDC upsert/delete merge (MERGE INTO semantics without a
+    // table format): apply a keyed change stream to a snapshot — the
+    // LATEST change per key wins (seq-ordered window, the W3
+    // machinery), tombstones delete, unchanged keys pass through.
+    // Scale shape: one shuffle on the key to compact the changes, one
+    // outer join against the snapshot; the snapshot never re-sorts.
+    "o8_cdc_merge" -> ((s, d) => {
+      val snap = Tables.customer(s, d)
+        .select(col("c_custkey").as("key"), col("c_acctbal").as("value"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy(col("seq").desc)
+      val latest = Tables.orders(s, d)
+        .select(col("o_custkey").as("key"), col("o_orderkey").as("seq"),
+          (col("o_orderstatus") === "F").as("tombstone"),
+          col("o_totalprice").as("new_value"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn", "seq")
+      snap.join(latest, Seq("key"), "full_outer")
+        .filter(!coalesce(col("tombstone"), lit(false)))
+        .select(col("key"), coalesce(col("new_value"), col("value"))
+          .as("value"))
+        .orderBy(col("key"))
+    }),
+
     // O7 — deterministic global row numbering (contiguous example ids /
     // leaderboard positions) WITHOUT `row_number() OVER (ORDER BY …)`'s
     // single-task global window: range repartition + parallel in-
@@ -866,6 +913,31 @@ object TrainingQueries {
         |quantile_cont(l_quantity, 0.5) AS p50,
         |quantile_cont(l_quantity, 0.9) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "w26_incremental_agg_merge" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE)
+        |  AS sum_qty,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+        |  AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "o8_cdc_merge" ->
+      """WITH ch AS (
+        |  SELECT o_custkey AS key, o_orderkey AS seq,
+        |    o_orderstatus = 'F' AS tombstone, o_totalprice AS new_value
+        |  FROM orders
+        |), latest AS (
+        |  SELECT key, tombstone, new_value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC)
+        |      AS rn FROM ch)
+        |  WHERE rn = 1
+        |)
+        |SELECT COALESCE(c.c_custkey, l.key) AS key,
+        |  COALESCE(l.new_value, c.c_acctbal) AS value
+        |FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.key
+        |WHERE NOT COALESCE(l.tombstone, false)
+        |ORDER BY key""".stripMargin,
 
     "o7_global_rownum" ->
       """SELECT c_custkey,

@@ -139,9 +139,9 @@ class PlanSpec extends SparkSpec {
     assert("Exchange SinglePartition".r.findAllIn(p).size == 1,
       s"exactly one single-partition exchange (the #partitions-row " +
         s"bucket prefix) expected in\n$p")
-    // the PARTITIONED spec lists __b then the event_id sort key — the
+    // the PARTITIONED spec lists __b then the arrival sort key — the
     // prefix-stage window (ordered by __b alone) cannot satisfy this
-    assert("windowspecdefinition\\(__b#\\d+L?, event_id#".r
+    assert("windowspecdefinition\\(__b#\\d+L?, __arr#".r
       .findFirstIn(p).isDefined,
       "the event-table running max must be partitioned by bucket")
   }
