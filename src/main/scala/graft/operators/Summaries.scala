@@ -36,7 +36,10 @@ object Summaries {
         col("column_name"),
         col("total_rows"),
         col("null_count"),
-        round(col("null_count") / col("total_rows") * 100, scale)
+        // multiply-first, matching the oracle's n*100.0/t association —
+        // (n/t)*100 can round to a different cent within ~1 ulp of a
+        // .xx5 boundary (engine-identical arithmetic order policy)
+        round(col("null_count") * 100.0 / col("total_rows"), scale)
           .as("null_percent"))
   }
 

@@ -604,8 +604,12 @@ object TrainingQueries {
     // table format): apply a keyed change stream to a snapshot — the
     // LATEST change per key wins (seq-ordered window, the W3
     // machinery), tombstones delete, unchanged keys pass through.
-    // Scale shape: one shuffle on the key to compact the changes, one
-    // outer join against the snapshot; the snapshot never re-sorts.
+    // Scale shape: one key shuffle to compact the changes, then a
+    // full-outer join — which CANNOT broadcast in Spark, so both sides
+    // shuffle AND sort on the key (sort-merge join). At 100 TB the
+    // sort is removed by keeping snapshot and changes bucketBy(key)
+    // on disk (the s12 layout): the SMJ then reads both pre-sorted,
+    // zero exchanges.
     "o8_cdc_merge" -> ((s, d) => {
       val snap = Tables.customer(s, d)
         .select(col("c_custkey").as("key"), col("c_acctbal").as("value"))
