@@ -20,7 +20,10 @@ object ExtensionQueries {
 
     // D1 — exact dedup via normalized-text hash groups.
     "d1_dedup_exact" -> ((s, d) => {
-      Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id")
+      // documentsWithDups: the raw corpus has zero exact duplicates —
+      // without the injected clones n_dups is constant 1 and the
+      // grouping/keep-min-id logic would be oracle-dead
+      Dedup.exactGroups(Tables.documentsWithDups(s, d), "text", "doc_id")
         .orderBy(col("keep_id"))
     }),
 
@@ -667,7 +670,10 @@ object ExtensionQueries {
         |ORDER BY s.doc_id""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS fingerprint, count(*) AS n_dups,
-        |min(doc_id) AS keep_id FROM documents
+        |min(doc_id) AS keep_id FROM (
+        |  SELECT * FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 25 = 0)
         |GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
     "d2_token_jaccard" ->

@@ -99,7 +99,10 @@ object TrainingQueries {
     // shrinks the corpus after d1's group discovery. Semi join keeps the
     // plan skinny (no payload duplication) and hash-partitions on doc_id.
     "d6_dedup_apply" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      // documentsWithDups: with the injected clones the semi-join now
+      // genuinely DROPS the 20 duplicates (raw corpus: nothing to drop,
+      // the survivors check was vacuous)
+      val docs = Tables.documentsWithDups(s, d)
       val keep = Dedup.exactGroups(docs, "text", "doc_id").select(col("keep_id"))
       docs.join(keep, docs("doc_id") === keep("keep_id"), "left_semi")
         .select(col("doc_id"), col("n_chars"))
@@ -308,14 +311,20 @@ object TrainingQueries {
         .partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice"), col("o_orderkey"))
       Tables.orders(s, d).select(
-          col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
           percent_rank().over(w).as("pct_rank"),
           cume_dist().over(w).as("cdist"),
           ntile(4).over(w).cast("long").as("quartile"),
           lead(col("o_orderkey"), 1).over(w).as("next_key"),
           nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
-        .orderBy(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
-        .limit(2000)
+        // deterministic post-window sample instead of LIMIT: the first
+        // 2000 rows of the presentation order all fell in ONE priority
+        // partition, so cross-partition window behavior was never in
+        // the verified slice; the modulo sample spans all 5 partitions
+        // while the windows still compute over every row
+        .filter(col("o_orderkey") % 7 === 0)
+        .drop("o_totalprice")
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
     }),
 
     // J9 — salted skew join parity: the fact side is salted by a
@@ -906,8 +915,13 @@ object TrainingQueries {
         |GROUP BY source ORDER BY source""".stripMargin,
 
     "d6_dedup_apply" ->
-      """SELECT doc_id, n_chars FROM documents
-        |WHERE doc_id IN (SELECT min(doc_id) FROM documents
+      """WITH dwd AS (
+        |  SELECT * FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 25 = 0
+        |)
+        |SELECT doc_id, n_chars FROM dwd
+        |WHERE doc_id IN (SELECT min(doc_id) FROM dwd
         |                 GROUP BY md5(lower(trim(text))))
         |ORDER BY doc_id""".stripMargin,
 
@@ -1024,15 +1038,18 @@ object TrainingQueries {
         |ORDER BY r_name, n_name""".stripMargin,
 
     "w22_window_suite" ->
-      """SELECT o_orderkey, o_orderpriority,
-        |percent_rank() OVER w AS pct_rank,
-        |cume_dist() OVER w AS cdist,
-        |CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-        |lead(o_orderkey, 1) OVER w AS next_key,
-        |nth_value(o_orderkey, 2) OVER w AS second_key
-        |FROM orders
-        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
-        |ORDER BY o_orderpriority, o_totalprice, o_orderkey LIMIT 2000""".stripMargin,
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_orderpriority,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  lead(o_orderkey, 1) OVER w AS next_key,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |)
+        |WHERE o_orderkey % 7 = 0
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     "j9_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,

@@ -37,6 +37,18 @@ object Tables {
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
+
+  /** `documents` plus deterministic exact-duplicate clones (every
+    * doc_id % 25 == 0 re-inserted at doc_id + 10000). The raw synthetic
+    * corpus contains ZERO exact duplicates, which would leave every
+    * exact-dedup oracle's collapse logic unexercised (n_dups
+    * identically 1, nothing ever dropped); both engines replay the same
+    * injection, so group sizes and the keep-min-id rule discriminate. */
+  def documentsWithDups(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    docs.unionByName(docs.filter(col("doc_id") % 25 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000))
+  }
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 
   /** Spread a small-scan input across the cluster before a CPU-heavy
