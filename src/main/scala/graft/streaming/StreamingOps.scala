@@ -220,6 +220,43 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming metric-state maintenance — the w26 merge algebra under
+    * `foreachBatch`: each micro-batch writes ONLY its own partial
+    * aggregate (count + decimal-exact sum per key) into its
+    * `batch_id=` directory; the merged metric is derived at read time
+    * by [[metricState]] (merge-on-read; compact opportunistically at
+    * scale). Replay-safe by construction: a re-delivered batch
+    * overwrites its own directory — partials are idempotent per batch
+    * id, so no self-exclusion read is needed (unlike the dedup index,
+    * whose per-batch content depends on prior state). History is never
+    * re-scanned: per-batch cost is one partial aggregate of the batch. */
+  def metricStateIngest(eventsStream: DataFrame, stateDir: String,
+      checkpointDir: String, keyCol: String = "event_type",
+      valCol: String = "value")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    eventsStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.groupBy(col(keyCol))
+          .agg(count(lit(1)).as("n"),
+            sum(col(valCol).cast("decimal(38,6)")).as("s"))
+          .write.mode("overwrite").parquet(s"$stateDir/batch_id=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** Merge-on-read of [[metricStateIngest]] state: fold all per-batch
+    * partials (count add, exact-sum add) and derive the average from
+    * the MERGED sums — never averaged averages. */
+  def metricState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, keyCol: String = "event_type"): DataFrame =
+    spark.read.parquet(stateDir)
+      .groupBy(col(keyCol))
+      .agg(sum(col("n")).as("n_rows"), sum(col("s")).as("s2"))
+      .select(col(keyCol), col("n_rows"),
+        round(col("s2"), 2).cast("double").as("sum_value"),
+        (col("s2").cast("double") / col("n_rows")).as("avg_value"))
+
   /** Convenience: run a streaming aggregation to completion against a
     * static directory via an in-memory sink (local smoke path — the
     * production sink is kafka/parquet/delta). */

@@ -198,6 +198,37 @@ class StreamingSpec extends SparkSpec {
       .count() == expected)
   }
 
+  test("streaming metric-state ingest equals the from-scratch aggregate") {
+    val root = java.nio.file.Files.createTempDirectory("graft-metric").toString
+    val ev = graft.sources.Tables.events(spark, sf0001).limit(600)
+    val b1 = ev.filter(col("event_id") < 300)
+    val b2 = ev.filter(col("event_id") >= 300)
+    b1.coalesce(1).write.parquet(s"$root/in")
+    Thread.sleep(1100)
+    b2.coalesce(1).write.mode("append").parquet(s"$root/in")
+
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+    val q = StreamingOps.metricStateIngest(
+      stream, s"$root/state", s"$root/chk")
+    q.processAllAvailable(); q.stop()
+
+    // two micro-batches → two partial-state directories, never merged
+    // on disk; merge-on-read must equal the from-scratch aggregate
+    val got = StreamingOps.metricState(spark, s"$root/state")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    val want = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value").cast("decimal(38,6)")).as("s2"))
+      .select(col("event_type"), col("n_rows"),
+        round(col("s2"), 2).cast("double").as("sum_value"),
+        (col("s2").cast("double") / col("n_rows")).as("avg_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("stream-static enrichment join matches the batch form") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream5").toString
     graft.sources.Tables.events(spark, sf0001).limit(500)
