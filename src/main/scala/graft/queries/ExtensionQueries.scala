@@ -672,7 +672,7 @@ object ExtensionQueries {
       """SELECT md5(lower(trim(text))) AS fingerprint, count(*) AS n_dups,
         |min(doc_id) AS keep_id FROM (
         |  SELECT * FROM documents
-        |  UNION ALL SELECT doc_id + 10000, text, lang, source, n_chars
+        |  UNION ALL SELECT doc_id + 1000000, text, lang, source, n_chars
         |  FROM documents WHERE doc_id % 25 = 0)
         |GROUP BY 1 ORDER BY keep_id""".stripMargin,
 

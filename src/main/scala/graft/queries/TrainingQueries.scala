@@ -100,8 +100,8 @@ object TrainingQueries {
     // plan skinny (no payload duplication) and hash-partitions on doc_id.
     "d6_dedup_apply" -> ((s, d) => {
       // documentsWithDups: with the injected clones the semi-join now
-      // genuinely DROPS the 20 duplicates (raw corpus: nothing to drop,
-      // the survivors check was vacuous)
+      // genuinely DROPS duplicates (one per 25 docs; the near-dup-free
+      // raw corpus left the survivors check essentially vacuous)
       val docs = Tables.documentsWithDups(s, d)
       val keep = Dedup.exactGroups(docs, "text", "doc_id").select(col("keep_id"))
       docs.join(keep, docs("doc_id") === keep("keep_id"), "left_semi")
@@ -311,7 +311,7 @@ object TrainingQueries {
         .partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice"), col("o_orderkey"))
       Tables.orders(s, d).select(
-          col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          col("o_orderkey"), col("o_orderpriority"),
           percent_rank().over(w).as("pct_rank"),
           cume_dist().over(w).as("cdist"),
           ntile(4).over(w).cast("long").as("quartile"),
@@ -323,7 +323,6 @@ object TrainingQueries {
         // the verified slice; the modulo sample spans all 5 partitions
         // while the windows still compute over every row
         .filter(col("o_orderkey") % 7 === 0)
-        .drop("o_totalprice")
         .orderBy(col("o_orderpriority"), col("o_orderkey"))
     }),
 
@@ -917,7 +916,7 @@ object TrainingQueries {
     "d6_dedup_apply" ->
       """WITH dwd AS (
         |  SELECT * FROM documents
-        |  UNION ALL SELECT doc_id + 10000, text, lang, source, n_chars
+        |  UNION ALL SELECT doc_id + 1000000, text, lang, source, n_chars
         |  FROM documents WHERE doc_id % 25 = 0
         |)
         |SELECT doc_id, n_chars FROM dwd

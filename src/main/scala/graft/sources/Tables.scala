@@ -39,15 +39,17 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
 
   /** `documents` plus deterministic exact-duplicate clones (every
-    * doc_id % 25 == 0 re-inserted at doc_id + 10000). The raw synthetic
-    * corpus contains ZERO exact duplicates, which would leave every
-    * exact-dedup oracle's collapse logic unexercised (n_dups
-    * identically 1, nothing ever dropped); both engines replay the same
+    * doc_id % 25 == 0 re-inserted at doc_id + 1,000,000 — a sentinel
+    * far above any scale factor's id range, so a clone id can never
+    * collide with a real document's). The raw synthetic corpus is
+    * near-duplicate-free (sf0.01 has zero exact dups; sf0.1 has 8
+    * natural ones), which would leave the exact-dedup oracles' collapse
+    * logic essentially unexercised; both engines replay the same
     * injection, so group sizes and the keep-min-id rule discriminate. */
   def documentsWithDups(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     docs.unionByName(docs.filter(col("doc_id") % 25 === 0)
-      .withColumn("doc_id", col("doc_id") + 10000))
+      .withColumn("doc_id", col("doc_id") + 1000000L))
   }
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 

@@ -247,15 +247,34 @@ object StreamingOps {
 
   /** Merge-on-read of [[metricStateIngest]] state: fold all per-batch
     * partials (count add, exact-sum add) and derive the average from
-    * the MERGED sums — never averaged averages. */
+    * the MERGED sums — never averaged averages. A missing/empty state
+    * directory is an empty metric (a reader polling during stream
+    * startup, or after a no-data run where foreachBatch never fired,
+    * must not crash) — same bootstrap contract as the dedup index. */
   def metricState(spark: org.apache.spark.sql.SparkSession,
-      stateDir: String, keyCol: String = "event_type"): DataFrame =
-    spark.read.parquet(stateDir)
+      stateDir: String, keyCol: String = "event_type"): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partials =
+      if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+        spark.read.parquet(stateDir).select(col(keyCol), col("n"), col("s"))
+      else
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(keyCol,
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("s",
+              org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)))))
+    partials
       .groupBy(col(keyCol))
       .agg(sum(col("n")).as("n_rows"), sum(col("s")).as("s2"))
       .select(col(keyCol), col("n_rows"),
         round(col("s2"), 2).cast("double").as("sum_value"),
         (col("s2").cast("double") / col("n_rows")).as("avg_value"))
+  }
 
   /** Convenience: run a streaming aggregation to completion against a
     * static directory via an in-memory sink (local smoke path — the

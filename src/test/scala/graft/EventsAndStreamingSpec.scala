@@ -200,11 +200,17 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming metric-state ingest equals the from-scratch aggregate") {
     val root = java.nio.file.Files.createTempDirectory("graft-metric").toString
-    val ev = graft.sources.Tables.events(spark, sf0001).limit(600)
+    // deterministic split (limit-without-order can pick different rows
+    // per evaluation); no inter-write sleep: the partial-state merge is
+    // commutative, so batch arrival order is irrelevant here
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .filter(col("event_id") < 600)
     val b1 = ev.filter(col("event_id") < 300)
     val b2 = ev.filter(col("event_id") >= 300)
+    // empty/missing state reads as an empty metric (bootstrap contract)
+    assert(graft.streaming.StreamingOps
+      .metricState(spark, s"$root/state").count() == 0)
     b1.coalesce(1).write.parquet(s"$root/in")
-    Thread.sleep(1100)
     b2.coalesce(1).write.mode("append").parquet(s"$root/in")
 
     val stream = spark.readStream.schema(ev.schema)
