@@ -568,6 +568,21 @@ object ParityQueries {
         .limit(500)
     }),
 
+    // S14 — ORC source/sink round-trip: the second columnar format in
+    // Spark's builtin set (a lakehouse engine needs parquet AND ORC on
+    // both sides of the fence). Write a supplier projection as ORC,
+    // read the WRITTEN BYTES back; the oracle is the untouched parquet
+    // source of truth, so long/double/string fidelity across the
+    // write+read cycle is what gets hash-verified (the s5 CSV-sink
+    // pattern, columnar edition).
+    "s14_orc_roundtrip" -> ((s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_s14_sink"
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy(col("s_suppkey"))
+    }),
+
     // S9 — partitioned parquet SINK round-trip: write events partitioned
     // by day (the 100 TB layout — partition pruning is the first-order
     // scale lever), read the written files back with a single-partition
@@ -1005,6 +1020,10 @@ object ParityQueries {
     "s5_csv_roundtrip" ->
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
         |ORDER BY c_custkey LIMIT 500""".stripMargin,
+
+    "s14_orc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |ORDER BY s_suppkey""".stripMargin,
 
     "s9_partitioned_sink" ->
       """SELECT event_id, user_id, event_type, value,
