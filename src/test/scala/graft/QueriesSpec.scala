@@ -14,6 +14,15 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("every query is documented in OPERATORS.md (doc-rot guard)") {
+    val docs = {
+      val src = scala.io.Source.fromFile("OPERATORS.md", "UTF-8")
+      try src.mkString finally src.close()
+    }
+    val missing = SparkEntry.queries.keySet.filterNot(docs.contains)
+    assert(missing.isEmpty, s"queries missing from OPERATORS.md: $missing")
+  }
+
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name executes at sf0.001") {
       val df = fn(spark, sf0001)
