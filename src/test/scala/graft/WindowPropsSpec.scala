@@ -81,6 +81,22 @@ object WindowPropsSpec extends Properties("graft.windows") {
         got == want
     }
 
+  property("exactSum = BigDecimal truth, invariant to partitioning") =
+    forAll(Gen.listOfN(25, Gen.choose(-1e6, 1e6)), Gen.choose(1, 8)) {
+      (vs, parts) =>
+        import graft.operators.Summaries
+        val got = vs.toDF("v").repartition(parts)
+          .agg(Summaries.exactSum(col("v"), 2).as("s"))
+          .as[Double].collect().head
+        // the policy's exact reference: each double canonically decimal-
+        // ized (Double.toString), scaled to 6 dp HALF_UP, summed exactly,
+        // rounded once to 2 dp — any partition order must produce this
+        val want = vs.map(BigDecimal.valueOf(_)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          .sum.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+        got == want
+    }
+
   property("runningMaxExclusive = prefix max of prior arrivals") =
     forAll(Gen.listOfN(30, Gen.choose(0L, 100L))) { vals =>
       val rows = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
