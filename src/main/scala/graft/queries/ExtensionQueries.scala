@@ -93,6 +93,24 @@ object ExtensionQueries {
       Similarity.bruteForceTopK(Tables.embeddings(s, d), queryId = 0L, k = 10)
     }),
 
+    // Q2 — the pure-SQL entry surface: temp views + `spark.sql`, with
+    // the custom codegen expression called BY NAME from SQL (the
+    // GraftFunctions/GraftExtensions registration path the brief's
+    // `spark.sql(...)` users take). Consecutive-id embedding pairs
+    // sampled by modulo; the oracle replays the cosine via the e1
+    // unnest/rejoin dot product.
+    "q2_sql_surface" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.embeddings(s, d).createOrReplaceTempView("emb_sql")
+      s.sql("""
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          round(cosine_sim(a.embedding, b.embedding), 4) AS cos
+        FROM emb_sql a JOIN emb_sql b
+          ON a.vec_id + 1 = b.vec_id
+        WHERE a.vec_id % 50 = 0
+        ORDER BY a_id""")
+    }),
+
     // E2 — LSH-bucketed ANN (rows-only oracle; recall vs brute force
     // checked in SimilaritySpec).
     "e2_ann_lsh" -> ((s, d) => {
@@ -798,6 +816,21 @@ object ExtensionQueries {
     "e11_incremental_ann" ->
       """SELECT true AS has_pairs, true AS pairs_cross_only,
         |  true AS pairs_reverified""".stripMargin,
+
+    "q2_sql_surface" ->
+      """WITH x AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |), m AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    sum(a.v * b.v) AS dot, sum(a.v * a.v) AS aa, sum(b.v * b.v) AS bb
+        |  FROM x a JOIN x b ON a.i = b.i AND a.vec_id + 1 = b.vec_id
+        |  WHERE a.vec_id % 50 = 0
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a_id, b_id, round(dot / (sqrt(aa) * sqrt(bb)), 4) AS cos
+        |FROM m ORDER BY a_id""".stripMargin,
 
     // DuckDB's nfc_normalize implements the same Unicode NFC form as
     // java.text.Normalizer; the suffix literal carries the decomposed
