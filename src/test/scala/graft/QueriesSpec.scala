@@ -19,7 +19,11 @@ class QueriesSpec extends SparkSpec {
       val src = scala.io.Source.fromFile("OPERATORS.md", "UTF-8")
       try src.mkString finally src.close()
     }
-    val missing = SparkEntry.queries.keySet.filterNot(docs.contains)
+    // anchored on the backticked code span a doc row uses — bare
+    // substring containment would be satisfied by prose mentions or a
+    // longer name containing this one
+    val missing = SparkEntry.queries.keySet
+      .filterNot(n => docs.contains(s"`$n`"))
     assert(missing.isEmpty, s"queries missing from OPERATORS.md: $missing")
   }
 
