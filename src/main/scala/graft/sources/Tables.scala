@@ -70,4 +70,18 @@ object Tables {
   def exportCsv(df: DataFrame, path: String, singleFile: Boolean = true): Unit =
     (if (singleFile) df.coalesce(1) else df)
       .write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Small-files compaction — the table-maintenance pass every
+    * streaming/incremental sink eventually needs (each micro-batch and
+    * ingest shard leaves its own files; thousands of KB-sized parquet
+    * files turn scan planning and footer reads into the bottleneck).
+    * Rewrites `inDir` into `outDir` as `targetFiles` files via
+    * `coalesce` — a NARROW repartition: existing partitions are
+    * concatenated, nothing shuffles (a `repartition` here would move
+    * every byte through an exchange just to change the file count). */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetFiles: Int): Unit =
+    spark.read.parquet(inDir)
+      .coalesce(targetFiles)
+      .write.mode("overwrite").parquet(outDir)
 }

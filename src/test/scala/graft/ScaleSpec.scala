@@ -161,6 +161,30 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("compaction rewrites a fragmented table to the target file count, content-identical") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    try {
+      val ev = Tables.events(spark, sf0001)
+      // simulate a micro-batch sink's fragmentation: 32 shard files
+      ev.repartition(32).write.parquet(s"$tmp/frag")
+      def parquetFiles(p: String) =
+        new java.io.File(p).listFiles.count(_.getName.endsWith(".parquet"))
+      assert(parquetFiles(s"$tmp/frag") == 32)
+      Tables.compact(spark, s"$tmp/frag", s"$tmp/compact", targetFiles = 4)
+      assert(parquetFiles(s"$tmp/compact") == 4)
+      // content survives byte-for-byte (no rows lost/dup'd/mutated)
+      val a = ev.orderBy("event_id").collect().toSeq
+      val b = spark.read.parquet(s"$tmp/compact")
+        .orderBy("event_id").collect().toSeq
+      assert(a == b)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+      val paths = try walk.iterator().asScala.toSeq finally walk.close()
+      paths.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("sketch aggregates stay within documented error of exact values") {
     val li = Tables.lineitem(spark, sf0001)
     val exact = li.groupBy("l_returnflag")
