@@ -1,6 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** One measured query: elapsed seconds plus the exception class name if
+    * it threw. Failures are NOT silently absorbed into the total — see
+    * [[formatLine]]. */
+  final case class QueryResult(name: String, seconds: Double,
+    err: Option[String])
+
+  /** Pure JSON formatter (unit-tested with a forced failure in
+    * BenchFormatSpec). Failure honesty: a thrown query contributes its
+    * elapsed-until-throw to the total like any other, appears in a
+    * top-level `"errors":{name:exceptionClass}` map, and bumps the
+    * top-level `"failed"` count — so a regression that breaks a query can
+    * never shrink the bench number into looking like an improvement.
+    * Successful-query values stay plain numbers (the driver's parser
+    * contract). */
+  def formatLine(results: Seq[QueryResult], sfDir: String): String = {
+    val qs = results.map(r => s"\"" + r.name + "\":" + r.seconds)
+      .mkString("{", ",", "}")
+    val failures = results.filter(_.err.isDefined)
+    val errs = failures.map(r => s"\"" + r.name + "\":\"" + r.err.get + "\"")
+      .mkString("{", ",", "}")
+    val total = results.map(_.seconds).sum
+    s"""{"metric":"total","value":$total,"unit":"sec","failed":${failures.size},""" +
+      s""""errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,21 +44,22 @@ object Bench {
     // absorbs JVM/classloader/janino-codegen JIT, parquet footer reads and
     // shuffle-infra startup (cold-vs-warm is 2.7s vs 0.26s for a simple
     // hash groupBy), then the timed pass measures the queries themselves.
+    // Warm-up swallowing exceptions is deliberate (best-effort by design);
+    // the timed pass below records them.
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       SparkEntry.queries.foreach { case (_, fn) =>
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       }
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case t: Throwable => Some(t.getClass.getSimpleName) }
+      QueryResult(name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(formatLine(results, sfDir))
     spark.stop()
   }
 }

@@ -259,7 +259,18 @@ object Similarity {
     * with no shuffle and no re-signing, so per-ingest cost is one index
     * scan regardless of corpus size (the d12 ingest property, for
     * embeddings). Candidates sharing a bucket verify with exact cosine
-    * against `threshold`. */
+    * against `threshold`.
+    *
+    * PRECONDITION (the contract's "small" in small-batch ingest): the
+    * batch must fit a broadcast — vectors × dims × 8 B well under the
+    * driver/executor broadcast budget (~10⁶ × 64-dim floats ≈ 512 MB is
+    * already past the default 8 GB hard cap's comfort zone). That is the
+    * definition of an ingest micro-batch, not a tuning choice: a "batch"
+    * that is a corpus slice should be chunked into broadcastable pieces
+    * (the index-side plan is unchanged per chunk), or signed and written
+    * through [[srpBucketIndex]] + a bucket-key shuffle join instead —
+    * broadcasting a corpus-sized side here re-creates the scale bug this
+    * API exists to avoid (ADVICE r3). */
   def incrementalAnnPairs(batch: DataFrame, index: DataFrame,
       threshold: Double, numPlanes: Int = 8): DataFrame = {
     val b = batch.select(col("vec_id").as("new_id"),

@@ -119,12 +119,59 @@ object ExtensionQueries {
     }),
 
     // E3 — embedding-cosine near-dup candidates, top-100 by similarity
-    // (rows-only oracle).
+    // (rows-only oracle; value-verified by the e3b contract below).
     "e3_cosine_neardup" -> ((s, d) => {
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
           threshold = -1.0, numPlanes = 8)
         .orderBy(col("cosine_sim").desc, col("a_id"), col("b_id"))
         .limit(100)
+    }),
+
+    // E3B — cosineNearDupPairs CONTRACT (e5/e9/e11 pattern; closes the
+    // last value-unverified query on the board): plant exact-duplicate
+    // clones (every vec_id % 50 == 0 re-inserted at +1,000,000 — the
+    // documentsWithDups convention; an identical embedding signs to an
+    // identical SRP signature, so each planted pair is GUARANTEED to
+    // share a bucket at any plane count). Asserts
+    //  (a) natural candidate pairs exist beyond the planted ones at
+    //      threshold 0.3 / 8 planes (the settings e9 proved bite on this
+    //      data — not a vacuous pass),
+    //  (b) every planted (orig, clone) pair is recalled — the
+    //      deterministic-recall half of the bucketing contract,
+    //  (c) every emitted pair re-verifies INDEPENDENTLY: the builtin
+    //      zip_with/aggregate cosine recomputed from the raw vectors
+    //      agrees with the fused codegen value pair-by-pair AND clears
+    //      the threshold — O(pairs), not a brute-force O(n²) replay.
+    "e3b_neardup_contract" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") % 50 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      val aug = emb.unionByName(planted).localCheckpoint(eager = false)
+      val pairs = Similarity.cosineNearDupPairs(aug, threshold = 0.3,
+          numPlanes = 8)
+        .localCheckpoint(eager = false) // feeds all three contract aggregates
+      val reverified = pairs
+        .join(aug.select(col("vec_id").as("a_id"), col("embedding").as("av")),
+          Seq("a_id"))
+        .join(aug.select(col("vec_id").as("b_id"), col("embedding").as("bv")),
+          Seq("b_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when(
+            round(Similarity.cosineBuiltin(col("av"), col("bv")), 4)
+              =!= col("cosine_sim") || col("cosine_sim") < 0.3, 1))
+            .as("n_mismatch"))
+      val plantKeys = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("a_id"),
+          (col("vec_id") + 1000000L).as("b_id"))
+      val recall = plantKeys
+        .join(pairs, Seq("a_id", "b_id"), "left_anti")
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n_missed"))
+      val nPlanted = plantKeys.agg(count(lit(1)).as("n_planted"))
+      reverified.crossJoin(recall).crossJoin(nPlanted).select(
+        (col("n_pairs") > col("n_planted") && col("n_planted") > 0)
+          .as("has_natural_pairs"),
+        (col("n_missed") === 0).as("planted_recalled"),
+        (col("n_mismatch") === 0).as("pairs_reverified"))
     }),
 
     // E10 — semantic outlier scoring (SemDeDup / SSL-prototype pruning):
@@ -307,8 +354,12 @@ object ExtensionQueries {
     // E11 — incremental ANN ingest CONTRACT (the d11/d12 ingest shape
     // for embeddings; e5/e9 contract pattern since float-derived
     // candidates can't hash-match): the first 400 vec_ids play the
-    // persisted SRP bucket index, the rest arrive as the batch and
-    // probe it — the index is never re-signed, the batch broadcasts.
+    // persisted SRP bucket index, vec_ids [400, 500) arrive as the
+    // batch and probe it — the index is never re-signed, the batch
+    // broadcasts. The batch is a FIXED 100-row slice, not "everything
+    // above 400": incrementalAnnPairs broadcasts its batch, so a batch
+    // that grew with the scale factor would contradict the
+    // per-ingest-cost-independent-of-corpus-size contract (ADVICE r3).
     // Asserts (a) the probe finds candidates at threshold 0.3 / 8
     // planes (the settings e9 proved this data meets — the contract
     // bites), (b) pairs only cross batch→index, (c) every emitted
@@ -320,12 +371,13 @@ object ExtensionQueries {
     "e11_incremental_ann" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val index = Similarity.srpBucketIndex(emb.filter(col("vec_id") < 400))
-      val batch = emb.filter(col("vec_id") >= 400)
+      val batch = emb.filter(col("vec_id") >= 400 && col("vec_id") < 500)
       val pairs = Similarity.incrementalAnnPairs(batch, index, threshold = 0.3)
         .localCheckpoint(eager = false) // feeds both contract aggregates
       val stats = pairs.agg(
         count(lit(1)).as("n_pairs"),
-        count(when(col("new_id") < 400 || col("old_id") >= 400, 1))
+        count(when(col("new_id") < 400 || col("new_id") >= 500
+          || col("old_id") >= 400, 1))
           .as("n_wrong_side"))
       val reverified = pairs
         .join(emb.select(col("vec_id").as("new_id"),
@@ -815,6 +867,10 @@ object ExtensionQueries {
 
     "e11_incremental_ann" ->
       """SELECT true AS has_pairs, true AS pairs_cross_only,
+        |  true AS pairs_reverified""".stripMargin,
+
+    "e3b_neardup_contract" ->
+      """SELECT true AS has_natural_pairs, true AS planted_recalled,
         |  true AS pairs_reverified""".stripMargin,
 
     "q2_sql_surface" ->

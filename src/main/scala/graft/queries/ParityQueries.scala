@@ -26,6 +26,18 @@ object ParityQueries {
   // Shared decimal-exact helpers
   private val sumQty: Column => Column = c => Summaries.exactSum(c, 2)
 
+  /** Sink dir for the round-trip queries (s5/s9/s14/s15): FIXED per
+    * (tag, data dir) — a fresh temp dir per invocation would leak one
+    * full export per bench/verify run — but keyed on the sf dir so a
+    * verify at sf0.01 and a bench at sf0.1 running concurrently on one
+    * host can never overwrite each other's files mid-read (VERDICT r3
+    * item 5). Single-writer per (tag, sfDir) remains the expectation. */
+  private[queries] def sinkDir(tag: String, sfDir: String): String = {
+    val key = java.lang.Integer.toHexString(
+      java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize.toString.hashCode)
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_sink_$key"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // S7 + P1 — parquet scan with pruned projection + pushed filter
@@ -547,9 +559,9 @@ object ParityQueries {
     // parquet source of truth via the oracle. Proves long/double/string
     // values survive the write+parse cycle bit-exactly.
     "s5_csv_roundtrip" -> ((s, d) => {
-      // fixed path + overwrite mode: a fresh temp dir per invocation
-      // leaks one full export per bench/verify run (never cleaned up)
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_s5_sink"
+      // fixed-per-sfDir path + overwrite mode (see sinkDir: no per-run
+      // leak, no cross-run clobber)
+      val out = sinkDir("s5", d)
       Tables.exportCsv(Tables.customer(s, d)
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
           col("c_mktsegment")), out)
@@ -576,11 +588,32 @@ object ParityQueries {
     // write+read cycle is what gets hash-verified (the s5 CSV-sink
     // pattern, columnar edition).
     "s14_orc_roundtrip" -> ((s, d) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_s14_sink"
+      val out = sinkDir("s14", d)
       Tables.supplier(s, d)
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
         .write.mode("overwrite").orc(out)
       s.read.orc(out).orderBy(col("s_suppkey"))
+    }),
+
+    // S15 — small-files compaction round-trip (the driver-checked twin
+    // of ScaleSpec's compaction test; VERDICT r3 item 8): fragment an
+    // orders projection into 32 shard files (a micro-batch sink's
+    // layout), Tables.compact it to 2 files (narrow coalesce, no
+    // shuffle), read the COMPACTED BYTES back. Oracle = the untouched
+    // parquet source of truth, so row fidelity across the
+    // fragment→compact→read cycle is what gets hash-verified; the file
+    // counts and the in-place/nested-path guards are asserted in
+    // ScaleSpec (a value oracle can't see layout).
+    "s15_compaction" -> ((s, d) => {
+      val frag = sinkDir("s15_frag", d)
+      val out = sinkDir("s15", d)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(frag)
+      Tables.compact(s, frag, out, targetFiles = 2)
+      s.read.parquet(out).orderBy(col("o_orderkey"))
     }),
 
     // S9 — partitioned parquet SINK round-trip: write events partitioned
@@ -590,8 +623,8 @@ object ParityQueries {
     // The read-back scan prunes to one directory (PartitionFilters;
     // shape asserted in PartitionPruningSpec).
     "s9_partitioned_sink" -> ((s, d) => {
-      // fixed path + overwrite mode (see s5: per-invocation temp dirs leak)
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_s9_sink"
+      // fixed-per-sfDir path + overwrite mode (see sinkDir)
+      val out = sinkDir("s9", d)
       Tables.events(s, d)
         .withColumn("day", to_date(col("ts")))
         .write.partitionBy("day").mode("overwrite").parquet(out)
@@ -1024,6 +1057,10 @@ object ParityQueries {
     "s14_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_acctbal FROM supplier
         |ORDER BY s_suppkey""".stripMargin,
+
+    "s15_compaction" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "s9_partitioned_sink" ->
       """SELECT event_id, user_id, event_type, value,

@@ -78,10 +78,30 @@ object Tables {
     * Rewrites `inDir` into `outDir` as `targetFiles` files via
     * `coalesce` — a NARROW repartition: existing partitions are
     * concatenated, nothing shuffles (a `repartition` here would move
-    * every byte through an exchange just to change the file count). */
+    * every byte through an exchange just to change the file count).
+    *
+    * Safety: the parquet read is LAZY, so `mode("overwrite")` deletes
+    * its target before a single input row is materialized — compacting
+    * in place (or into a parent of the input) would destroy the table.
+    * Both layouts are rejected on canonicalized paths. A
+    * `partitionBy`-laid-out input must pass its partition columns via
+    * `partitionCols`: partition discovery folds them into data columns,
+    * and a flat rewrite would silently drop the directory layout (and
+    * with it partition pruning) on e.g. the s9 day-partitioned sink.
+    * With `partitionCols` set, `targetFiles` caps files PER leaf task —
+    * each coalesced task writes one file per partition value it holds. */
   def compact(spark: SparkSession, inDir: String, outDir: String,
-      targetFiles: Int): Unit =
-    spark.read.parquet(inDir)
-      .coalesce(targetFiles)
-      .write.mode("overwrite").parquet(outDir)
+      targetFiles: Int, partitionCols: Seq[String] = Nil): Unit = {
+    val in = java.nio.file.Paths.get(inDir).toAbsolutePath.normalize
+    val out = java.nio.file.Paths.get(outDir).toAbsolutePath.normalize
+    require(in != out,
+      s"compact() in place would delete the input before reading it: $in")
+    require(!in.startsWith(out),
+      s"compact() output $out contains the input $in — overwrite would " +
+        "delete the table")
+    val df = spark.read.parquet(inDir).coalesce(targetFiles)
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(outDir)
+  }
 }

@@ -250,14 +250,31 @@ object StreamingOps {
     * the MERGED sums — never averaged averages. A missing/empty state
     * directory is an empty metric (a reader polling during stream
     * startup, or after a no-data run where foreachBatch never fired,
-    * must not crash) — same bootstrap contract as the dedup index. */
+    * must not crash) — same bootstrap contract as the dedup index.
+    *
+    * Concurrent-reader safety (ADVICE r3): only batch directories whose
+    * write COMMITTED (carry the `_SUCCESS` marker) are read, so a poll
+    * racing a redelivered batch's in-flight overwrite sees a consistent
+    * snapshot that merely omits that one partial (momentarily stale,
+    * never partially-written, never a read of files being deleted).
+    * The overwrite itself deletes the old `_SUCCESS` first, so the
+    * window degrades to "batch absent", which redelivery idempotence
+    * already makes correct. */
   def metricState(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, keyCol: String = "event_type"): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(stateDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed =
+      if (fs.exists(p))
+        fs.listStatus(p).filter(_.isDirectory)
+          .filter(d => fs.exists(
+            new org.apache.hadoop.fs.Path(d.getPath, "_SUCCESS")))
+          .map(_.getPath.toString).toSeq
+      else Seq.empty[String]
     val partials =
-      if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-        spark.read.parquet(stateDir).select(col(keyCol), col("n"), col("s"))
+      if (committed.nonEmpty)
+        spark.read.option("basePath", stateDir).parquet(committed: _*)
+          .select(col(keyCol), col("n"), col("s"))
       else
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Failure honesty of the bench JSON (VERDICT r3 item 2): a thrown query
+  * must surface as an `errors` entry and a nonzero `failed` count — it
+  * must never silently shrink the total into a better-looking number. */
+class BenchFormatSpec extends AnyFunSuite {
+
+  test("all-green run emits failed:0 and an empty errors map") {
+    val line = Bench.formatLine(Seq(
+      Bench.QueryResult("q1", 0.5, None),
+      Bench.QueryResult("q2", 1.25, None)), "/data/sf0.1")
+    assert(line.contains("\"failed\":0"))
+    assert(line.contains("\"errors\":{}"))
+    assert(line.contains("\"q1\":0.5"))
+    assert(line.contains("\"value\":1.75"))
+  }
+
+  test("forced failure shows up as an error entry and counts in the total") {
+    val line = Bench.formatLine(Seq(
+      Bench.QueryResult("q1", 0.5, None),
+      Bench.QueryResult("qbad", 0.25, Some("AnalysisException"))), "/data/sf0.1")
+    assert(line.contains("\"failed\":1"))
+    assert(line.contains("\"errors\":{\"qbad\":\"AnalysisException\"}"))
+    // elapsed-until-throw still contributes — failures can't deflate the total
+    assert(line.contains("\"value\":0.75"))
+  }
+
+  test("emitted line is parseable JSON with the driver's expected fields") {
+    val line = Bench.formatLine(Seq(
+      Bench.QueryResult("q1", 0.1, None),
+      Bench.QueryResult("q2", 0.2, Some("SparkException"))), "/x")
+    // minimal structural check without a JSON lib: balanced braces,
+    // the driver-contract keys present, queries values numeric
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    for (k <- Seq("\"metric\":\"total\"", "\"unit\":\"sec\"",
+        "\"queries\":{", "\"sf\":\"/x\""))
+      assert(line.contains(k), s"missing $k in $line")
+  }
+}

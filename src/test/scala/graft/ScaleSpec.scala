@@ -177,6 +177,28 @@ class ScaleSpec extends SparkSpec {
       val b = spark.read.parquet(s"$tmp/compact")
         .orderBy("event_id").collect().toSeq
       assert(a == b)
+
+      // destructive layouts are rejected BEFORE the lazy read can let
+      // overwrite delete the input (ADVICE r3): in-place, and output
+      // containing the input
+      intercept[IllegalArgumentException] {
+        Tables.compact(spark, s"$tmp/frag", s"$tmp/frag", targetFiles = 1)
+      }
+      intercept[IllegalArgumentException] {
+        Tables.compact(spark, s"$tmp/frag/child/..", s"$tmp", targetFiles = 1)
+      }
+      assert(parquetFiles(s"$tmp/frag") == 32, "guards must not touch input")
+
+      // a partitionBy layout survives compaction when declared: the
+      // rewritten table keeps its day=... directories (and pruning)
+      ev.withColumn("day", to_date(col("ts")))
+        .repartition(16).write.partitionBy("day").parquet(s"$tmp/pfrag")
+      Tables.compact(spark, s"$tmp/pfrag", s"$tmp/pcompact",
+        targetFiles = 2, partitionCols = Seq("day"))
+      val dayDirs = new java.io.File(s"$tmp/pcompact").listFiles
+        .count(_.getName.startsWith("day="))
+      assert(dayDirs > 0, "partition directories must be preserved")
+      assert(spark.read.parquet(s"$tmp/pcompact").count() == ev.count())
     } finally {
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
