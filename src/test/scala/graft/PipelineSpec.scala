@@ -117,6 +117,33 @@ class PipelineSpec extends SparkSpec {
       .filter(col("country") === "USA").collect()(0)
     assert(cleaned.getAs[Long]("current_cases") == 0L)
   }
+
+  test("cached dashboard session: second tab query scans the cache, not the sources") {
+    // the §3.2 interactive-session shape (reference @st.cache_data,
+    // streamlit_app.py:46): integrate ONCE, persist, serve every tab
+    // from the cached frame. Asserted on the real merged pipeline frame,
+    // in the plan: after tab 1 materializes the cache, tab 2's executed
+    // plan reads InMemoryTableScan and contains none of the integrate
+    // lineage (no source relations, no standardize/merge joins).
+    val cached = CovidPipeline.cachedDashboard(merged)
+    try {
+      val tab1 = cached.orderBy(col("cases_data_gap_percent").desc).limit(2)
+      assert(tab1.collect().length == 2) // materializes the cache
+      val tab2 = cached.filter(col("cases_data_gap_percent") > 10)
+      assert(tab2.collect().length == 2) // USA and Afghanistan, both 20%
+      // InMemoryRelation's toString embeds the cache-BUILD plan (the
+      // recorded integrate lineage — not re-executed); judge tab 2 by
+      // what sits ABOVE the cache boundary only
+      val p = tab2.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+        .split("InMemoryRelation")(0)
+      assert(p.contains("InMemoryTableScan"),
+        s"tab 2 must be served from the persisted frame\n$p")
+      assert(!p.contains("LocalTableScan") && !p.contains("Join"),
+        s"tab 2 must not re-run the integrate join lineage\n$p")
+      assert(cached.storageLevel.useMemory)
+    } finally cached.unpersist()
+  }
 }
 
 class TypedPipelineSpec extends SparkSpec {
@@ -139,18 +166,5 @@ class TypedPipelineSpec extends SparkSpec {
     assert(t.country_standardized == "Testland")
     assert(t.avg_daily_new_cases.contains(1.0))
     assert(t.data_points_available >= 30)
-  }
-
-  test("cached dashboard serves repeated tab queries from the persisted plan") {
-    import org.apache.spark.sql.functions._
-    val merged = Seq(("A", 10.0), ("B", 250.0), ("C", 90.0))
-      .toDF("country_standardized", "cases_data_gap_percent")
-    val cached = CovidPipeline.cachedDashboard(merged)
-    try {
-      val topk = cached.orderBy(col("cases_data_gap_percent").desc).limit(2).count()
-      val filtered = cached.filter(col("cases_data_gap_percent") > 50).count()
-      assert(topk == 2 && filtered == 2)
-      assert(cached.storageLevel.useMemory)
-    } finally cached.unpersist()
   }
 }

@@ -159,6 +159,24 @@ class PlanSpec extends SparkSpec {
       "row numbering must run within range partitions")
   }
 
+  test("t8: dfreq joins the fat (doc,term) frame via broadcast — no term-key shuffle") {
+    // the bounded-broadcast contract documented at the query site
+    // (word vocab ⇒ |vocab| bounded): the document-frequency side must
+    // BROADCAST onto the per-(doc,term) frame; a silent planner
+    // fallback to hash-partitioning the fat frame by term would land
+    // the stopword skew this shape exists to avoid
+    val df = SparkEntry.queries("t8_tfidf")(spark, sf0001)
+    val p = finalPlan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"dfreq must broadcast-join the tf frame\n$p")
+    // exactly ONE term-keyed exchange: the dfreq partial+final aggregate
+    // (map-side combined — ≤ partitions×|vocab| rows move). A second one
+    // would mean the planner fell back to shuffling the fat frame for
+    // the join itself.
+    assert("Exchange hashpartitioning\\(term".r.findAllIn(p).size == 1,
+      s"only the dfreq aggregate may exchange on the term key\n$p")
+  }
+
   test("d10: bloom probe is a scan-level filter — no join, no corpus shuffle") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val corpus = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 20 =!= 0)
