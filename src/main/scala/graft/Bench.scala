@@ -1,7 +1,38 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 object Bench {
+
+  /** Evaluate EVERY column of a query result, not just its cardinality.
+    * A bare `count()` lets Catalyst prune unreferenced columns and
+    * eliminate unique-key outer joins — for d3_minhash_lsh that deleted
+    * the entire LSH pipeline from the measured plan, so the bench was
+    * timing a plan no consumer would run. One hash probe per column,
+    * summed (decimal — a long sum could overflow silently), forces full
+    * evaluation while collecting a single row. Map-typed columns are
+    * unhashable in Spark; they go through to_json. Per-column probes
+    * combine via XOR, not +, and the row fold is a decimal sum: full-
+    * range longs overflow under ANSI mode (Spark 4 default) and would
+    * fail every query. Returns the row count. */
+  def evalAll(df: DataFrame): Long = {
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val probes = df.schema.fields.map { f =>
+      if (hasMap(f.dataType)) xxhash64(to_json(col(f.name)))
+      else xxhash64(col(f.name))
+    }
+    val r = df.agg(
+      sum(probes.reduce(_.bitwiseXOR(_)).cast("decimal(38,0)")),
+      count(lit(1)))
+      .collect()(0)
+    r.getLong(1)
+  }
 
   /** One measured query: elapsed seconds plus the exception class name if
     * it threw. Failures are NOT silently absorbed into the total — see
@@ -24,8 +55,12 @@ object Bench {
     val errs = failures.map(r => s"\"" + r.name + "\":\"" + r.err.get + "\"")
       .mkString("{", ",", "}")
     val total = results.map(_.seconds).sum
+    // eval:all_columns — round 4 switched the timed pass from count()
+    // to evalAll (full-column evaluation); totals are not directly
+    // comparable to the count()-based rounds 1-3 for queries whose
+    // count() plan pruned work away
     s"""{"metric":"total","value":$total,"unit":"sec","failed":${failures.size},""" +
-      s""""errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
+      s""""errors":$errs,"eval":"all_columns","queries":$qs,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -49,13 +84,13 @@ object Bench {
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       SparkEntry.queries.foreach { case (_, fn) =>
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { evalAll(fn(spark, sfDir)) } catch { case _: Throwable => () }
       }
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
-        try { fn(spark, sfDir).count(); None }
+        try { evalAll(fn(spark, sfDir)); None }
         catch { case t: Throwable => Some(t.getClass.getSimpleName) }
       QueryResult(name, (System.nanoTime() - t0) / 1e9, err)
     }

@@ -14,6 +14,21 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("Bench.evalAll forces all columns and survives ANSI mode on any schema") {
+    import spark.implicits._
+    // full-range longs (a + fold would overflow under ANSI), arrays,
+    // and a map column (unhashable — takes the to_json path)
+    val df = Seq(
+      (Long.MaxValue, Seq(1.5f, -2.5f), Map("a" -> 1L)),
+      (Long.MinValue, Seq(0.0f), Map("b" -> 2L)),
+      (0L, Seq.empty[Float], Map.empty[String, Long])
+    ).toDF("id", "vec", "m")
+    assert(Bench.evalAll(df) == 3L)
+    // and on a real query result with doubles/strings/timestamps
+    assert(Bench.evalAll(
+      SparkEntry.queries("w6_group_aggregates")(spark, sf0001)) > 0L)
+  }
+
   test("every query is documented in OPERATORS.md (doc-rot guard)") {
     val docs = {
       val src = scala.io.Source.fromFile("OPERATORS.md", "UTF-8")
