@@ -110,13 +110,66 @@ object Summaries {
     * after the medians broadcast back) and one map pass for the flag —
     * the data never sorts globally. A MAD of 0 (over half the group
     * identical) yields NULL z-scores: those rows are not flagged. */
+  /** Exact grouped percentiles via DISTRIBUTED SORT. The builtin
+    * `percentile`/`median` aggregate is exact but accumulates a
+    * value→count map as partial state — O(DISTINCT values) per group.
+    * Decision rule between the two exact forms:
+    *   - bounded-cardinality column (small-int quantities, codes,
+    *     rounded scores): use the BUILTIN — its map is fixed-size,
+    *     combinable, and folds into the same pass as other aggregates
+    *     (w6/w20 on ~50-distinct l_quantity do this);
+    *   - unbounded-cardinality column (prices, raw doubles, amounts):
+    *     the builtin's map approaches O(rows) per partition — the memory
+    *     profile that falls over at 100 TB, and why the docs steer big
+    *     data to approx_percentile. Use THIS form: one hash exchange on
+    *     the group key, an in-group sort (spill-friendly external sort),
+    *     then each requested rank picks the two order statistics it
+    *     interpolates between via conditional aggregates — O(1) state
+    *     per group past the sort (x14/x16/w15b on l_extendedprice).
+    *
+    * Bit-compatibility: same rank formula as the builtin (Hive
+    * semantics) — position (n−1)·p over null-filtered values, and
+    * `(higher−position)·lowerVal + (position−lower)·higherVal` with the
+    * frac==0 short-circuit, in the same IEEE order — so swapping a
+    * builtin call site for this one cannot change an oracled output
+    * (equality asserted value-for-value in WindowOpsSpec). Ties need no
+    * tiebreaker: equal values interpolate to themselves.
+    *
+    * Returns one row per group: `groupCols` ++ `ps.map(_._1)`. Groups
+    * whose values are all null vanish (the builtin would return null —
+    * callers here have non-null metrics). */
+  def sortedPercentiles(df: DataFrame, groupCols: Seq[String],
+      valCol: Column, ps: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gs = groupCols.map(col)
+    val base = df.select((gs :+ valCol.cast("double").as("__x")): _*)
+      .filter(col("__x").isNotNull)
+    val w = Window.partitionBy(gs: _*).orderBy(col("__x"))
+    val wg = Window.partitionBy(gs: _*)
+    val ranked = base
+      .withColumn("__rn", (row_number().over(w) - 1).cast("double"))
+      .withColumn("__n", count(lit(1)).over(wg).cast("double"))
+    val aggs = ps.map { case (name, p) =>
+      val k = (col("__n") - 1) * lit(p)
+      val lo = floor(k)
+      val lower = max(when(col("__rn") === lo, col("__x")))
+      val upper = max(when(col("__rn") ===
+        least(lo + 1, col("__n") - 1), col("__x")))
+      val frac = max(when(col("__rn") === lo, k - lo))
+      when(frac === 0, lower)
+        .otherwise((lit(1) - frac) * lower + frac * upper)
+        .as(name)
+    }
+    ranked.groupBy(gs: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   def robustOutliers(df: DataFrame, groupCol: String, valCol: String,
       zCut: Double = 3.5): DataFrame = {
-    val med = df.groupBy(col(groupCol))
-      .agg(expr(s"percentile(`$valCol`, 0.5)").as("med"))
+    val med = sortedPercentiles(df, Seq(groupCol), col(valCol),
+      Seq("med" -> 0.5))
     val withMed = df.join(broadcast(med), Seq(groupCol))
-    val mad = withMed.groupBy(col(groupCol))
-      .agg(expr(s"percentile(abs(`$valCol` - med), 0.5)").as("mad"))
+    val mad = sortedPercentiles(withMed, Seq(groupCol),
+      abs(col(valCol) - col("med")), Seq("mad" -> 0.5))
     withMed.join(broadcast(mad), Seq(groupCol))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),

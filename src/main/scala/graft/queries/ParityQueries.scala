@@ -167,9 +167,8 @@ object ParityQueries {
     "x14_winsorize" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_extendedprice").as("x"))
-      val pct = li.groupBy(col("l_returnflag"))
-        .agg(expr("percentile(x, 0.05)").as("p05"),
-          expr("percentile(x, 0.95)").as("p95"))
+      val pct = Summaries.sortedPercentiles(li, Seq("l_returnflag"),
+        col("x"), Seq("p05" -> 0.05, "p95" -> 0.95))
       li.join(broadcast(pct), Seq("l_returnflag"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
@@ -295,6 +294,11 @@ object ParityQueries {
     }),
 
     // W6 — grouped aggregate stats incl. exact median (SURVEY.md W6).
+    // The builtin `median` is the RIGHT exact form here: its partial
+    // state is O(distinct values) per group, and l_quantity has ~50
+    // distinct integers — a fixed-size map, combinable, one pass with
+    // the other aggregates. Unbounded-cardinality metrics use
+    // Summaries.sortedPercentiles instead (see x14/x16/w15b).
     "w6_group_aggregates" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"), col("l_linestatus"))

@@ -113,6 +113,10 @@ object TrainingQueries {
     // (n-1)*p rank formula in Spark `percentile` and DuckDB
     // `quantile_cont`). Quantities are small integers so interpolated
     // values are exact binary fractions — hash-stable across engines.
+    // Builtin `percentile` deliberately: l_quantity has ~50 distinct
+    // integers, so the builtin's O(distinct)-state map is fixed-size and
+    // one-pass — the cardinality rule documented at
+    // Summaries.sortedPercentiles.
     "w20_percentiles" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
@@ -470,14 +474,17 @@ object TrainingQueries {
     // accuracy guarantee (the sketch values themselves stay rows-only
     // in w15).
     "w15b_sketch_bounds" -> ((s, d) => {
+      val exactMed = graft.operators.Summaries.sortedPercentiles(
+        Tables.lineitem(s, d), Seq("l_returnflag"),
+        col("l_extendedprice"), Seq("exact_median" -> 0.5))
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-            .as("approx_median"),
-          expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
+            .as("approx_median"))
+        .join(broadcast(exactMed), Seq("l_returnflag"))
         .select(col("l_returnflag"),
           (abs(col("approx_parts") - col("exact_parts"))
             <= col("exact_parts") * 0.05).as("hll_within_5pct"),

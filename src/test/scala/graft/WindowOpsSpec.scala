@@ -176,6 +176,32 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got("b") == ((9L, 0L, 105.0, 2.0)))
   }
 
+  test("sortedPercentiles matches the builtin percentile bit-for-bit") {
+    // the bounded-state sort-based form must reproduce the builtin's
+    // Hive interpolation EXACTLY (same doubles, not approximately) so
+    // call-site swaps can never change an oracled output — probed on
+    // real double data at awkward ranks plus a ties/odd-count synthetic
+    val ps = Seq("p05" -> 0.05, "p37" -> 0.37, "p50" -> 0.5,
+      "p95" -> 0.95, "p100" -> 1.0)
+    def check(df: org.apache.spark.sql.DataFrame, g: String, v: String): Unit = {
+      val sorted = Summaries.sortedPercentiles(df, Seq(g), col(v), ps)
+        .collect().map(r => r.getString(0) ->
+          ps.indices.map(i => r.getDouble(i + 1))).toMap
+      val builtinAggs = ps.map { case (n, p) =>
+        expr(s"percentile($v, ${p}D)").as(n) }
+      val builtin = df.groupBy(col(g))
+        .agg(builtinAggs.head, builtinAggs.tail: _*)
+        .collect().map(r => r.getString(0) ->
+          ps.indices.map(i => r.getDouble(i + 1))).toMap
+      assert(sorted == builtin, s"$sorted vs $builtin")
+    }
+    check(graft.sources.Tables.lineitem(spark, sf0001),
+      "l_returnflag", "l_extendedprice")
+    check((Seq(("t", 1.5), ("t", 1.5), ("t", 2.25), ("t", 7.125),
+      ("t", 7.125), ("u", 3.0)) ++ (1 to 7).map(i => ("v", i / 7.0)))
+      .toDF("g", "x"), "g", "x")
+  }
+
   test("globalRowNumber equals the naive global window on shuffled input") {
     val rnd = new scala.util.Random(7)
     val rows = rnd.shuffle((1L to 257L).toList).map(k => (k, rnd.nextInt(50)))
