@@ -177,6 +177,19 @@ class PlanSpec extends SparkSpec {
       s"only the dfreq aggregate may exchange on the term key\n$p")
   }
 
+  test("x16: percentiles ride the sort path — no value-map percentile aggregate") {
+    // the cardinality rule at Summaries.sortedPercentiles: on an
+    // unbounded-cardinality double column the builtin percentile's
+    // O(distinct) partial map approaches O(rows) — x16/x14/w15b must
+    // keep the bounded-state sort form, where each percentile is a
+    // window sort + conditional order-statistic pick
+    val df = SparkEntry.queries("x16_robust_outliers")(spark, sf0001)
+    val p = finalPlan(df)
+    assert(!p.toLowerCase.contains("percentile"),
+      s"x16 must not fall back to the value-map percentile aggregate\n$p")
+    assert(p.contains("Window"), s"expected the sort-based rank pick\n$p")
+  }
+
   test("d10: bloom probe is a scan-level filter — no join, no corpus shuffle") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val corpus = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 20 =!= 0)
