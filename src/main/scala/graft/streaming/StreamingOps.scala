@@ -221,6 +221,99 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** One open session per key. */
+  case class SessionState(startSec: Long, lastSec: Long, nEvents: Long)
+
+  /** A FINALIZED session (closed by gap timeout). */
+  case class SessionOut(user_id: Long, session_start_s: Long,
+      n_events: Long, duration_s: Long)
+
+  /** Streaming sessionization with EVENT-TIME TIMERS — the piece the
+    * batch gaps-and-islands form (EventWindows.sessionize / v2) and the
+    * built-in `session_window` aggregation can't express: arbitrary
+    * per-session payload finalized exactly when the WATERMARK passes
+    * `lastSeen + gap`, not when the next event happens to arrive. Each
+    * key holds one open [[SessionState]]; every batch re-arms a single
+    * timer at `lastSeen + gap`; a gap crossed *within* the arriving rows
+    * finalizes inline. Expired timers are GUARDED on the watermark
+    * actually having passed the current state's deadline — a stale timer
+    * from a superseded session (the state may have been replaced by a
+    * newer session since the timer was armed) must not flush a live one.
+    * State per key is one fixed-size record + one timer: bounded at any
+    * rate, hash-partitioned by key across executors. */
+  class SessionizeProcessor(gapSeconds: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    private def finalize(userId: Long, st: SessionState): SessionOut =
+      SessionOut(userId, st.startSec, st.nEvents, st.lastSec - st.startSec)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      // batch arrival order is nondeterministic; sessionize in event
+      // order (event_id tiebreak, same as the batch form)
+      val evs = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var closed = List.empty[SessionOut]
+      var cur = if (state.exists()) Some(state.get()) else None
+      evs.foreach { e =>
+        val s = e.ts.getTime / 1000
+        cur = cur match {
+          case Some(st) if s - st.lastSec <= gapSeconds =>
+            Some(SessionState(st.startSec, math.max(st.lastSec, s),
+              st.nEvents + 1))
+          case Some(st) => // gap crossed inside the batch: close inline
+            closed ::= finalize(userId, st)
+            Some(SessionState(s, s, 1))
+          case None => Some(SessionState(s, s, 1))
+        }
+      }
+      cur.foreach { st =>
+        state.update(st)
+        // exactly one pending timer per key: re-arm at the new deadline
+        getHandle.listTimers().foreach(t =>
+          getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer((st.lastSec + gapSeconds + 1) * 1000L)
+      }
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (state.exists()) {
+        val st = state.get()
+        // stale-timer guard: only close if the watermark has really
+        // passed THIS session's deadline
+        if (timerValues.getCurrentWatermarkInMs() >
+            (st.lastSec + gapSeconds) * 1000L) {
+          state.clear()
+          return Iterator.single(finalize(userId, st))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  /** Watermarked sessionization via [[SessionizeProcessor]] (append
+    * mode: rows are emitted only when sessions CLOSE). Batch-parity with
+    * EventWindows.sessionize for all closed sessions is asserted in
+    * StatefulStreamingSpec. */
+  def statefulSessions(events: org.apache.spark.sql.Dataset[Event],
+      gapSeconds: Long): org.apache.spark.sql.Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionizeProcessor(gapSeconds),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** STREAMING incremental exact dedup — the end-to-end ingest loop the
     * batch primitives ([[graft.extensions.Dedup.incrementalDedup]])
     * exist for: every micro-batch dedups against the persisted

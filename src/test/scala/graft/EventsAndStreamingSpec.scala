@@ -376,6 +376,62 @@ class StatefulStreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("event-time-timer sessionization closes sessions at the watermark, matching batch semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.Event
+
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val q = StreamingOps.statefulSessions(input.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("tws_sessions")
+      .outputMode("append").start()
+    try {
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+      val closedPrefix = Seq(
+        Event(1, ts(10), 1L, "view", 0.0), Event(2, ts(100), 1L, "click", 0.0),
+        Event(3, ts(50), 2L, "view", 0.0), Event(4, ts(5000), 1L, "view", 0.0))
+      input.addData(closedPrefix.take(3): _*)
+      q.processAllAvailable()
+      input.addData(closedPrefix(3)) // opens user1's second session
+      q.processAllAvailable()
+      // watermark advances on SEEN max event time minus 10 min, applied
+      // to the NEXT batch — push two far-future batches so every prefix
+      // session's (lastSeen + gap) deadline is passed and its timer fires
+      input.addData(Event(5, ts(100000), 3L, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(6, ts(100001), 3L, "view", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("tws_sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // the batch gaps-and-islands form on the same closed prefix is the
+      // semantic oracle (user3's far-future session is still OPEN in the
+      // stream, correctly unemitted in append mode)
+      val batch = graft.extensions.EventWindows
+        .sessionize(closedPrefix.toDS().toDF(), gapSeconds = 1800)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_s"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("duration_s")))
+        .toSet
+      assert(streamed == batch,
+        s"streamed $streamed must equal batch $batch")
+      assert(streamed == Set((1L, 10L, 2L, 90L), (2L, 50L, 1L, 0L),
+        (1L, 5000L, 1L, 0L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
 
 class StreamDedupSpec extends SparkSpec {
