@@ -49,10 +49,16 @@ object Bench {
     * Successful-query values stay plain numbers (the driver's parser
     * contract). */
   def formatLine(results: Seq[QueryResult], sfDir: String): String = {
-    val qs = results.map(r => s"\"" + r.name + "\":" + r.seconds)
+    // sfDir comes from the environment and error classes from arbitrary
+    // throwables — escape the two JSON-string interpolations (a quote
+    // or backslash in a path must not make the whole line unparseable)
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val qs = results.map(r => s"\"" + esc(r.name) + "\":" + r.seconds)
       .mkString("{", ",", "}")
     val failures = results.filter(_.err.isDefined)
-    val errs = failures.map(r => s"\"" + r.name + "\":\"" + r.err.get + "\"")
+    val errs = failures
+      .map(r => s"\"" + esc(r.name) + "\":\"" + esc(r.err.get) + "\"")
       .mkString("{", ",", "}")
     val total = results.map(_.seconds).sum
     // eval:all_columns — round 4 switched the timed pass from count()
@@ -60,7 +66,7 @@ object Bench {
     // comparable to the count()-based rounds 1-3 for queries whose
     // count() plan pruned work away
     s"""{"metric":"total","value":$total,"unit":"sec","failed":${failures.size},""" +
-      s""""errors":$errs,"eval":"all_columns","queries":$qs,"sf":"$sfDir"}"""
+      s""""errors":$errs,"eval":"all_columns","queries":$qs,"sf":"${esc(sfDir)}"}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -7,7 +7,7 @@ import graft.extensions.Dedup
 import graft.sources.Tables
 
 /** Empirical scale-headroom harness (VERDICT r3 item 3): measures the
-  * headline blocked/bucketed operators at 1× and 10× the sf0.1 corpus
+  * headline blocked/bucketed operators at 1×/10×/25× the sf0.1 corpus
   * and prints one JSON line per measurement, so EXPLAIN.md can cite
   * MEASURED scaling exponents instead of plan-shape arguments alone.
   *
@@ -19,8 +19,9 @@ import graft.sources.Tables
   * exact-dup blocks that would measure the skew cap, not the operator);
   * copy k of `embeddings` rotates each vector by k positions (norms
   * preserved, SRP/IVF geometry re-randomized per copy); copy k of
-  * `events` offsets user ids (10× users, same per-user session
-  * structure). Ids offset by k·10⁷ — far above any real id.
+  * `events` offsets user ids (more users, same per-user session
+  * structure). Document/vector/event ids offset by k·10⁷, user ids by
+  * k·10⁶ — all far above any real id.
   *
   * Also demonstrates the `maxBucket` skew cap actually BINDING: a
   * boilerplate-heavy corpus (500 identical docs — one degenerate LSH
@@ -46,7 +47,7 @@ object ScaleHeadroom {
   /** Best-of-3 wall time (after one untimed warm-up) — the box has
     * heavy host-steal noise; min is the robust location estimate for
     * "how fast does this run when not preempted". */
-  private def timeBest(label: String)(action: => Long): (Double, Long) = {
+  private def timeBest(action: => Long): (Double, Long) = {
     val rows = action // warm-up (also absorbs codegen/footer reads)
     val times = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
@@ -112,11 +113,11 @@ object ScaleHeadroom {
       println(s"""{"harness":"scale_headroom","query":"$query","scale":$scale,""" +
         s""""sec":${math.rint(secs * 1000) / 1000},"rows":$rows}""")
 
-    // ---- headline operators, 1x vs 10x ------------------------------
+    // ---- headline operators at each scale ---------------------------
     val headline = Seq("d3_minhash_lsh", "e8_knn_join", "t8_tfidf",
       "v2_sessionize")
     for ((scale, dir) <- dirs; q <- headline) {
-      val (secs, rows) = timeBest(q) {
+      val (secs, rows) = timeBest {
         forceAll(SparkEntry.queries(q)(spark, dir))
       }
       report(q, scale, secs, rows)
@@ -129,7 +130,7 @@ object ScaleHeadroom {
     // verify stage does real work, while the candidate count stays
     // constant across scales (clones only collide with the k=0 copy).
     // The measurement therefore isolates how probe cost responds to a
-    // 10×/30× bigger index.
+    // 10×/25× bigger index.
     val batch = docs.filter(col("doc_id") < 100)
       .withColumn("doc_id", col("doc_id") + lit(900000000L))
     for ((scale, dir) <- dirs) {
@@ -139,7 +140,7 @@ object ScaleHeadroom {
           maxBucket = 100)
         .write.mode("overwrite").parquet(idxDir)
       val index = spark.read.parquet(idxDir)
-      val (secs, rows) = timeBest("d12") {
+      val (secs, rows) = timeBest {
         forceAll(Dedup.incrementalMinHashPairs(batch, index, numHashes = 32,
           bands = 8, threshold = 0.3, hashFn = Dedup.md5Hash60))
       }
@@ -164,7 +165,7 @@ object ScaleHeadroom {
     skewed.count()
     for ((label, cap) <- Seq("capped_100" -> 100,
         "uncapped" -> Int.MaxValue)) {
-      val (secs, rows) = timeBest(label) {
+      val (secs, rows) = timeBest {
         forceAll(Dedup.minHashLshPairs(skewed, numHashes = 32, bands = 8,
           threshold = 0.3, maxBucket = cap, hashFn = Dedup.md5Hash60))
       }

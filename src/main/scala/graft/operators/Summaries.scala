@@ -156,7 +156,11 @@ object Summaries {
       val upper = max(when(col("__rn") ===
         least(lo + 1, col("__n") - 1), col("__x")))
       val frac = max(when(col("__rn") === lo, k - lo))
-      when(frac === 0, lower)
+      // the builtin short-circuits BOTH on frac==0 and on equal
+      // bracketing VALUES (ties): interpolating between equal doubles
+      // with (1−frac)·v + frac·v re-rounds (0.8·1.5 + 0.2·1.5 =
+      // 1.5000000000000002) where the builtin returns v exactly
+      when(frac === 0 || lower === upper, lower)
         .otherwise((lit(1) - frac) * lower + frac * upper)
         .as(name)
     }
@@ -167,10 +171,14 @@ object Summaries {
       zCut: Double = 3.5): DataFrame = {
     val med = sortedPercentiles(df, Seq(groupCol), col(valCol),
       Seq("med" -> 0.5))
-    val withMed = df.join(broadcast(med), Seq(groupCol))
+    // LEFT joins: sortedPercentiles drops groups whose metric is all
+    // null, but such a group must still appear in the profile (n set,
+    // null med/mad, zero flags) — the same shape the builtin-percentile
+    // form produced
+    val withMed = df.join(broadcast(med), Seq(groupCol), "left")
     val mad = sortedPercentiles(withMed, Seq(groupCol),
       abs(col(valCol) - col("med")), Seq("mad" -> 0.5))
-    withMed.join(broadcast(mad), Seq(groupCol))
+    withMed.join(broadcast(mad), Seq(groupCol), "left")
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
         count(when(

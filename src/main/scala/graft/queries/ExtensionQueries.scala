@@ -144,11 +144,16 @@ object ExtensionQueries {
     //      the threshold — O(pairs), not a brute-force O(n²) replay.
     "e3b_neardup_contract" -> ((s, d) => {
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val planted = emb.filter(col("vec_id") % 50 === 0)
+      // plant only nonzero vectors (cosine undefined at norm 0), and run
+      // the pair generator UNCAPPED: the recall guarantee must not
+      // silently depend on no bucket exceeding the default skew cap
+      // (which drops whole buckets) on a skewed or larger corpus
+      val planted = emb.filter(col("vec_id") % 50 === 0
+          && Similarity.norm(col("embedding")) > 0)
         .withColumn("vec_id", col("vec_id") + 1000000L)
       val aug = emb.unionByName(planted).localCheckpoint(eager = false)
       val pairs = Similarity.cosineNearDupPairs(aug, threshold = 0.3,
-          numPlanes = 8)
+          numPlanes = 8, maxBucket = Int.MaxValue)
         .localCheckpoint(eager = false) // feeds all three contract aggregates
       val reverified = pairs
         .join(aug.select(col("vec_id").as("a_id"), col("embedding").as("av")),
@@ -160,7 +165,8 @@ object ExtensionQueries {
             round(Similarity.cosineBuiltin(col("av"), col("bv")), 4)
               =!= col("cosine_sim") || col("cosine_sim") < 0.3, 1))
             .as("n_mismatch"))
-      val plantKeys = emb.filter(col("vec_id") % 50 === 0)
+      val plantKeys = emb.filter(col("vec_id") % 50 === 0
+          && Similarity.norm(col("embedding")) > 0)
         .select(col("vec_id").as("a_id"),
           (col("vec_id") + 1000000L).as("b_id"))
       val recall = plantKeys

@@ -99,6 +99,10 @@ object Tables {
     require(!in.startsWith(out),
       s"compact() output $out contains the input $in — overwrite would " +
         "delete the table")
+    require(!out.startsWith(in),
+      s"compact() output $out inside the input $in — the next read of " +
+        "the table would pick up originals plus the compacted copy and " +
+        "double-count every row")
     val df = spark.read.parquet(inDir).coalesce(targetFiles)
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)

@@ -232,70 +232,82 @@ object StreamingOps {
     * batch gaps-and-islands form (EventWindows.sessionize / v2) and the
     * built-in `session_window` aggregation can't express: arbitrary
     * per-session payload finalized exactly when the WATERMARK passes
-    * `lastSeen + gap`, not when the next event happens to arrive. Each
-    * key holds one open [[SessionState]]; every batch re-arms a single
-    * timer at `lastSeen + gap`; a gap crossed *within* the arriving rows
-    * finalizes inline. Expired timers are GUARDED on the watermark
-    * actually having passed the current state's deadline — a stale timer
-    * from a superseded session (the state may have been replaced by a
-    * newer session since the timer was armed) must not flush a live one.
-    * State per key is one fixed-size record + one timer: bounded at any
-    * rate, hash-partitioned by key across executors. */
+    * `lastSeen + gap`, not when the next event happens to arrive.
+    *
+    * Design for late-data correctness: each key holds the LIST of
+    * unconfirmed session fragments. Every batch folds the arriving
+    * events in as singleton fragments, sorts by start, and interval-
+    * merges neighbors within `gap` — so a watermark-admissible late
+    * event can extend a session's start backward, bridge two fragments
+    * into one, or open a new fragment, all through one code path. A
+    * session is EMITTED (and dropped from state) only once the watermark
+    * has passed `lastSeen + gap`; an admissible event has ts ≥
+    * watermark, so `ts − lastSeen > gap` holds against every emitted
+    * session — no future event can ever merge into one, which is what
+    * makes append-mode emission exactly equal to the batch
+    * gaps-and-islands result on closed sessions (asserted, including a
+    * late bridging event, in StatefulStreamingSpec). One timer per key,
+    * armed at the EARLIEST open deadline, re-evaluates confirmation when
+    * the watermark alone advances. State per key is the handful of
+    * fragments inside the watermark horizon: bounded at any rate,
+    * hash-partitioned across executors. */
   class SessionizeProcessor(gapSeconds: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, Event, SessionOut] {
-    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
-    @transient private var state: ValueState[SessionState] = _
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+    @transient private var pending: ListState[SessionState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      state = getHandle.getValueState[SessionState]("session",
+      pending = getHandle.getListState[SessionState]("sessions",
         org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
 
-    private def finalize(userId: Long, st: SessionState): SessionOut =
+    private def finalized(userId: Long, st: SessionState): SessionOut =
       SessionOut(userId, st.startSec, st.nEvents, st.lastSec - st.startSec)
+
+    /** Sort fragments by start, merge any within `gap` of the previous
+      * fragment's end (the gaps-and-islands rule). */
+    private def merged(frags: Seq[SessionState]): Seq[SessionState] =
+      frags.sortBy(f => (f.startSec, f.lastSec))
+        .foldLeft(List.empty[SessionState]) {
+          case (cur :: done, f) if f.startSec - cur.lastSec <= gapSeconds =>
+            SessionState(cur.startSec, math.max(cur.lastSec, f.lastSec),
+              cur.nEvents + f.nEvents) :: done
+          case (acc, f) => f :: acc
+        }.reverse
+
+    /** Emit watermark-confirmed sessions, persist the rest, re-arm one
+      * timer at the earliest remaining deadline. */
+    private def confirmAndArm(userId: Long, frags: Seq[SessionState],
+        watermarkMs: Long): Iterator[SessionOut] = {
+      val (closed, open) = merged(frags).partition(f =>
+        (f.lastSec + gapSeconds) * 1000L < watermarkMs)
+      pending.clear()
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      if (open.nonEmpty) {
+        pending.put(open.toArray)
+        getHandle.registerTimer(
+          (open.map(_.lastSec).min + gapSeconds + 1) * 1000L)
+      }
+      closed.sortBy(_.startSec).iterator.map(st => finalized(userId, st))
+    }
 
     override def handleInputRows(userId: Long, rows: Iterator[Event],
         timerValues: TimerValues): Iterator[SessionOut] = {
-      // batch arrival order is nondeterministic; sessionize in event
-      // order (event_id tiebreak, same as the batch form)
-      val evs = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      var closed = List.empty[SessionOut]
-      var cur = if (state.exists()) Some(state.get()) else None
-      evs.foreach { e =>
-        val s = e.ts.getTime / 1000
-        cur = cur match {
-          case Some(st) if s - st.lastSec <= gapSeconds =>
-            Some(SessionState(st.startSec, math.max(st.lastSec, s),
-              st.nEvents + 1))
-          case Some(st) => // gap crossed inside the batch: close inline
-            closed ::= finalize(userId, st)
-            Some(SessionState(s, s, 1))
-          case None => Some(SessionState(s, s, 1))
-        }
-      }
-      cur.foreach { st =>
-        state.update(st)
-        // exactly one pending timer per key: re-arm at the new deadline
-        getHandle.listTimers().foreach(t =>
-          getHandle.deleteTimer(t.asInstanceOf[Long]))
-        getHandle.registerTimer((st.lastSec + gapSeconds + 1) * 1000L)
-      }
-      closed.reverseIterator
+      val frags =
+        (if (pending.exists()) pending.get().toSeq else Seq.empty) ++
+          rows.map { e =>
+            val s = e.ts.getTime / 1000
+            SessionState(s, s, 1L)
+          }
+      confirmAndArm(userId, frags, timerValues.getCurrentWatermarkInMs())
     }
 
     override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
-      if (state.exists()) {
-        val st = state.get()
-        // stale-timer guard: only close if the watermark has really
-        // passed THIS session's deadline
-        if (timerValues.getCurrentWatermarkInMs() >
-            (st.lastSec + gapSeconds) * 1000L) {
-          state.clear()
-          return Iterator.single(finalize(userId, st))
-        }
-      }
-      Iterator.empty
+      val frags = if (pending.exists()) pending.get().toSeq else Seq.empty
+      if (frags.isEmpty) Iterator.empty
+      else confirmAndArm(userId, frags, timerValues.getCurrentWatermarkInMs())
     }
   }
 
@@ -407,7 +419,11 @@ object StreamingOps {
     * never partially-written, never a read of files being deleted).
     * The overwrite itself deletes the old `_SUCCESS` first, so the
     * window degrades to "batch absent", which redelivery idempotence
-    * already makes correct. */
+    * already makes correct. The check-then-read is still not atomic —
+    * an overwrite can start after the listing — so the scan additionally
+    * sets `ignoreMissingFiles`: a file deleted mid-read drops out of the
+    * scan instead of failing the poll (same degraded-to-absent
+    * semantics). */
   def metricState(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, keyCol: String = "event_type"): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(stateDir)
@@ -421,7 +437,9 @@ object StreamingOps {
       else Seq.empty[String]
     val partials =
       if (committed.nonEmpty)
-        spark.read.option("basePath", stateDir).parquet(committed: _*)
+        spark.read.option("basePath", stateDir)
+          .option("ignoreMissingFiles", "true")
+          .parquet(committed: _*)
           .select(col(keyCol), col("n"), col("s"))
       else
         spark.createDataFrame(

@@ -432,6 +432,63 @@ class StatefulStreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("a watermark-admissible late event bridges two session fragments before emission") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.Event
+
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val q = StreamingOps.statefulSessions(input.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("tws_late_bridge")
+      .outputMode("append").start()
+    try {
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+      // batch 1: t=1000 and t=3000 — gap 2000 > 1800, TWO fragments; a
+      // naive sessionizer would close [1000] inline here, which is
+      // premature: the watermark (3000 − 600 = 2400) still admits events
+      // that can bridge the gap
+      input.addData(Event(1, ts(1000), 1L, "view", 0.0),
+        Event(2, ts(3000), 1L, "view", 0.0))
+      q.processAllAvailable()
+      // batch 2: t=2500 ≥ watermark 2400 — admissible, LATE (older than
+      // the open fragment's start), and it bridges: 2500−1000 and
+      // 3000−2500 are both ≤ 1800 ⇒ ONE session [1000..3000] of 3 events
+      input.addData(Event(3, ts(2500), 1L, "view", 0.0))
+      q.processAllAvailable()
+      // flush far-future batches so the watermark confirms the close
+      input.addData(Event(4, ts(100000), 2L, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(5, ts(100001), 2L, "view", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("tws_late_bridge").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val batch = graft.extensions.EventWindows.sessionize(
+          Seq(Event(1, ts(1000), 1L, "view", 0.0),
+            Event(2, ts(3000), 1L, "view", 0.0),
+            Event(3, ts(2500), 1L, "view", 0.0)).toDS().toDF(),
+          gapSeconds = 1800)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_s"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("duration_s")))
+        .toSet
+      assert(streamed == batch && streamed == Set((1L, 1000L, 3L, 2000L)),
+        s"streamed $streamed, batch $batch")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
 
 class StreamDedupSpec extends SparkSpec {
