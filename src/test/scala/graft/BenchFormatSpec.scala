@@ -27,6 +27,14 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.contains("\"value\":0.75"))
   }
 
+  test("env-controlled strings are escaped — a quoted path cannot break the line") {
+    val line = Bench.formatLine(Seq(
+      Bench.QueryResult("q1", 0.1, Some("Weird\"Exception\\Name"))),
+      "/data/sf\"0.1\\x")
+    assert(line.contains("\"sf\":\"/data/sf\\\"0.1\\\\x\""))
+    assert(line.contains("\"errors\":{\"q1\":\"Weird\\\"Exception\\\\Name\"}"))
+  }
+
   test("emitted line is parseable JSON with the driver's expected fields") {
     val line = Bench.formatLine(Seq(
       Bench.QueryResult("q1", 0.1, None),
