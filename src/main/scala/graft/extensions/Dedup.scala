@@ -319,7 +319,14 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 100,
       hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    // materialize the signed+banded frame ONCE before the self-join:
+    // without the barrier both join sides re-run the whole signature
+    // chain (numHashes hashes per shingle — the dominant cost) — the
+    // d2/e3 double-eval pattern. The persisted-index path
+    // (incrementalMinHashPairs) doesn't need this: its index side is
+    // already parquet.
     val banded = minHashBandIndex(docs, numHashes, bands, hashFn, maxBucket)
+      .localCheckpoint(eager = false)
     val a = banded.select(col("band"), col("bhash"),
       col("doc_id").as("a_id"), col("minhash_sig").as("a_sig"))
     val b = banded.select(col("band"), col("bhash"),
@@ -643,6 +650,9 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy("chunk", "ckey")))
       .filter(col("__bsize") <= maxBucket)
       .drop("__bsize")
+      // barrier before the self-join (same as minHashLshPairs): both
+      // sides would otherwise re-run the per-token simhash signature
+      .localCheckpoint(eager = false)
     val a = chunked.select(col("chunk"), col("ckey"),
       col("doc_id").as("a_id"), col("simhash").as("a_sim"))
     val b = chunked.select(col("chunk"), col("ckey"),
