@@ -165,33 +165,40 @@ object Dedup {
 
   /** MinHash signature via a universal hash family over one base hash:
     * signature[s] = min over shingles of (a_s·h(x) + b_s) mod P. One base
-    * hash per shingle (not k seeded hashes), pure array expressions — one
-    * pass, no shuffle.
+    * hash per shingle (not k seeded hashes) — one pass, no shuffle.
     *
-    * Evaluated in three STACKED projections (tokens → base hashes →
-    * signature slots), not one: the signature array references the
-    * base-hash subtree `numHashes` times, and shingling references the
-    * token split per position — inlined, the interpreted lambda
-    * evaluator would recompute the whole hash chain 32× per document
-    * (measured 16× wall-clock on the ingest path). CollapseProject
-    * leaves non-cheap aliases with multiple consumers in their own
-    * projection, so each stage is evaluated exactly once per row. */
+    * Staged in separate projections (tokens → base hashes → signature),
+    * not inlined: shingling references the token split per position, and
+    * higher-order lambdas run interpreted and re-evaluate referenced
+    * subtrees per element (measured 16× wall-clock on the ingest path
+    * when inlined). CollapseProject leaves non-cheap aliases with
+    * multiple consumers in their own projection, so each stage is
+    * evaluated exactly once per row.
+    *
+    * The signature itself is the native fused expression
+    * ([[graft.functions.MinHashSignature]]): the former
+    * `array_min(transform(…))`-per-slot column form walked (and
+    * allocated) the base array once per signature slot in the
+    * interpreted HOF evaluator — 32 traversals per document; the native
+    * expression runs the (shingles × slots) arithmetic in one codegen'd
+    * primitive loop, bit-identical values (parity pinned in
+    * FunctionsSpec). */
   def withMinHashSignature(
       docs: DataFrame, textCol: String, numHashes: Int, shingleWidth: Int,
       hashFn: Column => Column = xxhash64(_)): DataFrame = {
     val staged = docs
       .withColumn("__mh_toks", TextAnalysis.tokens(col(textCol)))
       // the array_distinct inside ngramShinglesFromTokens is harmless
-      // under array_min and keeps the shingle-set definition in one place
+      // under the per-slot min and keeps the shingle-set definition in
+      // one place
       .withColumn("__mh_base", transform(
         ngramShinglesFromTokens(col("__mh_toks"), shingleWidth),
         sh => pmod(hashFn(sh), lit(MinHashP))))
-    val sig = array((0 until numHashes).map { s =>
-      val (a, b) = (seedConst("a", s), seedConst("b", s))
-      array_min(transform(col("__mh_base"),
-        h => (lit(a) * h + lit(b)) % MinHashP))
-    }: _*)
-    staged.withColumn("minhash_sig", sig)
+    val seedsA = Array.tabulate(numHashes)(s => seedConst("a", s))
+    val seedsB = Array.tabulate(numHashes)(s => seedConst("b", s))
+    staged.withColumn("minhash_sig",
+        graft.functions.MinHashSignature.minhash_signature(
+          col("__mh_base"), seedsA, seedsB, MinHashP))
       .drop("__mh_toks", "__mh_base")
   }
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{GraftFunctions, TopKAggregator, TopKPairAggregator}
+import graft.functions.{GraftFunctions, MinHashSignature, TopKAggregator, TopKPairAggregator}
 
 /** Custom function surface: SQL registration + heap top-k aggregator. */
 class FunctionsSpec extends SparkSpec {
@@ -70,6 +70,63 @@ class FunctionsSpec extends SparkSpec {
     want.toMap.foreach { case (g, exp) =>
       assert(got(g) == exp, s"group $g: ${got(g)} vs $exp")
     }
+  }
+
+  test("MinHashSignature native expression equals the array_min(transform) column form") {
+    import graft.extensions.Dedup
+    // real corpus rows plus the degenerate inputs whose per-slot null
+    // semantics the native expression must reproduce exactly: empty
+    // text (no shingles), single short token, null text
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).limit(50)
+      .unionByName(Seq((9000001L, ""), (9000002L, "x"),
+        (9000003L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    val base = docs
+      .withColumn("__toks", graft.extensions.TextAnalysis.tokens(col("text")))
+      .withColumn("__base", transform(
+        Dedup.ngramShinglesFromTokens(col("__toks"), 3),
+        sh => pmod(Dedup.md5Hash60(sh), lit(Dedup.MinHashP))))
+    val k = 8
+    val seedsA = Array.tabulate(k)(i => Dedup.seedConst("a", i))
+    val seedsB = Array.tabulate(k)(i => Dedup.seedConst("b", i))
+    val oldForm = array((0 until k).map { i =>
+      array_min(transform(col("__base"),
+        h => (lit(seedsA(i)) * h + lit(seedsB(i))) % Dedup.MinHashP))
+    }: _*)
+    val rows = base.select(col("doc_id"),
+        oldForm.as("old_sig"),
+        MinHashSignature.minhash_signature(col("__base"), seedsA, seedsB,
+          Dedup.MinHashP).as("new_sig"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val o = r.getSeq[Any](1); val n = r.getSeq[Any](2)
+      assert(o == n, s"doc ${r.getLong(0)}: $o vs $n")
+    }
+    // the text pipeline never produces a null/empty base array (tokens()
+    // coalesces), so the degenerate inputs are exercised at the
+    // EXPRESSION level: a null or empty base array must yield all-null
+    // SLOTS (never a null array), matching array_min(transform(...))
+    // per-slot null propagation — both engines compared on literals
+    def oldOn(c: org.apache.spark.sql.Column) =
+      array((0 until k).map { i =>
+        array_min(transform(c,
+          h => (lit(seedsA(i)) * h + lit(seedsB(i))) % Dedup.MinHashP))
+      }: _*)
+    def newOn(c: org.apache.spark.sql.Column) =
+      MinHashSignature.minhash_signature(c, seedsA, seedsB, Dedup.MinHashP)
+    val nullArr = lit(null).cast("array<bigint>")
+    val emptyArr = array().cast("array<bigint>")
+    val edge = spark.range(1)
+      .select(newOn(nullArr).as("n1"), newOn(emptyArr).as("n2"),
+        oldOn(emptyArr).as("o2"))
+      .collect()(0)
+    for (i <- 0 until 2)
+      assert(!edge.isNullAt(i) && edge.getSeq[Any](i).forall(_ == null),
+        s"expected all-null slots at col $i, got $edge")
+    assert(edge.getSeq[Any](1) == edge.getSeq[Any](2),
+      "empty-array slots must match the column form")
   }
 
   test("top_k skips SQL NULLs like the rank/window form it replaces") {
