@@ -66,22 +66,24 @@ object Similarity {
 
   /** Random-hyperplane (SRP) signature: bit p = sign(v · plane_p).
     * `dims` must be ≥ the embedding dimension (extra components are
-    * ignored via the zip; shorter vectors degrade to fewer effective
-    * planes, which only costs recall, not correctness). */
+    * ignored; shorter vectors degrade to fewer effective planes, which
+    * only costs recall, not correctness).
+    *
+    * Computed by the native fused expression
+    * ([[graft.functions.SrpSignature]]): the former per-plane
+    * `aggregate(zip_with(…))` column form walked (and allocated over)
+    * the embedding once per plane in the interpreted HOF evaluator —
+    * 8–16 traversals per vector on the e2/e3/e9/e11 signing paths; the
+    * native expression fuses the (dims × planes) arithmetic into one
+    * codegen'd loop, bit-identical signatures (parity pinned in
+    * FunctionsSpec). */
   def srpSignature(vec: Column, numPlanes: Int, dims: Int = 64): Column = {
     require(numPlanes >= 1 && numPlanes <= 64,
       s"numPlanes ($numPlanes) must be in [1,64] — the signature packs " +
         "one bit per plane into a 64-bit long; 1L << p wraps mod 64 and " +
         "would silently alias planes onto shared bits")
-    val planes = planeMatrix(numPlanes, dims)
-    (0 until numPlanes).map { p =>
-      val plane = typedlit(planes(p).toSeq)
-      val proj = aggregate(
-        zip_with(vec, slice(plane, lit(1), size(vec)),
-          (x, c) => coalesce(x.cast("double") * c, lit(0.0))),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    graft.functions.SrpSignature.srp_signature(
+      vec, planeMatrix(numPlanes, dims))
   }
 
   /** LSH-bucketed ANN: bucket = SRP signature; search the query's bucket

@@ -129,6 +129,50 @@ class FunctionsSpec extends SparkSpec {
       "empty-array slots must match the column form")
   }
 
+  test("SrpSignature native expression equals the aggregate(zip_with) column form") {
+    import graft.functions.SrpSignature
+    // replicate the deterministic plane matrix (Similarity.planeMatrix:
+    // Random(42), numPlanes x dims, values in [-1, 1))
+    val (numPlanes, dims) = (16, 64)
+    val rnd = new java.util.Random(42L)
+    val planes = Array.fill(numPlanes, dims)(rnd.nextDouble() * 2 - 1)
+    // the pre-round-4 column form, verbatim
+    def oldForm(vec: org.apache.spark.sql.Column) =
+      (0 until numPlanes).map { p =>
+        val plane = typedlit(planes(p).toSeq)
+        val proj = aggregate(
+          zip_with(vec, slice(plane, lit(1), size(vec)),
+            (x, c) => coalesce(x.cast("double") * c, lit(0.0))),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    // real embeddings plus edge rows: null vector (signs to 0L), empty
+    // vector (0-projection sets every bit), vector LONGER than the
+    // planes (extra components ignored), vector with a null element
+    val edge = Seq(
+      (9000001L, null.asInstanceOf[Array[Float]]),
+      (9000002L, Array.empty[Float]),
+      (9000003L, Array.fill(100)(0.5f)),
+      (9000004L, Array(1.0f, -2.0f, 3.0f))
+    ).toDF("vec_id", "embedding")
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding")).limit(100)
+      .unionByName(edge)
+    val rows = emb.select(col("vec_id"),
+        oldForm(col("embedding")).as("old_sig"),
+        SrpSignature.srp_signature(col("embedding"), planes).as("new_sig"))
+      .collect()
+    assert(rows.length > 100)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"vec ${r.getLong(0)}: ${r.getLong(1)} vs ${r.getLong(2)}")
+    }
+    val byId = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byId(9000001L) == 0L, "null vector must sign to 0L")
+    assert(byId(9000002L) == (1L << numPlanes) - 1,
+      "empty vector projects 0.0 per plane, setting every bit")
+  }
+
   test("top_k skips SQL NULLs like the rank/window form it replaces") {
     GraftFunctions.register(spark)
     val got = spark.sql(
