@@ -599,6 +599,33 @@ object ParityQueries {
       s.read.orc(out).orderBy(col("s_suppkey"))
     }),
 
+    // S16 — JSON-lines SINK round-trip (completes the sink matrix:
+    // CSV s5, parquet s9, ORC s14, JSON here — the interchange format
+    // of every labeling/annotation pipeline). Write a customer
+    // projection as JSON lines, read the WRITTEN BYTES back with the
+    // declared schema; the oracle is the untouched parquet source of
+    // truth, so long/double/string fidelity through the JSON
+    // serialize+parse cycle is what gets hash-verified (doubles ride
+    // Jackson's shortest-round-trip representation — bit-exact back).
+    "s16_json_roundtrip" -> ((s, d) => {
+      val out = sinkDir("s16", d)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"))
+        .write.mode("overwrite").json(out)
+      s.read.schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("c_custkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("c_name",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("c_acctbal",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("c_mktsegment",
+            org.apache.spark.sql.types.StringType))))
+        .json(out)
+        .orderBy(col("c_custkey"))
+    }),
+
     // S15 — small-files compaction round-trip (the driver-checked twin
     // of ScaleSpec's compaction test; VERDICT r3 item 8): fragment an
     // orders projection into 32 shard files (a micro-batch sink's
@@ -1065,6 +1092,10 @@ object ParityQueries {
     "s15_compaction" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "s16_json_roundtrip" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+        |ORDER BY c_custkey""".stripMargin,
 
     "s9_partitioned_sink" ->
       """SELECT event_id, user_id, event_type, value,
