@@ -626,6 +626,20 @@ object ParityQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // S17 — raw TEXT source/sink round-trip (the rawest corpus format —
+    // one document per line, the classic web-scrape/LM-corpus layout).
+    // Write the document text as text files, read the WRITTEN BYTES
+    // back; the oracle is the untouched parquet source. Line order is
+    // file-dependent, so both sides order by the line value — the
+    // corpus is newline-free and fully distinct (verified at both SFs),
+    // which makes the hash fully discriminating.
+    "s17_text_roundtrip" -> ((s, d) => {
+      val out = sinkDir("s17", d)
+      Tables.documents(s, d).select(col("text"))
+        .write.mode("overwrite").text(out)
+      s.read.text(out).orderBy(col("value"))
+    }),
+
     // S15 — small-files compaction round-trip (the driver-checked twin
     // of ScaleSpec's compaction test; VERDICT r3 item 8): fragment an
     // orders projection into 32 shard files (a micro-batch sink's
@@ -1096,6 +1110,9 @@ object ParityQueries {
     "s16_json_roundtrip" ->
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
         |ORDER BY c_custkey""".stripMargin,
+
+    "s17_text_roundtrip" ->
+      """SELECT text AS value FROM documents ORDER BY value""".stripMargin,
 
     "s9_partitioned_sink" ->
       """SELECT event_id, user_id, event_type, value,
