@@ -142,6 +142,100 @@ object Dedup {
     jaccardOverBlocks(prepared, threshold)
   }
 
+  /** Directed set-containment near-dup pairs via PREFIX FILTERING — the
+    * AllPairs/PPJoin candidate-generation family, a third generator
+    * class next to length blocking (d2/d5) and signature banding
+    * (d3/d4).
+    *
+    * Containment C(A→B) = |Sh(A)∩Sh(B)| / |Sh(A)| over distinct word
+    * n-gram shingle sets. It is the asymmetric twin of Jaccard and the
+    * one that catches SUBSET duplication: a short doc quoted wholly
+    * inside a long one scores ≈|A|/|B| on Jaccard (invisible below any
+    * useful threshold) but 1.0 on containment — the boilerplate /
+    * template-inclusion case every training-data pipeline hits.
+    *
+    * Candidate generation: order each doc's shingles by ascending
+    * GLOBAL document frequency (ties by shingle string). If
+    * |A∩B| ≥ ⌈τ·|A|⌉ then at least one of A's first
+    * |A| − ⌈τ·|A|⌉ + 1 shingles — its PREFIX, the rarest ones — must
+    * occur in B (pigeonhole). So A probes an inverted shingle index
+    * with only its prefix: the posting lists probes actually meet are
+    * short *because* prefixes are rare shingles, and `maxPostings`
+    * caps the hot tail (min-id retention, the d3 `maxBucket` policy:
+    * capped lists keep their exemplars and stop admitting, so the cap
+    * is stable under growth). Generation is LOSSLESS whenever the cap
+    * does not bind — ExtensionsSpec pins both the exact and the
+    * capped-subset behavior.
+    *
+    * Scale shape: the df table is one map-side-combinable hash agg;
+    * the frequency-ordered shingle array is one (doc_id)-keyed
+    * sort-agg; candidates are an equi-join on shingle hash + a pair
+    * distinct; verification is the d2 sorted-long merge intersection
+    * behind its Generate barrier, exactly once per surviving pair. No
+    * O(n²) stage, no driver state, every shuffle keyed on uniform
+    * hashes. Pair output is unbounded on near-dup-dense corpora —
+    * aggregate per doc (the d14 driver query does) when emitting
+    * beyond the engine. */
+  def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
+      maxPostings: Int = Int.MaxValue): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0, 1], got $threshold")
+    val base = parallelizeSmallScan(docs)
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), ngramShinglesFromTokens(col("__toks"), n).as("sh"))
+      .localCheckpoint(eager = false)
+    val exploded = base.select(col("doc_id"), explode(col("sh")).as("tok"))
+    val dfreq = exploded.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // Rarest-first per-doc order (df asc, shingle asc — both engines
+    // sort ASCII identically); prefix + sorted hash array in ONE
+    // checkpointed projection: it feeds the probe side, the index side,
+    // and both verify sides, so without the barrier the sort-agg would
+    // run four times.
+    val prefixLen = (size(col("ordToks"))
+      - ceil(lit(threshold) * size(col("ordToks"))).cast("int") + 1)
+    val prepared = exploded.join(dfreq, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"))
+      .select(col("doc_id"),
+        transform(col("ord"), s => s.getField("tok")).as("ordToks"))
+      .select(col("doc_id"),
+        size(col("ordToks")).as("n_sh"),
+        sort_array(transform(col("ordToks"), t => xxhash64(t))).as("toks"),
+        transform(slice(col("ordToks"), lit(1), prefixLen), t => xxhash64(t))
+          .as("prefix"))
+      .localCheckpoint(eager = false)
+    val probes = prepared.select(col("doc_id").as("a_id"),
+      explode(col("prefix")).as("h"))
+    val fullIndex = prepared.select(col("doc_id").as("b_id"),
+      explode(col("toks")).as("h"))
+    val index =
+      if (maxPostings == Int.MaxValue) fullIndex
+      else fullIndex
+        .withColumn("__prank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("h")
+            .orderBy(col("b_id"))))
+        .filter(col("__prank") <= maxPostings)
+        .drop("__prank")
+    val cand = probes.join(index, Seq("h"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    cand
+      .join(prepared.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"),
+        col("toks").as("a_toks")), Seq("a_id"))
+      .join(prepared.select(col("doc_id").as("b_id"), col("toks").as("b_toks")),
+        Seq("b_id"))
+      // Generate barrier: same single-eval contract as jaccardOverBlocks.
+      .select(col("a_id"), col("b_id"), col("a_n"),
+        explode(array(graft.functions.SortedIntersectSize
+          .sorted_intersect_size(col("a_toks"), col("b_toks"))
+          .cast("double"))).as("shared"))
+      // integer pigeonhole test, not a rounded-float comparison — the
+      // oracle replays ceil() on the identical IEEE doubles
+      .filter(col("shared") >= ceil(lit(threshold) * col("a_n")))
+      .select(col("a_id"), col("b_id"),
+        round(col("shared") / col("a_n"), 4).as("containment"))
+  }
+
   /** Prime modulus of the universal-hash family used by MinHash. Products
     * stay under 2⁶³: (P−1)² < 10¹⁸ < Long.MaxValue. */
   val MinHashP: Long = 1000000007L

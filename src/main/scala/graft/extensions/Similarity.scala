@@ -398,4 +398,169 @@ object Similarity {
         col("col.id").as("vec_id"), col("col.score").as("cosine_sim"))
       .orderBy(col("q_id"), col("rnk"))
   }
+
+  // ----- Product quantization (the memory-bound ANN scale path) -------
+
+  /** Striped subvector decomposition: dimension `pos` goes to subspace
+    * `pos % m` at within-subspace index `pos / m`. Striping (vs
+    * contiguous blocks) needs no knowledge of the vector width at plan
+    * time and spreads any per-dimension-range structure evenly across
+    * subspaces; PQ is agnostic to the grouping as long as encode and
+    * query use the same one. One (vec_id, sub_id)-keyed sort-agg. */
+  private def subVectors(embeddings: DataFrame, m: Int): DataFrame =
+    embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("vec_id"), pmod(col("pos"), lit(m)).cast("int").as("sub_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        e => e.getField("v")).as("subvec"))
+
+  /** Squared L2 distance in double precision (fixed fold order) —
+    * k-means' objective; PQ trains codebooks under L2 even when queries
+    * score by inner product / cosine (both decompose across subspaces,
+    * which is what makes ADC lookup tables possible). */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+        (x, y) => (x.cast("double") - y.cast("double"))
+          * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Nearest-codeword assignment per (vec_id, sub_id) as one narrow map
+    * pass over the broadcast codebook array — the [[assignCells]] shape
+    * with a per-subspace filter; nothing shuffles. Deterministic ties:
+    * lexicographic min over (dist, code_id). */
+  private def assignPqCodes(sub: DataFrame, books: DataFrame): DataFrame = {
+    val bookArr = books.agg(array_sort(collect_list(struct(
+      col("sub_id"), col("code_id"), col("centroid")))).as("__books"))
+    sub.crossJoin(broadcast(bookArr))
+      .withColumn("code_id",
+        array_min(transform(
+          filter(col("__books"), b => b.getField("sub_id") === col("sub_id")),
+          b => struct(l2sq(col("subvec"), b.getField("centroid")).as("dist"),
+            b.getField("code_id").as("code_id"))))
+          .getField("code_id"))
+      .drop("__books")
+  }
+
+  /** PQ codebook training: an independent `ksub`-codeword k-means per
+    * subspace, all `m` subspaces trained in ONE dataflow (sub_id is
+    * just another grouping key on the [[kMeansCentroids]] loop).
+    * Deterministic end-to-end: first-`ksub`-by-id seeding, decimal-exact
+    * per-dimension means (partition-order independent), lexicographic
+    * argmin ties — same policies as the IVF trainer. One shuffle per
+    * Lloyd iteration; the `ksub` seed ranking is a bounded
+    * SinglePartition stage (≤ ksub rows after TakeOrdered).
+    *
+    * Output: `(sub_id, code_id, centroid)` — m·ksub rows. At 100 TB the
+    * codebook is KB-sized state: train on a sample shard, broadcast
+    * everywhere (8 bytes/vector storage at m=8 vs 256 for the raw
+    * floats — the memory-bound regime where IVF/SRP still hold the
+    * whole corpus). */
+  def pqCodebooks(embeddings: DataFrame, m: Int, ksub: Int,
+      iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // consumed once per Lloyd iteration plus the final encode —
+    // materialize the posexplode/sort-agg exactly once
+    val sub = subVectors(embeddings, m).localCheckpoint(eager = false)
+    val seeds = embeddings.orderBy(col("vec_id")).limit(ksub)
+      .select(col("vec_id"),
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).as("code_id"))
+    var books = sub.join(seeds, Seq("vec_id"))
+      .select(col("sub_id"), col("code_id"), col("subvec").as("centroid"))
+      .localCheckpoint(eager = false)
+    for (_ <- 0 until iters) {
+      val means = assignPqCodes(sub, books)
+        .select(col("sub_id"), col("code_id"),
+          posexplode(col("subvec")).as(Seq("pos", "v")))
+        .groupBy(col("sub_id"), col("code_id"), col("pos"))
+        .agg((sum(col("v").cast("decimal(38,12)")) / count(lit(1)))
+          .cast("double").as("mval"))
+        .groupBy(col("sub_id"), col("code_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mval")))),
+          e => e.getField("mval").cast("float")).as("centroid"))
+      // empty codewords keep their previous centroid (Lloyd fallback)
+      books = books.select(col("sub_id"), col("code_id"),
+          col("centroid").as("prev"))
+        .join(means, Seq("sub_id", "code_id"), "left")
+        .select(col("sub_id"), col("code_id"),
+          coalesce(col("centroid"), col("prev")).as("centroid"))
+        .localCheckpoint(eager = false)
+    }
+    books
+  }
+
+  /** Encode the corpus against trained codebooks: `(vec_id, codes)` with
+    * `codes[sub] = argmin codeword` — the m-byte representation that
+    * replaces the raw vector at rest. One assign map pass + one
+    * (vec_id)-keyed sort-agg. */
+  def pqEncode(embeddings: DataFrame, books: DataFrame, m: Int): DataFrame =
+    assignPqCodes(subVectors(embeddings, m), books)
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub_id"), col("code_id")))),
+        e => e.getField("code_id")).as("codes"))
+
+  /** PQ-ADC approximate cosine top-k: the query builds an m×ksub lookup
+    * table (partial dot + partial squared norm per codeword — both
+    * decompose across subspaces), the table folds into ONE broadcast
+    * row, and every encoded vector scores with m array lookups — no
+    * vector data moves, the scan reads only the m-byte codes. The
+    * asymmetric-distance form: the query stays exact, only the corpus
+    * side is quantized.
+    *
+    * approx_cos = Σ_s dot(q_s, c_{s,codes[s]})
+    *              / (‖q‖ · sqrt(Σ_s ‖c_{s,codes[s]}‖²)). */
+  def pqTopK(embeddings: DataFrame, books: DataFrame, m: Int, ksub: Int,
+      queryId: Long, k: Int): DataFrame = {
+    val qSub = subVectors(embeddings.filter(col("vec_id") === queryId), m)
+      .select(col("sub_id"), col("subvec").as("qvec"))
+    val lut = books.join(qSub, Seq("sub_id"))
+      .select(col("sub_id"), col("code_id"),
+        dot(col("qvec"), col("centroid")).as("pdot"),
+        dot(col("centroid"), col("centroid")).as("psq"))
+    // LUT + query norm as a single broadcast row; codes are dense
+    // 0..ksub-1 per subspace, so element (sub_id·ksub + code_id + 1) of
+    // the (sub_id, code_id)-sorted array is a direct index — no search.
+    val meta = lut
+      .agg(array_sort(collect_list(struct(col("sub_id"), col("code_id"),
+        col("pdot"), col("psq")))).as("__lut"))
+      .crossJoin(broadcast(
+        embeddings.filter(col("vec_id") === queryId)
+          .select(norm(col("embedding")).as("__qnorm"))))
+    pqEncode(embeddings.filter(col("vec_id") =!= queryId), books, m)
+      .crossJoin(broadcast(meta))
+      .select(col("vec_id"),
+        round(
+          aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+            acc + element_at(col("__lut"),
+              (s * ksub + element_at(col("codes"), s + 1) + 1).cast("int"))
+              .getField("pdot"))
+          / (col("__qnorm") * sqrt(
+            aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+              acc + element_at(col("__lut"),
+                (s * ksub + element_at(col("codes"), s + 1) + 1).cast("int"))
+                .getField("psq")))), 4).as("approx_cos"))
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Two-stage PQ retrieval — ADC shortlist, exact re-rank: the
+    * production shape (quantized scores order a cheap shortlist; the
+    * final top-k re-scores only `shortlist` full vectors exactly). The
+    * re-rank is a broadcast semi-join of shortlist ids back into the
+    * corpus — per query it reads `shortlist` raw vectors instead of N,
+    * and emitted scores are EXACT cosines, so downstream consumers see
+    * e1-identical values whenever the true neighbors survive the
+    * shortlist. */
+  def pqTopKRerank(embeddings: DataFrame, books: DataFrame, m: Int, ksub: Int,
+      queryId: Long, k: Int, shortlist: Int): DataFrame = {
+    val cand = pqTopK(embeddings, books, m, ksub, queryId, shortlist)
+      .select(col("vec_id"))
+    val query = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("query_vec"))
+    embeddings.join(broadcast(cand), Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        round(cosine(col("embedding"), col("query_vec")), 4).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+      .limit(k)
+  }
 }

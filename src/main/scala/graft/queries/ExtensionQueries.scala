@@ -315,6 +315,48 @@ object ExtensionQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // D14 — prefix-filter set-containment near-dups (AllPairs/PPJoin
+    // candidate strategy), rolled up per doc: raw pair volume is
+    // unbounded on near-dup-dense corpora (sf0.1's shingle vocabulary
+    // is ~17× smaller than sf0.01's, so containments explode), and the
+    // d3/d4 per-doc aggregate keeps the emitted surface corpus-sized.
+    // maxPostings is left unbound here so the DuckDB oracle can replay
+    // candidate generation exactly (prefix filtering is lossless
+    // without the cap); the capped-subset behavior is pinned in
+    // ExtensionsSpec instead.
+    "d14_containment" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.containmentPairs(docs, n = 3, threshold = 0.9)
+      val perDoc = pairs.groupBy(col("a_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_contained"),
+          max(col("containment")).as("max_containment"))
+      docs.select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_contained"), lit(0L)).as("n_contained"),
+          coalesce(col("max_containment"), lit(0.0)).as("max_containment"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // E12 — product-quantization ANN (rows-only; value-verified by the
+    // e12b contract in TrainingQueries): 64-dim floats → 16 one-byte
+    // codes (striped subspaces, 16 codewords each, 16× compression),
+    // query scores by ADC lookup table. The memory-bound ANN scale
+    // path — at 100 TB the scan touches only the codes.
+    // Two-stage: ADC shortlist (256 of N by quantized score) → exact
+    // re-rank — emitted scores are exact cosines. Shortlist sizing is
+    // data-dependent: this corpus is near-random (pairwise cosines
+    // ≤0.37), the hardest case for quantized ranking — 256 holds
+    // 10/10 recall at both test SFs (measured sweep: m=8 needs 640 at
+    // sf0.1; m=16 needs 256). Clustered real-world embeddings get away
+    // with far smaller shortlists.
+    "e12_pq_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val books = Similarity.pqCodebooks(emb, m = 16, ksub = 16, iters = 2)
+      Similarity.pqTopKRerank(emb, books, m = 16, ksub = 16, queryId = 0L,
+        k = 10, shortlist = 256)
+    }),
+
     // E4 — IVF-style ANN (coarse-quantizer cells + probe; rows-only
     // oracle, recall vs brute force checked in SimilaritySpec).
     "e4_ivf_ann" -> ((s, d) => {
@@ -769,6 +811,50 @@ object ExtensionQueries {
         |  (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4)
         |  >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // Replays the full prefix-filter pipeline (df table → rarest-first
+    // order → prefix probe → inverted-index join → containment verify):
+    // generation is lossless, so a brute-force oracle would be equally
+    // correct, but the replay keeps the oracle O(candidates) instead of
+    // O(n²) and double-checks the prefix math itself. ceil() runs on
+    // the identical IEEE doubles both sides.
+    "d14_containment" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS wd FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(wd) - 3 + 2, 2)),
+        |    i -> array_to_string(list_slice(wd, i, i + 2), ' '))) AS toks
+        |  FROM w
+        |), ex AS (
+        |  SELECT doc_id, unnest(toks) AS tok FROM sh
+        |), dfreq AS (
+        |  SELECT tok, count(*) AS df FROM ex GROUP BY tok
+        |), ord AS (
+        |  SELECT e.doc_id, e.tok,
+        |    row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.tok) AS rk,
+        |    count(*) OVER (PARTITION BY e.doc_id) AS n
+        |  FROM ex e JOIN dfreq d USING (tok)
+        |), probe AS (
+        |  SELECT doc_id AS a_id, tok FROM ord WHERE rk <= n - ceil(0.9 * n) + 1
+        |), cand AS (
+        |  SELECT DISTINCT p.a_id, e.doc_id AS b_id
+        |  FROM probe p JOIN ex e ON p.tok = e.tok AND p.a_id <> e.doc_id
+        |), ver AS (
+        |  SELECT c.a_id, c.b_id,
+        |    len(list_intersect(a.toks, b.toks)) AS shared, len(a.toks) AS an
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.a_id JOIN sh b ON b.doc_id = c.b_id
+        |), pairs AS (
+        |  SELECT a_id, b_id, round(shared * 1.0 / an, 4) AS containment
+        |  FROM ver WHERE shared >= ceil(0.9 * an)
+        |), roll AS (
+        |  SELECT a_id, count(*) AS n_contained, max(containment) AS max_containment
+        |  FROM pairs GROUP BY a_id
+        |)
+        |SELECT d.doc_id, COALESCE(r.n_contained, 0) AS n_contained,
+        |  COALESCE(r.max_containment, 0.0) AS max_containment
+        |FROM documents d LEFT JOIN roll r ON d.doc_id = r.a_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "e1_cosine_topk" ->
       """WITH q AS (

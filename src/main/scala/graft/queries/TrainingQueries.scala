@@ -522,6 +522,29 @@ object TrainingQueries {
         .agg((count(lit(1)) >= 8).as("recall_at_10_ge_08"))
     }),
 
+    // E12B — PQ CONTRACT (e6 pattern; value-verifies e12): the ADC
+    // shortlist (256 of N by quantized score) must recover ≥8 of the
+    // exact top-10 after re-rank (measured 10/10 at sf0.01 AND sf0.1;
+    // single-stage ADC alone ranks only ~2/10 on this near-random
+    // corpus — the re-rank stage is what makes byte codes usable), and
+    // every corpus vector must encode to exactly m in-range codes.
+    "e12b_pq_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val books = Similarity.pqCodebooks(emb, m = 16, ksub = 16, iters = 2)
+      val exact = Similarity.bruteForceTopK(emb, queryId = 0L, k = 10)
+        .select(col("vec_id"))
+      val pq = Similarity.pqTopKRerank(emb, books, m = 16, ksub = 16,
+          queryId = 0L, k = 10, shortlist = 256).select(col("vec_id"))
+      val recall = pq.join(exact, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) >= 8).as("ok_recall"))
+      val codes = Similarity.pqEncode(emb, books, m = 16)
+        .agg(((min(size(col("codes"))) === 16) &&
+          (max(size(col("codes"))) === 16) &&
+          (max(array_max(col("codes"))) <= 15) &&
+          (min(array_min(col("codes"))) >= 0)).as("ok_codes"))
+      recall.crossJoin(codes)
+    }),
+
     // T10 — document chunking (64-token windows, 16-token overlap):
     // the doc → training-unit explosion, emitted as chunk hashes so the
     // verified rows stay narrow.
@@ -1215,6 +1238,9 @@ object TrainingQueries {
 
     "e6_ivf_recall" ->
       """SELECT true AS recall_at_10_ge_08""".stripMargin,
+
+    "e12b_pq_recall" ->
+      """SELECT true AS ok_recall, true AS ok_codes""".stripMargin,
 
     "o6_union_by_name" ->
       """SELECT c_custkey, c_name,

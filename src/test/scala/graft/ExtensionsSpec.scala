@@ -81,6 +81,50 @@ class DedupSpec extends SparkSpec {
       "no regrow cycle: membership unchanged once the bucket is full")
   }
 
+  test("containment catches a subset doc that Jaccard misses") {
+    // doc 11 is the first half of doc 10: Jaccard ≈ 0.5 (below any
+    // near-dup threshold), containment(11→10) = 1.0. Directedness:
+    // containment(10→11) ≈ 0.5 must NOT be emitted at τ=0.9.
+    val long = base + " extra words appended so the superset is twice as long ok fine"
+    val half = base
+    val cdocs = Seq(
+      (10L, long, "s1", long.length.toLong),
+      (11L, half, "s1", half.length.toLong),
+      (12L, "completely different words nothing shared here at all ok", "s1", 58L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val got = Dedup.containmentPairs(cdocs, n = 3, threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("containment"))).toSet
+    assert(got.map(p => (p._1, p._2)) == Set((11L, 10L)))
+    assert(got.head._3 == 1.0)
+    // ... and the symmetric Jaccard form indeed misses it at 0.5
+    val jac = Dedup.ngramJaccardPairs(cdocs, n = 3, threshold = 0.5)
+      .collect()
+    assert(!jac.exists(r => r.getAs[Long]("b_id") == 10L))
+  }
+
+  test("postings cap trades recall for boundedness, lossless when unbound") {
+    // Every doc shares the hot base shingles, so every posting list has
+    // every doc. With the cap at 1, only min-id postings survive —
+    // emitted pairs must be a SUBSET of the exact (uncapped) result,
+    // and the exact run must recall the planted containment.
+    val cdocs = Seq(
+      (1L, base + " one more tail", "s1", 100L),
+      (2L, base, "s1", 100L),
+      (3L, base + " another different tail here", "s1", 100L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    def pairsOf(cap: Int) =
+      Dedup.containmentPairs(cdocs, n = 3, threshold = 0.9, maxPostings = cap)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val exact = pairsOf(Int.MaxValue)
+    val capped = pairsOf(1)
+    assert(exact.contains((2L, 1L)) && exact.contains((2L, 3L)))
+    assert(capped.subsetOf(exact))
+    // cap=1 keeps only doc 1 in each shared posting list → the (2,3)
+    // candidate can no longer be generated
+    assert(capped.contains((2L, 1L)) && !capped.contains((2L, 3L)))
+  }
+
   test("exact decontamination drops corpus docs matching benchmark content") {
     val bench = Seq((100L, base, "eval", base.length.toLong))
       .toDF("doc_id", "text", "source", "n_chars")
@@ -199,6 +243,50 @@ class SimilaritySpec extends SparkSpec {
         threshold = 0.9, numPlanes = 4)
       .select("new_id", "old_id").as[(Long, Long)].collect().toSet
     assert(got == Set((10L, 0L), (10L, 1L)))
+  }
+
+  test("PQ is lossless when codewords cover the corpus exactly") {
+    // 4-dim vectors drawn from {a, b} only, m=2 striped subspaces,
+    // ksub=2: after one Lloyd pass each subspace's two codewords are
+    // exactly the two distinct subvectors, so quantized reconstruction
+    // is exact and ADC scores equal exact cosines bit-for-bit (both
+    // round to 4 decimals).
+    val a = Array(1.0f, 0.0f, 2.0f, 0.5f)
+    val b = Array(0.0f, 3.0f, 1.0f, 1.0f)
+    val pvecs = Seq((0L, a, 0), (1L, b, 1), (2L, a, 0), (3L, b, 1))
+      .toDF("vec_id", "embedding", "label")
+    val books = Similarity.pqCodebooks(pvecs, m = 2, ksub = 2, iters = 1)
+    assert(books.count() == 4) // 2 subspaces × 2 codewords
+    val adc = Similarity.pqTopK(pvecs, books, m = 2, ksub = 2,
+        queryId = 0L, k = 3)
+      .select("vec_id", "approx_cos").as[(Long, Double)].collect().toMap
+    val exact = Similarity.bruteForceTopK(pvecs, queryId = 0L, k = 3)
+      .select("vec_id", "cosine_sim").as[(Long, Double)].collect().toMap
+    assert(adc == exact)
+    // identical vectors quantize to identical codes
+    val codes = Similarity.pqEncode(pvecs, books, m = 2)
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    assert(codes(0L) == codes(2L) && codes(1L) == codes(3L))
+    assert(codes(0L) != codes(1L))
+  }
+
+  test("two-stage PQ re-rank recovers the exact top-k (sf0.001)") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16, iters = 2)
+    val brute = Similarity.bruteForceTopK(emb, 0L, 500)
+      .select("vec_id", "cosine_sim").as[(Long, Double)].collect().toMap
+    val pq = Similarity.pqTopKRerank(emb, books, m = 8, ksub = 16,
+        queryId = 0L, k = 5, shortlist = 32)
+      .select("vec_id", "cosine_sim").as[(Long, Double)].collect().toSeq
+    // the unit-level claim: re-ranked scores are EXACT cosines (ADC
+    // error cannot leak into emitted values), descending order holds
+    pq.foreach { case (id, sim) => assert(brute(id) == sim) }
+    assert(pq.map(_._2) == pq.map(_._2).sorted(Ordering[Double].reverse))
+    // loose recall floor at this 50-vector scale (near-random data; the
+    // tight 8-of-10 recall bound is driver-gated at sf0.01 via e12b)
+    val top5 = Similarity.bruteForceTopK(emb, 0L, 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(pq.count(p => top5(p._1)) >= 3)
   }
 
   test("srpBucketIndex caps degenerate buckets to min-id exemplars") {

@@ -107,6 +107,27 @@ class PlanSpec extends SparkSpec {
         s" in the plan (join-condition pushdown clones it), got $n in\n$p")
   }
 
+  test("d14: containment verify evaluates the merge loop exactly once per pair") {
+    val df = SparkEntry.queries("d14_containment")(spark, sf0001)
+    val p = finalPlan(df)
+    val n = "sortedintersectsize".r.findAllIn(p).size
+    assert(n == 1,
+      s"the Generate barrier should leave exactly one sorted_intersect_size" +
+        s" in the plan, got $n in\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"prefix-filter candidates must come from an equi-join, not a cross\n$p")
+  }
+
+  test("e12: ADC scoring is a broadcast map pass over the codes; top-k is heap-based") {
+    val df = SparkEntry.queries("e12_pq_ann")(spark, sf0001)
+    val p = finalPlan(df)
+    assert(!p.contains("SortMergeJoin"),
+      s"PQ scoring must never sort-merge the corpus — LUT and shortlist " +
+        s"ride broadcasts\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"final top-k should be a per-partition heap, not a global sort\n$p")
+  }
+
   test("e4: IVF assign is a map pass — no corpus-wide argmin shuffle") {
     val df = SparkEntry.queries("e4_ivf_ann")(spark, sf0001)
     val p = finalPlan(df)
