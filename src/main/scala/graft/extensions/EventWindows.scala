@@ -187,6 +187,59 @@ object EventWindows {
     * — no dedup pass needed, same trick as the d2 blocked join). State
     * per bucket is bounded by maxLag regardless of how hot the user is.
     * The streaming twin is StreamingOps.intervalJoinStream. */
+  /** Ordered conversion funnel: users progress through `steps` event
+    * types strictly in time order — step k counts a user iff some
+    * step-k event lands STRICTLY AFTER the user's step-(k−1) timestamp
+    * (the earliest qualifying one, greedily) and, when `windowSeconds`
+    * is set, within that many whole seconds of the user's funnel start
+    * (the "converts within N days" form — without a window, dense event
+    * streams eventually reach every step and the reach counts stop
+    * discriminating). Emits one summary row per step: users reaching it
+    * and the unrounded decimal-exact mean seconds from funnel start.
+    *
+    * Shape: a cascade of per-step `filter → equi-join on user →
+    * min-aggregate` frames, each |users|-sized and checkpointed (each
+    * feeds both its summary row and the next step — the barrier keeps
+    * the chain linear instead of re-evaluating the prefix per union
+    * branch). The events table is scanned once per step with the
+    * step-type filter pushed to the scan; the per-user frame joins it
+    * on `user_id` (broadcastable while users ≪ events; hash join on a
+    * uniform key beyond that). No window over the raw event stream, no
+    * per-user sort — the greedy semantics need only mins. */
+  def funnel(events: DataFrame, steps: Seq[String],
+      windowSeconds: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    def secs(c: Column): Column = c.cast("long")
+    def summary(step: Int, name: String, frame: DataFrame): DataFrame =
+      frame.agg(
+        count(lit(1)).as("n_users"),
+        (sum((secs(col("t_curr")) - secs(col("t_first")))
+          .cast("decimal(38,6)")).cast("double") / count(lit(1)))
+          .as("avg_s_from_start"))
+        .select(lit(step.toLong).as("step"), lit(name).as("event_type"),
+          col("n_users"), col("avg_s_from_start"))
+    var cur = events.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_first"))
+      .withColumn("t_curr", col("t_first"))
+      .localCheckpoint(eager = false)
+    var out = summary(1, steps.head, cur)
+    steps.tail.zipWithIndex.foreach { case (st, i) =>
+      val inWindow = windowSeconds match {
+        case Some(w) => (secs(col("ts")) - secs(col("t_first"))) <= w
+        case None => lit(true)
+      }
+      cur = events.filter(col("event_type") === st)
+        .join(cur.select(col("user_id"), col("t_first"), col("t_curr")),
+          Seq("user_id"))
+        .filter(col("ts") > col("t_curr") && inWindow)
+        .groupBy(col("user_id"), col("t_first"))
+        .agg(min(col("ts")).as("t_curr"))
+        .localCheckpoint(eager = false)
+      out = out.unionByName(summary(i + 2, st, cur))
+    }
+    out.orderBy(col("step"))
+  }
+
   def intervalJoin(left: DataFrame, right: DataFrame,
       maxLagSeconds: Long): DataFrame = {
     def bucket(ts: Column): Column =

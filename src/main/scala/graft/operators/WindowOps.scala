@@ -167,4 +167,39 @@ object WindowOps {
       .withColumn(outCol, col("__off") + row_number().over(wIn))
       .drop("__pid", "__off")
   }
+
+  /** O9 — SCD2 (type-2 slowly-changing-dimension) history from an
+    * attribute change log: consecutive runs of the same `attrCol` value
+    * per `keyCol` collapse into ONE versioned row with
+    * `[valid_from, valid_to)` validity (epoch seconds; `valid_to` is the
+    * next version's start, NULL on the open current version) — the
+    * standard warehouse dimension-history build, and the interval twin
+    * of [[graft.queries.TrainingQueries]]'s o8 latest-state CDC merge.
+    *
+    * Run collapse is gaps-and-islands (lag-change marker + prefix-sum
+    * run id — the v8 sessionization machinery pointed at value changes
+    * instead of time gaps); every window and the run aggregate ride
+    * `keyCol` partitions, so the one hash exchange on the key is the
+    * only corpus movement and per-key state is bounded by that key's
+    * rows. Ties are pinned by `orderCols` (pass an id column after the
+    * timestamp — same policy as v8). */
+  def scd2History(df: DataFrame, keyCol: String, attrCol: String,
+      tsCol: String, orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    val runs = df
+      .withColumn("__chg",
+        when(lag(col(attrCol), 1).over(w).isNull ||
+          lag(col(attrCol), 1).over(w) =!= col(attrCol), 1L).otherwise(0L))
+      .withColumn("__run", sum(col("__chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("__run"), col(attrCol))
+      .agg(min(col(tsCol).cast("long")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val wVer = Window.partitionBy(col(keyCol)).orderBy(col("__run"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
+      .select(col(keyCol), col("__run").as("version"), col(attrCol),
+        col("valid_from"), col("valid_to"), col("n_events"),
+        col("valid_to").isNull.as("is_current"))
+  }
 }

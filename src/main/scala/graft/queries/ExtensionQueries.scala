@@ -300,6 +300,19 @@ object ExtensionQueries {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // V9 — ordered conversion funnel (view → click → purchase, strict
+    // time order, greedy earliest-qualifying step events, converts
+    // within 1 day of funnel start): per-step reach counts + unrounded
+    // decimal-exact mean seconds from funnel start. The 86400 s window
+    // is what makes reach counts discriminate (150 → 60 → 14 at
+    // sf0.01; unwindowed, this dense stream reaches every step for
+    // every user). The oracle replays the same min-per-step cascade.
+    "v9_funnel" -> ((s, d) => {
+      EventWindows.funnel(Tables.events(s, d),
+        steps = Seq("view", "click", "purchase"),
+        windowSeconds = Some(86400L))
+    }),
+
     // M1 — multimodal binary payload stats (relational fast path of the
     // media pipeline; the mapPartitions decode is ScalaTest-covered).
     "m1_payload_stats" -> ((s, d) => {
@@ -1100,6 +1113,44 @@ object ExtensionQueries {
         |  min(secs) AS session_start_s, max(secs) - min(secs) AS duration_s
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "v9_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t_first, min(ts) AS t_curr FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, s1.t_first, min(e.ts) AS t_curr
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t_curr
+        |    AND CAST(floor(epoch(e.ts)) AS BIGINT)
+        |      - CAST(floor(epoch(s1.t_first)) AS BIGINT) <= 86400
+        |  GROUP BY e.user_id, s1.t_first
+        |), s3 AS (
+        |  SELECT e.user_id, s2.t_first, min(e.ts) AS t_curr
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t_curr
+        |    AND CAST(floor(epoch(e.ts)) AS BIGINT)
+        |      - CAST(floor(epoch(s2.t_first)) AS BIGINT) <= 86400
+        |  GROUP BY e.user_id, s2.t_first
+        |), sm AS (
+        |  SELECT 1 AS stp, 'view' AS event_type, count(*) AS n_users,
+        |    CAST(sum(CAST(CAST(floor(epoch(t_curr)) AS BIGINT)
+        |      - CAST(floor(epoch(t_first)) AS BIGINT) AS DECIMAL(38,6)))
+        |      AS DOUBLE) / count(*) AS avg_s_from_start FROM s1
+        |  UNION ALL
+        |  SELECT 2, 'click', count(*),
+        |    CAST(sum(CAST(CAST(floor(epoch(t_curr)) AS BIGINT)
+        |      - CAST(floor(epoch(t_first)) AS BIGINT) AS DECIMAL(38,6)))
+        |      AS DOUBLE) / count(*) FROM s2
+        |  UNION ALL
+        |  SELECT 3, 'purchase', count(*),
+        |    CAST(sum(CAST(CAST(floor(epoch(t_curr)) AS BIGINT)
+        |      - CAST(floor(epoch(t_first)) AS BIGINT) AS DECIMAL(38,6)))
+        |      AS DOUBLE) / count(*) FROM s3
+        |)
+        |SELECT CAST(stp AS BIGINT) AS step, event_type, n_users,
+        |  avg_s_from_start
+        |FROM sm ORDER BY step""".stripMargin,
 
     "v8_session_sequences" ->
       """WITH e AS (

@@ -679,6 +679,19 @@ object TrainingQueries {
         .orderBy(col("key"))
     }),
 
+    // O9 — SCD2 dimension history (the interval twin of o8's
+    // latest-state merge): per-user event_type runs collapse into
+    // versioned [valid_from, valid_to) rows, open-ended current
+    // version flagged. Gaps-and-islands on value CHANGES (v8's
+    // machinery pointed at attribute transitions instead of time
+    // gaps); everything rides one user_id exchange.
+    "o9_scd2_history" -> ((s, d) => {
+      WindowOps.scd2History(Tables.events(s, d), keyCol = "user_id",
+          attrCol = "event_type", tsCol = "ts",
+          orderCols = Seq(col("ts"), col("event_id")))
+        .orderBy(col("user_id"), col("version"))
+    }),
+
     // O7 — deterministic global row numbering (contiguous example ids /
     // leaderboard positions) WITHOUT `row_number() OVER (ORDER BY …)`'s
     // single-task global window: range repartition + parallel in-
@@ -981,6 +994,32 @@ object TrainingQueries {
         |CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*)
         |  AS avg_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "o9_scd2_history" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS secs
+        |  FROM events
+        |), m AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), r AS (
+        |  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS version
+        |  FROM m
+        |), runs AS (
+        |  SELECT user_id, version, event_type, min(secs) AS valid_from,
+        |    count(*) AS n_events
+        |  FROM r GROUP BY user_id, version, event_type
+        |)
+        |SELECT user_id, version, event_type, valid_from,
+        |  lead(valid_from) OVER wv AS valid_to, n_events,
+        |  lead(valid_from) OVER wv IS NULL AS is_current
+        |FROM runs WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+        |ORDER BY user_id, version""".stripMargin,
 
     "o8_cdc_merge" ->
       """WITH ch AS (

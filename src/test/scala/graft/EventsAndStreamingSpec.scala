@@ -54,6 +54,58 @@ class EventWindowsSpec extends SparkSpec {
       (2L, 1L, "view")))
   }
 
+  test("funnel enforces strict order and the conversion window") {
+    val fev = Seq(
+      // user 1: clean in-order conversion inside the window
+      (10L, ts(0), 1L, "view", 0.0, "{}"),
+      (11L, ts(10), 1L, "click", 0.0, "{}"),
+      (12L, ts(20), 1L, "purchase", 0.0, "{}"),
+      // user 2: click BEFORE the first view — must not count as step 2;
+      // the later click does, but its purchase precedes the click
+      (20L, ts(50), 2L, "click", 0.0, "{}"),
+      (21L, ts(60), 2L, "view", 0.0, "{}"),
+      (22L, ts(70), 2L, "purchase", 0.0, "{}"),
+      (23L, ts(80), 2L, "click", 0.0, "{}"),
+      // user 3: converts, but the click lands outside the 100 s window
+      (30L, ts(0), 3L, "view", 0.0, "{}"),
+      (31L, ts(200), 3L, "click", 0.0, "{}"),
+      (32L, ts(210), 3L, "purchase", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventWindows.funnel(fev, Seq("view", "click", "purchase"),
+        windowSeconds = Some(100L))
+      .select("step", "n_users").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L), (2L, 2L), (3L, 1L)))
+    // greedy earliest-qualifying step events: user 1 converts in 20 s,
+    // and only user 1 reaches step 3
+    val avg3 = EventWindows.funnel(fev, Seq("view", "click", "purchase"),
+        windowSeconds = Some(100L))
+      .filter(col("step") === 3).select("avg_s_from_start")
+      .as[Double].head()
+    assert(avg3 == 20.0)
+  }
+
+  test("scd2History collapses runs into versioned validity intervals") {
+    val log = Seq(
+      (1L, ts(100), 1L, "view", 0.0, "{}"),
+      (2L, ts(200), 1L, "view", 0.0, "{}"),   // same run as event 1
+      (3L, ts(300), 1L, "click", 0.0, "{}"),  // version 2
+      (4L, ts(400), 1L, "view", 0.0, "{}"),   // view AGAIN → version 3
+      (5L, ts(50), 2L, "error", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.operators.WindowOps.scd2History(log, "user_id",
+        "event_type", "ts", Seq(col("ts"), col("event_id")))
+      .orderBy("user_id", "version")
+      .select("user_id", "version", "event_type", "valid_from", "valid_to",
+        "n_events", "is_current")
+      .as[(Long, Long, String, Long, Option[Long], Long, Boolean)]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, "view", 100L, Some(300L), 2L, false),
+      (1L, 2L, "click", 300L, Some(400L), 1L, false),
+      (1L, 3L, "view", 400L, None, 1L, true),
+      (2L, 1L, "error", 50L, None, 1L, true)))
+  }
+
   test("runningMaxExclusive agrees with the naive global window across buckets") {
     val df = Seq(0L -> 5L, 1L -> 3L, 2L -> 9L, 3L -> 1L, 4L -> 9L,
       5L -> 2L, 6L -> 12L, 7L -> 0L, 8L -> 7L, 9L -> 15L).toDF("seq", "v")
