@@ -115,7 +115,7 @@ object ScaleHeadroom {
 
     // ---- headline operators at each scale ---------------------------
     val headline = Seq("d3_minhash_lsh", "e8_knn_join", "t8_tfidf",
-      "v2_sessionize")
+      "v2_sessionize", "d14_containment", "e12_pq_ann")
     for ((scale, dir) <- dirs; q <- headline) {
       val (secs, rows) = timeBest {
         forceAll(SparkEntry.queries(q)(spark, dir))

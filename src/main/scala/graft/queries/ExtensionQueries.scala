@@ -208,6 +208,24 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // T19 — tokenizer comparison: whitespace vs BPE-ish regex counts.
+    // The driver corpus is punctuation-free, where the two tokenizers
+    // coincide exactly (t1's n_tokens_bpe column shows that equality) —
+    // so this query injects deterministic punctuation (plain-string
+    // replace ' a ' → ', a ', replayed verbatim by the oracle; the w9
+    // injected-missingness precedent) to exercise the regex
+    // segmentation where it DIVERGES: every injected comma is its own
+    // BPE-ish token but invisible to whitespace splitting. Real
+    // punctuated fixtures are unit-tested in TextAnalysisSpec.
+    "t19_tokenizer_compare" -> ((s, d) => {
+      val punct = expr("replace(text, ' a ', ', a ')")
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          size(split(punct, " ")).cast("long").as("n_ws_tokens"),
+          TextAnalysis.bpeishTokenCount(punct).as("n_bpeish_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // T2 — language-ID heuristic (stopword scoring, fixed tie precedence).
     "t2_lang_id" -> ((s, d) => {
       val base = Tables.documents(s, d)
@@ -363,9 +381,13 @@ object ExtensionQueries {
     // 10/10 recall at both test SFs (measured sweep: m=8 needs 640 at
     // sf0.1; m=16 needs 256). Clustered real-world embeddings get away
     // with far smaller shortlists.
+    // Codebooks train on a deterministic 1-in-5 sample shard — the
+    // canonical PQ practice (codebooks are KB-sized global state; the
+    // full corpus only ever encodes against them) and 2× cheaper here.
     "e12_pq_ann" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val books = Similarity.pqCodebooks(emb, m = 16, ksub = 16, iters = 2)
+      val books = Similarity.pqCodebooks(
+        emb.filter(col("vec_id") % 5 === 0), m = 16, ksub = 16, iters = 2)
       Similarity.pqTopKRerank(emb, books, m = 16, ksub = 16, queryId = 0L,
         k = 10, shortlist = 256)
     }),
@@ -1024,6 +1046,14 @@ object ExtensionQueries {
         |     'un','der','die','das','und','ist','ein','zu','le','et','est',
         |     'dans'))) AS BIGINT) AS sw
         |FROM documents) ORDER BY doc_id""".stripMargin,
+
+    "t19_tokenizer_compare" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(replace(text, ' a ', ', a '), ' '))
+        |    AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(replace(text, ' a ', ', a '),
+        |    '\w+|[^\w\s]')) AS BIGINT) AS n_bpeish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t2_lang_id" ->
       """SELECT doc_id,

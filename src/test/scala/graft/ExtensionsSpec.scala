@@ -360,6 +360,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Long]("np") == 1L)
   }
 
+  test("BPE-ish tokenizer splits punctuation that whitespace hides") {
+    val df = Seq((1L, "hello, world! v2.0 (beta)")).toDF("doc_id", "text")
+    val got = df.select(
+        graft.extensions.TextAnalysis.tokenCount(col("text")).as("ws"),
+        graft.extensions.TextAnalysis.bpeishTokenCount(col("text")).as("bpe"))
+      .as[(Long, Long)].head()
+    // ws: [hello,] [world!] [v2.0] [(beta)] = 4
+    // bpe: hello , world ! v2 . 0 ( beta ) = 10  (\w covers digits/_)
+    assert(got == ((4L, 10L)))
+  }
+
   test("punctuation ratio counts punctuation chars over total chars") {
     // the synthetic corpus has zero punctuation (t1's column is a dead
     // discriminator there) — this fixture carries the signal
