@@ -187,6 +187,23 @@ object EventWindows {
     * — no dedup pass needed, same trick as the d2 blocked join). State
     * per bucket is bounded by maxLag regardless of how hot the user is.
     * The streaming twin is StreamingOps.intervalJoinStream. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      maxLagSeconds: Long): DataFrame = {
+    def bucket(ts: Column): Column =
+      floor(unix_timestamp(ts) / maxLagSeconds).cast("long")
+    val l = left.select(col("user_id"), col("event_id").as("l_id"),
+        col("ts").as("l_ts"),
+        explode(array(bucket(col("ts")), bucket(col("ts")) + 1)).as("bkt"))
+    val r = right.select(col("user_id"), col("event_id").as("r_id"),
+      col("ts").as("r_ts"), bucket(col("ts")).as("bkt"))
+    l.join(r, Seq("user_id", "bkt"))
+      .filter(col("r_ts") >= col("l_ts") &&
+        col("r_ts") < col("l_ts") + expr(s"INTERVAL $maxLagSeconds SECONDS"))
+      .select(col("l_id"), col("r_id"),
+        (unix_timestamp(col("r_ts")) - unix_timestamp(col("l_ts")))
+          .as("lag_s"))
+  }
+
   /** Ordered conversion funnel: users progress through `steps` event
     * types strictly in time order — step k counts a user iff some
     * step-k event lands STRICTLY AFTER the user's step-(k−1) timestamp
@@ -238,22 +255,5 @@ object EventWindows {
       out = out.unionByName(summary(i + 2, st, cur))
     }
     out.orderBy(col("step"))
-  }
-
-  def intervalJoin(left: DataFrame, right: DataFrame,
-      maxLagSeconds: Long): DataFrame = {
-    def bucket(ts: Column): Column =
-      floor(unix_timestamp(ts) / maxLagSeconds).cast("long")
-    val l = left.select(col("user_id"), col("event_id").as("l_id"),
-        col("ts").as("l_ts"),
-        explode(array(bucket(col("ts")), bucket(col("ts")) + 1)).as("bkt"))
-    val r = right.select(col("user_id"), col("event_id").as("r_id"),
-      col("ts").as("r_ts"), bucket(col("ts")).as("bkt"))
-    l.join(r, Seq("user_id", "bkt"))
-      .filter(col("r_ts") >= col("l_ts") &&
-        col("r_ts") < col("l_ts") + expr(s"INTERVAL $maxLagSeconds SECONDS"))
-      .select(col("l_id"), col("r_id"),
-        (unix_timestamp(col("r_ts")) - unix_timestamp(col("l_ts")))
-          .as("lag_s"))
   }
 }

@@ -485,6 +485,16 @@ object Similarity {
           coalesce(col("centroid"), col("prev")).as("centroid"))
         .localCheckpoint(eager = false)
     }
+    // Degenerate-input guard (bounded driver count over the KB-sized
+    // codebook — training is an action-worthy step anyway): fewer than
+    // ksub training vectors, or m exceeding the vector width, silently
+    // yields a short codebook — and pqTopK's dense LUT indexing
+    // (sub_id·ksub + code + 1) would then read the WRONG subspace's
+    // entries or run off the array under ANSI element_at.
+    val nBooks = books.count()
+    require(nBooks == m.toLong * ksub,
+      s"codebook is $nBooks rows, expected m*ksub = ${m * ksub} — " +
+        "train on >= ksub vectors and keep m <= vector width")
     books
   }
 
@@ -509,7 +519,7 @@ object Similarity {
     * approx_cos = Σ_s dot(q_s, c_{s,codes[s]})
     *              / (‖q‖ · sqrt(Σ_s ‖c_{s,codes[s]}‖²)). */
   def pqTopK(embeddings: DataFrame, books: DataFrame, m: Int, ksub: Int,
-      queryId: Long, k: Int): DataFrame = {
+      queryId: Long, k: Int, codes: Option[DataFrame] = None): DataFrame = {
     val qSub = subVectors(embeddings.filter(col("vec_id") === queryId), m)
       .select(col("sub_id"), col("subvec").as("qvec"))
     val lut = books.join(qSub, Seq("sub_id"))
@@ -525,7 +535,12 @@ object Similarity {
       .crossJoin(broadcast(
         embeddings.filter(col("vec_id") === queryId)
           .select(norm(col("embedding")).as("__qnorm"))))
-    pqEncode(embeddings.filter(col("vec_id") =!= queryId), books, m)
+    // callers that score repeatedly (or also inspect the codes, like
+    // the e12b contract) pass a checkpointed pre-encoded frame — the
+    // encode pass is the expensive stage and would otherwise re-run
+    // per consumer (the t8/e3 shared-subplan rule)
+    codes.getOrElse(pqEncode(embeddings, books, m))
+      .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(meta))
       .select(col("vec_id"),
         round(
@@ -551,8 +566,9 @@ object Similarity {
     * e1-identical values whenever the true neighbors survive the
     * shortlist. */
   def pqTopKRerank(embeddings: DataFrame, books: DataFrame, m: Int, ksub: Int,
-      queryId: Long, k: Int, shortlist: Int): DataFrame = {
-    val cand = pqTopK(embeddings, books, m, ksub, queryId, shortlist)
+      queryId: Long, k: Int, shortlist: Int,
+      codes: Option[DataFrame] = None): DataFrame = {
+    val cand = pqTopK(embeddings, books, m, ksub, queryId, shortlist, codes)
       .select(col("vec_id"))
     val query = embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding").as("query_vec"))

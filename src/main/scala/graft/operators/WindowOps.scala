@@ -187,9 +187,14 @@ object WindowOps {
       tsCol: String, orderCols: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
     val runs = df
+      // null-SAFE change test (<=>): a NULL attribute is a value of its
+      // own — plain =!= evaluates to NULL against a non-null neighbor,
+      // the marker would fall to 0, and the groupBy below would then
+      // split the run into two rows sharing one version number (tied,
+      // nondeterministic valid_to). IS DISTINCT FROM in the oracle.
       .withColumn("__chg",
-        when(lag(col(attrCol), 1).over(w).isNull ||
-          lag(col(attrCol), 1).over(w) =!= col(attrCol), 1L).otherwise(0L))
+        when(!(lag(col(attrCol), 1).over(w) <=> col(attrCol)), 1L)
+          .otherwise(0L))
       .withColumn("__run", sum(col("__chg"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col(keyCol), col("__run"), col(attrCol))

@@ -348,9 +348,11 @@ object ExtensionQueries {
 
     // D14 — prefix-filter set-containment near-dups (AllPairs/PPJoin
     // candidate strategy), rolled up per doc: raw pair volume is
-    // unbounded on near-dup-dense corpora (sf0.1's shingle vocabulary
-    // is ~17× smaller than sf0.01's, so containments explode), and the
-    // d3/d4 per-doc aggregate keeps the emitted surface corpus-sized.
+    // unbounded on near-dup-dense corpora (10× the docs adds only
+    // 1.7× new trigram shingles here — 16,245 → 27,213 — so cross-doc
+    // overlap compounds: 51 candidate pairs at sf0.01 vs 133k at
+    // sf0.1), and the d3/d4 per-doc aggregate keeps the emitted
+    // surface corpus-sized.
     // maxPostings is left unbound here so the DuckDB oracle can replay
     // candidate generation exactly (prefix filtering is lossless
     // without the cap); the capped-subset behavior is pinned in
@@ -1144,39 +1146,42 @@ object ExtensionQueries {
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
 
+    // All step comparisons run on epoch-MICROSECOND bigints: Spark
+    // truncates the parquet ns timestamps to µs (nanosAsLong + div
+    // 1000), so comparing raw ns-native timestamps here could order a
+    // sub-µs-separated pair differently from Spark's µs view. The
+    // fixtures are µs-aligned today; the µs compare keeps parity even
+    // if they stop being so.
     "v9_funnel" ->
       """WITH s1 AS (
-        |  SELECT user_id, min(ts) AS t_first, min(ts) AS t_curr FROM events
+        |  SELECT user_id, min(epoch_us(ts)) AS t_first,
+        |    min(epoch_us(ts)) AS t_curr FROM events
         |  WHERE event_type = 'view' GROUP BY user_id
         |), s2 AS (
-        |  SELECT e.user_id, s1.t_first, min(e.ts) AS t_curr
+        |  SELECT e.user_id, s1.t_first, min(epoch_us(e.ts)) AS t_curr
         |  FROM events e JOIN s1 ON e.user_id = s1.user_id
-        |  WHERE e.event_type = 'click' AND e.ts > s1.t_curr
-        |    AND CAST(floor(epoch(e.ts)) AS BIGINT)
-        |      - CAST(floor(epoch(s1.t_first)) AS BIGINT) <= 86400
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t_curr
+        |    AND epoch_us(e.ts) // 1000000 - s1.t_first // 1000000 <= 86400
         |  GROUP BY e.user_id, s1.t_first
         |), s3 AS (
-        |  SELECT e.user_id, s2.t_first, min(e.ts) AS t_curr
+        |  SELECT e.user_id, s2.t_first, min(epoch_us(e.ts)) AS t_curr
         |  FROM events e JOIN s2 ON e.user_id = s2.user_id
-        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t_curr
-        |    AND CAST(floor(epoch(e.ts)) AS BIGINT)
-        |      - CAST(floor(epoch(s2.t_first)) AS BIGINT) <= 86400
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t_curr
+        |    AND epoch_us(e.ts) // 1000000 - s2.t_first // 1000000 <= 86400
         |  GROUP BY e.user_id, s2.t_first
         |), sm AS (
         |  SELECT 1 AS stp, 'view' AS event_type, count(*) AS n_users,
-        |    CAST(sum(CAST(CAST(floor(epoch(t_curr)) AS BIGINT)
-        |      - CAST(floor(epoch(t_first)) AS BIGINT) AS DECIMAL(38,6)))
-        |      AS DOUBLE) / count(*) AS avg_s_from_start FROM s1
+        |    CAST(sum(CAST(t_curr // 1000000 - t_first // 1000000
+        |      AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_s_from_start
+        |  FROM s1
         |  UNION ALL
         |  SELECT 2, 'click', count(*),
-        |    CAST(sum(CAST(CAST(floor(epoch(t_curr)) AS BIGINT)
-        |      - CAST(floor(epoch(t_first)) AS BIGINT) AS DECIMAL(38,6)))
-        |      AS DOUBLE) / count(*) FROM s2
+        |    CAST(sum(CAST(t_curr // 1000000 - t_first // 1000000
+        |      AS DECIMAL(38,6))) AS DOUBLE) / count(*) FROM s2
         |  UNION ALL
         |  SELECT 3, 'purchase', count(*),
-        |    CAST(sum(CAST(CAST(floor(epoch(t_curr)) AS BIGINT)
-        |      - CAST(floor(epoch(t_first)) AS BIGINT) AS DECIMAL(38,6)))
-        |      AS DOUBLE) / count(*) FROM s3
+        |    CAST(sum(CAST(t_curr // 1000000 - t_first // 1000000
+        |      AS DECIMAL(38,6))) AS DOUBLE) / count(*) FROM s3
         |)
         |SELECT CAST(stp AS BIGINT) AS step, event_type, n_users,
         |  avg_s_from_start

@@ -536,11 +536,18 @@ object TrainingQueries {
         emb.filter(col("vec_id") % 5 === 0), m = 16, ksub = 16, iters = 2)
       val exact = Similarity.bruteForceTopK(emb, queryId = 0L, k = 10)
         .select(col("vec_id"))
+      // encode ONCE behind a checkpoint — the shortlist scoring and the
+      // codes well-formedness check below both consume it (the t8/e3
+      // shared-subplan rule; un-shared, the most expensive stage of
+      // this contract would run twice)
+      val encoded = Similarity.pqEncode(emb, books, m = 16)
+        .localCheckpoint(eager = false)
       val pq = Similarity.pqTopKRerank(emb, books, m = 16, ksub = 16,
-          queryId = 0L, k = 10, shortlist = 256).select(col("vec_id"))
+          queryId = 0L, k = 10, shortlist = 256, codes = Some(encoded))
+        .select(col("vec_id"))
       val recall = pq.join(exact, Seq("vec_id"), "left_semi")
         .agg((count(lit(1)) >= 8).as("ok_recall"))
-      val codes = Similarity.pqEncode(emb, books, m = 16)
+      val codes = encoded
         .agg(((min(size(col("codes"))) === 16) &&
           (max(size(col("codes"))) === 16) &&
           (max(array_max(col("codes"))) <= 15) &&
@@ -1004,8 +1011,8 @@ object TrainingQueries {
         |    CAST(floor(epoch(ts)) AS BIGINT) AS secs
         |  FROM events
         |), m AS (
-        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
-        |    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  SELECT *, CASE WHEN lag(event_type) OVER w
+        |    IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), r AS (
         |  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id

@@ -106,6 +106,27 @@ class EventWindowsSpec extends SparkSpec {
       (2L, 1L, "error", 50L, None, 1L, true)))
   }
 
+  test("scd2History treats NULL attribute values as runs of their own") {
+    // null-SAFE change detection: [view, NULL, NULL, view] must yield
+    // three versions (the NULL pair is one run), never tied version
+    // numbers with nondeterministic valid_to
+    val log = Seq(
+      (1L, ts(100), 1L, Some("view"), 0.0, "{}"),
+      (2L, ts(200), 1L, None, 0.0, "{}"),
+      (3L, ts(300), 1L, None, 0.0, "{}"),
+      (4L, ts(400), 1L, Some("view"), 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.operators.WindowOps.scd2History(log, "user_id",
+        "event_type", "ts", Seq(col("ts"), col("event_id")))
+      .orderBy("version")
+      .select("version", "event_type", "valid_from", "valid_to", "n_events")
+      .as[(Long, Option[String], Long, Option[Long], Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, Some("view"), 100L, Some(200L), 1L),
+      (2L, None, 200L, Some(400L), 2L),
+      (3L, Some("view"), 400L, None, 1L)))
+  }
+
   test("runningMaxExclusive agrees with the naive global window across buckets") {
     val df = Seq(0L -> 5L, 1L -> 3L, 2L -> 9L, 3L -> 1L, 4L -> 9L,
       5L -> 2L, 6L -> 12L, 7L -> 0L, 8L -> 7L, 9L -> 15L).toDF("seq", "v")

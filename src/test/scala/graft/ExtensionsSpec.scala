@@ -282,8 +282,9 @@ class SimilaritySpec extends SparkSpec {
     // error cannot leak into emitted values), descending order holds
     pq.foreach { case (id, sim) => assert(brute(id) == sim) }
     assert(pq.map(_._2) == pq.map(_._2).sorted(Ordering[Double].reverse))
-    // loose recall floor at this 50-vector scale (near-random data; the
-    // tight 8-of-10 recall bound is driver-gated at sf0.01 via e12b)
+    // loose recall floor: the 32-vector shortlist is only ~6% of this
+    // 500-vector corpus (near-random data; the tight 8-of-10 bound at
+    // shortlist 256 is driver-gated via e12b)
     val top5 = Similarity.bruteForceTopK(emb, 0L, 5)
       .select("vec_id").as[Long].collect().toSet
     assert(pq.count(p => top5(p._1)) >= 3)
