@@ -236,6 +236,27 @@ object Dedup {
         round(col("shared") / col("a_n"), 4).as("containment"))
   }
 
+  /** Leakage-safe train/val/test assignment: the split bucket is a
+    * seeded md5 hash of the content FINGERPRINT (normalized-text md5,
+    * the d1/t3 definition), not of the row id — so exact duplicates
+    * land in the same split BY CONSTRUCTION and can never leak
+    * train→eval. (Id-based splitting scatters a duplicate pair across
+    * splits with probability 1 − Σpᵢ²; the s18 driver query
+    * demonstrates the difference on the cloned corpus.) Seeded md5
+    * keeps the assignment epoch-stable and replayable in any engine
+    * (the s13 shuffle-shard convention). Pure map pass, no shuffle.
+    *
+    * Returns `split_bucket` in [0, nBuckets); callers map bucket
+    * ranges to named splits (e.g. 0–7 train / 8 val / 9 test). */
+  def assignSplitByFingerprint(docs: DataFrame, textCol: String,
+      seed: String, nBuckets: Int = 10): DataFrame =
+    docs
+      .withColumn("fingerprint", TextAnalysis.normHash(col(textCol)))
+      .withColumn("split_bucket",
+        pmod(conv(substring(
+          md5(concat(lit(s"$seed:"), col("fingerprint")).cast("binary")),
+          1, 15), 16, 10).cast("long"), lit(nBuckets)))
+
   /** Prime modulus of the universal-hash family used by MinHash. Products
     * stay under 2⁶³: (P−1)² < 10¹⁸ < Long.MaxValue. */
   val MinHashP: Long = 1000000007L

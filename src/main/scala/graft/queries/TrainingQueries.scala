@@ -64,6 +64,38 @@ object TrainingQueries {
         .orderBy(col("shard_id"), col("pos_in_shard"))
     }),
 
+    // S18 — leakage-safe dataset split: assign train(0–7)/val(8)/test(9)
+    // by a seeded hash of the CONTENT FINGERPRINT vs naively by doc_id,
+    // on the cloned corpus (documentsWithDups — real exact duplicates).
+    // Fingerprint splitting puts every duplicate pair in one split by
+    // construction (n_leaking_fps = 0, structurally); id splitting
+    // scatters them (n_leaking_fps > 0 — the train→eval contamination
+    // a real pipeline must not ship). Both variants replay in SQL via
+    // the s13 seeded-md5 convention.
+    "s18_leakage_split" -> ((s, d) => {
+      val docs = Tables.documentsWithDups(s, d)
+      def bucketOf(c: org.apache.spark.sql.Column) = pmod(conv(substring(
+        md5(concat(lit("split42:"), c).cast("binary")), 1, 15), 16, 10)
+        .cast("long"), lit(10))
+      val assigned = Dedup.assignSplitByFingerprint(docs, "text", "split42")
+        .withColumn("b_doc", bucketOf(col("doc_id").cast("string")))
+        .localCheckpoint(eager = false)
+      def variant(name: String, b: org.apache.spark.sql.Column) = {
+        val counts = assigned.agg(
+          count(when(b <= 7, 1)).as("n_train"),
+          count(when(b === 8, 1)).as("n_val"),
+          count(when(b === 9, 1)).as("n_test"))
+        val leaks = assigned.groupBy(col("fingerprint"))
+          .agg(countDistinct(b).as("nsp"))
+          .agg(count(when(col("nsp") > 1, 1)).as("n_leaking_fps"))
+        counts.crossJoin(leaks).select(lit(name).as("variant"),
+          col("n_train"), col("n_val"), col("n_test"), col("n_leaking_fps"))
+      }
+      variant("by_doc_id", col("b_doc"))
+        .unionByName(variant("by_fingerprint", col("split_bucket")))
+        .orderBy(col("variant"))
+    }),
+
     // S10 — dataset MIXTURE up/down-sampling: each source gets an epoch
     // weight (>1 repeats documents, <1 hash-samples them) — the
     // data-mixing step that turns raw corpora into a training mixture.
@@ -949,6 +981,38 @@ object TrainingQueries {
         |  FROM lineitem)
         |WHERE h < CASE l_returnflag WHEN 'A' THEN 50 WHEN 'R' THEN 100 ELSE 20 END
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "s18_leakage_split" ->
+      """WITH d AS (
+        |  SELECT * FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 25 = 0
+        |), a AS (
+        |  SELECT doc_id, md5(lower(trim(text))) AS fp,
+        |    CAST('0x' || substr(md5('split42:' || md5(lower(trim(text)))),
+        |      1, 15) AS BIGINT) % 10 AS b_fp,
+        |    CAST('0x' || substr(md5('split42:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15) AS BIGINT) % 10 AS b_doc
+        |  FROM d
+        |), v AS (
+        |  SELECT 'by_doc_id' AS variant,
+        |    count(CASE WHEN b_doc <= 7 THEN 1 END) AS n_train,
+        |    count(CASE WHEN b_doc = 8 THEN 1 END) AS n_val,
+        |    count(CASE WHEN b_doc = 9 THEN 1 END) AS n_test,
+        |    (SELECT count(*) FROM (SELECT fp FROM a GROUP BY fp
+        |      HAVING count(DISTINCT b_doc) > 1)) AS n_leaking_fps
+        |  FROM a
+        |  UNION ALL
+        |  SELECT 'by_fingerprint',
+        |    count(CASE WHEN b_fp <= 7 THEN 1 END),
+        |    count(CASE WHEN b_fp = 8 THEN 1 END),
+        |    count(CASE WHEN b_fp = 9 THEN 1 END),
+        |    (SELECT count(*) FROM (SELECT fp FROM a GROUP BY fp
+        |      HAVING count(DISTINCT b_fp) > 1))
+        |  FROM a
+        |)
+        |SELECT variant, n_train, n_val, n_test, n_leaking_fps
+        |FROM v ORDER BY variant""".stripMargin,
 
     "s13_shuffle_shard" ->
       """WITH k AS (

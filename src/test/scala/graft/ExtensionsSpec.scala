@@ -125,6 +125,22 @@ class DedupSpec extends SparkSpec {
     assert(capped.contains((2L, 1L)) && !capped.contains((2L, 3L)))
   }
 
+  test("fingerprint split keeps exact duplicates in one bucket regardless of id") {
+    val dup = Seq(
+      (1L, base, "s1", 100L),
+      (999999L, base, "s2", 100L),                 // exact dup, far id
+      (3L, base.replace("beta", "best"), "s1", 100L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val got = Dedup.assignSplitByFingerprint(dup, "text", "split42")
+      .select("doc_id", "split_bucket").as[(Long, Long)].collect().toMap
+    assert(got(1L) == got(999999L), "identical text -> identical split")
+    assert(got.values.forall(b => b >= 0 && b <= 9))
+    // determinism across invocations (epoch-stable seeded hash)
+    val again = Dedup.assignSplitByFingerprint(dup, "text", "split42")
+      .select("doc_id", "split_bucket").as[(Long, Long)].collect().toMap
+    assert(again == got)
+  }
+
   test("exact decontamination drops corpus docs matching benchmark content") {
     val bench = Seq((100L, base, "eval", base.length.toLong))
       .toDF("doc_id", "text", "source", "n_chars")
