@@ -128,6 +128,31 @@ class PlanSpec extends SparkSpec {
       s"final top-k should be a per-partition heap, not a global sort\n$p")
   }
 
+  test("v9: funnel has no window over the raw event stream; steps share checkpoints") {
+    val df = SparkEntry.queries("v9_funnel")(spark, sf0001)
+    val p = finalPlan(df)
+    assert(!p.contains("Window ["),
+      s"funnel must be join+min cascades, never an ordered window over events\n$p")
+    // each step frame materializes once behind its lazy checkpoint and
+    // feeds both its summary row and the next step — the summary
+    // branches must read checkpoint RDDs, not re-run the prefix chain
+    // (the t11 shared-scan contract); the parquet scans with their
+    // pushed step-type filters live inside those checkpointed subplans
+    val rdds = "Scan ExistingRDD".r.findAllIn(p).size
+    assert(rdds == 3, s"expected the three step frames as checkpoint scans, got $rdds\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"summary branches must not re-scan events past the checkpoints\n$p")
+  }
+
+  test("o9: SCD2 rides a single user_id hash exchange") {
+    val df = SparkEntry.queries("o9_scd2_history")(spark, sf0001)
+    val p = finalPlan(df)
+    val n = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(n == 1,
+      s"run windows, run aggregate and version window must all reuse ONE " +
+        s"(user_id) exchange, got $n in\n$p")
+  }
+
   test("e4: IVF assign is a map pass — no corpus-wide argmin shuffle") {
     val df = SparkEntry.queries("e4_ivf_ann")(spark, sf0001)
     val p = finalPlan(df)
