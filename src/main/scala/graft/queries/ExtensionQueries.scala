@@ -331,6 +331,29 @@ object ExtensionQueries {
         windowSeconds = Some(86400L))
     }),
 
+    // V10 — retention cohort matrix: users bucketed by first-event
+    // epoch-DAY (cohort), activity counted per (cohort, day-offset)
+    // cell — the classic retention triangle. Day granularity is what
+    // discriminates on this ~2-month stream: week cohorts collapse to
+    // one cohort with every user active every week (constant 150s —
+    // oracle-dead); day cells range 13–134 with visible decay.
+    // Window-free: one per-user min aggregate, one key join (cohort
+    // table is |users|-sized → broadcastable), one distinct-count
+    // aggregate; integer epoch-day division (`div` ↔ `//`) keeps both
+    // engines bit-identical.
+    "v10_retention_cohorts" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("long").as("s"))
+        .localCheckpoint(eager = false) // feeds the cohort agg AND the join
+      val first = ev.groupBy(col("user_id"))
+        .agg(expr("min(s) div 86400").as("cohort_day"))
+      ev.join(first, Seq("user_id"))
+        .groupBy(col("cohort_day"),
+          (expr("s div 86400") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     // M1 — multimodal binary payload stats (relational fast path of the
     // media pipeline; the mapPartitions decode is ScalaTest-covered).
     "m1_payload_stats" -> ((s, d) => {
@@ -1186,6 +1209,18 @@ object ExtensionQueries {
         |SELECT CAST(stp AS BIGINT) AS step, event_type, n_users,
         |  avg_s_from_start
         |FROM sm ORDER BY step""".stripMargin,
+
+    "v10_retention_cohorts" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events
+        |), f AS (
+        |  SELECT user_id, min(s) // 86400 AS cohort_day
+        |  FROM e GROUP BY user_id
+        |)
+        |SELECT f.cohort_day, e.s // 86400 - f.cohort_day AS day_offset,
+        |  count(DISTINCT e.user_id) AS n_active
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "v8_session_sequences" ->
       """WITH e AS (
