@@ -363,6 +363,27 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // M3 — multimodal training-sample assembly: text + binary payload +
+    // embedding sidecar joined into one sample row with per-modality
+    // completeness flags — the manifest-join step that precedes any
+    // multimodal training export. documentsWithDups makes the audit
+    // discriminating: the injected clones (+1,000,000 ids) have no
+    // embedding row, so has_embedding splits the corpus. Scale shape:
+    // one key equi-join (sidecar broadcastable while |emb| small, hash
+    // join on the uniform id key beyond), all else map-side.
+    "m3_sample_assembly" -> ((s, d) => {
+      val docs = Multimodal.withBinaryPayload(Tables.documentsWithDups(s, d))
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      docs.join(emb, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("n_payload_bytes"),
+          col("embedding").isNotNull.as("has_embedding"),
+          when(col("embedding").isNotNull, size(col("embedding")).cast("long"))
+            .as("emb_dim"))
+        .orderBy(col("doc_id"))
+    }),
+
     // D5 — word-bigram Jaccard near-dup pairs (order-sensitive shingles).
     "d5_ngram_jaccard" -> ((s, d) => {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 2, threshold = 0.2)
@@ -1246,6 +1267,20 @@ object ExtensionQueries {
     "m1_payload_stats" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m3_sample_assembly" ->
+      """WITH d AS (
+        |  SELECT * FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 25 = 0
+        |)
+        |SELECT d.doc_id,
+        |  CAST(octet_length(encode(d.text)) AS BIGINT) AS n_payload_bytes,
+        |  e.vec_id IS NOT NULL AS has_embedding,
+        |  CASE WHEN e.vec_id IS NOT NULL
+        |    THEN CAST(len(e.embedding) AS BIGINT) END AS emb_dim
+        |FROM d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "d5_ngram_jaccard" ->
       """WITH prepared AS (
