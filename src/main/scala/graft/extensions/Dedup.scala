@@ -253,9 +253,8 @@ object Dedup {
     docs
       .withColumn("fingerprint", TextAnalysis.normHash(col(textCol)))
       .withColumn("split_bucket",
-        pmod(conv(substring(
-          md5(concat(lit(s"$seed:"), col("fingerprint")).cast("binary")),
-          1, 15), 16, 10).cast("long"), lit(nBuckets)))
+        pmod(md5Hash60(concat(lit(s"$seed:"), col("fingerprint"))),
+          lit(nBuckets)))
 
   /** Prime modulus of the universal-hash family used by MinHash. Products
     * stay under 2⁶³: (P−1)² < 10¹⁸ < Long.MaxValue. */

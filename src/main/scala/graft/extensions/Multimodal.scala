@@ -98,6 +98,35 @@ object Multimodal {
     meta.map(m => m.copy(frames = math.max(1, m.frames / stride)))
   }
 
+  /** Deterministic frame sampling over a binary payload, the relational
+    * (codegen'd, oracle-able) twin of `frameSampleStub`: the payload is
+    * sliced into fixed `frameBytes`-sized frames and every `stride`-th
+    * frame is emitted as its own row with offset, length and a 60-bit
+    * md5 fingerprint of the frame bytes (`Dedup.md5Hash60` — replayable
+    * cross-engine, unlike crc32). Production swaps the byte slice for a
+    * real container-format frame extractor inside `decodeMeta`'s
+    * mapPartitions; the OUTPUT shape — map-side explode of computed
+    * offsets, per-row fan-out bounded by payloadBytes/(frameBytes·stride),
+    * no shuffle anywhere — is exactly this. Rows with empty/missing
+    * payloads are dropped (nothing to sample; also keeps the explode's
+    * `sequence(0, n-1, stride)` bounds legal). */
+  def sampleFrames(withPayload: DataFrame, frameBytes: Int,
+      stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    val nFrames = ((length(col("payload")) + frameBytes - 1) / frameBytes)
+      .cast("int")
+    val frame = col("payload")
+      .substr(col("__i") * frameBytes + 1, lit(frameBytes))
+    withPayload
+      .filter(col("payload").isNotNull && length(col("payload")) > 0)
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0), nFrames - 1, lit(stride))).as("__i"))
+      .select(col("doc_id"), col("__i").cast("long").as("frame_idx"),
+        (col("__i").cast("long") * frameBytes).as("frame_off"),
+        length(frame).cast("long").as("frame_len"),
+        Dedup.md5Hash60(frame).as("frame_fp"))
+  }
+
   /** Relational fast-path for the metadata that needs no decode —
     * byte length + crc32 are Spark built-ins (codegen'd, oracle-able). */
   def payloadStats(withPayload: DataFrame): DataFrame =

@@ -373,15 +373,37 @@ object ExtensionQueries {
     // join on the uniform id key beyond), all else map-side.
     "m3_sample_assembly" -> ((s, d) => {
       val docs = Multimodal.withBinaryPayload(Tables.documentsWithDups(s, d))
+      // keep vec_id through the join so presence means ROW presence
+      // (join hit), matching the oracle's `e.vec_id IS NOT NULL` — an
+      // embedding-value null test would diverge if a sidecar row ever
+      // carried a null array
       val emb = Tables.embeddings(s, d)
-        .select(col("vec_id").as("doc_id"), col("embedding"))
+        .select(col("vec_id").as("doc_id"), col("vec_id").as("emb_vec_id"),
+          col("embedding"))
       docs.join(emb, Seq("doc_id"), "left")
         .select(col("doc_id"),
           length(col("payload")).cast("long").as("n_payload_bytes"),
-          col("embedding").isNotNull.as("has_embedding"),
-          when(col("embedding").isNotNull, size(col("embedding")).cast("long"))
-            .as("emb_dim"))
+          col("emb_vec_id").isNotNull.as("has_embedding"),
+          when(col("emb_vec_id").isNotNull,
+            size(col("embedding")).cast("long")).as("emb_dim"))
         .orderBy(col("doc_id"))
+    }),
+
+    // M4 — deterministic frame sampling: payloads sliced into 64-byte
+    // frames, every 4th kept, one row per sampled frame with offset /
+    // length / 60-bit md5 fingerprint. The explode fan-out is map-side
+    // (no shuffle); per-row output is bounded by bytes/(64·4), so a
+    // 100 TB media table samples in one narrow pass. The fingerprint
+    // and ragged last-frame length are the discriminators (every frame
+    // hashes differently; frame_len < 64 exactly on each doc's tail).
+    // Oracle replays the byte slicing on the VARCHAR text — exact
+    // because the corpus is pure ASCII (verified octet_length == length
+    // at both SFs), so char slices ARE the utf-8 byte slices.
+    "m4_frame_sample" -> ((s, d) => {
+      Multimodal.sampleFrames(
+          Multimodal.withBinaryPayload(Tables.documents(s, d)),
+          frameBytes = 64, stride = 4)
+        .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
     // D5 — word-bigram Jaccard near-dup pairs (order-sensitive shingles).
@@ -1281,6 +1303,22 @@ object ExtensionQueries {
         |    THEN CAST(len(e.embedding) AS BIGINT) END AS emb_dim
         |FROM d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "m4_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0,
+        |      CAST((length(text) + 63) // 64 AS BIGINT) - 1, 4)) AS i
+        |  FROM documents WHERE length(text) > 0
+        |)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  CAST(i * 64 AS BIGINT) AS frame_off,
+        |  CAST(length(substring(text, CAST(i * 64 + 1 AS BIGINT), 64))
+        |    AS BIGINT) AS frame_len,
+        |  CAST('0x' || substr(md5(substring(text,
+        |    CAST(i * 64 + 1 AS BIGINT), 64)), 1, 15) AS BIGINT) AS frame_fp
+        |FROM f
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "d5_ngram_jaccard" ->
       """WITH prepared AS (

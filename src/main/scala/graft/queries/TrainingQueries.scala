@@ -74,11 +74,13 @@ object TrainingQueries {
     // the s13 seeded-md5 convention.
     "s18_leakage_split" -> ((s, d) => {
       val docs = Tables.documentsWithDups(s, d)
-      def bucketOf(c: org.apache.spark.sql.Column) = pmod(conv(substring(
-        md5(concat(lit("split42:"), c).cast("binary")), 1, 15), 16, 10)
-        .cast("long"), lit(10))
+      def bucketOf(c: org.apache.spark.sql.Column) = pmod(
+        Dedup.md5Hash60(concat(lit("split42:"), c)), lit(10))
+      // prune to the three consumed columns BEFORE the checkpoint — the
+      // barrier blocks column pruning, and the aggregates never read text
       val assigned = Dedup.assignSplitByFingerprint(docs, "text", "split42")
         .withColumn("b_doc", bucketOf(col("doc_id").cast("string")))
+        .select(col("fingerprint"), col("split_bucket"), col("b_doc"))
         .localCheckpoint(eager = false)
       def variant(name: String, b: org.apache.spark.sql.Column) = {
         val counts = assigned.agg(
@@ -1335,7 +1337,8 @@ object TrainingQueries {
         |FROM events v JOIN events c
         |  ON v.user_id = c.user_id
         |  AND v.event_type = 'view' AND c.event_type = 'click'
-        |  AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 120 MINUTE
+        |  AND epoch_us(c.ts) >= epoch_us(v.ts)
+        |  AND epoch_us(c.ts) < epoch_us(v.ts) + 7200000000
         |ORDER BY view_id, click_id""".stripMargin,
 
     "v6_stream_static_join" ->

@@ -447,6 +447,38 @@ class MultimodalSpec extends SparkSpec {
       .map(m => m.doc_id -> m.n_bytes).toMap
     assert(rel == dec)
   }
+
+  test("sampleFrames slices strided frames with ragged tail and drops empties") {
+    import spark.implicits._
+    // 150 bytes -> frames [0,64) [64,128) [128,150); stride 2 keeps 0 and 2
+    val text150 = ("a" * 100) + ("b" * 50)
+    val df = Seq((1L, text150), (2L, "short"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Multimodal
+      .sampleFrames(Multimodal.withBinaryPayload(df), frameBytes = 64, stride = 2)
+      .orderBy("doc_id", "frame_idx")
+      .select("doc_id", "frame_idx", "frame_off", "frame_len")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 64L),   // full first frame
+      (1L, 2L, 128L, 22L), // ragged tail: 150 - 128; frame 1 skipped by stride
+      (2L, 0L, 0L, 5L)))   // sub-frame doc still yields its one frame; empty doc dropped
+  }
+
+  test("sampleFrames fingerprint matches md5Hash60 of the manual byte slice") {
+    import spark.implicits._
+    val df = Seq((7L, "x" * 70)).toDF("doc_id", "text")
+    val fp = Multimodal
+      .sampleFrames(Multimodal.withBinaryPayload(df), frameBytes = 64, stride = 1)
+      .orderBy("frame_idx").select("frame_fp").as[Long].collect().toSeq
+    val expected = df
+      .select(
+        graft.extensions.Dedup.md5Hash60(substring(col("text"), 1, 64)).as("a"),
+        graft.extensions.Dedup.md5Hash60(substring(col("text"), 65, 64)).as("b"))
+      .as[(Long, Long)].head()
+    assert(fp == Seq(expected._1, expected._2))
+    assert(fp.distinct.size == 2) // slices differ (64 x's vs 6 x's)
+  }
 }
 
 class CosineExpressionSpec extends SparkSpec {
