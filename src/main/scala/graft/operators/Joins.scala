@@ -102,6 +102,30 @@ object Joins {
       .drop("__salt")
   }
 
+  /** Snapshot reconciliation: classify every id across two corpus
+    * versions as added / removed / changed / unchanged by comparing a
+    * content fingerprint through one full-outer key join. Fingerprints
+    * are computed map-side on each snapshot before the join, so only
+    * (id, fp) pairs shuffle — never the payload; at warehouse scale both
+    * snapshots bucket by id (s12 layout) and the join runs with zero
+    * exchanges. Presence is tested via fingerprint nullity, which is
+    * sound because `fpOf` never returns NULL for a present row (md5 of
+    * a non-null column). The per-id verdict is what an incremental
+    * pipeline consumes: reprocess added+changed, retire removed. */
+  def snapshotDiff(
+      v1: DataFrame, v2: DataFrame, idCol: String,
+      fpOf: DataFrame => Column): DataFrame = {
+    val a = v1.select(col(idCol), fpOf(v1).as("fp_old"))
+    val b = v2.select(col(idCol), fpOf(v2).as("fp_new"))
+    a.join(b, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") =!= col("fp_new"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("fp_old"), col("fp_new"))
+  }
+
   /** J5 — key-set diagnostics (reference compare_data_sources,
     * data_loader.py:221-256; identify_matching_countries,
     * data_cleaner.py:259-299). One plan, three filters over J1 —

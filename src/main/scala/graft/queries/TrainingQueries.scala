@@ -736,6 +736,29 @@ object TrainingQueries {
         .orderBy(col("user_id"), col("version"))
     }),
 
+    // O10 — corpus snapshot diff: classify every doc id across two
+    // corpus versions as added / removed / changed / unchanged by
+    // comparing md5 content fingerprints through one full-outer key
+    // join (Joins.snapshotDiff) — the reconciliation step before
+    // incremental reprocessing (reprocess added+changed, retire
+    // removed). v2 is a deterministic evolution of the corpus both
+    // engines replay: drop doc_id%23==5, append ' v2' to doc_id%17==3,
+    // add the +1,000,000 clones. Fingerprints shuffle, payloads never
+    // do; every verdict class is populated at sf0.01 (20 added /
+    // 29 changed / 22 removed / 449 unchanged), so each branch of the
+    // classifier discriminates.
+    "o10_snapshot_diff" -> ((s, d) => {
+      val v1 = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val v2 = v1.filter(pmod(col("doc_id"), lit(23)) =!= 5)
+        .withColumn("text", when(pmod(col("doc_id"), lit(17)) === 3,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(v1.filter(pmod(col("doc_id"), lit(25)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.operators.Joins.snapshotDiff(v1, v2, "doc_id",
+          df => md5(df("text").cast("binary")))
+        .orderBy(col("doc_id"))
+    }),
+
     // O7 — deterministic global row numbering (contiguous example ids /
     // leaderboard positions) WITHOUT `row_number() OVER (ORDER BY …)`'s
     // single-task global window: range repartition + parallel in-
@@ -1096,6 +1119,29 @@ object TrainingQueries {
         |  lead(valid_from) OVER wv IS NULL AS is_current
         |FROM runs WINDOW wv AS (PARTITION BY user_id ORDER BY version)
         |ORDER BY user_id, version""".stripMargin,
+
+    "o10_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, text FROM documents
+        |), v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 3 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 23 <> 5
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 0
+        |), a AS (
+        |  SELECT doc_id, md5(text) AS fp_old FROM v1
+        |), b AS (
+        |  SELECT doc_id, md5(text) AS fp_new FROM v2
+        |)
+        |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN fp_old <> fp_new THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  fp_old, fp_new
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "o8_cdc_merge" ->
       """WITH ch AS (

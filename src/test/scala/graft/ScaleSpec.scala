@@ -51,6 +51,28 @@ class ScaleSpec extends SparkSpec {
     assert(a.except(b).count() == 0 && b.except(a).count() == 0)
   }
 
+  test("snapshotDiff classifies a planted evolution exactly") {
+    import spark.implicits._
+    val v1 = Seq((1L, "aa"), (2L, "bb"), (3L, "cc")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "aa"), (2L, "bb CHANGED"), (4L, "dd"))
+      .toDF("doc_id", "text")
+    val got = Joins.snapshotDiff(v1, v2, "doc_id",
+        df => md5(df("text").cast("binary")))
+      .orderBy("doc_id")
+      .select("doc_id", "status").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (4L, "added")))
+    // self-join-lineage form (v2 derived from v1, as o10 builds it)
+    val v2b = v1.filter(col("doc_id") =!= 3)
+      .withColumn("text", when(col("doc_id") === 2,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    val got2 = Joins.snapshotDiff(v1, v2b, "doc_id",
+        df => md5(df("text").cast("binary")))
+      .orderBy("doc_id")
+      .select("doc_id", "status").as[(Long, String)].collect().toSeq
+    assert(got2 == Seq((1L, "unchanged"), (2L, "changed"), (3L, "removed")))
+  }
+
   test("IVF ANN returns true cosine scores; probing more cells only helps") {
     val emb = Tables.embeddings(spark, sf0001)
     val brute = Similarity.bruteForceTopK(emb, 0L, 500)
