@@ -153,6 +153,29 @@ class PlanSpec extends SparkSpec {
         s"(user_id) exchange, got $n in\n$p")
   }
 
+  test("m4: frame sampling is a narrow pipeline — no shuffle except the output sort") {
+    val df = SparkEntry.queries("m4_frame_sample")(spark, sf0001)
+    val p = finalPlan(df)
+    assert(!p.contains("hashpartitioning"),
+      s"frame explode + fingerprint must stay map-side, got\n$p")
+    assert(p.contains("Generate explode"),
+      s"expected the offset explode in the plan\n$p")
+  }
+
+  test("o10: only (id, fingerprint) reach the snapshot-diff join — text stays below it") {
+    val df = SparkEntry.queries("o10_snapshot_diff")(spark, sf0001)
+    val p = finalPlan(df)
+    // every shuffle feeding the full-outer join carries doc_id + a
+    // 32-char md5, never the payload: `text` may appear only inside
+    // scan/project nodes below the exchanges, not in exchange output
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchangeLines.nonEmpty, s"expected hash exchanges for the key join\n$p")
+    exchangeLines.foreach { l =>
+      assert(!l.contains("text"),
+        s"payload column must not ride the join shuffle: $l")
+    }
+  }
+
   test("e4: IVF assign is a map pass — no corpus-wide argmin shuffle") {
     val df = SparkEntry.queries("e4_ivf_ann")(spark, sf0001)
     val p = finalPlan(df)
