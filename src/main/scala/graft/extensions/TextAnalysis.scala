@@ -59,6 +59,17 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("""\w+|[^\w\s]"""), lit(0))).cast("long")
 
+  /** All http(s) URLs in a text column — the primitive behind URL
+    * blocklists, per-domain corpus stats and source-mix audits. The
+    * pattern stops at a space (not `\s`) so both engines' regex
+    * dialects agree byte-for-byte; pure codegen. */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit("https?://[^ ]+"), lit(0))
+
+  /** Host part of a URL ("" when the scheme doesn't match). */
+  def urlDomain(url: Column): Column =
+    regexp_extract(url, "^https?://([^/]+)", 1)
+
   /** Punctuation density per character — boilerplate/code-dump signal. */
   def punctuationRatio(text: Column, nChars: Column): Column =
     round(size(regexp_extract_all(text, lit("""[^\w\s]"""), lit(0)))

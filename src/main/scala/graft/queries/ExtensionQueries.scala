@@ -226,6 +226,41 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // T20 — URL extraction + per-domain rollup (blocklist / source-mix
+    // audit shape): extract every http(s) URL, reduce to its host,
+    // count urls and distinct docs per domain. The synthetic corpus
+    // has no URLs (the op would be oracle-dead), so the query injects
+    // them deterministically (w9/t19 precedent, replayed verbatim by
+    // the oracle): every 5th doc gets one src<id%7>.example.com URL;
+    // every 10th adds a second URL on the SAME src domain plus a
+    // mirror<id%3>.example.org one — so n_urls > n_docs exactly on the
+    // src domains, which keeps the two aggregates independently
+    // discriminating. Scale: explode is map-side, the only shuffle is
+    // the bounded per-domain agg (map-side combinable).
+    "t20_url_stats" -> ((s, d) => {
+      def part(pre: String, dom: org.apache.spark.sql.Column, mid: String) =
+        concat(lit(pre), dom.cast("string"), lit(mid),
+          col("doc_id").cast("string"))
+      val injected = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            part(" See https://src", pmod(col("doc_id"), lit(7)),
+              ".example.com/p/")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(10)) === 0,
+            concat(
+              part(" and https://src", pmod(col("doc_id"), lit(7)),
+                ".example.com/alt/"),
+              part(" plus http://mirror", pmod(col("doc_id"), lit(3)),
+                ".example.org/x/"))).otherwise(lit(""))).as("text"))
+      injected
+        .select(col("doc_id"),
+          explode(TextAnalysis.extractUrls(col("text"))).as("url"))
+        .groupBy(TextAnalysis.urlDomain(col("url")).as("domain"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("domain"))
+    }),
+
     // T2 — language-ID heuristic (stopword scoring, fixed tie precedence).
     "t2_lang_id" -> ((s, d) => {
       val base = Tables.documents(s, d)
@@ -1122,6 +1157,28 @@ object ExtensionQueries {
         |  CAST(len(regexp_extract_all(replace(text, ' a ', ', a '),
         |    '\w+|[^\w\s]')) AS BIGINT) AS n_bpeish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t20_url_stats" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' See https://src'
+        |         || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/'
+        |         || CAST(doc_id AS VARCHAR) ELSE '' END
+        |    || CASE WHEN doc_id % 10 = 0 THEN ' and https://src'
+        |         || CAST(doc_id % 7 AS VARCHAR) || '.example.com/alt/'
+        |         || CAST(doc_id AS VARCHAR) || ' plus http://mirror'
+        |         || CAST(doc_id % 3 AS VARCHAR) || '.example.org/x/'
+        |         || CAST(doc_id AS VARCHAR) ELSE '' END AS text
+        |  FROM documents
+        |), u AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(text, 'https?://[^ ]+')) AS url
+        |  FROM inj
+        |)
+        |SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+        |  CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "t2_lang_id" ->
       """SELECT doc_id,

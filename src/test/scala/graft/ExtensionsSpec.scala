@@ -409,6 +409,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq((1L, "en"), (2L, "es"), (3L, "unknown")))
   }
 
+  test("extractUrls finds mixed-scheme URLs; urlDomain reduces to the host") {
+    val df = Seq(
+      (1L, "see https://a.example.com/x and http://b.example.org/y end"),
+      (2L, "no urls here"),
+      (3L, "tail url http://c.example.net/z")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        explode(TextAnalysis.extractUrls(col("text"))).as("url"))
+      .select(col("doc_id"), col("url"),
+        TextAnalysis.urlDomain(col("url")).as("domain"))
+      .orderBy("doc_id", "url")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "http://b.example.org/y", "b.example.org"),
+      (1L, "https://a.example.com/x", "a.example.com"),
+      (3L, "http://c.example.net/z", "c.example.net")))
+  }
+
   test("fingerprint is invariant to token order and duplication") {
     val df = Seq((1L, "b a c"), (2L, "c c b a"), (3L, "a b d"))
       .toDF("doc_id", "text")
