@@ -759,6 +759,33 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // G1 — damped PageRank (5 supersteps) on the customer↔supplier
+    // bipartite graph (distinct trading pairs from orders⋈lineitem,
+    // symmetrized) — the iterative-graph-compute class (influence /
+    // centrality scoring) the Pregel-as-relational pattern covers:
+    // per superstep one equi-join of ranks onto edges + one grouped
+    // sum of contributions, edge frame checkpointed once, nothing on
+    // the driver. Determinism: contributions round to 12 dp, sum as
+    // exact DECIMAL(38,12), ranks re-round to 9 dp — both engines
+    // iterate the identical rounded system (the repo's decimal-sum
+    // convention), so five supersteps stay hash-identical; teleport
+    // constant is written 1.0−0.85 in BOTH engines (the two literals
+    // subtract to a different double than literal 0.15).
+    "g1_pagerank" -> ((s, d) => {
+      val ce = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+          Seq("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("c"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("s"))
+        .distinct()
+      val edges = ce.select(col("c").as("src"), col("s").as("dst"))
+        .unionByName(ce.select(col("s").as("src"), col("c").as("dst")))
+      graft.operators.Graph.pageRank(edges, iterations = 5)
+        .orderBy(col("node"))
+    }),
+
     // O7 — deterministic global row numbering (contiguous example ids /
     // leaderboard positions) WITHOUT `row_number() OVER (ORDER BY …)`'s
     // single-task global window: range repartition + parallel in-
@@ -914,7 +941,45 @@ object TrainingQueries {
     })
   )
 
+  /** DuckDB replay of Graph.pageRank's rounded iteration system: one
+    * chained CTE per superstep, identical rounding/decimal-sum points.
+    * All constants forced to DOUBLE — DuckDB parses `0.85` as DECIMAL,
+    * and decimal 0.15 casts to a DIFFERENT double than the IEEE
+    * subtraction 1.0−0.85 both engines actually compute. */
+  private def pageRankOracleSql(iters: Int): String = {
+    val base =
+      """WITH ce AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), e AS (
+        |  SELECT c AS src, s AS dst FROM ce
+        |  UNION ALL SELECT s, c FROM ce
+        |), deg AS (
+        |  SELECT src, count(*) AS outdeg FROM e GROUP BY src
+        |), nn AS (SELECT count(DISTINCT src) AS n FROM e),
+        |it0 AS (
+        |  SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) / n AS rank, n
+        |  FROM e, nn
+        |)""".stripMargin
+    val its = (1 to iters).map { k =>
+      s"""it$k AS (
+         |  SELECT e.dst AS node,
+         |    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / r.n
+         |      + CAST(0.85 AS DOUBLE) * CAST(sum(CAST(round(r.rank / d.outdeg,
+         |        12) AS DECIMAL(38,12))) AS DOUBLE), 9) AS rank,
+         |    r.n AS n
+         |  FROM e JOIN it${k - 1} r ON e.src = r.node
+         |    JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst, r.n
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$its\nSELECT node, rank FROM it$iters ORDER BY node"
+  }
+
   val oracles: Map[String, String] = Map(
+    "g1_pagerank" -> pageRankOracleSql(5),
+
     "t12_pack_sequences" ->
       """WITH docs AS (
         |  SELECT doc_id, doc_id % 8 AS shard,

@@ -176,6 +176,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("g1: a PageRank superstep broadcasts the rank state — edges never re-shuffle") {
+    val df = SparkEntry.queries("g1_pagerank")(spark, sf0001)
+    val p = finalPlan(df)
+    // lineage is cut at each superstep's checkpoint, so the final plan IS
+    // the last superstep: rank state must ride a broadcast join and the
+    // only hash exchange is the contribution aggregate
+    assert(p.contains("BroadcastHashJoin"),
+      s"rank state should broadcast onto the edge frame\n$p")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1,
+      s"expected exactly one hash exchange (contribution agg), got $n in\n$p")
+  }
+
   test("e4: IVF assign is a map pass — no corpus-wide argmin shuffle") {
     val df = SparkEntry.queries("e4_ivf_ann")(spark, sf0001)
     val p = finalPlan(df)

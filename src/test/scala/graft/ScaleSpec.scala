@@ -73,6 +73,23 @@ class ScaleSpec extends SparkSpec {
     assert(got2 == Seq((1L, "unchanged"), (2L, "changed"), (3L, "removed")))
   }
 
+  test("pageRank: symmetric fixed point, hub dominance, mass conservation") {
+    import spark.implicits._
+    val sym = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val r1 = graft.operators.Graph.pageRank(sym, iterations = 3)
+      .as[(String, Double)].collect().toMap
+    // uniform rank on a symmetric pair is an EXACT fixed point: the
+    // teleport+damp arithmetic lands back on 0.5 after rounding
+    assert(r1("a") == 0.5 && r1("b") == 0.5)
+    val star = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"))
+      .toDF("src", "dst")
+    val r2 = graft.operators.Graph.pageRank(star, iterations = 5)
+      .as[(String, Double)].collect().toMap
+    assert(r2("b") == r2("c"), "leaves are symmetric")
+    assert(r2("a") > r2("b"), "hub collects both contributions")
+    assert(math.abs(r2.values.sum - 1.0) < 1e-6, "rank mass conserved up to rounding")
+  }
+
   test("IVF ANN returns true cosine scores; probing more cells only helps") {
     val emb = Tables.embeddings(spark, sf0001)
     val brute = Similarity.bruteForceTopK(emb, 0L, 500)
