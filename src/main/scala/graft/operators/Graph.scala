@@ -5,12 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Iterative graph computation on DataFrames — the Pregel-as-relational
   * pattern: one equi-join (ranks onto edges by source) plus one grouped
-  * aggregate (contributions by destination) per superstep. Nothing ever
-  * lives on the driver; each iteration's state is a (node, rank) frame
-  * partitioned by the join key, so the cost per superstep is one edge
-  * shuffle — the same unit GraphX/Pregel pays — and the edge frame is
-  * checkpointed once and reused by every iteration (no rescans, no
-  * exponential plan growth).
+  * aggregate (contributions by destination) per superstep. All bulk
+  * state (edges, contributions, ranks) lives in executors, partitioned
+  * by the join key; the per-superstep cost is one edge-sized probe plus
+  * one |nodes|-sized aggregate — the unit GraphX/Pregel pays — and the
+  * edge frame is checkpointed once and reused by every iteration (no
+  * rescans, no exponential plan growth). The one deliberate driver
+  * touch-point is the rank-state broadcast (see `broadcastRanks`).
   */
 object Graph {
 
@@ -24,11 +25,15 @@ object Graph {
     * `rankScale`. Both engines iterate the identical rounded system, so
     * five supersteps stay hash-identical.
     *
-    * `edges` must be DIRECTED (src, dst) pairs, pre-deduplicated; every
-    * node is expected to appear as a source (true for any symmetrized
-    * graph — the caller unions both directions, as g1 does with the
-    * bipartite customer↔supplier graph), which keeps the dangling-mass
-    * term zero and every rank row reachable.
+    * `edges` must be DIRECTED (src, dst) pairs, pre-deduplicated. The
+    * node set is taken from the SOURCE side (a node must appear as a
+    * source to be ranked — true for any symmetrized graph, as g1's
+    * bipartite customer↔supplier union is), which also keeps the
+    * dangling-mass term zero. Nodes with no IN-edges are retained at
+    * the teleport-only rank (1−d)/n each superstep: every superstep
+    * unions a zero contribution per node into the aggregate, so no node
+    * ever drops out of the state and rank mass stays conserved on
+    * arbitrary directed graphs, not just symmetric ones.
     *
     * `broadcastRanks` (default true): the rank state is |nodes|-sized —
     * orders of magnitude below |edges| on real graphs — and the
@@ -37,9 +42,13 @@ object Graph {
     * re-shuffles the EDGE side every superstep. Broadcasting the state
     * keeps edges streaming from their checkpoint with zero per-superstep
     * edge movement; the only shuffle left is the map-side-combined
-    * contribution aggregate (|nodes| rows out). Set it false when the
-    * node set itself exceeds broadcast budget (~100M+ nodes) — the same
-    * bounded-broadcast contract e8 documents for its query side.
+    * contribution aggregate (|nodes| rows out). The cost: each
+    * superstep's broadcast BUILD collects the |nodes|-row state to the
+    * driver — bounded and explicit, the e8 bounded-broadcast contract.
+    * Set it false when the node set exceeds broadcast/driver budget
+    * (~100M+ nodes) — the shuffle join keeps the driver out entirely,
+    * and pre-bucketing edges by src is then the zero-edge-movement
+    * layout.
     */
   def pageRank(
       edges: DataFrame, iterations: Int, damping: Double = 0.85,
@@ -50,18 +59,28 @@ object Graph {
     val e = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val ewd = e.join(deg, Seq("src")).localCheckpoint(eager = false)
-    // bounded 1-row node count rides a broadcast — N never touches the driver
-    val nRow = e.select(col("src")).distinct().agg(count(lit(1)).as("n"))
-    var ranks = e.select(col("src")).distinct()
+    // the node frame feeds the count, the init state and every
+    // superstep's zero-contribution union — materialize it once
+    val nodes = e.select(col("src")).distinct().localCheckpoint(eager = false)
+    // bounded 1-row node count rides a broadcast join, not a collect
+    val nRow = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes
       .crossJoin(broadcast(nRow))
       .select(col("src"), (lit(1.0) / col("n")).as("rank"), col("n"))
     for (k <- 1 to iterations) {
-      val next = ewd
+      val inContribs = ewd
         .join(if (broadcastRanks) broadcast(ranks) else ranks, Seq("src"))
         .select(col("dst"),
           round(col("rank") / col("outdeg"), contribScale)
             .cast("decimal(38,12)").as("contrib"),
           col("n"))
+      // a zero contribution per node keeps in-degree-0 nodes in the
+      // state (teleport-only rank) without a second join: the union is
+      // map-side and decimal 0 is exact, so connected nodes' sums are
+      // untouched
+      val zeros = ranks.select(col("src").as("dst"),
+        lit(0).cast("decimal(38,12)").as("contrib"), col("n"))
+      val next = inContribs.unionByName(zeros)
         .groupBy(col("dst"), col("n"))
         .agg(sum(col("contrib")).as("csum"))
         .select(col("dst").as("src"),

@@ -108,19 +108,25 @@ object Joins {
     * are computed map-side on each snapshot before the join, so only
     * (id, fp) pairs shuffle — never the payload; at warehouse scale both
     * snapshots bucket by id (s12 layout) and the join runs with zero
-    * exchanges. Presence is tested via fingerprint nullity, which is
-    * sound because `fpOf` never returns NULL for a present row (md5 of
-    * a non-null column). The per-id verdict is what an incremental
-    * pipeline consumes: reprocess added+changed, retire removed. */
+    * exchanges. Presence is ROW presence (an explicit per-side marker
+    * surviving the outer join), NOT fingerprint nullity — so an fpOf
+    * that returns NULL (e.g. md5 of a NULL payload column) cannot
+    * misclassify a present row as added/removed; a pair of present rows
+    * with incomparable (NULL) fingerprints lands in `unchanged`, exactly
+    * the SQL CASE semantics (`fp_old <> fp_new` is NULL → falls
+    * through). The per-id verdict is what an incremental pipeline
+    * consumes: reprocess added+changed, retire removed. */
   def snapshotDiff(
       v1: DataFrame, v2: DataFrame, idCol: String,
       fpOf: DataFrame => Column): DataFrame = {
-    val a = v1.select(col(idCol), fpOf(v1).as("fp_old"))
-    val b = v2.select(col(idCol), fpOf(v2).as("fp_new"))
+    val a = v1.select(col(idCol), fpOf(v1).as("fp_old"),
+      lit(true).as("__in_old"))
+    val b = v2.select(col(idCol), fpOf(v2).as("fp_new"),
+      lit(true).as("__in_new"))
     a.join(b, Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("fp_old").isNull, "added")
-          .when(col("fp_new").isNull, "removed")
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
           .when(col("fp_old") =!= col("fp_new"), "changed")
           .otherwise("unchanged").as("status"),
         col("fp_old"), col("fp_new"))

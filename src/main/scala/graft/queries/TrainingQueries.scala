@@ -748,7 +748,10 @@ object TrainingQueries {
     // 29 changed / 22 removed / 449 unchanged), so each branch of the
     // classifier discriminates.
     "o10_snapshot_diff" -> ((s, d) => {
+      // v1 feeds the diff's old side AND both v2 branches — one
+      // materialization, not three document scans (t8/e3 convention)
       val v1 = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .localCheckpoint(eager = false)
       val v2 = v1.filter(pmod(col("doc_id"), lit(23)) =!= 5)
         .withColumn("text", when(pmod(col("doc_id"), lit(17)) === 3,
           concat(col("text"), lit(" v2"))).otherwise(col("text")))

@@ -163,16 +163,34 @@ class PlanSpec extends SparkSpec {
   }
 
   test("o10: only (id, fingerprint) reach the snapshot-diff join — text stays below it") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = SparkEntry.queries("o10_snapshot_diff")(spark, sf0001)
-    val p = finalPlan(df)
-    // every shuffle feeding the full-outer join carries doc_id + a
-    // 32-char md5, never the payload: `text` may appear only inside
-    // scan/project nodes below the exchanges, not in exchange output
-    val exchangeLines = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
-    assert(exchangeLines.nonEmpty, s"expected hash exchanges for the key join\n$p")
-    exchangeLines.foreach { l =>
-      assert(!l.contains("text"),
-        s"payload column must not ride the join shuffle: $l")
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // assert on the exchanges' OUTPUT ATTRIBUTES (toString renders only
+    // partitioning expressions, which would make a string check vacuous):
+    // every shuffled row carries id + fingerprint/marker columns, never
+    // the text payload. AQE wraps materialized exchanges in leaf
+    // QueryStageExecs, so recurse into those explicitly.
+    def exchanges(p: org.apache.spark.sql.execution.SparkPlan): Seq[ShuffleExchangeExec] =
+      p.collect {
+        case e: ShuffleExchangeExec => Seq(e)
+        // every QueryStageExec (Result/Shuffle/Broadcast) is a LEAF whose
+        // real subtree hangs off .plan — recurse or see nothing
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          exchanges(q.plan)
+      }.flatten
+    val outs = exchanges(plan).map(_.output.map(_.name))
+    assert(outs.nonEmpty, s"expected shuffle exchanges in\n$plan")
+    outs.foreach { cols =>
+      assert(!cols.contains("text"),
+        s"payload column must not ride a shuffle, got columns $cols")
+      assert(cols.exists(c => c == "doc_id"),
+        s"join shuffles should carry the id, got $cols")
     }
   }
 

@@ -71,6 +71,17 @@ class ScaleSpec extends SparkSpec {
       .orderBy("doc_id")
       .select("doc_id", "status").as[(Long, String)].collect().toSeq
     assert(got2 == Seq((1L, "unchanged"), (2L, "changed"), (3L, "removed")))
+    // NULL payload on a present-both row: presence is ROW presence, so
+    // the row is NOT misread as added/removed, and the NULL-fingerprint
+    // comparison falls through to unchanged (SQL CASE semantics)
+    val n1 = Seq((1L, Option("aa")), (9L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val n2 = Seq((9L, Option.empty[String])).toDF("doc_id", "text")
+    val got3 = Joins.snapshotDiff(n1, n2, "doc_id",
+        df => md5(df("text").cast("binary")))
+      .orderBy("doc_id")
+      .select("doc_id", "status").as[(Long, String)].collect().toSeq
+    assert(got3 == Seq((1L, "removed"), (9L, "unchanged")))
   }
 
   test("pageRank: symmetric fixed point, hub dominance, mass conservation") {
@@ -88,6 +99,15 @@ class ScaleSpec extends SparkSpec {
     assert(r2("b") == r2("c"), "leaves are symmetric")
     assert(r2("a") > r2("b"), "hub collects both contributions")
     assert(math.abs(r2.values.sum - 1.0) < 1e-6, "rank mass conserved up to rounding")
+    // directed graph with an in-degree-0 source: c ranks at teleport-only
+    // level and STAYS in the state across supersteps (no node dropout)
+    val directed = Seq(("a", "b"), ("b", "a"), ("c", "a")).toDF("src", "dst")
+    val r3 = graft.operators.Graph.pageRank(directed, iterations = 3)
+      .as[(String, Double)].collect().toMap
+    assert(r3.keySet == Set("a", "b", "c"), "no node may drop out")
+    assert(r3("c") == math.rint((1.0 - 0.85) / 3 * 1e9) / 1e9,
+      "in-degree-0 node holds the teleport-only rank")
+    assert(r3("a") > r3("b") && r3("b") > r3("c"))
   }
 
   test("IVF ANN returns true cosine scores; probing more cells only helps") {
