@@ -147,6 +147,33 @@ object ScaleHeadroom {
       report("d12_ingest_probe", scale, secs, rows)
     }
 
+    // g1 PageRank: inflate the bipartite trading graph into k DISJOINT
+    // copies (node labels suffixed per copy — rank mass per copy is
+    // independent), so the 5-superstep runtime must scale ~linearly in
+    // |edges| while the broadcast state grows with |nodes|. 1×/10× only:
+    // each timeBest costs 4 evaluations of a 5-superstep job.
+    val ce = Tables.orders(spark, base)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, base)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        Seq("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("c"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("s"))
+      .distinct()
+    val edges1 = ce.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(ce.select(col("s").as("src"), col("c").as("dst")))
+    for (scale <- Seq(1, 10)) {
+      val edges = (0 until scale).map { k =>
+        edges1.select(concat(col("src"), lit(s"_$k")).as("src"),
+          concat(col("dst"), lit(s"_$k")).as("dst"))
+      }.reduce(_ unionByName _).localCheckpoint(eager = false)
+      edges.count() // materialize the fixture outside the timer
+      val (secs, rows) = timeBest {
+        forceAll(graft.operators.Graph.pageRank(edges, iterations = 5))
+      }
+      report("g1_pagerank", scale, secs, rows)
+    }
+
     // ---- maxBucket cap binding on a boilerplate-heavy corpus --------
     // 500 byte-identical docs hash to ONE (band,bhash) bucket in each of
     // the 8 bands; uncapped that is 8·(500·499/2) raw join rows from the
