@@ -194,6 +194,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t20: URL explode is map-side — only the distinct-count agg pair shuffles") {
+    val df = SparkEntry.queries("t20_url_stats")(spark, sf0001)
+    val p = finalPlan(df)
+    assert(p.contains("Generate explode"),
+      s"expected the URL explode in the plan\n$p")
+    // countDistinct plans as the standard two-phase aggregate: one
+    // exchange on (domain, doc_id) to dedup, one on (domain) to roll
+    // up — both partial-aggregated map-side first. Anything beyond
+    // those two means the explode or extraction started shuffling.
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 2,
+      s"expected the two distinct-agg exchanges and nothing else, got $n in\n$p")
+  }
+
   test("g1: a PageRank superstep broadcasts the rank state — edges never re-shuffle") {
     val df = SparkEntry.queries("g1_pagerank")(spark, sf0001)
     val p = finalPlan(df)
