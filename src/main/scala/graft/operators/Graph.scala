@@ -26,14 +26,17 @@ object Graph {
     * five supersteps stay hash-identical.
     *
     * `edges` must be DIRECTED (src, dst) pairs, pre-deduplicated. The
-    * node set is taken from the SOURCE side (a node must appear as a
-    * source to be ranked — true for any symmetrized graph, as g1's
-    * bipartite customer↔supplier union is), which also keeps the
-    * dangling-mass term zero. Nodes with no IN-edges are retained at
-    * the teleport-only rank (1−d)/n each superstep: every superstep
-    * unions a zero contribution per node into the aggregate, so no node
-    * ever drops out of the state and rank mass stays conserved on
-    * arbitrary directed graphs, not just symmetric ones.
+    * node set is taken from the SOURCE side and is CLOSED: contributions
+    * to a destination that never appears as a source are dropped (a
+    * semi-join against the node set — that mass leaves the ranked set,
+    * exactly like links pointing outside a crawled subgraph), and such
+    * destinations are never ranked. Consequently rank mass is conserved
+    * iff every destination is also a source — true for any symmetrized
+    * graph, as g1's bipartite customer↔supplier union is (and asserted
+    * as a property in GraphPropsSpec). Nodes with no IN-edges are
+    * retained at the teleport-only rank (1−d)/n each superstep: every
+    * superstep unions a zero contribution per node into the aggregate,
+    * so the state's node set is invariant across supersteps.
     *
     * `broadcastRanks` (default true): the rank state is |nodes|-sized —
     * orders of magnitude below |edges| on real graphs — and the
@@ -74,6 +77,12 @@ object Graph {
           round(col("rank") / col("outdeg"), contribScale)
             .cast("decimal(38,12)").as("contrib"),
           col("n"))
+        // closed node set: drop mass flowing to never-a-source
+        // destinations, otherwise groupBy(dst) would smuggle them into
+        // the state with an inconsistent teleport share (broadcast
+        // semi-join — no exchange)
+        .join(broadcast(nodes.select(col("src").as("dst"))),
+          Seq("dst"), "left_semi")
       // a zero contribution per node keeps in-degree-0 nodes in the
       // state (teleport-only rank) without a second join: the union is
       // map-side and decimal 0 is exact, so connected nodes' sums are

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+import graft.operators.{Graph, Joins}
+
+/** Property-based guards for the round-4 reconciliation/graph operators:
+  * PageRank state totality + mass conservation on ARBITRARY directed
+  * graphs (the fixed fixtures in ScaleSpec only cover three shapes),
+  * and snapshotDiff's classification agreeing with plain set algebra on
+  * random corpus evolutions. */
+object GraphPropsSpec extends Properties("graft.graph") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private val nodeGen: Gen[String] = Gen.oneOf("a", "b", "c", "d", "e", "f")
+
+  /** Random directed edge list; self-loops filtered, duplicates removed
+    * (pageRank's documented input contract). */
+  private val edgesGen: Gen[List[(String, String)]] =
+    Gen.nonEmptyListOf(Gen.zip(nodeGen, nodeGen))
+      .map(_.filter { case (a, b) => a != b }.distinct)
+      .suchThat(_.nonEmpty)
+
+  property("pageRank node set is invariant; mass conserved on closed graphs") =
+    forAll(edgesGen, Gen.choose(1, 4)) { (es, iters) =>
+      (es.nonEmpty) ==> {
+        val ranks = Graph.pageRank(es.toDF("src", "dst"), iterations = iters)
+          .as[(String, Double)].collect().toMap
+        val sources = es.map(_._1).toSet
+        val closed = es.map(_._2).toSet.subsetOf(sources)
+        // totality: node set == sources on ANY graph (nobody drops out,
+        // no destination smuggles in); mass conservation additionally
+        // holds exactly when no edge points outside the ranked set
+        ranks.keySet == sources &&
+          ranks.values.forall(r => r > 0.0 && r < 1.0 + 1e-9) &&
+          (!closed ||
+            math.abs(ranks.values.sum - 1.0) <= 1e-6 * math.max(1, sources.size))
+      }
+    }
+
+  private val corpusGen: Gen[Map[Long, String]] =
+    Gen.mapOf(Gen.zip(Gen.choose(0L, 12L), Gen.oneOf("x", "y", "z")))
+
+  property("snapshotDiff matches set algebra on random evolutions") =
+    forAll(corpusGen, corpusGen) { (m1, m2) =>
+      (m1.nonEmpty || m2.nonEmpty) ==> {
+        val v1 = m1.toSeq.toDF("doc_id", "text")
+        val v2 = m2.toSeq.toDF("doc_id", "text")
+        val got = Joins.snapshotDiff(v1, v2, "doc_id",
+            df => md5(df("text").cast("binary")))
+          .select("doc_id", "status").as[(Long, String)].collect().toMap
+        val expected =
+          (m1.keySet ++ m2.keySet).map { id =>
+            id -> ((m1.get(id), m2.get(id)) match {
+              case (None, Some(_)) => "added"
+              case (Some(_), None) => "removed"
+              case (Some(a), Some(b)) if a != b => "changed"
+              case _ => "unchanged"
+            })
+          }.toMap
+        got == expected
+      }
+    }
+}
