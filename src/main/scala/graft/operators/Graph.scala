@@ -53,14 +53,26 @@ object Graph {
     * and pre-bucketing edges by src is then the zero-edge-movement
     * layout.
     */
+  /** `weightCol`: optional LONG edge weight — contributions become
+    * rank·w/Σw instead of rank/outdeg (weighted PageRank, e.g. trading
+    * volume as influence). With no weight every edge carries weight 1,
+    * which reproduces the unweighted arithmetic EXACTLY (x·1.0 ≡ x in
+    * IEEE and Σ1 ≡ count), so the generalization cannot perturb
+    * unweighted results. Integer weights keep the w/Σw division a
+    * single double op both engines replay identically. */
   def pageRank(
       edges: DataFrame, iterations: Int, damping: Double = 0.85,
       contribScale: Int = 12, rankScale: Int = 9,
-      broadcastRanks: Boolean = true): DataFrame = {
+      broadcastRanks: Boolean = true,
+      weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
-    // one materialization serves every superstep: edge list + out-degree
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // one materialization serves every superstep: edge list + out-weight
+    val e = (weightCol match {
+      case Some(w) => edges.select(col("src"), col("dst"),
+        col(w).cast("long").as("__w"))
+      case None => edges.select(col("src"), col("dst"), lit(1L).as("__w"))
+    }).localCheckpoint(eager = false)
+    val deg = e.groupBy(col("src")).agg(sum(col("__w")).as("outw"))
     val ewd = e.join(deg, Seq("src")).localCheckpoint(eager = false)
     // the node frame feeds the count, the init state and every
     // superstep's zero-contribution union — materialize it once
@@ -74,7 +86,7 @@ object Graph {
       val inContribs = ewd
         .join(if (broadcastRanks) broadcast(ranks) else ranks, Seq("src"))
         .select(col("dst"),
-          round(col("rank") / col("outdeg"), contribScale)
+          round((col("rank") * col("__w")) / col("outw"), contribScale)
             .cast("decimal(38,12)").as("contrib"),
           col("n"))
         // closed node set: drop mass flowing to never-a-source

@@ -789,6 +789,29 @@ object TrainingQueries {
         .orderBy(col("node"))
     }),
 
+    // G2 — WEIGHTED PageRank: same graph as g1, but each edge carries
+    // the pair's lineitem count as weight, so influence follows trading
+    // VOLUME, not mere connectivity (contribution = rank·w/Σw). The
+    // weight is an exact integer both engines aggregate identically;
+    // the single (rank·w)/Σw double division replays bit-for-bit
+    // (DuckDB sum(BIGINT) is HUGEINT — the oracle casts it back).
+    "g2_weighted_pagerank" -> ((s, d) => {
+      val ce = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+          Seq("o_orderkey"))
+        .groupBy(concat(lit("c"), col("o_custkey").cast("string")).as("c"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("s"))
+        .agg(count(lit(1)).as("w"))
+      val edges = ce.select(col("c").as("src"), col("s").as("dst"), col("w"))
+        .unionByName(ce.select(col("s").as("src"), col("c").as("dst"),
+          col("w")))
+      graft.operators.Graph.pageRank(edges, iterations = 5,
+          weightCol = Some("w"))
+        .orderBy(col("node"))
+    }),
+
     // O7 — deterministic global row numbering (contiguous example ids /
     // leaderboard positions) WITHOUT `row_number() OVER (ORDER BY …)`'s
     // single-task global window: range repartition + parallel in-
@@ -948,29 +971,42 @@ object TrainingQueries {
     * chained CTE per superstep, identical rounding/decimal-sum points.
     * All constants forced to DOUBLE — DuckDB parses `0.85` as DECIMAL,
     * and decimal 0.15 casts to a DIFFERENT double than the IEEE
-    * subtraction 1.0−0.85 both engines actually compute. */
-  private def pageRankOracleSql(iters: Int): String = {
+    * subtraction 1.0−0.85 both engines actually compute. The weighted
+    * form replays contribution = (rank·w)/Σw with the identical paren
+    * placement (one double multiply then one double divide) and casts
+    * DuckDB's HUGEINT sum(BIGINT) back to BIGINT so the divisions see
+    * the same operand types. */
+  private def pageRankOracleSql(iters: Int, weighted: Boolean): String = {
+    val ce =
+      if (weighted)
+        """  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+          |    's' || CAST(l_suppkey AS VARCHAR) AS s,
+          |    CAST(count(*) AS BIGINT) AS w
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |  GROUP BY 1, 2""".stripMargin
+      else
+        """  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+          |    's' || CAST(l_suppkey AS VARCHAR) AS s, 1 AS w
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin
     val base =
-      """WITH ce AS (
-        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
-        |    's' || CAST(l_suppkey AS VARCHAR) AS s
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |), e AS (
-        |  SELECT c AS src, s AS dst FROM ce
-        |  UNION ALL SELECT s, c FROM ce
-        |), deg AS (
-        |  SELECT src, count(*) AS outdeg FROM e GROUP BY src
-        |), nn AS (SELECT count(DISTINCT src) AS n FROM e),
-        |it0 AS (
-        |  SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) / n AS rank, n
-        |  FROM e, nn
-        |)""".stripMargin
+      s"""WITH ce AS (
+         |$ce
+         |), e AS (
+         |  SELECT c AS src, s AS dst, w FROM ce
+         |  UNION ALL SELECT s, c, w FROM ce
+         |), deg AS (
+         |  SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY src
+         |), nn AS (SELECT count(DISTINCT src) AS n FROM e),
+         |it0 AS (
+         |  SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) / n AS rank, n
+         |  FROM e, nn
+         |)""".stripMargin
     val its = (1 to iters).map { k =>
       s"""it$k AS (
          |  SELECT e.dst AS node,
          |    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / r.n
-         |      + CAST(0.85 AS DOUBLE) * CAST(sum(CAST(round(r.rank / d.outdeg,
-         |        12) AS DECIMAL(38,12))) AS DOUBLE), 9) AS rank,
+         |      + CAST(0.85 AS DOUBLE) * CAST(sum(CAST(round((r.rank * e.w)
+         |        / d.outw, 12) AS DECIMAL(38,12))) AS DOUBLE), 9) AS rank,
          |    r.n AS n
          |  FROM e JOIN it${k - 1} r ON e.src = r.node
          |    JOIN deg d ON e.src = d.src
@@ -981,7 +1017,8 @@ object TrainingQueries {
   }
 
   val oracles: Map[String, String] = Map(
-    "g1_pagerank" -> pageRankOracleSql(5),
+    "g1_pagerank" -> pageRankOracleSql(5, weighted = false),
+    "g2_weighted_pagerank" -> pageRankOracleSql(5, weighted = true),
 
     "t12_pack_sequences" ->
       """WITH docs AS (

@@ -110,6 +110,28 @@ class ScaleSpec extends SparkSpec {
     assert(r3("a") > r3("b") && r3("b") > r3("c"))
   }
 
+  test("weighted pageRank: weight-1 is bit-identical to unweighted; heavier edges pull rank") {
+    import spark.implicits._
+    val star = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"))
+      .toDF("src", "dst")
+    val unweighted = graft.operators.Graph.pageRank(star, iterations = 4)
+      .as[(String, Double)].collect().toMap
+    val uniform = graft.operators.Graph
+      .pageRank(star.withColumn("w", lit(1L)), iterations = 4,
+        weightCol = Some("w"))
+      .as[(String, Double)].collect().toMap
+    assert(uniform == unweighted,
+      "uniform weight 1 must reproduce unweighted arithmetic exactly")
+    // a splits 3:1 toward b — b must outrank c (they tie unweighted)
+    val skewed = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 1L),
+      ("c", "a", 1L)).toDF("src", "dst", "w")
+    val r = graft.operators.Graph.pageRank(skewed, iterations = 4,
+        weightCol = Some("w"))
+      .as[(String, Double)].collect().toMap
+    assert(r("b") > r("c"), "the heavier edge must carry more rank")
+    assert(math.abs(r.values.sum - 1.0) < 1e-6)
+  }
+
   test("IVF ANN returns true cosine scores; probing more cells only helps") {
     val emb = Tables.embeddings(spark, sf0001)
     val brute = Similarity.bruteForceTopK(emb, 0L, 500)
