@@ -52,14 +52,20 @@ object Graph {
     * (~100M+ nodes) — the shuffle join keeps the driver out entirely,
     * and pre-bucketing edges by src is then the zero-edge-movement
     * layout.
-    */
-  /** `weightCol`: optional LONG edge weight — contributions become
+    *
+    * `weightCol`: optional LONG edge weight — contributions become
     * rank·w/Σw instead of rank/outdeg (weighted PageRank, e.g. trading
-    * volume as influence). With no weight every edge carries weight 1,
+    * volume as influence). Weights must be POSITIVE: non-positive-weight
+    * edges are dropped before the graph is formed (a zero weight carries
+    * no mass anyway, and a source whose every weight is zero would
+    * otherwise divide 0/0 into NaN and throw under ANSI decimal casts —
+    * dropping its edges removes the node from the graph instead, the
+    * documented contract). With no weight every edge carries weight 1,
     * which reproduces the unweighted arithmetic EXACTLY (x·1.0 ≡ x in
     * IEEE and Σ1 ≡ count), so the generalization cannot perturb
     * unweighted results. Integer weights keep the w/Σw division a
-    * single double op both engines replay identically. */
+    * single double op both engines replay identically.
+    */
   def pageRank(
       edges: DataFrame, iterations: Int, damping: Double = 0.85,
       contribScale: Int = 12, rankScale: Int = 9,
@@ -67,16 +73,28 @@ object Graph {
       weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     // one materialization serves every superstep: edge list + out-weight
+    // (positive-weight contract enforced up front — see scaladoc)
     val e = (weightCol match {
       case Some(w) => edges.select(col("src"), col("dst"),
-        col(w).cast("long").as("__w"))
+          col(w).cast("long").as("__w"))
+        .filter(col("__w") > 0)
       case None => edges.select(col("src"), col("dst"), lit(1L).as("__w"))
     }).localCheckpoint(eager = false)
     val deg = e.groupBy(col("src")).agg(sum(col("__w")).as("outw"))
-    val ewd = e.join(deg, Seq("src")).localCheckpoint(eager = false)
     // the node frame feeds the count, the init state and every
     // superstep's zero-contribution union — materialize it once
     val nodes = e.select(col("src")).distinct().localCheckpoint(eager = false)
+    // closed node set: drop edges whose dst never appears as a source
+    // ONCE, before the checkpoint — the filter is loop-invariant, and
+    // applying it after `deg` keeps outw counting out-of-set links
+    // (crawled-subgraph semantics: that mass leaves the ranked set).
+    // Without it, groupBy(dst) would smuggle never-a-source nodes into
+    // the state with an inconsistent teleport share.
+    val nodesAsDst = nodes.select(col("src").as("dst"))
+    val ewd = e.join(deg, Seq("src"))
+      .join(if (broadcastRanks) broadcast(nodesAsDst) else nodesAsDst,
+        Seq("dst"), "left_semi")
+      .localCheckpoint(eager = false)
     // bounded 1-row node count rides a broadcast join, not a collect
     val nRow = nodes.agg(count(lit(1)).as("n"))
     var ranks = nodes
@@ -89,12 +107,6 @@ object Graph {
           round((col("rank") * col("__w")) / col("outw"), contribScale)
             .cast("decimal(38,12)").as("contrib"),
           col("n"))
-        // closed node set: drop mass flowing to never-a-source
-        // destinations, otherwise groupBy(dst) would smuggle them into
-        // the state with an inconsistent teleport share (broadcast
-        // semi-join — no exchange)
-        .join(broadcast(nodes.select(col("src").as("dst"))),
-          Seq("dst"), "left_semi")
       // a zero contribution per node keeps in-degree-0 nodes in the
       // state (teleport-only rank) without a second join: the union is
       // map-side and decimal 0 is exact, so connected nodes' sums are
