@@ -45,6 +45,26 @@ object GraphPropsSpec extends Properties("graft.graph") {
       }
     }
 
+  property("weighted pageRank holds the same invariants under random positive weights") =
+    forAll(edgesGen, Gen.choose(1, 3)) { (es, iters) =>
+      (es.nonEmpty) ==> {
+        // deterministic per-edge weight (no RNG inside the property)
+        val weighted = es.map { case (a, b) =>
+          (a, b, 1L + math.abs((a + b).hashCode) % 5)
+        }
+        val ranks = Graph
+          .pageRank(weighted.toDF("src", "dst", "w"), iterations = iters,
+            weightCol = Some("w"))
+          .as[(String, Double)].collect().toMap
+        val sources = es.map(_._1).toSet
+        val closed = es.map(_._2).toSet.subsetOf(sources)
+        ranks.keySet == sources &&
+          ranks.values.forall(r => r > 0.0 && r < 1.0 + 1e-9) &&
+          (!closed ||
+            math.abs(ranks.values.sum - 1.0) <= 1e-6 * math.max(1, sources.size))
+      }
+    }
+
   private val corpusGen: Gen[Map[Long, String]] =
     Gen.mapOf(Gen.zip(Gen.choose(0L, 12L), Gen.oneOf("x", "y", "z")))
 

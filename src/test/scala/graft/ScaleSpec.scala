@@ -130,6 +130,16 @@ class ScaleSpec extends SparkSpec {
       .as[(String, Double)].collect().toMap
     assert(r("b") > r("c"), "the heavier edge must carry more rank")
     assert(math.abs(r.values.sum - 1.0) < 1e-6)
+    // positive-weight contract: zero-weight edges are dropped up front —
+    // a source whose weights ALL sum to zero leaves the graph instead of
+    // dividing 0/0 into NaN (which would throw under ANSI decimal casts)
+    val withZeros = Seq(("a", "b", 1L), ("b", "a", 1L), ("z", "a", 0L))
+      .toDF("src", "dst", "w")
+    val rz = graft.operators.Graph.pageRank(withZeros, iterations = 2,
+        weightCol = Some("w"))
+      .as[(String, Double)].collect().toMap
+    assert(rz.keySet == Set("a", "b"), "all-zero-weight source must leave the graph")
+    assert(rz("a") == 0.5 && rz("b") == 0.5)
   }
 
   test("IVF ANN returns true cosine scores; probing more cells only helps") {
