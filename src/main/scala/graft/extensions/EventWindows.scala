@@ -186,22 +186,36 @@ object EventWindows {
     * pair is generated exactly once (the right event's bucket is unique
     * — no dedup pass needed, same trick as the d2 blocked join). State
     * per bucket is bounded by maxLag regardless of how hot the user is.
+    *
+    * Cross-engine precision convention (same as v9's funnel): the join
+    * predicate and the bucketing both run on EPOCH-MICROSECOND LONGS
+    * (`unix_micros`), never on raw timestamp columns. The source
+    * parquet carries TIMESTAMP(NANOS); Spark truncates to µs at the
+    * scan while an engine that keeps nanoseconds (DuckDB) would order
+    * two events differing only below a microsecond differently — a raw
+    * `r_ts >= l_ts` is exactly the comparison that flips. On epoch-µs
+    * longs both engines evaluate the identical integer predicate
+    * (the oracle uses `epoch_us(ts)`). Integer-exact throughout:
+    * bucketing is integer `div`, never a double division that could
+    * misround at a bucket boundary.
     * The streaming twin is StreamingOps.intervalJoinStream. */
   def intervalJoin(left: DataFrame, right: DataFrame,
       maxLagSeconds: Long): DataFrame = {
-    def bucket(ts: Column): Column =
-      floor(unix_timestamp(ts) / maxLagSeconds).cast("long")
+    val maxLagUs = Math.multiplyExact(maxLagSeconds, 1000000L)
+    def bucket(usCol: String): Column = expr(s"$usCol div $maxLagUs")
     val l = left.select(col("user_id"), col("event_id").as("l_id"),
-        col("ts").as("l_ts"),
-        explode(array(bucket(col("ts")), bucket(col("ts")) + 1)).as("bkt"))
+        unix_micros(col("ts")).as("l_us"),
+        unix_timestamp(col("ts")).as("l_s"))
+      .withColumn("bkt",
+        explode(array(bucket("l_us"), bucket("l_us") + 1)))
     val r = right.select(col("user_id"), col("event_id").as("r_id"),
-      col("ts").as("r_ts"), bucket(col("ts")).as("bkt"))
+        unix_micros(col("ts")).as("r_us"),
+        unix_timestamp(col("ts")).as("r_s"))
+      .withColumn("bkt", bucket("r_us"))
     l.join(r, Seq("user_id", "bkt"))
-      .filter(col("r_ts") >= col("l_ts") &&
-        col("r_ts") < col("l_ts") + expr(s"INTERVAL $maxLagSeconds SECONDS"))
-      .select(col("l_id"), col("r_id"),
-        (unix_timestamp(col("r_ts")) - unix_timestamp(col("l_ts")))
-          .as("lag_s"))
+      .filter(col("r_us") >= col("l_us") &&
+        col("r_us") < col("l_us") + maxLagUs)
+      .select(col("l_id"), col("r_id"), (col("r_s") - col("l_s")).as("lag_s"))
   }
 
   /** Ordered conversion funnel: users progress through `steps` event

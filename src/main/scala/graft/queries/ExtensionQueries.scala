@@ -1257,10 +1257,10 @@ object ExtensionQueries {
         |), m AS (
         |  SELECT *, CASE WHEN lag(secs) OVER w IS NULL
         |    OR secs - lag(secs) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |), sess AS (
         |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
-        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    ORDER BY epoch_us(ts), event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS BIGINT) AS session_id
         |  FROM m
         |)
@@ -1330,10 +1330,10 @@ object ExtensionQueries {
         |), m AS (
         |  SELECT *, CASE WHEN lag(secs) OVER w IS NULL
         |    OR secs - lag(secs) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |), sess AS (
         |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
-        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    ORDER BY epoch_us(ts), event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS BIGINT) AS session_id
         |  FROM m
         |)

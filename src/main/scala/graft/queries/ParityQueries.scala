@@ -854,14 +854,14 @@ object ParityQueries {
 
     "w1_ffill" ->
       """SELECT event_id, user_id, round(last_value(v IGNORE NULLS) OVER (
-        |PARTITION BY user_id ORDER BY ts, event_id
+        |PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS v_filled
         |FROM (SELECT *, CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
         |FROM events) ORDER BY event_id LIMIT 2000""".stripMargin,
 
     "w2_lag_diff" ->
       """SELECT event_id, user_id, round(value - lag(value) OVER (
-        |PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
+        |PARTITION BY user_id ORDER BY epoch_us(ts), event_id), 2) AS delta
         |FROM events ORDER BY event_id LIMIT 2000""".stripMargin,
 
     "w3_latest_per_group" ->

@@ -264,6 +264,10 @@ object TrainingQueries {
     // lag window (exactly-once pair generation, see
     // EventWindows.intervalJoin). The oracle replays it as the plain
     // interval θ-join, proving the blocked form loses/duplicates nothing.
+    // Both sides compare at EPOCH-MICROSECOND LONGS (Spark unix_micros,
+    // DuckDB epoch_us) — never raw timestamps, which the two engines
+    // hold at different precisions (µs vs ns); sub-µs-tie fixture in
+    // EventWindowsSpec.
     "v5_interval_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
       graft.extensions.EventWindows.intervalJoin(
@@ -1207,10 +1211,10 @@ object TrainingQueries {
         |), m AS (
         |  SELECT *, CASE WHEN lag(event_type) OVER w
         |    IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |), r AS (
         |  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
-        |    ORDER BY ts, event_id
+        |    ORDER BY epoch_us(ts), event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS version
         |  FROM m

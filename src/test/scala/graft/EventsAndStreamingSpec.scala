@@ -184,6 +184,51 @@ class EventWindowsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin compares at epoch-µs — sub-µs ticks cannot flip it") {
+    // ns-precision fixture staged through the PRODUCTION read path: the
+    // parquet `ts` is raw epoch-ns longs (the TIMESTAMP(NANOS) shape the
+    // driver tables have under nanosAsLong), truncated to µs by
+    // Tables.events. An engine that kept nanoseconds (DuckDB) and
+    // compared raw timestamps would decide both planted boundary pairs
+    // the OTHER way; the epoch-µs convention (Spark predicate on
+    // unix_micros, oracle on epoch_us) makes both engines agree.
+    val lagS = 10L
+    val lagUs = lagS * 1000000L
+    val base = 1000L * 1000000000L // epoch 1000 s, in ns
+    val rows = Seq(
+      (1L, base + 700L, 1L, "view", 0.0, "{}"),
+      // click 400 ns BEFORE the view, same µs: the µs convention pairs
+      // them (tie); raw-ns `r_ts >= l_ts` would not — flip #1
+      (10L, base + 300L, 1L, "click", 0.0, "{}"),
+      // click in the first µs past the upper bound l_us + lag: excluded
+      // at µs; raw-ns `r_ts < l_ts + lag` would include it — flip #2
+      (11L, base + lagUs * 1000L + 100L, 1L, "click", 0.0, "{}"),
+      // plain in-window click — included under both conventions
+      (12L, base + 5L * 1000000000L, 1L, "click", 0.0, "{}"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ns").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val ev = graft.sources.Tables.events(spark, tmp)
+    val got = EventWindows.intervalJoin(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "click"), lagS)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+
+    // ground truths computed over the raw ns longs
+    val views = rows.filter(_._4 == "view").map(r => (r._1, r._2))
+    val clicks = rows.filter(_._4 == "click").map(r => (r._1, r._2))
+    def pairs(keep: (Long, Long) => Boolean): Set[(Long, Long)] =
+      (for { (v, vn) <- views; (c, cn) <- clicks if keep(vn, cn) }
+        yield (v, c)).toSet
+    val usConvention = pairs((vn, cn) =>
+      cn / 1000 >= vn / 1000 && cn / 1000 < vn / 1000 + lagUs)
+    val rawNs = pairs((vn, cn) => cn >= vn && cn < vn + lagUs * 1000L)
+    assert(got == usConvention)   // == the oracle's epoch_us semantics
+    assert(usConvention != rawNs) // the fixture discriminates raw-ts
+    assert((usConvention -- rawNs) == Set((1L, 10L)))
+    assert((rawNs -- usConvention) == Set((1L, 11L)))
+  }
+
   test("watermarkAudit flags exactly the events a watermark would drop") {
     val ev = Seq(
       (1L, ts(1000), 1L, "view", 1.0, "{}"),
