@@ -72,8 +72,83 @@ object Graph {
       broadcastRanks: Boolean = true,
       weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
-    // one materialization serves every superstep: edge list + out-weight
-    // (positive-weight contract enforced up front — see scaladoc)
+    val (ewd, init) = prepare(edges, broadcastRanks, weightCol)
+    var ranks = init
+    for (k <- 1 to iterations) {
+      val next =
+        superstep(ewd, ranks, damping, contribScale, rankScale, broadcastRanks)
+      // barrier BETWEEN supersteps keeps plans linear; the final state
+      // is consumed once downstream, so it needs no materialization
+      ranks = if (k < iterations) next.localCheckpoint(eager = false) else next
+    }
+    ranks.select(col("src").as("node"), col("rank"))
+  }
+
+  /** Convergence-terminated damped PageRank: iterates the SAME rounded
+    * system as [[pageRank]] and stops after the first superstep whose
+    * L1 residual Σ |rank − prev| falls below `epsilon`, or at
+    * `maxIterations` — the stopping rule a production PageRank runs
+    * (fixed counts either waste supersteps or stop short; the residual
+    * tells you which). L1 — total rank mass that moved — is the
+    * SCALE-FREE choice: rank mass sums to 1 at any node count, so one
+    * ε is meaningful from a unit-test graph to a 100-TB crawl, where a
+    * max-|Δ| threshold shrinks like 1/n and silently stops ever
+    * triggering (or always triggering) as the graph grows. The residual
+    * is ONE extra bounded aggregate per superstep: a |nodes|-row
+    * equi-join of the new state onto the old (rank-side broadcast under
+    * `broadcastRanks`, like the superstep itself) reduced to a single
+    * driver-read row — the same bounded-driver-touch class as the rank
+    * broadcast build.
+    *
+    * Returns (final state, supersteps executed). The stop is
+    * DETERMINISTIC: ranks are decimal-rounded to `rankScale` every
+    * superstep, and the residual sums per-node |Δ| (multiples of
+    * 10^-rankScale, exact in a double) as exact DECIMAL(38,12) — no
+    * float-summation-order ulp can flip the ε comparison. The selected
+    * iteration count is therefore a pure function of the input, and an
+    * oracle can replay it through the fixed-iteration system
+    * ([[pageRank]] with `iterations = selected` is bit-identical, a
+    * GraphPropsSpec property).
+    */
+  def pageRankConverged(
+      edges: DataFrame, maxIterations: Int, epsilon: Double,
+      damping: Double = 0.85,
+      contribScale: Int = 12, rankScale: Int = 9,
+      broadcastRanks: Boolean = true,
+      weightCol: Option[String] = None): (DataFrame, Int) = {
+    require(maxIterations >= 1, "need at least one iteration")
+    require(epsilon > 0.0, "epsilon must be positive")
+    val (ewd, init) = prepare(edges, broadcastRanks, weightCol)
+    var ranks = init
+    var iters = 0
+    var converged = false
+    while (iters < maxIterations && !converged) {
+      // unlike the fixed loop, EVERY next state materializes: it feeds
+      // both the residual action and (if not converged) the next
+      // superstep / the returned frame
+      val next =
+        superstep(ewd, ranks, damping, contribScale, rankScale, broadcastRanks)
+          .localCheckpoint(eager = false)
+      val prev = ranks.select(col("src"), col("rank").as("__prev"))
+      val residual = next.select(col("src"), col("rank"))
+        .join(if (broadcastRanks) broadcast(prev) else prev, Seq("src"))
+        .agg(sum(abs(col("rank") - col("__prev"))
+          .cast("decimal(38,12)")).cast("double").as("d"))
+        .head.getDouble(0)
+      iters += 1
+      ranks = next
+      converged = residual < epsilon
+    }
+    (ranks.select(col("src").as("node"), col("rank")), iters)
+  }
+
+  /** Shared graph preparation: checkpointed (edge ⋈ out-weight ⋈ closed
+    * node set) frame plus the uniform initial state. One materialization
+    * serves every superstep (positive-weight contract enforced up front
+    * — see [[pageRank]]'s scaladoc). */
+  private def prepare(
+      edges: DataFrame, broadcastRanks: Boolean,
+      weightCol: Option[String]): (DataFrame, DataFrame) = {
     val e = (weightCol match {
       case Some(w) => edges.select(col("src"), col("dst"),
           col(w).cast("long").as("__w"))
@@ -97,33 +172,38 @@ object Graph {
       .localCheckpoint(eager = false)
     // bounded 1-row node count rides a broadcast join, not a collect
     val nRow = nodes.agg(count(lit(1)).as("n"))
-    var ranks = nodes
+    val init = nodes
       .crossJoin(broadcast(nRow))
       .select(col("src"), (lit(1.0) / col("n")).as("rank"), col("n"))
-    for (k <- 1 to iterations) {
-      val inContribs = ewd
-        .join(if (broadcastRanks) broadcast(ranks) else ranks, Seq("src"))
-        .select(col("dst"),
-          round((col("rank") * col("__w")) / col("outw"), contribScale)
-            .cast("decimal(38,12)").as("contrib"),
-          col("n"))
-      // a zero contribution per node keeps in-degree-0 nodes in the
-      // state (teleport-only rank) without a second join: the union is
-      // map-side and decimal 0 is exact, so connected nodes' sums are
-      // untouched
-      val zeros = ranks.select(col("src").as("dst"),
-        lit(0).cast("decimal(38,12)").as("contrib"), col("n"))
-      val next = inContribs.unionByName(zeros)
-        .groupBy(col("dst"), col("n"))
-        .agg(sum(col("contrib")).as("csum"))
-        .select(col("dst").as("src"),
-          round(lit(1.0 - damping) / col("n")
-            + lit(damping) * col("csum").cast("double"), rankScale).as("rank"),
-          col("n"))
-      // barrier BETWEEN supersteps keeps plans linear; the final state
-      // is consumed once downstream, so it needs no materialization
-      ranks = if (k < iterations) next.localCheckpoint(eager = false) else next
-    }
-    ranks.select(col("src").as("node"), col("rank"))
+    (ewd, init)
+  }
+
+  /** One superstep of the rounded system: contributions rank·w/Σw
+    * rounded to `contribScale`, summed exactly as DECIMAL(38,12) with a
+    * zero-contribution union keeping in-degree-0 nodes in the state,
+    * new rank re-rounded to `rankScale`. */
+  private def superstep(
+      ewd: DataFrame, ranks: DataFrame, damping: Double,
+      contribScale: Int, rankScale: Int,
+      broadcastRanks: Boolean): DataFrame = {
+    val inContribs = ewd
+      .join(if (broadcastRanks) broadcast(ranks) else ranks, Seq("src"))
+      .select(col("dst"),
+        round((col("rank") * col("__w")) / col("outw"), contribScale)
+          .cast("decimal(38,12)").as("contrib"),
+        col("n"))
+    // a zero contribution per node keeps in-degree-0 nodes in the
+    // state (teleport-only rank) without a second join: the union is
+    // map-side and decimal 0 is exact, so connected nodes' sums are
+    // untouched
+    val zeros = ranks.select(col("src").as("dst"),
+      lit(0).cast("decimal(38,12)").as("contrib"), col("n"))
+    inContribs.unionByName(zeros)
+      .groupBy(col("dst"), col("n"))
+      .agg(sum(col("contrib")).as("csum"))
+      .select(col("dst").as("src"),
+        round(lit(1.0 - damping) / col("n")
+          + lit(damping) * col("csum").cast("double"), rankScale).as("rank"),
+        col("n"))
   }
 }

@@ -779,17 +779,25 @@ object TrainingQueries {
     // constant is written 1.0−0.85 in BOTH engines (the two literals
     // subtract to a different double than literal 0.15).
     "g1_pagerank" -> ((s, d) => {
-      val ce = Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_custkey"))
-        .join(Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
-          Seq("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey").cast("string")).as("c"),
-          concat(lit("s"), col("l_suppkey").cast("string")).as("s"))
-        .distinct()
-      val edges = ce.select(col("c").as("src"), col("s").as("dst"))
-        .unionByName(ce.select(col("s").as("src"), col("c").as("dst")))
-      graft.operators.Graph.pageRank(edges, iterations = 5)
+      graft.operators.Graph.pageRank(tradingEdges(s, d), iterations = 5)
+        .orderBy(col("node"))
+    }),
+
+    // G3 — CONVERGENCE-terminated PageRank on the same graph: iterate
+    // until the L1 residual (total rank mass moved — scale-free, the
+    // stopping rule a production PageRank runs) drops below ε = 1.0,
+    // capped at 10 supersteps. The rounded system makes the residual
+    // sequence a pure function of the input, and it is SF-invariant by
+    // construction (measured: 1.264, 1.075, 0.914, 0.776… at sf0.001,
+    // sf0.01 AND sf0.1), so ε = 1.0 deterministically selects FOUR
+    // supersteps (0.914 < 1.0 < 1.075, ~8 % margin each side) at every
+    // scale factor. The oracle replays the selected count through the
+    // fixed-iteration chained-CTE system — if the ε-stop fired one
+    // superstep early or late, every rank hash-mismatches.
+    "g3_pagerank_converged" -> ((s, d) => {
+      graft.operators.Graph
+        .pageRankConverged(tradingEdges(s, d), maxIterations = 10,
+          epsilon = 1.0)._1
         .orderBy(col("node"))
     }),
 
@@ -980,6 +988,22 @@ object TrainingQueries {
     * placement (one double multiply then one double divide) and casts
     * DuckDB's HUGEINT sum(BIGINT) back to BIGINT so the divisions see
     * the same operand types. */
+  /** The g1/g3 graph: distinct customer↔supplier trading pairs from
+    * orders⋈lineitem, symmetrized (every dst is also a src, so rank
+    * mass is conserved — the GraphPropsSpec closed-graph property). */
+  private[graft] def tradingEdges(s: SparkSession, d: String): DataFrame = {
+    val ce = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        Seq("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("c"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("s"))
+      .distinct()
+    ce.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(ce.select(col("s").as("src"), col("c").as("dst")))
+  }
+
   private def pageRankOracleSql(iters: Int, weighted: Boolean): String = {
     val ce =
       if (weighted)
@@ -1023,6 +1047,10 @@ object TrainingQueries {
   val oracles: Map[String, String] = Map(
     "g1_pagerank" -> pageRankOracleSql(5, weighted = false),
     "g2_weighted_pagerank" -> pageRankOracleSql(5, weighted = true),
+    // the ε = 1.0 L1-stop deterministically selects 4 supersteps on this
+    // graph at EVERY scale factor (SF-invariant residual sequence — see
+    // the g3 query comment); the oracle pins that selected count
+    "g3_pagerank_converged" -> pageRankOracleSql(4, weighted = false),
 
     "t12_pack_sequences" ->
       """WITH docs AS (

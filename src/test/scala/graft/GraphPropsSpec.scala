@@ -65,6 +65,37 @@ object GraphPropsSpec extends Properties("graft.graph") {
       }
     }
 
+  property("pageRankConverged stops at the first L1 residual < ε and equals that fixed-iteration system") =
+    forAll(edgesGen, Gen.choose(1, 3), Gen.oneOf(0.05, 0.3, 1.0, 2.0)) {
+      (es, maxIters, eps) =>
+        (es.nonEmpty) ==> {
+          val edges = es.toDF("src", "dst")
+          val (got, k) = Graph.pageRankConverged(edges, maxIters, eps)
+          // independent replay: fixed-iteration states from the public
+          // API, residuals decimal-rounded exactly as the operator sums
+          // them (12 dp per |Δ|)
+          def at(i: Int): Map[String, Double] =
+            if (i == 0) {
+              val n = es.map(_._1).distinct.size
+              es.map(_._1).distinct.map(_ -> 1.0 / n).toMap
+            } else Graph.pageRank(edges, i).as[(String, Double)]
+              .collect().toMap
+          val states = (0 to maxIters).map(at)
+          val l1 = (1 to maxIters).map { i =>
+            states(i).map { case (node, r) =>
+              BigDecimal(math.abs(r - states(i - 1)(node)))
+                .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+            }.sum.toDouble
+          }
+          val expected = l1.indexWhere(_ < eps) match {
+            case -1 => maxIters
+            case i  => i + 1
+          }
+          k == expected &&
+            got.as[(String, Double)].collect().toMap == states(k)
+        }
+    }
+
   private val corpusGen: Gen[Map[Long, String]] =
     Gen.mapOf(Gen.zip(Gen.choose(0L, 12L), Gen.oneOf("x", "y", "z")))
 

@@ -221,6 +221,35 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one hash exchange (contribution agg), got $n in\n$p")
   }
 
+  test("g1 fallback: broadcastRanks=false joins rank state by shuffle, never the driver") {
+    // the scale leg for node sets past the broadcast budget: the rank
+    // join must plan WITHOUT any broadcast (no per-superstep driver
+    // collect). At sf0.001 AQE would helpfully re-broadcast the tiny
+    // state, masking the shape — disable broadcast thresholds so the
+    // test sees the at-scale plan; the broadcast FORM's explicit hint
+    // survives the same conf, proving the flag (not the threshold) is
+    // what switches legs.
+    val thresholds = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = thresholds.map(k => k -> spark.conf.getOption(k))
+    thresholds.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val edges = graft.queries.TrainingQueries.tradingEdges(spark, sf0001)
+      val p = finalPlan(graft.operators.Graph
+        .pageRank(edges, iterations = 2, broadcastRanks = false))
+      assert(!p.contains("BroadcastHashJoin"),
+        s"fallback superstep must not broadcast the rank state\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffle join of ranks onto edges\n$p")
+      val pb = finalPlan(graft.operators.Graph
+        .pageRank(edges, iterations = 2))
+      assert(pb.contains("BroadcastHashJoin"),
+        s"explicit broadcast hint must survive a -1 threshold\n$pb")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("e4: IVF assign is a map pass — no corpus-wide argmin shuffle") {
     val df = SparkEntry.queries("e4_ivf_ann")(spark, sf0001)
     val p = finalPlan(df)

@@ -142,6 +142,34 @@ class ScaleSpec extends SparkSpec {
     assert(rz("a") == 0.5 && rz("b") == 0.5)
   }
 
+  test("pageRank broadcastRanks=false fallback is rank-identical on the g1 graph") {
+    import spark.implicits._
+    // the documented scale escape for node sets past the broadcast
+    // budget (~100M+ nodes): the shuffle-join leg must iterate the SAME
+    // rounded system — decimal-summed contributions are order-exact, so
+    // the two join strategies are bit-identical, not merely close.
+    // Plan shape of this leg is pinned in PlanSpec.
+    val edges = graft.queries.TrainingQueries.tradingEdges(spark, sf0001)
+    val viaBroadcast = graft.operators.Graph
+      .pageRank(edges, iterations = 3)
+      .as[(String, Double)].collect().toMap
+    val viaShuffle = graft.operators.Graph
+      .pageRank(edges, iterations = 3, broadcastRanks = false)
+      .as[(String, Double)].collect().toMap
+    assert(viaShuffle.nonEmpty && viaShuffle == viaBroadcast)
+    // the ε-stop runs its residual aggregate through the same fallback:
+    // both legs must select the same superstep count AND the same ranks
+    val (cb, kb) = graft.operators.Graph
+      .pageRankConverged(edges, maxIterations = 10, epsilon = 1.0)
+    val (cs, ks) = graft.operators.Graph
+      .pageRankConverged(edges, maxIterations = 10, epsilon = 1.0,
+        broadcastRanks = false)
+    assert(kb == 4 && ks == 4,
+      "the g3 ε = 1.0 L1-stop must select 4 supersteps on this graph")
+    assert(cs.as[(String, Double)].collect().toMap
+      == cb.as[(String, Double)].collect().toMap)
+  }
+
   test("IVF ANN returns true cosine scores; probing more cells only helps") {
     val emb = Tables.embeddings(spark, sf0001)
     val brute = Similarity.bruteForceTopK(emb, 0L, 500)
