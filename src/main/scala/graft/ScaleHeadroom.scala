@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.extensions.Dedup
+import graft.extensions.{Dedup, Similarity}
+import graft.queries.ExtensionQueries
 import graft.sources.Tables
 
 /** Empirical scale-headroom harness (VERDICT r3 item 3): measures the
@@ -113,6 +114,28 @@ object ScaleHeadroom {
       println(s"""{"harness":"scale_headroom","query":"$query","scale":$scale,""" +
         s""""sec":${math.rint(secs * 1000) / 1000},"rows":$rows}""")
 
+    // ---- e12 train-once/probe-many split ----------------------------
+    // runs BEFORE the headline loop so the PqArtifact cache miss (the
+    // 7-job Lloyd training + corpus encode — the FIXED cost a
+    // production deployment pays once) is what "train_encode" times;
+    // the headline e12 row below then rides the cached artifact and
+    // measures the PER-QUERY probe cost, the production steady state.
+    for ((scale, dir) <- dirs) {
+      val t0 = System.nanoTime()
+      val (books, codes) = ExtensionQueries.PqArtifact(spark, dir)
+      val nCodes = codes.count() // materializes the checkpointed encode
+      report("e12_pq_train_encode", scale, (System.nanoTime() - t0) / 1e9,
+        nCodes)
+      val embD = spark.read.parquet(s"$dir/embeddings.parquet")
+      val (secs, rows) = timeBest {
+        forceAll(Similarity.pqTopKRerank(embD, books,
+          m = ExtensionQueries.PqArtifact.M,
+          ksub = ExtensionQueries.PqArtifact.KSUB,
+          queryId = 0L, k = 10, shortlist = 256, codes = Some(codes)))
+      }
+      report("e12_pq_probe", scale, secs, rows)
+    }
+
     // ---- headline operators at each scale ---------------------------
     val headline = Seq("d3_minhash_lsh", "e8_knn_join", "t8_tfidf",
       "v2_sessionize", "d14_containment", "e12_pq_ann")
@@ -174,22 +197,54 @@ object ScaleHeadroom {
       report("g1_pagerank", scale, secs, rows)
     }
 
+    // g2 WEIGHTED PageRank under the same disjoint-copy inflation: the
+    // per-superstep unit gains the integer weight column through the
+    // join and the w/Σw division — same expected ~linear |edges|
+    // scaling, measured rather than asserted (VERDICT r4 item 6).
+    val cew = Tables.orders(spark, base)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, base)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        Seq("o_orderkey"))
+      .groupBy(concat(lit("c"), col("o_custkey").cast("string")).as("c"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("s"))
+      .agg(count(lit(1)).as("w"))
+    val wedges1 = cew.select(col("c").as("src"), col("s").as("dst"), col("w"))
+      .unionByName(cew.select(col("s").as("src"), col("c").as("dst"),
+        col("w")))
+    for (scale <- Seq(1, 10)) {
+      val edges = (0 until scale).map { k =>
+        wedges1.select(concat(col("src"), lit(s"_$k")).as("src"),
+          concat(col("dst"), lit(s"_$k")).as("dst"), col("w"))
+      }.reduce(_ unionByName _).localCheckpoint(eager = false)
+      edges.count()
+      val (secs, rows) = timeBest {
+        forceAll(graft.operators.Graph.pageRank(edges, iterations = 5,
+          weightCol = Some("w")))
+      }
+      report("g2_weighted_pagerank", scale, secs, rows)
+    }
+
     // ---- maxBucket cap binding on a boilerplate-heavy corpus --------
     // 500 byte-identical docs hash to ONE (band,bhash) bucket in each of
     // the 8 bands; uncapped that is 8·(500·499/2) raw join rows from the
     // degenerate buckets alone — capped at 100 min-id exemplars the pair
     // volume (and runtime) must drop by ~25× on those buckets
-    val boiler = spark.range(500).select(
-      (col("id") + 20000000L).as("doc_id"),
-      lit("terms of service apply contact support for help all rights " +
-        "reserved copyright notice privacy policy cookie settings")
-        .as("text"),
-      lit("en").as("lang"), lit("boilerplate").as("source"))
-    val skewed = docs.select(col("doc_id"), col("text"), col("lang"),
-        col("source"))
-      .unionByName(boiler)
-      .localCheckpoint(eager = false)
-    skewed.count()
+    def boilerplated(clones: Int): DataFrame = {
+      val boiler = spark.range(clones).select(
+        (col("id") + 20000000L).as("doc_id"),
+        lit("terms of service apply contact support for help all rights " +
+          "reserved copyright notice privacy policy cookie settings")
+          .as("text"),
+        lit("en").as("lang"), lit("boilerplate").as("source"))
+      val f = docs.select(col("doc_id"), col("text"), col("lang"),
+          col("source"))
+        .unionByName(boiler)
+        .localCheckpoint(eager = false)
+      f.count()
+      f
+    }
+    val skewed = boilerplated(500)
     for ((label, cap) <- Seq("capped_100" -> 100,
         "uncapped" -> Int.MaxValue)) {
       val (secs, rows) = timeBest {
@@ -197,6 +252,26 @@ object ScaleHeadroom {
           threshold = 0.3, maxBucket = cap, hashFn = Dedup.md5Hash60))
       }
       report(s"d3_skewed_$label", 1, secs, rows)
+    }
+
+    // ---- maxPostings cap binding for containment (d14) --------------
+    // heavier template load (2000 clones — the d3 fixture's 500 keep
+    // that experiment r4-comparable): every clone carries the SAME
+    // shingle set, so uncapped each clone's prefix probes meet all 2000
+    // postings per shingle — ~2000·1999 ordered candidate pairs, every
+    // one merge-verified. The ORDERED-pair volume grows quadratically
+    // in clone count while capped volume grows linearly (32 min-id
+    // exemplars per posting list), so the cap's fixed window-pass cost
+    // crosses over into a runtime win as templates pile up. The
+    // oracle-exact d14 driver query stays uncapped by design.
+    val templated = boilerplated(2000)
+    for ((label, cap) <- Seq("capped_32" -> 32,
+        "uncapped" -> Int.MaxValue)) {
+      val (secs, rows) = timeBest {
+        forceAll(Dedup.containmentPairs(templated, n = 3, threshold = 0.9,
+          maxPostings = cap))
+      }
+      report(s"d14_skewed_$label", 1, secs, rows)
     }
     spark.stop()
   }

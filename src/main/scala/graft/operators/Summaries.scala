@@ -102,14 +102,6 @@ object Summaries {
   def exactAvg(c: Column): Column =
     sum(c.cast("decimal(38,6)")).cast("double") / count(c)
 
-  /** Robust (median/MAD) outlier profile per group — the
-    * Iglewicz–Hoaglin modified z-score |0.6745·(x−med)/MAD| > zCut,
-    * the scale- and offset-free outlier rule for heavy-tailed metrics
-    * (W11's fixed-threshold cousin that needs no tuned cutoff). Two
-    * grouped exact-percentile passes (median, then MAD over |x−med|
-    * after the medians broadcast back) and one map pass for the flag —
-    * the data never sorts globally. A MAD of 0 (over half the group
-    * identical) yields NULL z-scores: those rows are not flagged. */
   /** Exact grouped percentiles via DISTRIBUTED SORT. The builtin
     * `percentile`/`median` aggregate is exact but accumulates a
     * value→count map as partial state — O(DISTINCT values) per group.
@@ -167,6 +159,14 @@ object Summaries {
     ranked.groupBy(gs: _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Robust (median/MAD) outlier profile per group — the
+    * Iglewicz–Hoaglin modified z-score |0.6745·(x−med)/MAD| > zCut,
+    * the scale- and offset-free outlier rule for heavy-tailed metrics
+    * (W11's fixed-threshold cousin that needs no tuned cutoff). Two
+    * grouped exact-percentile passes (median, then MAD over |x−med|
+    * after the medians broadcast back) and one map pass for the flag —
+    * the data never sorts globally. A MAD of 0 (over half the group
+    * identical) yields NULL z-scores: those rows are not flagged. */
   def robustOutliers(df: DataFrame, groupCol: String, valCol: String,
       zCut: Double = 3.5): DataFrame = {
     val med = sortedPercentiles(df, Seq(groupCol), col(valCol),

@@ -192,8 +192,14 @@ object WindowOps {
       // the marker would fall to 0, and the groupBy below would then
       // split the run into two rows sharing one version number (tied,
       // nondeterministic valid_to). IS DISTINCT FROM in the oracle.
+      // The first row per key starts a run UNCONDITIONALLY (the
+      // lag(lit(1)) sentinel): relying on `lag(attr) <=> attr` alone
+      // numbers a key whose FIRST attribute is NULL from version 0
+      // (NULL <=> NULL is true), so consumers keying on version == 1
+      // for the initial dimension row would silently miss it.
       .withColumn("__chg",
-        when(!(lag(col(attrCol), 1).over(w) <=> col(attrCol)), 1L)
+        when(lag(lit(1), 1).over(w).isNull
+            || !(lag(col(attrCol), 1).over(w) <=> col(attrCol)), 1L)
           .otherwise(0L))
       .withColumn("__run", sum(col("__chg"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -16,6 +16,34 @@ import graft.sources.Tables
   */
 object ExtensionQueries {
 
+  /** Train-once/probe-many PQ artifact (codebooks on the 1-in-5 sample
+    * shard + the encoded corpus), shared by e12 AND the e12b contract —
+    * the production shape: codebooks/codes are persisted table state
+    * (the d12/e11 persisted-index pattern), consumers probe them,
+    * nobody retrains per query. Keyed per (session, sfDir); the lazy
+    * checkpoints make the second consumer's training cost zero while
+    * keeping each frame recomputable from lineage on executor loss. */
+  private[graft] object PqArtifact {
+    val M = 16
+    val KSUB = 16
+    private val cache = scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), (DataFrame, DataFrame)]
+    /** (codebooks, encoded corpus codes). */
+    def apply(s: SparkSession, d: String): (DataFrame, DataFrame) =
+      cache.getOrElseUpdate((s, d), {
+        val emb = Tables.embeddings(s, d)
+        // codebooks train on a deterministic 1-in-5 sample shard — the
+        // canonical PQ practice (codebooks are KB-sized global state;
+        // the full corpus only ever encodes against them)
+        val books = Similarity.pqCodebooks(
+          emb.filter(col("vec_id") % 5 === 0), m = M, ksub = KSUB,
+          iters = 2)
+        val codes = Similarity.pqEncode(emb, books, m = M)
+          .localCheckpoint(eager = false)
+        (books, codes)
+      })
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // D1 — exact dedup via normalized-text hash groups.
@@ -484,15 +512,15 @@ object ExtensionQueries {
     // 10/10 recall at both test SFs (measured sweep: m=8 needs 640 at
     // sf0.1; m=16 needs 256). Clustered real-world embeddings get away
     // with far smaller shortlists.
-    // Codebooks train on a deterministic 1-in-5 sample shard — the
-    // canonical PQ practice (codebooks are KB-sized global state; the
-    // full corpus only ever encodes against them) and 2× cheaper here.
+    // Codebooks + codes come from the SHARED train-once artifact
+    // (PqArtifact — the d12/e11 persisted-index pattern): e12 and the
+    // e12b contract probe the same trained state instead of each
+    // re-running the 7-job Lloyd training.
     "e12_pq_ann" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val books = Similarity.pqCodebooks(
-        emb.filter(col("vec_id") % 5 === 0), m = 16, ksub = 16, iters = 2)
-      Similarity.pqTopKRerank(emb, books, m = 16, ksub = 16, queryId = 0L,
-        k = 10, shortlist = 256)
+      val (books, codes) = PqArtifact(s, d)
+      Similarity.pqTopKRerank(Tables.embeddings(s, d), books,
+        m = PqArtifact.M, ksub = PqArtifact.KSUB, queryId = 0L,
+        k = 10, shortlist = 256, codes = Some(codes))
     }),
 
     // E4 — IVF-style ANN (coarse-quantizer cells + probe; rows-only

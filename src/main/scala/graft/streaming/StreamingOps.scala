@@ -276,11 +276,22 @@ object StreamingOps {
         }.reverse
 
     /** Emit watermark-confirmed sessions, persist the rest, re-arm one
-      * timer at the earliest remaining deadline. */
+      * timer at the earliest remaining deadline.
+      *
+      * The emit bound must clear the WHOLE truncation second (the
+      * `+ 1`, matching the timer registration below): fragment times
+      * are second-floored while the watermark is milliseconds, so with
+      * `(lastSec + gap) * 1000 < wm` a watermark-admissible event with
+      * ts_ms in ((lastSec+gap)·1000, wm) would still truncate to
+      * lastSec+gap — a second-floored gap of exactly `gap`, which the
+      * merge rule bridges — into a session already emitted. Only once
+      * wm ≥ (lastSec+gap+1)·1000 does EVERY admissible event floor
+      * strictly past the merge horizon (sub-second fixture in
+      * StatefulStreamingSpec). */
     private def confirmAndArm(userId: Long, frags: Seq[SessionState],
         watermarkMs: Long): Iterator[SessionOut] = {
       val (closed, open) = merged(frags).partition(f =>
-        (f.lastSec + gapSeconds) * 1000L < watermarkMs)
+        (f.lastSec + gapSeconds + 1) * 1000L <= watermarkMs)
       pending.clear()
       getHandle.listTimers().foreach(t =>
         getHandle.deleteTimer(t.asInstanceOf[Long]))

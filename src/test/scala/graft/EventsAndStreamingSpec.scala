@@ -127,6 +127,25 @@ class EventWindowsSpec extends SparkSpec {
       (3L, Some("view"), 400L, None, 1L)))
   }
 
+  test("scd2History numbers from version 1 even when the first attribute is NULL") {
+    // without the unconditional first-row run start, NULL <=> NULL on
+    // row 1 suppresses the change marker and this key's history would
+    // number 0, 1 — breaking consumers that key on version == 1 for
+    // the initial dimension row
+    val log = Seq(
+      (1L, ts(100), 1L, None, 0.0, "{}"),
+      (2L, ts(200), 1L, Some("view"), 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.operators.WindowOps.scd2History(log, "user_id",
+        "event_type", "ts", Seq(col("ts"), col("event_id")))
+      .orderBy("version")
+      .select("version", "event_type", "valid_from", "is_current")
+      .as[(Long, Option[String], Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, None, 100L, false),
+      (2L, Some("view"), 200L, true)))
+  }
+
   test("runningMaxExclusive agrees with the naive global window across buckets") {
     val df = Seq(0L -> 5L, 1L -> 3L, 2L -> 9L, 3L -> 1L, 4L -> 9L,
       5L -> 2L, 6L -> 12L, 7L -> 0L, 8L -> 7L, 9L -> 15L).toDF("seq", "v")
@@ -598,6 +617,77 @@ class StatefulStreamingSpec extends SparkSpec {
           r.getAs[Long]("n_events"), r.getAs[Long]("duration_s")))
         .toSet
       assert(streamed == batch && streamed == Set((1L, 1000L, 3L, 2000L)),
+        s"streamed $streamed, batch $batch")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("sub-second watermarks cannot split a session the merge rule would bridge") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.Event
+
+    // Fragment times are second-FLOORED while the watermark is
+    // milliseconds: with gap g and a fragment ending at lastSec L, a
+    // watermark inside ((L+g)·1000, (L+g+1)·1000) still admits events
+    // whose ts floors to L+g — which the merge rule bridges. The emit
+    // bound must therefore clear the whole truncation second
+    // ((L+g+1)·1000 ≤ wm); an emit at `(L+g)·1000 < wm` would close
+    // [10,10] in batch 2 below and then split what batch semantics
+    // keep as one session. Every other fixture in this file is
+    // second-aligned, so only this test discriminates the bound.
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val q = StreamingOps.statefulSessions(input.toDS(), gapSeconds = 30)
+      .writeStream.format("memory").queryName("tws_subsecond")
+      .outputMode("append").start()
+    try {
+      def tms(ms: Long) = new java.sql.Timestamp(ms)
+      // batch 1: user 1 @10.0s; a MID-SECOND far event @640.5s drives
+      // the post-batch watermark to 40500 ms — inside the (40000,
+      // 41000) hazard window for the [10,10] fragment (L=10, g=30)
+      input.addData(Event(1, tms(10000), 1L, "view", 0.0),
+        Event(2, tms(640500), 9L, "view", 0.0))
+      q.processAllAvailable()
+      // batch 2: a NEW user-1 fragment (@100s, > gap away) makes the
+      // processor re-confirm [10,10] at wm = 40500 — the bound under
+      // test decides emit-vs-hold right here
+      input.addData(Event(3, tms(100000), 1L, "view", 0.0))
+      q.processAllAvailable()
+      // batch 3: admissible bridging event — 40900 ≥ wm 40500, floors
+      // to sec 40, and 40 − 10 ≤ 30 merges it into [10,10]
+      input.addData(Event(4, tms(40900), 1L, "view", 0.0))
+      q.processAllAvailable()
+      // flush so every user-1 session closes
+      input.addData(Event(5, tms(2000000), 9L, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(6, tms(2000001), 9L, "view", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("tws_subsecond")
+        .filter(col("user_id") === 1L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val batch = graft.extensions.EventWindows.sessionize(
+          Seq(Event(1, tms(10000), 1L, "view", 0.0),
+            Event(3, tms(100000), 1L, "view", 0.0),
+            Event(4, tms(40900), 1L, "view", 0.0)).toDS().toDF(),
+          gapSeconds = 30)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_s"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("duration_s")))
+        .toSet
+      assert(streamed == batch
+          && streamed == Set((1L, 10L, 2L, 30L), (1L, 100L, 1L, 0L)),
         s"streamed $streamed, batch $batch")
     } finally {
       q.stop()
