@@ -201,4 +201,81 @@ object TextAnalysis {
         col("c.n_chunk_tokens").as("n_chunk_tokens"),
         col("c.chunk_text").as("chunk_text"))
   }
+
+  /** SPARSE tf-idf cosine similarity pairs — the lexical complement to
+    * the dense-embedding ANN family (near-dup detection and
+    * related-document retrieval when no embedding model is in the
+    * loop). Exact cosine over the df-pruned vocabulary: terms whose
+    * document frequency exceeds `maxDf` are dropped from vectors AND
+    * norms (they carry near-zero idf and their posting lists are the
+    * skew — the stopword explosion this operator must not pay), so the
+    * score is the true cosine of the pruned vector space, not an
+    * approximation within it.
+    *
+    * Shape at scale: one tokenize+count pass (map-side combinable), a
+    * df aggregate, then the pair dot products ride a TERM-keyed
+    * posting join — each term contributes ≤ C(maxDf, 2) ordered pairs,
+    * so the join is bounded per key by construction (the d14
+    * maxPostings argument, enforced here by df pruning instead of a
+    * cap) and the pair aggregate shuffles on the uniform (a, b) key.
+    * No all-pairs stage anywhere.
+    *
+    * Determinism (cross-engine): weights are rounded to 6 dp (the t8
+    * convention — one ln() per weight, rounded before any further
+    * arithmetic), every pairwise product and squared weight rounds to
+    * 12 dp and sums as exact DECIMAL(38,12), and the final score
+    * rounds to 4 dp — both engines replay the identical rounded
+    * system, so the pairs hash-match like d2/d14. */
+  def sparseCosinePairs(docs: DataFrame, threshold: Double,
+      maxDf: Long, ngram: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // shingle-grain vocabulary (ngram ≥ 2): word-grain tf-idf needs a
+    // rich vocabulary to discriminate — on a small-vocabulary corpus
+    // (this synthetic one has 31 words) every posting list is
+    // corpus-sized and the posting join degenerates to all-pairs.
+    // Word n-grams restore both properties: vocabulary ~|words|^n,
+    // per-shingle df bounded. ngram == 1 is the classic word-grain
+    // form for natural-language corpora. Shingles are DISTINCT per doc
+    // (set semantics, cnt = 1): idf-weighted set cosine, the standard
+    // lexical near-dup score.
+    val grams =
+      if (ngram == 1) tokens(col("text"))
+      else Dedup.ngramShingles(col("text"), ngram)
+    val tf = docs
+      .select(col("doc_id"), explode(grams).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false) // feeds total-window AND dfreq
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val weighted = tf
+      // document length normalizes over ALL tokens (the document is
+      // what it is); only the VOCABULARY is df-pruned
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy("doc_id")))
+      .join(dfreq.filter(col("df") <= maxDf), "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round((col("cnt") * lit(1.0) / col("total"))
+          * log(col("n") * lit(1.0) / col("df")), 6).as("w"))
+      .localCheckpoint(eager = false) // feeds norms AND both join sides
+    val norms = weighted.groupBy(col("doc_id"))
+      .agg(sqrt(sum(round(col("w") * col("w"), 12).cast("decimal(38,12)"))
+        .cast("double")).as("nrm"))
+    val dots = weighted.select(col("doc_id").as("a_id"), col("term"),
+        col("w").as("wa"))
+      .join(weighted.select(col("doc_id").as("b_id"), col("term"),
+        col("w").as("wb")), "term")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(round(col("wa") * col("wb"), 12).cast("decimal(38,12)"))
+        .cast("double").as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("a_id"), col("nrm").as("na")),
+        Seq("a_id"))
+      .join(norms.select(col("doc_id").as("b_id"), col("nrm").as("nb")),
+        Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(col("dot") / (col("na") * col("nb")), 4).as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+  }
 }

@@ -142,6 +142,85 @@ object Graph {
     (ranks.select(col("src").as("node"), col("rank")), iters)
   }
 
+  /** PERSONALIZED PageRank: teleport mass (1−d) returns only to the
+    * `seeds` (uniformly), not to every node — the "similar to THESE"
+    * form (related-item retrieval, seeded influence, topic-conditioned
+    * centrality). Rank update per superstep:
+    * rank(v) = (1−d)·tele(v) + d·Σ contribs, with tele(v) = 1/|seeds|
+    * for seed nodes and 0 otherwise; the initial state IS the teleport
+    * distribution. Nodes unreachable from the seed set stay at exactly
+    * 0.0 — they remain in the state (node-set totality, like the
+    * fixed-rank form) so the output is a total ranking, not a reachable
+    * subset.
+    *
+    * Same rounded-system determinism as [[pageRank]]; the per-node
+    * teleport rides the state as a third column and re-attaches after
+    * the contribution aggregate via max() over the per-node zero row —
+    * no extra join. `seeds` (one column, same values as `src`) is
+    * intersected with the graph's node set; seeds outside the graph are
+    * ignored. The teleport constant is written 1.0−damping in both
+    * engines (the g1 convention). */
+  def personalizedPageRank(
+      edges: DataFrame, seeds: DataFrame, iterations: Int,
+      damping: Double = 0.85,
+      contribScale: Int = 12, rankScale: Int = 9,
+      broadcastRanks: Boolean = true,
+      weightCol: Option[String] = None): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val (ewd, init) = prepare(edges, broadcastRanks, weightCol)
+    val nodes = init.select(col("src"))
+    val seedCol = seeds.columns.head
+    val inGraph = nodes
+      .join(seeds.select(col(seedCol).as("src")).distinct(),
+        Seq("src"), "left_semi")
+    // bounded 1-row guard: an empty effective seed set would divide the
+    // teleport into NaNs — fail loudly instead (pqCodebooks precedent)
+    val nSeeds = inGraph.count()
+    require(nSeeds > 0, "no seed intersects the graph's node set")
+    val seedFlag = inGraph.withColumn("__seed", lit(1))
+    var ranks = nodes
+      .join(if (broadcastRanks) broadcast(seedFlag) else seedFlag,
+        Seq("src"), "left")
+      .select(col("src"),
+        when(col("__seed").isNotNull, lit(1.0) / nSeeds)
+          .otherwise(lit(0.0)).as("__tele"))
+      .withColumn("rank", col("__tele"))
+      .select(col("src"), col("rank"), col("__tele"))
+    for (k <- 1 to iterations) {
+      val next = personalizedSuperstep(ewd, ranks, damping, contribScale,
+        rankScale, broadcastRanks)
+      ranks = if (k < iterations) next.localCheckpoint(eager = false) else next
+    }
+    ranks.select(col("src").as("node"), col("rank"))
+  }
+
+  /** One superstep of the personalized system: like [[superstep]], but
+    * the teleport term is the per-NODE `__tele` column. Contribution
+    * rows carry a NULL tele and the per-node zero row carries the real
+    * one, so a max() in the same aggregate re-attaches it — grouping by
+    * a per-node column would instead split a destination's sum across
+    * its sources' teleports. */
+  private def personalizedSuperstep(
+      ewd: DataFrame, ranks: DataFrame, damping: Double,
+      contribScale: Int, rankScale: Int,
+      broadcastRanks: Boolean): DataFrame = {
+    val inContribs = ewd
+      .join(if (broadcastRanks) broadcast(ranks) else ranks, Seq("src"))
+      .select(col("dst"),
+        round((col("rank") * col("__w")) / col("outw"), contribScale)
+          .cast("decimal(38,12)").as("contrib"),
+        lit(null).cast("double").as("__tele"))
+    val zeros = ranks.select(col("src").as("dst"),
+      lit(0).cast("decimal(38,12)").as("contrib"), col("__tele"))
+    inContribs.unionByName(zeros)
+      .groupBy(col("dst"))
+      .agg(sum(col("contrib")).as("csum"), max(col("__tele")).as("__tele"))
+      .select(col("dst").as("src"),
+        round(lit(1.0 - damping) * col("__tele")
+          + lit(damping) * col("csum").cast("double"), rankScale).as("rank"),
+        col("__tele"))
+  }
+
   /** Shared graph preparation: checkpointed (edge ⋈ out-weight ⋈ closed
     * node set) frame plus the uniform initial state. One materialization
     * serves every superstep (positive-weight contract enforced up front

@@ -523,6 +523,23 @@ object ExtensionQueries {
         k = 10, shortlist = 256, codes = Some(codes))
     }),
 
+    // E13 — SPARSE tf-idf cosine near-dup pairs (the lexical complement
+    // to the dense-embedding ANN family — related-document retrieval
+    // with no embedding model in the loop): idf-weighted 3-gram-shingle
+    // set cosine, df-pruned vocabulary, pair dot products over a
+    // term-keyed posting join (bounded per key — no all-pairs stage).
+    // Threshold 0.35 sits in the corpus's empty margin (planted
+    // near-dups score ≥ 0.5, background noise < 0.2), so the pair set
+    // is stable and every emitted score discriminates. FULLY oracled —
+    // the weights round to 6 dp before any pairwise arithmetic (the t8
+    // ln() convention) and products/norms sum as exact decimals, so
+    // unlike the float-projection ANN queries this one hash-matches.
+    "e13_sparse_cosine" -> ((s, d) => {
+      TextAnalysis.sparseCosinePairs(Tables.documents(s, d),
+          threshold = 0.35, maxDf = 100L, ngram = 3)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // E4 — IVF-style ANN (coarse-quantizer cells + probe; rows-only
     // oracle, recall vs brute force checked in SimilaritySpec).
     "e4_ivf_ann" -> ((s, d) => {
@@ -1021,6 +1038,47 @@ object ExtensionQueries {
         |  COALESCE(r.max_containment, 0.0) AS max_containment
         |FROM documents d LEFT JOIN roll r ON d.doc_id = r.a_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "e13_sparse_cosine" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS wd FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(wd) - 3 + 2, 2)),
+        |    i -> array_to_string(list_slice(wd, i, i + 2), ' '))) AS toks
+        |  FROM w
+        |), tf AS (
+        |  SELECT doc_id, tok AS term, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM sh)
+        |  GROUP BY doc_id, tok
+        |), tot AS (
+        |  SELECT doc_id, sum(cnt) AS total FROM tf GROUP BY doc_id
+        |), dfq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), nn AS (SELECT count(*) AS n FROM documents),
+        |wt AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round((tf.cnt * 1.0 / tot.total) * ln(nn.n * 1.0 / dfq.df), 6)
+        |      AS wgt
+        |  FROM tf JOIN tot USING (doc_id) JOIN dfq USING (term), nn
+        |  WHERE dfq.df <= 100
+        |), nrm AS (
+        |  SELECT doc_id, sqrt(CAST(sum(CAST(round(wgt * wgt, 12)
+        |    AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+        |  FROM wt GROUP BY doc_id
+        |), dots AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(sum(CAST(round(a.wgt * b.wgt, 12) AS DECIMAL(38,12)))
+        |      AS DOUBLE) AS dot
+        |  FROM wt a JOIN wt b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT d.a_id, d.b_id,
+        |  round(d.dot / (na.nrm * nb.nrm), 4) AS cosine_sim
+        |FROM dots d
+        |JOIN nrm na ON d.a_id = na.doc_id
+        |JOIN nrm nb ON d.b_id = nb.doc_id
+        |WHERE round(d.dot / (na.nrm * nb.nrm), 4) >= 0.35
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "e1_cosine_topk" ->
       """WITH q AS (

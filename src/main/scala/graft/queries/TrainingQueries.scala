@@ -801,6 +801,23 @@ object TrainingQueries {
         .orderBy(col("node"))
     }),
 
+    // G4 — PERSONALIZED PageRank: teleport returns only to a seed set
+    // (every 100th customer), so rank measures proximity to THOSE
+    // customers through the trading graph — the related-item /
+    // seeded-influence form. Unreachable nodes rank exactly 0.0 but
+    // stay in the output (total ranking). Same rounded-system
+    // determinism as g1; the oracle replays the per-node teleport
+    // through a LEFT JOIN against the seed set each iteration.
+    "g4_personalized_pagerank" -> ((s, d) => {
+      val seeds = Tables.customer(s, d)
+        .filter(col("c_custkey") % 100 === 0)
+        .select(concat(lit("c"), col("c_custkey").cast("string"))
+          .as("node"))
+      graft.operators.Graph
+        .personalizedPageRank(tradingEdges(s, d), seeds, iterations = 5)
+        .orderBy(col("node"))
+    }),
+
     // G2 — WEIGHTED PageRank: same graph as g1, but each edge carries
     // the pair's lineitem count as weight, so influence follows trading
     // VOLUME, not mere connectivity (contribution = rank·w/Σw). The
@@ -1004,6 +1021,54 @@ object TrainingQueries {
       .unionByName(ce.select(col("s").as("src"), col("c").as("dst")))
   }
 
+  /** Personalized-PageRank oracle: the g1 chained-CTE replay with the
+    * per-node teleport (1/|seeds| on seeds, 0 elsewhere) re-attached
+    * each iteration via a LEFT JOIN against the seed set. */
+  private def personalizedPageRankOracleSql(iters: Int): String = {
+    val base =
+      """WITH ce AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS s, 1 AS w
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), e AS (
+        |  SELECT c AS src, s AS dst, w FROM ce
+        |  UNION ALL SELECT s, c, w FROM ce
+        |), deg AS (
+        |  SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY src
+        |), nodes AS (SELECT DISTINCT src FROM e),
+        |seeds AS (
+        |  SELECT DISTINCT n.src FROM nodes n
+        |  JOIN customer c ON n.src = 'c' || CAST(c.c_custkey AS VARCHAR)
+        |  WHERE c.c_custkey % 100 = 0
+        |), ns AS (SELECT count(*) AS ns FROM seeds),
+        |t AS (
+        |  SELECT n.src AS node,
+        |    CASE WHEN s.src IS NOT NULL THEN CAST(1.0 AS DOUBLE) / ns.ns
+        |         ELSE CAST(0.0 AS DOUBLE) END AS tele
+        |  FROM nodes n LEFT JOIN seeds s ON n.src = s.src, ns
+        |),
+        |r0 AS (SELECT node, tele AS rank, tele FROM t)""".stripMargin
+    val its = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT t.node,
+         |    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * t.tele
+         |      + CAST(0.85 AS DOUBLE)
+         |        * CAST(COALESCE(c.csum, CAST(0 AS DECIMAL(38,12)))
+         |            AS DOUBLE), 9) AS rank,
+         |    t.tele
+         |  FROM t LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      sum(CAST(round((r.rank * e.w) / d.outw, 12)
+         |        AS DECIMAL(38,12))) AS csum
+         |    FROM e JOIN r${k - 1} r ON e.src = r.node
+         |      JOIN deg d ON e.src = d.src
+         |    GROUP BY e.dst
+         |  ) c ON t.node = c.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$its\nSELECT node, rank FROM r$iters ORDER BY node"
+  }
+
   private def pageRankOracleSql(iters: Int, weighted: Boolean): String = {
     val ce =
       if (weighted)
@@ -1051,6 +1116,7 @@ object TrainingQueries {
     // graph at EVERY scale factor (SF-invariant residual sequence — see
     // the g3 query comment); the oracle pins that selected count
     "g3_pagerank_converged" -> pageRankOracleSql(4, weighted = false),
+    "g4_personalized_pagerank" -> personalizedPageRankOracleSql(5),
 
     "t12_pack_sequences" ->
       """WITH docs AS (

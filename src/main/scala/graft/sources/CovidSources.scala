@@ -145,6 +145,55 @@ object CovidSources {
   def readDiseaseShJsonSafe(spark: SparkSession, path: String): Try[DataFrame] =
     Try(readDiseaseShJson(spark, path))
 
+  /** Resilient acquisition — the retry/timeout/fallback policy the
+    * reference wraps around every fetch (`requests.get(..., timeout=30)`
+    * at data_loader.py:32-69 with the timeout constant at
+    * constants.py:66; failure caught → logged → `None`, and every
+    * consumer short-circuits on the `None`). Transport itself stays out
+    * of scope offline (SURVEY.md §1.1 — at 100 TB acquisition is an
+    * upstream ingest job), so the policy is generic over ANY acquire
+    * thunk — file read, catalog lookup, ingest-job poll:
+    *   - up to `attempts` tries, exponential backoff between them;
+    *   - each try bounded by `timeoutMillis`, enforced on a DAEMON
+    *     thread so a hung source can never wedge the driver (the
+    *     abandoned attempt is interrupted via shutdownNow and cannot
+    *     outlive the JVM);
+    *   - once the budget is exhausted, the caller's `fallback` frame
+    *     (the reference's `None` short-circuit — [[emptyOwid]] for
+    *     OWID-shaped pipelines) with `degraded = true`.
+    * Returns (frame, attemptsUsed, degraded) so ingest jobs can emit
+    * the degradation into their run metrics instead of silently serving
+    * stale/empty data. */
+  def acquireWithRetry(
+      acquire: () => DataFrame, fallback: => DataFrame,
+      attempts: Int = 3, timeoutMillis: Long = 30000L,
+      backoffMillis: Long = 100L): (DataFrame, Int, Boolean) = {
+    require(attempts >= 1, "need at least one attempt")
+    import java.util.concurrent.{Callable, Executors, TimeUnit}
+    var used = 0
+    while (used < attempts) {
+      used += 1
+      val ex = Executors.newSingleThreadExecutor(r => {
+        val t = new Thread(r, s"graft-acquire-$used")
+        t.setDaemon(true)
+        t
+      })
+      try {
+        val fut = ex.submit(new Callable[DataFrame] {
+          override def call(): DataFrame = acquire()
+        })
+        return (fut.get(timeoutMillis, TimeUnit.MILLISECONDS), used, false)
+      } catch {
+        case _: InterruptedException => throw new InterruptedException(
+          "interrupted while acquiring a source")
+        case _: Throwable =>
+          if (used < attempts)
+            Thread.sleep(backoffMillis * (1L << math.min(used - 1, 20)))
+      } finally ex.shutdownNow()
+    }
+    (fallback, used, true)
+  }
+
   /** S3 + S4 — flatten the nested `countryInfo` struct and convert the
     * epoch-ms `updated` field (reference row-loop at
     * data_loader.py:176-218 → pure nested-struct projection here; no

@@ -437,6 +437,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1L) != fps(3L))
     assert(fps(1L).length == 16)
   }
+
+  test("sparseCosinePairs: clones score 1.0, disjoint docs never pair, df pruning bites") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),  // identical → cosine 1.0
+      (3L, "zeta eta theta iota kappa"),       // shares NO shingle with 1/2
+      (4L, "alpha beta gamma zeta eta theta")  // overlaps both camps
+    ).toDF("doc_id", "text")
+    val pairs = TextAnalysis
+      .sparseCosinePairs(docs, threshold = 0.0, maxDf = 10, ngram = 3)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    // doc 4 shares "alpha beta gamma" with 1/2 and "zeta eta theta"
+    // with 3 — real but partial similarity on both sides
+    assert(pairs((1L, 4L)) > 0.0 && pairs((1L, 4L)) < 1.0)
+    assert(pairs((3L, 4L)) > 0.0 && pairs((3L, 4L)) < 1.0)
+    assert(pairs((1L, 4L)) == pairs((2L, 4L)), "clones score alike")
+    // thresholding keeps only the clone pair once it clears the partials
+    val thresh = pairs.values.filter(_ < 1.0).max + 0.01
+    val kept = TextAnalysis
+      .sparseCosinePairs(docs, threshold = thresh, maxDf = 10, ngram = 3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(kept == Set((1L, 2L)))
+    // maxDf = 1 prunes every shingle two docs share → no pairs survive
+    assert(TextAnalysis
+      .sparseCosinePairs(docs, threshold = 0.0, maxDf = 1, ngram = 3)
+      .count() == 0)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

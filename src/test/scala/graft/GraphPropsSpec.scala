@@ -96,6 +96,34 @@ object GraphPropsSpec extends Properties("graft.graph") {
         }
     }
 
+  property("personalizedPageRank: totality, range, seeded-mass conservation on closed graphs") =
+    forAll(edgesGen, Gen.choose(1, 3), Gen.nonEmptyListOf(nodeGen)) {
+      (es, iters, seedPool) =>
+        val sources = es.map(_._1).toSet
+        val seeds = seedPool.toSet.intersect(sources)
+        (es.nonEmpty && seeds.nonEmpty) ==> {
+          val ranks = Graph.personalizedPageRank(es.toDF("src", "dst"),
+              seeds.toSeq.toDF("node"), iterations = iters)
+            .as[(String, Double)].collect().toMap
+          val closed = es.map(_._2).toSet.subsetOf(sources)
+          // reachability from the seed set along directed edges
+          val adj = es.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+          var reached = seeds
+          var frontier = seeds
+          while (frontier.nonEmpty) {
+            val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+              .intersect(sources) -- reached
+            reached ++= next
+            frontier = next
+          }
+          ranks.keySet == sources &&
+            ranks.values.forall(r => r >= 0.0 && r < 1.0 + 1e-9) &&
+            (sources -- reached).forall(n => ranks(n) == 0.0) &&
+            (!closed ||
+              math.abs(ranks.values.sum - 1.0) <= 1e-6 * math.max(1, sources.size))
+        }
+    }
+
   private val corpusGen: Gen[Map[Long, String]] =
     Gen.mapOf(Gen.zip(Gen.choose(0L, 12L), Gen.oneOf("x", "y", "z")))
 

@@ -142,6 +142,39 @@ class ScaleSpec extends SparkSpec {
     assert(rz("a") == 0.5 && rz("b") == 0.5)
   }
 
+  test("personalizedPageRank concentrates rank near the seeds; unreached nodes stay 0") {
+    import spark.implicits._
+    // a ↔ b, a ↔ c (hub a, leaves b/c) plus an isolated pair d ↔ e:
+    // with seed {b}, everything reachable from b gets mass, the
+    // disconnected component ranks exactly 0.0 but STAYS in the output
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"),
+      ("d", "e"), ("e", "d")).toDF("src", "dst")
+    val r = graft.operators.Graph
+      .personalizedPageRank(edges, Seq("b").toDF("node"), iterations = 4)
+      .as[(String, Double)].collect().toMap
+    assert(r.keySet == Set("a", "b", "c", "d", "e"), "total ranking")
+    assert(r("d") == 0.0 && r("e") == 0.0, "unreachable nodes rank 0")
+    // b and c receive the identical contribution from hub a; only b
+    // holds the teleport, so b − c == (1−d)·1/|seeds| every superstep
+    // (exact, parity-stable even though this bipartite-ish graph's
+    // per-node ranks oscillate between odd/even supersteps)
+    assert(math.abs(r("b") - r("c") - 0.15) < 2e-9,
+      "seed premium is (1-d)/|seeds| up to the 9-dp rank rounding")
+    assert(r("a") > 0.0 && r("c") > 0.0,
+      "one and two hops from the seed are both reached")
+    assert(math.abs(r.values.sum - 1.0) < 1e-6,
+      "closed graph conserves the seeded mass")
+    // seeds outside the graph are ignored; an all-outside set fails fast
+    val r2 = graft.operators.Graph.personalizedPageRank(edges,
+        Seq("b", "zzz").toDF("node"), iterations = 4)
+      .as[(String, Double)].collect().toMap
+    assert(r2 == r, "out-of-graph seeds must not change the teleport")
+    intercept[IllegalArgumentException] {
+      graft.operators.Graph.personalizedPageRank(edges,
+        Seq("zzz").toDF("node"), iterations = 1)
+    }
+  }
+
   test("pageRank broadcastRanks=false fallback is rank-identical on the g1 graph") {
     import spark.implicits._
     // the documented scale escape for node sets past the broadcast

@@ -67,6 +67,43 @@ class SourceErrorSpec extends SparkSpec {
     assert(df.filter(df("country").isNotNull).count() == 0)
   }
 
+  test("acquireWithRetry: transient failures retry, exhaustion degrades to the fallback") {
+    val good = CovidSources.readOwidCsv(
+      spark, s"${CovidSources.fixturesDir}/owid_sample.csv")
+    // succeeds on the first try — no retries consumed
+    val (df0, n0, deg0) = CovidSources.acquireWithRetry(
+      () => good, CovidSources.emptyOwid(spark),
+      attempts = 3, timeoutMillis = 5000, backoffMillis = 1)
+    assert(!deg0 && n0 == 1 && df0.count() == 14)
+    // fails twice, succeeds on the third — the retry loop recovers
+    var calls = 0
+    val (df1, n1, deg1) = CovidSources.acquireWithRetry(
+      () => { calls += 1
+        if (calls < 3) sys.error("transient") else good },
+      CovidSources.emptyOwid(spark),
+      attempts = 3, timeoutMillis = 5000, backoffMillis = 1)
+    assert(!deg1 && n1 == 3 && df1.count() == 14)
+    // always fails — the fallback frame comes back flagged degraded
+    val (df2, n2, deg2) = CovidSources.acquireWithRetry(
+      () => sys.error("source down"), CovidSources.emptyOwid(spark),
+      attempts = 2, timeoutMillis = 5000, backoffMillis = 1)
+    assert(deg2 && n2 == 2 && df2.count() == 0)
+    assert(df2.schema == CovidSources.owidSchema, "fallback keeps the contract schema")
+  }
+
+  test("acquireWithRetry: a hung source times out per attempt, never wedging the caller") {
+    val t0 = System.nanoTime()
+    val (df, n, degraded) = CovidSources.acquireWithRetry(
+      () => { Thread.sleep(60000); CovidSources.emptyOwid(spark) },
+      CovidSources.emptyOwid(spark),
+      attempts = 2, timeoutMillis = 150, backoffMillis = 1)
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(degraded && n == 2 && df.count() == 0)
+    // two 150 ms deadlines + backoff, NOT two 60 s hangs — the deadline
+    // is what the reference's requests timeout=30 provides
+    assert(elapsedMs < 5000, s"hung source must be abandoned, took $elapsedMs ms")
+  }
+
   test("the committed S1/S2 fixtures parse cleanly with the declared schemas") {
     val owid = CovidSources.readOwidCsv(
       spark, s"${CovidSources.fixturesDir}/owid_sample.csv")
