@@ -218,6 +218,54 @@ object EventWindows {
       .select(col("l_id"), col("r_id"), (col("r_s") - col("l_s")).as("lag_s"))
   }
 
+  /** Per-key TIME-WEIGHTED average of a sampled value: each event's
+    * value holds until the key's next event (step interpolation — the
+    * sensor/price/gauge resample), so the average weights every value
+    * by its holding duration instead of letting burst periods dominate
+    * an arithmetic mean. The last event per key has no successor and
+    * carries no weight; rows with a NULL value are dropped before the
+    * lag (they would otherwise donate an arbitrary span to a value
+    * that does not exist).
+    *
+    * twa = Σ(value·Δt_µs) / Σ(Δt_µs), with durations on EPOCH-
+    * MICROSECOND longs (the v5/v9 cross-engine convention — raw
+    * timestamp subtraction is precision-dependent). The numerator is
+    * INTEGER-EXACT, not decimal-cast: value·Δt reaches ~1e13–1e14,
+    * where a double's ulp (~2e-3) is COARSER than a 6-dp decimal
+    * quantum, so `cast(product as decimal(38,6))` depends on the
+    * engine's double→decimal conversion (shortest-repr vs full binary
+    * expansion — a measured 1-ulp twa divergence). Instead the value
+    * is quantized ONCE at its own magnitude (where the grid is far
+    * above ulp and the engines agree): vu = round(value·10^valueScale)
+    * — an exact integer — and vu·Δt rides DECIMAL(38,0) integer
+    * arithmetic end to end. `valueScale` must cover the value column's
+    * actual decimal resolution (events.value is a 2-decimal grid);
+    * the single final double division is left UNROUNDED (the exactAvg
+    * rule). Keys whose total duration is zero (single event, or all
+    * events on one microsecond) yield NULL, never a division error.
+    * One shuffle: the lead window and the grouped aggregate share the
+    * user_id partitioning. */
+  def timeWeightedAvg(events: DataFrame, valueCol: String = "value",
+      valueScale: Int = 2): DataFrame = {
+    val unit = math.pow(10.0, valueScale)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("__us"), col("event_id"))
+    events
+      .filter(col(valueCol).isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("__us"),
+        round(col(valueCol) * lit(unit)).cast("decimal(19,0)").as("__vu"))
+      .withColumn("__dt", lead(col("__us"), 1).over(w) - col("__us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__vu") * col("__dt").cast("decimal(19,0)")).as("__num"),
+        sum(col("__dt")).as("__den"))
+      .select(col("user_id"), col("n_events"),
+        when(col("__den") > 0,
+          col("__num").cast("double") / (col("__den").cast("double") * lit(unit)))
+          .as("twa"))
+  }
+
   /** Ordered conversion funnel: users progress through `steps` event
     * types strictly in time order — step k counts a user iff some
     * step-k event lands STRICTLY AFTER the user's step-(k−1) timestamp

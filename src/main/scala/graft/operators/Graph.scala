@@ -221,6 +221,80 @@ object Graph {
         col("__tele"))
   }
 
+  /** EXACT per-node triangle counting by DEGREE-ORDERED EDGE ORIENTATION
+    * — the relational form of the classic bounded-fanout algorithm
+    * (orient every undirected edge from its (degree, id)-smaller
+    * endpoint to the larger; each triangle then has exactly ONE wedge
+    * u→v, u→w with both closing edges oriented the same way, so it is
+    * found exactly once, with no post-hoc dedup).
+    *
+    * Why this shape survives 100 TB: the naive wedge join on an
+    * UNORIENTED graph fans out quadratically in the max degree — one
+    * celebrity node with 10M followers yields 10^14 wedges on its key
+    * alone. Orientation caps every node's OUT-degree at O(√m) (a node
+    * of degree > √(2m) cannot have that many higher-degree neighbors),
+    * so per-key wedge fanout is C(outdeg, 2) ≤ O(m) TOTAL regardless of
+    * skew — the degeneracy bound. Three equi-joins, all shuffled on
+    * bounded keys; counts are exact integers, so no float convention is
+    * needed.
+    *
+    * Input edges are canonicalized here: self-loops dropped, direction
+    * and duplicates collapsed — callers pass any (src, dst) pair list.
+    * `broadcastDegrees` (default true) broadcasts the |nodes|-row degree
+    * frame into the two orientation joins — the bounded node-sized
+    * broadcast contract shared with [[pageRank]]'s rank state; set it
+    * false past the broadcast budget (~100M+ nodes) and the orientation
+    * becomes two ordinary shuffle equi-joins.
+    *
+    * Returns (node, triangles) for every node in ≥ 1 triangle. */
+  def triangleCount(
+      edges: DataFrame, broadcastDegrees: Boolean = true): DataFrame = {
+    def bc(df: DataFrame): DataFrame =
+      if (broadcastDegrees) broadcast(df) else df
+    // canonical undirected edge set; feeds the degree count AND the
+    // orientation join — one materialization (t8 convention)
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient a—b from the (deg, id)-smaller endpoint; carry the HEAD's
+    // degree so the wedge join can order neighbors without re-joining
+    val o = und
+      .join(bc(deg.select(col("node").as("a"), col("deg").as("da"))), Seq("a"))
+      .join(bc(deg.select(col("node").as("b"), col("deg").as("db"))), Seq("b"))
+      .select(
+        when(col("da") < col("db")
+            || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("s"), col("b").as("t"), col("db").as("dt")))
+        .otherwise(
+          struct(col("b").as("s"), col("a").as("t"), col("da").as("dt")))
+        .as("e"))
+      .select(col("e.s").as("src"), col("e.t").as("dst"),
+        col("e.dt").as("ddeg"))
+      // reused by BOTH wedge sides and the closing join — materialize
+      .localCheckpoint(eager = false)
+    // wedges u→v, u→w with (deg, id)(v) < (deg, id)(w): an equi-join on
+    // the wedge center plus the ordering filter (no cartesian — the
+    // join key is u)
+    val wedges = o.select(col("src"), col("dst").as("v"), col("ddeg").as("dv"))
+      .join(o.select(col("src"), col("dst").as("w"), col("ddeg").as("dw")),
+        Seq("src"))
+      .filter(col("dv") < col("dw")
+        || (col("dv") === col("dw") && col("v") < col("w")))
+    // close the wedge: (v, w) must be an oriented edge. `o` rows are
+    // unique, so a semi-join counts each triangle exactly once.
+    val tri = wedges.join(
+      o.select(col("src").as("v"), col("dst").as("w")),
+      Seq("v", "w"), "left_semi")
+    tri.select(explode(array(col("src"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
+
   /** Shared graph preparation: checkpointed (edge ⋈ out-weight ⋈ closed
     * node set) frame plus the uniform initial state. One materialization
     * serves every superstep (positive-weight contract enforced up front

@@ -87,6 +87,48 @@ object Summaries {
       .drop("__n", "__sx", "__sy", "__sxy", "__sxx", "__syy")
   }
 
+  /** Per-group ORDINARY-LEAST-SQUARES line fit (y = slope·x +
+    * intercept, plus R²) from the same exact-decimal moment sums as
+    * [[pearson]] — the trend-extraction analytic (drift detection,
+    * per-cohort growth rates) done in ONE distributed pass: five
+    * moments accumulate partial+final in a single hash aggregate (no
+    * second scan, no collect), then the closed-form solution combines
+    * a handful of per-group scalars in double. Determinism: each
+    * moment sums as DECIMAL(38,10) (associative-exact, so Spark's
+    * aggregation order cannot ulp-drift), and both engines evaluate
+    * the identical double expression tree over identical operands —
+    * round(…, scale) buries nothing engine-specific.
+    *
+    * Degenerate groups (n < 2, or zero x-variance) yield NULL slope/
+    * intercept/R² via the guarded divisions — never NaN/Inf (the X6
+    * guarded-ratio contract). Rows with either side NULL are dropped
+    * from ALL moments (pairwise-complete, the pearson rule). */
+  def olsFit(df: DataFrame, groupCols: Seq[Column], x: Column, y: Column,
+      scale: Int = 6): DataFrame = {
+    val dec = "decimal(38,10)"
+    val vx = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val vy = col("__n") * col("__syy") - col("__sy") * col("__sy")
+    val cxy = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(groupCols: _*)
+      .agg(
+        count(lit(1)).cast("double").as("__n"),
+        sum(x.cast(dec)).cast("double").as("__sx"),
+        sum(y.cast(dec)).cast("double").as("__sy"),
+        sum((x * y).cast(dec)).cast("double").as("__sxy"),
+        sum((x * x).cast(dec)).cast("double").as("__sxx"),
+        sum((y * y).cast(dec)).cast("double").as("__syy"))
+      .withColumn("n_obs", col("__n").cast("long"))
+      .withColumn("slope",
+        round(when(vx > 0.0, cxy / vx), scale))
+      .withColumn("intercept",
+        round(when(vx > 0.0,
+          (col("__sy") - (cxy / vx) * col("__sx")) / col("__n")), scale))
+      .withColumn("r2",
+        round(when(vx > 0.0 && vy > 0.0, (cxy * cxy) / (vx * vy)), scale))
+      .drop("__n", "__sx", "__sy", "__sxy", "__sxx", "__syy")
+  }
+
   /** Decimal-exact sum of a double column, emitted as a rounded double.
     * Summing doubles is partition-order nondeterministic; casting each
     * value to an exact decimal makes the aggregate associative-exact,

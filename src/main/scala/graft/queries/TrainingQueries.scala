@@ -279,6 +279,18 @@ object TrainingQueries {
         .orderBy(col("view_id"), col("click_id"))
     }),
 
+    // V11 — per-user TIME-WEIGHTED average (step-interpolated gauge
+    // resample): each value holds until the user's next event, so the
+    // mean weights by holding duration, not event count. Durations on
+    // epoch-µs longs (the v5 convention), numerator decimal-exact,
+    // final division unrounded (exactAvg rule); zero-duration users
+    // yield NULL. One user_id shuffle serves both the lead window and
+    // the aggregate.
+    "v11_time_weighted_avg" -> ((s, d) => {
+      graft.extensions.EventWindows.timeWeightedAvg(Tables.events(s, d))
+        .orderBy(col("user_id"))
+    }),
+
     // V6 — stream-static enrichment join (batch form of
     // StreamingOps.enrichedSegmentCounts; streaming parity in
     // StreamingSpec): events decorated from the broadcast customer dim,
@@ -699,6 +711,22 @@ object TrainingQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // W27 — per-group OLS trend fit (slope / intercept / R² of value
+    // vs event DAY): drift detection and per-cohort growth rates in
+    // one distributed pass — five exact-decimal moments in a single
+    // hash aggregate, closed-form solution on the per-group scalars
+    // (Summaries.olsFit). The regressor is the epoch-DAY long
+    // (unix_micros DIV 86_400_000_000 — the epoch-µs convention,
+    // integer both engines agree on), never a raw timestamp.
+    "w27_ols_trend" -> ((s, d) => {
+      Summaries.olsFit(
+          Tables.events(s, d),
+          Seq(col("event_type")),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          col("value"))
+        .orderBy(col("event_type"))
+    }),
+
     // O8 — CDC upsert/delete merge (MERGE INTO semantics without a
     // table format): apply a keyed change stream to a snapshot — the
     // LATEST change per key wins (seq-ordered window, the W3
@@ -839,6 +867,24 @@ object TrainingQueries {
       graft.operators.Graph.pageRank(edges, iterations = 5,
           weightCol = Some("w"))
         .orderBy(col("node"))
+    }),
+
+    // G5 — exact triangle counting on the part co-purchase graph (parts
+    // appearing in the same order are linked): community structure /
+    // clustering-coefficient machinery over a graph whose raw degree
+    // distribution is skewed — exactly the shape where the naive wedge
+    // join melts down. Graph.triangleCount orients every edge from its
+    // (degree, id)-smaller endpoint, capping per-key wedge fanout at the
+    // O(√m) degeneracy bound, then closes wedges with one semi-join; all
+    // counts are exact integers, so the oracle replays the identical
+    // oriented system with no float convention needed.
+    "g5_triangle_count" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.as("x").join(li.as("y"), Seq("l_orderkey"))
+        .filter(col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      graft.operators.Graph.triangleCount(pairs).orderBy(col("node"))
     }),
 
     // O7 — deterministic global row numbering (contiguous example ids /
@@ -1117,6 +1163,42 @@ object TrainingQueries {
     // the g3 query comment); the oracle pins that selected count
     "g3_pagerank_converged" -> pageRankOracleSql(4, weighted = false),
     "g4_personalized_pagerank" -> personalizedPageRankOracleSql(5),
+    // g5 replays the oriented-wedge system: same (deg, id) orientation,
+    // same wedge ordering, EXISTS for the closing semi-join — exact
+    // integer counts end to end
+    "g5_triangle_count" ->
+      """WITH und AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey
+        |), deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+        |  ) GROUP BY node
+        |), o AS (
+        |  SELECT
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+        |         THEN u.a ELSE u.b END AS src,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+        |         THEN u.b ELSE u.a END AS dst,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+        |         THEN db.deg ELSE da.deg END AS ddeg
+        |  FROM und u
+        |  JOIN deg da ON u.a = da.node
+        |  JOIN deg db ON u.b = db.node
+        |), tri AS (
+        |  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+        |  FROM o e1 JOIN o e2 ON e1.src = e2.src
+        |    AND (e1.ddeg < e2.ddeg
+        |      OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+        |  WHERE EXISTS (
+        |    SELECT 1 FROM o e3 WHERE e3.src = e1.dst AND e3.dst = e2.dst)
+        |)
+        |SELECT node, count(*) AS triangles FROM (
+        |  SELECT u AS node FROM tri
+        |  UNION ALL SELECT v FROM tri
+        |  UNION ALL SELECT w FROM tri
+        |) GROUP BY node ORDER BY node""".stripMargin,
 
     "t12_pack_sequences" ->
       """WITH docs AS (
@@ -1296,6 +1378,54 @@ object TrainingQueries {
         |CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*)
         |  AS avg_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // v11 replays the lead-window form on epoch_us longs; the numerator
+    // is integer-exact (centi-unit value × µs duration in HUGEINT —
+    // the operator's decimal(38,0) twin), final division unrounded
+    "v11_time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(round(value * 100.0) AS HUGEINT) AS vu
+        |  FROM events WHERE value IS NOT NULL
+        |), d AS (
+        |  SELECT user_id, vu,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      - us AS dt
+        |  FROM e
+        |)
+        |SELECT user_id, count(*) AS n_events,
+        |  CASE WHEN sum(dt) > 0
+        |    THEN CAST(sum(vu * dt) AS DOUBLE)
+        |      / (CAST(sum(dt) AS DOUBLE) * 100.0) END AS twa
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // w27 replays olsFit's exact-decimal moments and the identical
+    // double expression tree (same parenthesization — a different op
+    // order could ulp-shift within round-6's tie window)
+    "w27_ols_trend" ->
+      """WITH m AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(day AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(day * value AS DECIMAL(38,10))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(day * day AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(value * value AS DECIMAL(38,10))) AS DOUBLE) AS syy
+        |  FROM (
+        |    SELECT event_type, epoch_us(ts) // 86400000000 AS day, value
+        |    FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  ) GROUP BY event_type
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_obs,
+        |  round(CASE WHEN n * sxx - sx * sx > 0.0
+        |    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope,
+        |  round(CASE WHEN n * sxx - sx * sx > 0.0
+        |    THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+        |    END, 6) AS intercept,
+        |  round(CASE WHEN n * sxx - sx * sx > 0.0 AND n * syy - sy * sy > 0.0
+        |    THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
+        |FROM m ORDER BY event_type""".stripMargin,
 
     "o9_scd2_history" ->
       """WITH e AS (

@@ -124,6 +124,29 @@ object GraphPropsSpec extends Properties("graft.graph") {
         }
     }
 
+  property("triangleCount matches brute-force enumeration on random graphs") =
+    forAll(edgesGen) { es =>
+      (es.nonEmpty) ==> {
+        val got = Graph.triangleCount(es.toDF("src", "dst"))
+          .as[(String, Long)].collect().toMap
+        // brute force: canonical undirected edge set, enumerate all
+        // node triples, count per node
+        val und = es.map { case (a, b) =>
+          if (a < b) (a, b) else (b, a)
+        }.toSet
+        val nodes = und.flatMap(e => Set(e._1, e._2)).toList.sorted
+        val expected = scala.collection.mutable.Map[String, Long]()
+        for {
+          i <- nodes.indices; j <- (i + 1) until nodes.size
+          k <- (j + 1) until nodes.size
+          (a, b, c) = (nodes(i), nodes(j), nodes(k))
+          if und((a, b)) && und((b, c)) && und((a, c))
+          n <- Seq(a, b, c)
+        } expected(n) = expected.getOrElse(n, 0L) + 1L
+        got == expected.toMap
+      }
+    }
+
   private val corpusGen: Gen[Map[Long, String]] =
     Gen.mapOf(Gen.zip(Gen.choose(0L, 12L), Gen.oneOf("x", "y", "z")))
 

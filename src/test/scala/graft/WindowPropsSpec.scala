@@ -97,6 +97,43 @@ object WindowPropsSpec extends Properties("graft.windows") {
         got == want
     }
 
+  property("olsFit = closed-form moment reference; degenerate groups yield NULL") =
+    forAll(
+      Gen.choose(1, 20).flatMap(n =>
+        Gen.listOfN(n, Gen.zip(Gen.choose(0L, 3L), Gen.choose(-100.0, 100.0)))),
+      Gen.choose(1, 8)) { (pts, parts) =>
+      import graft.operators.Summaries
+      val df = pts.map { case (x, y) => ("g", x, y) }
+        .toDF("g", "x", "y").repartition(parts)
+      val got = Summaries.olsFit(df, Seq(col("g")), col("x"), col("y"))
+        .select(col("n_obs"), col("slope"), col("intercept"), col("r2"))
+        .as[(Long, Option[Double], Option[Double], Option[Double])]
+        .collect().head
+      // the operator's exact arithmetic, replayed: decimal(·,10) HALF_UP
+      // per addend (longs exact), decimal sum, then the identical double
+      // expression tree and one round-6
+      def dec(v: Double) =
+        BigDecimal.valueOf(v).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      def r6(d: Double) =
+        BigDecimal.valueOf(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      val n = pts.size.toDouble
+      val sx = pts.map(_._1).sum.toDouble
+      val sy = pts.map(p => dec(p._2)).sum.toDouble
+      val sxy = pts.map(p => dec(p._1 * p._2)).sum.toDouble
+      val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+      val syy = pts.map(p => dec(p._2 * p._2)).sum.toDouble
+      val vx = n * sxx - sx * sx
+      val vy = n * syy - sy * sy
+      val cxy = n * sxy - sx * sy
+      val want = (
+        pts.size.toLong,
+        if (vx > 0) Some(r6(cxy / vx)) else None,
+        if (vx > 0) Some(r6((sy - (cxy / vx) * sx) / n)) else None,
+        if (vx > 0 && vy > 0) Some(r6((cxy * cxy) / (vx * vy))) else None)
+      got == want
+    }
+
   property("runningMaxExclusive = prefix max of prior arrivals") =
     forAll(Gen.listOfN(30, Gen.choose(0L, 100L))) { vals =>
       val rows = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
