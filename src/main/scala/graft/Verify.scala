@@ -21,6 +21,7 @@ object Verify {
       // events.ts is parquet TIMESTAMP(NANOS) — unsupported by Spark's
       // micros TimestampType; read as raw Long (converted in Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

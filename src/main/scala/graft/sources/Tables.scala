@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet readers for the driver's deterministic TESTDATA tables
   * (`/root/testdata/sf*`; schemas in FIXTURES.md §B).
@@ -18,24 +18,39 @@ object Tables {
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Timestamp normalization at the reader boundary. The driver's
+    * parquet has carried two physical encodings across regenerations:
+    * TIMESTAMP(NANOS) (arrives as a raw ns LONG under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (arrives as TIMESTAMP_NTZ under Spark's
+    * default `inferTimestampNTZ`). Every operator downstream assumes ONE
+    * canonical type — TimestampType (µs, UTC session) — so both encodings
+    * are folded here and nowhere else. The NTZ→LTZ cast reinterprets the
+    * stored local-datetime in the session time zone; all graft sessions
+    * pin UTC, which makes `unix_micros(ts)` equal DuckDB's `epoch_us(ts)`
+    * on the naive value — the cross-engine epoch-µs convention every
+    * oracled comparison rides on. The ns branch uses INTEGER division (a
+    * double roundtrip would lose precision: epoch-ns ≈ 1.7e18 > 2^53). */
+  private def canonicalTs(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df) { (acc, c) =>
+      acc.schema(c).dataType match {
+        case LongType => acc.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+        case TimestampNTZType => acc.withColumn(c, col(c).cast(TimestampType))
+        case _ => acc
+      }
+    }
+
   def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = read(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = read(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = read(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (micros) cannot represent; sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` so it arrives as a raw
-    * ns count, converted here with INTEGER division (a double roundtrip
-    * would lose precision: epoch-ns ≈ 1.7e18 > 2^53). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = read(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
-  }
+  def orders(s: SparkSession, d: String): DataFrame =
+    canonicalTs(read(s, d, "orders"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    canonicalTs(read(s, d, "lineitem"), "l_shipdate")
+  def events(s: SparkSession, d: String): DataFrame =
+    canonicalTs(read(s, d, "events"), "ts")
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
 
   /** `documents` plus deterministic exact-duplicate clones (every

@@ -1,73 +1,49 @@
-#!/usr/bin/env python3
-"""Local replica of the driver's DuckDB-oracle correctness gate.
+"""Local replay of the driver's DuckDB oracle gate (rows/schema/values).
 
-Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
-
-Runs each oracle_sql.json query in DuckDB against the sfDir parquet
-tables, compares with the Spark result parquet (columns sorted by name,
-rows sorted), prints per-query PASS/FAIL.
+Run Verify first:  sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
+Then:              python3 tools/oracle_check.py /root/testdata/sf0.01 /tmp/verify_out
 """
-import json
-import sys
-
+import sys, os, json, glob
 import duckdb
-import pandas as pd
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+con = duckdb.connect()
+for t in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(t)[:-len(".parquet")]
+    con.execute(f"create view {name} as select * from '{t}'")
 
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    def cell(v):
+        if isinstance(v, float): return f"{v!r}"
+        return str(v)
+    return sorted(tuple(cell(r[i]) for i in order) for r in rows)
 
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
-    return df
-
-
-def main(sf_dir: str, out_dir: str) -> None:
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
-    import glob
-    for name in sorted(oracle):
-        sql = oracle[name]
-        try:
-            want = con.execute(sql).fetchdf()
-            files = glob.glob(f"{out_dir}/{name}/*.parquet")
-            got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
-            w, g = normalize(want), normalize(got)
-            if list(w.columns) != list(g.columns):
-                print(f"FAIL {name}: columns {list(g.columns)} vs oracle {list(w.columns)}")
-                n_fail += 1
-                continue
-            if len(w) != len(g):
-                print(f"FAIL {name}: rows {len(g)} vs oracle {len(w)}")
-                n_fail += 1
-                continue
-            diffs = []
-            for c in w.columns:
-                wc, gc = w[c], g[c]
-                if wc.dtype.kind == "f" or gc.dtype.kind == "f":
-                    eq = (wc.astype(float).fillna(-9e99) - gc.astype(float).fillna(-9e99)).abs() == 0.0
-                else:
-                    eq = wc.fillna("__n__").astype(str) == gc.fillna("__n__").astype(str)
-                if not eq.all():
-                    i = (~eq).idxmax()
-                    diffs.append(f"{c}[row{i}]: spark={g[c][i]!r} oracle={w[c][i]!r} (n={int((~eq).sum())})")
-            if diffs:
-                print(f"FAIL {name}: " + "; ".join(diffs[:3]))
-                n_fail += 1
-            else:
-                print(f"PASS {name} ({len(w)} rows)")
-                n_pass += 1
-        except Exception as ex:
-            print(f"FAIL {name}: EXC {str(ex)[:200]}")
-            n_fail += 1
-
-    print(f"\n{n_pass} pass / {n_fail} fail (oracled); rows-only queries not checked here")
-
-
-if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+fails, rows_only = [], []
+checked = 0
+for name in sorted(json.load(open(f"{out_dir}/oracle_sql.json"))):
+    sql = oracle[name]
+    if not glob.glob(f"{out_dir}/{name}/*.parquet"):
+        continue  # filtered Verify dump (local iteration on a subset)
+    checked += 1
+    sp = con.execute(f"select * from '{out_dir}/{name}/*.parquet'")
+    sp_rows, sp_cols = sp.fetchall(), [d[0] for d in sp.description]
+    try:
+        du = con.execute(sql)
+        du_rows, du_cols = du.fetchall(), [d[0] for d in du.description]
+    except Exception as e:
+        fails.append((name, f"oracle sql error: {e}")); continue
+    if len(sp_rows) != len(du_rows):
+        fails.append((name, f"rows {len(sp_rows)} vs {len(du_rows)}")); continue
+    if sorted(sp_cols) != sorted(du_cols):
+        fails.append((name, f"schema {sorted(sp_cols)} vs {sorted(du_cols)}")); continue
+    if canon(sp_rows, sp_cols) != canon(du_rows, du_cols):
+        a, b = canon(sp_rows, sp_cols), canon(du_rows, du_cols)
+        diff = next((i for i, (x, y) in enumerate(zip(a, b)) if x != y), -1)
+        fails.append((name, f"value mismatch at sorted row {diff}: {a[diff] if diff>=0 else ''} vs {b[diff] if diff>=0 else ''}"))
+        continue
+print(f"{checked-len(fails)} pass / {len(fails)} fail"
+      + (f" ({len(oracle)-checked} not dumped)" if checked < len(oracle) else ""))
+for n, why in fails: print("FAIL", n, why[:300])
+sys.exit(1 if fails else 0)
