@@ -278,4 +278,59 @@ object TextAnalysis {
         round(col("dot") / (col("na") * col("nb")), 4).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
   }
+
+  /** Okapi BM25 keyword retrieval over the corpus — the ranked-search
+    * scoring tf-idf (t8) is the unranked ancestor of: saturating term
+    * frequency (k1) and document-length normalization (b) so long
+    * documents can't buy rank with raw repetition. The standard
+    * probabilistic idf `ln(1 + (N−df+0.5)/(df+0.5))` never goes
+    * negative.
+    *
+    * Shape at scale: one tokenize+count pass (map-side combinable);
+    * the per-(doc,term) frame is checkpointed once and feeds the
+    * doc-length aggregate, the df aggregate and the probe. The probe
+    * side filters to the query terms AT THE SOURCE (a |terms|-item
+    * isin — scan-level pushdown, so the posting join only ever sees
+    * query-term postings, never the corpus vocabulary), then joins the
+    * broadcast |queryTerms|-row df frame and the doc-length frame on
+    * the uniform doc_id key; corpus-level stats (N, Σdl) arrive as a
+    * broadcast 1-row cross join. No all-pairs stage, nothing driver-
+    * side.
+    *
+    * Determinism (cross-engine): per-(doc,term) score contributions
+    * round to 6 dp after one ln() (the t8 convention), then sum as
+    * exact DECIMAL(38,6); avgdl stays a raw double but is derived from
+    * two integer aggregates via one IEEE division — both engines
+    * evaluate the identical expression tree, so the oracle replays
+    * hash-exact. Constants fold to (k1+1) and (1−b) Spark-side and in
+    * the SQL so both engines parse the same literals. */
+  def bm25(docs: DataFrame, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false) // feeds dl, df AND the probe
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("cnt")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"),
+      sum(col("dl")).cast("double").as("sumdl"))
+    val dfreq = tf.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.filter(col("term").isin(queryTerms: _*))
+      .join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(
+          log(lit(1.0) + (col("n") - col("df") + lit(0.5))
+              / (col("df") + lit(0.5)))
+            * (col("cnt") * lit(k1 + 1.0))
+            / (col("cnt") + lit(k1) * (lit(1.0 - b)
+              + (lit(b) * col("dl")) / (col("sumdl") / col("n")))),
+          6).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w").cast("decimal(38,6)")).cast("double").as("score"),
+        count(lit(1)).as("n_terms_hit"))
+  }
 }

@@ -291,6 +291,28 @@ object TrainingQueries {
         .orderBy(col("user_id"))
     }),
 
+    // V12 — HOPPING (sliding) event-time windows via the builtin
+    // `window(ts, len, slide)`: each event lands in len/slide
+    // overlapping epoch-aligned buckets (1h window every 15min → 4),
+    // expanded MAP-SIDE before the one bucket-key shuffle — the
+    // overlap factor multiplies rows, never exchanges. Bucket starts
+    // are slide-aligned epoch integers, so the oracle replays them
+    // with integer µs arithmetic ((us div slide − j)·slide, j<4 —
+    // exactly Spark's alignment rule) and no timestamp comparison
+    // crosses engines (the v5 convention). The streaming form is the
+    // same expression under readStream + watermark (tumbling twin:
+    // v1/StreamingOps).
+    "v12_hopping_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          Summaries.exactSum(col("value"), 2).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("bucket_start_s"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("bucket_start_s"), col("event_type"))
+    }),
+
     // V6 — stream-static enrichment join (batch form of
     // StreamingOps.enrichedSegmentCounts; streaming parity in
     // StreamingSpec): events decorated from the broadcast customer dim,
@@ -727,6 +749,176 @@ object TrainingQueries {
         .orderBy(col("event_type"))
     }),
 
+    // W28 — ROLLUP subtotal lattice (grouping sets): per-(returnflag,
+    // linestatus) detail, per-returnflag subtotals and the grand total
+    // in ONE aggregate — Spark expands the grouping-set lattice
+    // map-side and all levels ride a single hash aggregate + one
+    // shuffle (a UNION of three GROUP BYs would scan the fact table
+    // three times). Subtotal NULLs are disambiguated from data NULLs
+    // by grouping_id (bit per column, MSB = first grouping column —
+    // the same bitmask contract as DuckDB's GROUPING()); display keys
+    // coalesce to '(all)' so the output carries no NULLs and the
+    // cross-engine NULL-ordering divergence (Spark NULLS FIRST vs
+    // DuckDB NULLS LAST) never enters the ORDER BY.
+    "w28_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_rows"),
+          Summaries.exactSum(col("l_quantity"), 2).as("sum_qty"),
+          Summaries.exactSum(col("l_extendedprice"), 2).as("sum_price"))
+        .select(col("gid"),
+          coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+          col("n_rows"), col("sum_qty"), col("sum_price"))
+        .orderBy(col("gid"), col("returnflag"), col("linestatus"))
+    }),
+
+    // T21 — Okapi BM25 ranked keyword retrieval (TextAnalysis.bm25):
+    // tf saturation + length normalization over the t8 posting
+    // machinery; the probe filters to the query terms at the scan, df
+    // broadcasts at |queryTerms| rows, corpus stats ride a 1-row
+    // broadcast cross join. Per-term contributions round-6 after the
+    // one ln() (t8 convention) and sum as exact DECIMAL(38,6).
+    "t21_bm25" -> ((s, d) => {
+      TextAnalysis.bm25(Tables.documents(s, d),
+          Seq("vector", "stream", "window"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // X17 — EQUAL-FREQUENCY feature binning (quantile discretization):
+    // bin k of n rows by global rank — ((rn−1)·k) div n, integer-exact
+    // in both engines. The global rank comes from
+    // WindowOps.globalRowNumber (range repartition + per-partition
+    // offsets), NOT `row_number() OVER (ORDER BY …)` — the oracle's
+    // single-task window is fine for DuckDB but would serialize Spark
+    // on one core (the o7 argument, reused on a second consumer). The
+    // (value, orderkey, linenumber) tiebreak makes the rank — and so
+    // every bin boundary — deterministic under ties.
+    "x17_equal_freq_binning" -> ((s, d) => {
+      val base = Tables.lineitem(s, d)
+        .select(col("l_extendedprice").as("v"),
+          col("l_orderkey"), col("l_linenumber"))
+      val n = base.agg(count(lit(1)).as("n"))
+      WindowOps.globalRowNumber(base,
+          Seq(col("v"), col("l_orderkey"), col("l_linenumber")), "rn")
+        .crossJoin(broadcast(n))
+        .withColumn("bin", expr("((rn - 1) * 8) div n"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("v")).as("lo"), max(col("v")).as("hi"))
+        .orderBy(col("bin"))
+    }),
+
+    // T22 — classifier evaluation: per-class precision / recall / F1 of
+    // the t2 language-ID heuristic against the labeled `lang` column —
+    // the eval-harness aggregate every labeling pipeline ships next to
+    // its labeler. Three bounded grouped counts off ONE checkpointed
+    // prediction pass (actual, predicted, agreement), stitched with
+    // full-outer joins on the |classes|-sized key so classes that are
+    // only ever predicted (fr, unknown) or only ever actual (zh) both
+    // surface with the right zeros. Ratios are exact-integer → double
+    // single divisions (identical IEEE op both engines, unrounded —
+    // the exactAvg rule); F1's guarded form never divides by zero.
+    "t22_langid_eval" -> ((s, d) => {
+      val preds = Tables.documents(s, d)
+        .select(col("lang").as("actual"),
+          TextAnalysis.langId(col("text")).as("predicted"))
+        .localCheckpoint(eager = false) // feeds all three class counts
+      val na = preds.groupBy(col("actual").as("cls"))
+        .agg(count(lit(1)).as("n_actual"))
+      val np = preds.groupBy(col("predicted").as("cls"))
+        .agg(count(lit(1)).as("n_predicted"))
+      val tp = preds.filter(col("actual") === col("predicted"))
+        .groupBy(col("actual").as("cls")).agg(count(lit(1)).as("tp"))
+      val base = na.join(np, Seq("cls"), "full_outer")
+        .join(tp, Seq("cls"), "full_outer")
+        .select(col("cls"),
+          coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+          coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+          coalesce(col("tp"), lit(0L)).as("tp"))
+      val p = when(col("n_predicted") > 0,
+        col("tp").cast("double") / col("n_predicted"))
+      val r = when(col("n_actual") > 0,
+        col("tp").cast("double") / col("n_actual"))
+      base
+        .withColumn("precision", p)
+        .withColumn("recall", r)
+        .withColumn("f1",
+          when(coalesce(p, lit(0.0)) + coalesce(r, lit(0.0)) > 0,
+            lit(2.0) * p * r / (p + r)).otherwise(lit(0.0)))
+        .orderBy(col("cls"))
+    }),
+
+    // V13 — rolling z-score anomaly flags (leakage-free): each event
+    // scored against the mean/std of its OWN user's previous 8 events
+    // (rows frame ending at -1 — the current value never contaminates
+    // its baseline; the metric-monitoring primitive). Cross-engine
+    // determinism: windowed DOUBLE sums are engine-specific (Spark
+    // accumulates in frame order, DuckDB merges a segment tree —
+    // different float association), so the value is quantized ONCE to
+    // centi-units (round(v·100), exact integers — the v11 trick),
+    // windowed sums stay integer-exact in any association, and
+    // mean/variance/z derive through one identical double expression
+    // tree. Sample variance (n−1); full-window-only (n = 8) — partial
+    // baselines yield NULL z and never flag. One user_id exchange.
+    "v13_rolling_zscore" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(-8, -1)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          round(col("value") * 100).cast("long").as("vu"))
+        .withColumn("n", count(col("vu")).over(w))
+        .withColumn("s1", sum(col("vu")).over(w))
+        .withColumn("s2", sum(col("vu") * col("vu")).over(w))
+        .withColumn("z", when(col("n") === 8, {
+          val mean = col("s1").cast("double") / col("n")
+          val varr = (col("n") * col("s2") - col("s1") * col("s1"))
+            .cast("double") / (col("n") * (col("n") - 1)).cast("double")
+          when(varr > 0,
+            round((col("vu").cast("double") - mean) / sqrt(varr), 6))
+        }))
+        .withColumn("is_anomaly",
+          coalesce(abs(col("z")) > 3.0, lit(false)))
+        .select(col("event_id"), col("user_id"), col("z"), col("is_anomaly"))
+        .orderBy(col("event_id"))
+    }),
+
+    // W29 — join-key skew profile: the pre-flight diagnostic a 100 TB
+    // join plan starts from (decides broadcast vs salt vs AQE skew
+    // hints). Per candidate key: distinct keys, max/avg frequency,
+    // exact p50/p99 of the frequency distribution, and the heaviest
+    // key's row share. The frequency table is |distinct keys|-sized
+    // (one hash agg off the fact scan); the profile is a bounded
+    // second aggregate over it — builtin exact percentile is safe
+    // there because frequencies have bounded cardinality (the w6
+    // decision rule). avg_freq and top1_share stay unrounded
+    // (exactAvg rule: single division of exact integers).
+    "w29_key_skew_profile" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      def profile(keyCol: String): DataFrame = {
+        val freq = li.groupBy(col(keyCol)).agg(count(lit(1)).as("f"))
+        freq.agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("f")).as("n_rows"),
+          max(col("f")).as("max_freq"),
+          expr("CAST(percentile(f, 0.5) AS DOUBLE)").as("p50_freq"),
+          expr("CAST(percentile(f, 0.99) AS DOUBLE)").as("p99_freq"))
+          .select(lit(keyCol).as("key"), col("n_keys"), col("n_rows"),
+            col("max_freq"),
+            (col("max_freq").cast("double") / (col("n_rows")
+              .cast("double") / col("n_keys"))).as("skew_ratio"),
+            col("p50_freq"), col("p99_freq"))
+      }
+      profile("l_partkey").unionByName(profile("l_suppkey"))
+        .unionByName(profile("l_orderkey"))
+        .orderBy(col("key"))
+    }),
+
     // O8 — CDC upsert/delete merge (MERGE INTO semantics without a
     // table format): apply a keyed change stream to a snapshot — the
     // LATEST change per key wins (seq-ordered window, the W3
@@ -878,12 +1070,24 @@ object TrainingQueries {
     // O(√m) degeneracy bound, then closes wedges with one semi-join; all
     // counts are exact integers, so the oracle replays the identical
     // oriented system with no float convention needed.
+    //
+    // SUPPORT THRESHOLD (≥ 2 co-purchases): the market-basket noise
+    // prune every co-occurrence graph needs before structure mining —
+    // a single shared order is coincidence, and keeping sup-1 edges
+    // makes the synthetic graph a ~1.2M-edge near-random gas (avg
+    // degree ~120 at sf0.1) whose triangles are noise artifacts. The
+    // prune is one HAVING on the already-grouped pair aggregate (no
+    // extra pass) and cuts the edge set ~300× at sf0.1 — the
+    // difference between mining structure and brute-forcing noise.
     "g5_triangle_count" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey"))
       val pairs = li.as("x").join(li.as("y"), Seq("l_orderkey"))
         .filter(col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        .groupBy(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select(col("src"), col("dst"))
       graft.operators.Graph.triangleCount(pairs).orderBy(col("node"))
     }),
 
@@ -1168,9 +1372,10 @@ object TrainingQueries {
     // integer counts end to end
     "g5_triangle_count" ->
       """WITH und AS (
-        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
         |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
         |    AND x.l_partkey < y.l_partkey
+        |  GROUP BY a, b HAVING count(*) >= 2
         |), deg AS (
         |  SELECT node, count(*) AS deg FROM (
         |    SELECT a AS node FROM und UNION ALL SELECT b FROM und
@@ -1426,6 +1631,188 @@ object TrainingQueries {
         |    THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
         |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
         |FROM m ORDER BY event_type""".stripMargin,
+
+    // w28 replays the rollup lattice; GROUPING(a, b) carries the same
+    // bitmask (first column = MSB) in both engines, and the '(all)'
+    // coalesce keeps NULLs out of the ORDER BY (Spark NULLS FIRST vs
+    // DuckDB NULLS LAST would otherwise reorder subtotal rows)
+    "w28_rollup" ->
+      """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  coalesce(l_returnflag, '(all)') AS returnflag,
+        |  coalesce(l_linestatus, '(all)') AS linestatus,
+        |  count(*) AS n_rows,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 2)
+        |    AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, returnflag, linestatus""".stripMargin,
+
+    // t21 replays bm25 with the identical expression tree: ln once per
+    // (doc, term), round-6, decimal sum; constants pre-folded to
+    // (k1+1)=2.2 and (1-b)=0.25 in BOTH engines so the parse trees
+    // agree literal-for-literal
+    "t21_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY doc_id, term
+        |), dl AS (
+        |  SELECT doc_id, sum(cnt) AS dl FROM tf GROUP BY doc_id
+        |), st AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl FROM dl
+        |), df AS (
+        |  SELECT term, count(*) AS df FROM tf
+        |  WHERE term IN ('vector', 'stream', 'window') GROUP BY term
+        |), w AS (
+        |  SELECT tf.doc_id,
+        |    round(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+        |      * (tf.cnt * 2.2)
+        |      / (tf.cnt + 1.2 * (0.25 + (0.75 * dl.dl) / (st.sumdl / st.n))),
+        |      6) AS w
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+        |)
+        |SELECT doc_id, CAST(sum(CAST(w AS DECIMAL(38,6))) AS DOUBLE) AS score,
+        |  count(*) AS n_terms_hit
+        |FROM w GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // x17's oracle uses the single-task window DuckDB runs happily;
+    // the Spark side must NOT (globalRowNumber — the o7 argument). The
+    // bin formula is pure BIGINT arithmetic: div in Spark, // here.
+    "x17_equal_freq_binning" ->
+      """WITH r AS (
+        |  SELECT l_extendedprice AS v,
+        |    row_number() OVER
+        |      (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM lineitem
+        |)
+        |SELECT ((rn - 1) * 8) // n AS bin, count(*) AS n_rows,
+        |  min(v) AS lo, max(v) AS hi
+        |FROM r GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // v12 replays Spark's hopping-window alignment with integer µs
+    // arithmetic: every event joins its len/slide = 4 slide-aligned
+    // bucket starts (us div slide − j for j in 0..3) — by construction
+    // each start is ≤ us and us < start + len, so no filter and no
+    // cross-engine timestamp comparison exists (the v5 convention)
+    "v12_hopping_window" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS us, event_type, value FROM events
+        |), h AS (
+        |  SELECT (us // 900000000 - j.j) * 900000000 AS ws, event_type, value
+        |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j
+        |)
+        |SELECT ws // 1000000 AS bucket_start_s, event_type,
+        |  count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE)
+        |    AS sum_value
+        |FROM h GROUP BY bucket_start_s, event_type
+        |ORDER BY bucket_start_s, event_type""".stripMargin,
+
+    // t22 replays t2's prediction SQL then stitches the three class
+    // counts exactly like the Spark side; ratios are single divisions
+    // of exact integers (identical IEEE result), unrounded
+    "t22_langid_eval" ->
+      """WITH preds AS (
+        |  SELECT lang AS actual,
+        |    CASE WHEN s_en + s_es + s_de + s_fr > 0 THEN
+        |      CASE
+        |        WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |        WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |        WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |        WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+        |        ELSE 'unknown' END
+        |    ELSE 'unknown' END AS predicted
+        |  FROM (SELECT lang,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('el','la','de','y','que','en','un'))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('der','die','das','und','ist','ein','zu'))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('le','la','de','et','est','un','dans'))) AS BIGINT) AS s_fr
+        |  FROM documents)
+        |), na AS (SELECT actual AS cls, count(*) AS n_actual FROM preds GROUP BY 1),
+        |np AS (SELECT predicted AS cls, count(*) AS n_predicted FROM preds GROUP BY 1),
+        |tp AS (SELECT actual AS cls, count(*) AS tp FROM preds
+        |       WHERE actual = predicted GROUP BY 1),
+        |base AS (
+        |  SELECT cls, coalesce(n_actual, 0) AS n_actual,
+        |    coalesce(n_predicted, 0) AS n_predicted, coalesce(tp, 0) AS tp
+        |  FROM na FULL OUTER JOIN np USING (cls) FULL OUTER JOIN tp USING (cls)
+        |), m AS (
+        |  SELECT cls, n_actual, n_predicted, tp,
+        |    CASE WHEN n_predicted > 0
+        |      THEN CAST(tp AS DOUBLE) / n_predicted END AS precision,
+        |    CASE WHEN n_actual > 0
+        |      THEN CAST(tp AS DOUBLE) / n_actual END AS recall
+        |  FROM base
+        |)
+        |SELECT cls, n_actual, n_predicted, tp, precision, recall,
+        |  CASE WHEN coalesce(precision, 0.0) + coalesce(recall, 0.0) > 0
+        |    THEN 2.0 * precision * recall / (precision + recall)
+        |    ELSE 0.0 END AS f1
+        |FROM m ORDER BY cls""".stripMargin,
+
+    // v13 replays the same rows-frame on centi-unit integers; windowed
+    // integer sums are association-free, so DuckDB's segment-tree
+    // window and Spark's running accumulation agree bit-for-bit, and
+    // the z expression is one shared double tree
+    "v13_rolling_zscore" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us,
+        |    CAST(round(value * 100.0) AS BIGINT) AS vu
+        |  FROM events
+        |), s AS (
+        |  SELECT event_id, user_id, vu,
+        |    count(vu) OVER w AS n, sum(vu) OVER w AS s1,
+        |    sum(vu * vu) OVER w AS s2
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+        |), z AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN n = 8 AND CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |        / CAST(n * (n - 1) AS DOUBLE) > 0
+        |      THEN round((CAST(vu AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+        |        / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |          / CAST(n * (n - 1) AS DOUBLE)), 6) END AS z
+        |  FROM s
+        |)
+        |SELECT event_id, user_id, z,
+        |  coalesce(abs(z) > 3.0, false) AS is_anomaly
+        |FROM z ORDER BY event_id""".stripMargin,
+
+    // w29: quantile_cont is DuckDB's (n−1)p linear interpolation —
+    // the same rank formula as Spark's exact percentile (the w6
+    // median convention, at two more quantiles)
+    "w29_key_skew_profile" ->
+      """WITH fp AS (SELECT l_partkey AS k, count(*) AS f FROM lineitem GROUP BY 1),
+        |fs AS (SELECT l_suppkey AS k, count(*) AS f FROM lineitem GROUP BY 1),
+        |fo AS (SELECT l_orderkey AS k, count(*) AS f FROM lineitem GROUP BY 1),
+        |p AS (
+        |  SELECT 'l_partkey' AS key, count(*) AS n_keys, sum(f) AS n_rows,
+        |    max(f) AS max_freq,
+        |    CAST(quantile_cont(f, 0.5) AS DOUBLE) AS p50_freq,
+        |    CAST(quantile_cont(f, 0.99) AS DOUBLE) AS p99_freq
+        |  FROM fp
+        |  UNION ALL
+        |  SELECT 'l_suppkey', count(*), sum(f), max(f),
+        |    CAST(quantile_cont(f, 0.5) AS DOUBLE),
+        |    CAST(quantile_cont(f, 0.99) AS DOUBLE) FROM fs
+        |  UNION ALL
+        |  SELECT 'l_orderkey', count(*), sum(f), max(f),
+        |    CAST(quantile_cont(f, 0.5) AS DOUBLE),
+        |    CAST(quantile_cont(f, 0.99) AS DOUBLE) FROM fo
+        |)
+        |SELECT key, n_keys, CAST(n_rows AS BIGINT) AS n_rows, max_freq,
+        |  CAST(max_freq AS DOUBLE)
+        |    / (CAST(n_rows AS DOUBLE) / n_keys) AS skew_ratio,
+        |  p50_freq, p99_freq
+        |FROM p ORDER BY key""".stripMargin,
 
     "o9_scd2_history" ->
       """WITH e AS (

@@ -467,6 +467,32 @@ class TextAnalysisSpec extends SparkSpec {
       .sparseCosinePairs(docs, threshold = 0.0, maxDf = 1, ngram = 3)
       .count() == 0)
   }
+
+  test("bm25: tf saturation, length normalization, idf ordering, term hits") {
+    val docs = Seq(
+      (1L, "cat dog"),                          // tf_cat=1, dl=2
+      (2L, "cat cat cat cat dog dog dog dog"),  // tf_cat=4, dl=8
+      (3L, "dog bird"),                         // tf_bird=1, dl=2
+      (4L, "cat dog dog dog dog dog"),          // tf_cat=1, dl=6
+      (5L, "bird bird")                         // tf_bird=2, dl=2
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, Seq("cat", "bird"))
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // only docs containing a query term appear; each hits exactly one here
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(out.values.forall(_._2 == 1L))
+    // probabilistic idf (+1 form) keeps every score strictly positive
+    assert(out.values.forall(_._1 > 0.0))
+    // SATURATION: 4× the tf (at proportionally 4× the length) buys more
+    // score, but far less than 4× — k1 caps repetition's purchase
+    assert(out(2L)._1 > out(1L)._1 && out(2L)._1 < 2.0 * out(1L)._1)
+    // LENGTH NORMALIZATION: identical tf=1, 3× the length scores lower
+    assert(out(4L)._1 < out(1L)._1)
+    // IDF: same tf=1 and same dl=2, but 'bird' (df=2) outranks the more
+    // common 'cat' (df=3)
+    assert(out(3L)._1 > out(1L)._1)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

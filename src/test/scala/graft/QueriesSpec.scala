@@ -29,6 +29,32 @@ class QueriesSpec extends SparkSpec {
       SparkEntry.queries("w6_group_aggregates")(spark, sf0001)) > 0L)
   }
 
+  test("no duplicate query keys across or within the query files") {
+    // Map literals and ++ both swallow duplicate keys silently — a new
+    // query reusing an existing name would SHADOW the old one and its
+    // oracle (caught here, not at the driver's gate where the survivor
+    // still passes). Cross-map: sizes must add up. Within-file: count
+    // the `"name" -> ((s, d)` registration sites in source.
+    val maps = Seq(
+      graft.queries.ParityQueries.queries,
+      graft.queries.ExtensionQueries.queries,
+      graft.queries.TrainingQueries.queries)
+    assert(maps.map(_.size).sum == SparkEntry.queries.size,
+      "a query key is registered in more than one queries file")
+    val reg = """"([a-z0-9_]+)" -> \(\(s, [d_]\)""".r
+    val files = Seq("ParityQueries", "ExtensionQueries", "TrainingQueries")
+      .map(f => s"src/main/scala/graft/queries/$f.scala")
+    val names = files.flatMap { f =>
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try reg.findAllMatchIn(src.mkString).map(_.group(1)).toList
+      finally src.close()
+    }
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query registrations: $dups")
+    assert(names.size == SparkEntry.queries.size,
+      "registration-site count and merged map size disagree")
+  }
+
   test("every query is documented in OPERATORS.md (doc-rot guard)") {
     val docs = {
       val src = scala.io.Source.fromFile("OPERATORS.md", "UTF-8")
