@@ -226,6 +226,31 @@ object ScaleHeadroom {
       report("g2_weighted_pagerank", scale, secs, rows)
     }
 
+    // g5 triangle counting under disjoint-copy inflation: the
+    // support-≥2 co-purchase edge list replicated with offset node ids
+    // — triangles per copy are independent, so runtime must scale
+    // ~linearly in |edges| if the degeneracy-bounded wedge join holds
+    // (a quadratic trend would betray unbounded fanout somewhere in
+    // the orientation/wedge/close chain).
+    val liScale = Tables.lineitem(spark, base)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val triPairs1 = liScale.as("x").join(liScale.as("y"), Seq("l_orderkey"))
+      .filter(col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      .agg(count(lit(1)).as("sup")).filter(col("sup") >= 2)
+      .select(col("src"), col("dst"))
+    for (scale <- Scales) {
+      val edges = (0 until scale).map { k =>
+        triPairs1.select((col("src") + lit(k * 10000000L)).as("src"),
+          (col("dst") + lit(k * 10000000L)).as("dst"))
+      }.reduce(_ unionByName _).localCheckpoint(eager = false)
+      edges.count() // materialize the fixture outside the timer
+      val (secs, rows) = timeBest {
+        forceAll(graft.operators.Graph.triangleCount(edges))
+      }
+      report("g5_triangle_count", scale, secs, rows)
+    }
+
     // ---- maxBucket cap binding on a boilerplate-heavy corpus --------
     // 500 byte-identical docs hash to ONE (band,bhash) bucket in each of
     // the 8 bands; uncapped that is 8·(500·499/2) raw join rows from the

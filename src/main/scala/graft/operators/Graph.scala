@@ -249,6 +249,18 @@ object Graph {
     * Returns (node, triangles) for every node in ≥ 1 triangle. */
   def triangleCount(
       edges: DataFrame, broadcastDegrees: Boolean = true): DataFrame = {
+    val (_, _, tri) = triangles(edges, broadcastDegrees)
+    tri.select(explode(array(col("src"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Shared degree-ordered triangle enumeration behind [[triangleCount]]
+    * and [[edgeJaccard]]. Returns (canonical undirected edges `(a, b)`
+    * with `a < b`, per-node degrees `(node, deg)`, enumerated triangles
+    * `(src, v, w)` — each triangle exactly once, `src` its
+    * (degree, id)-smallest corner). */
+  private def triangles(edges: DataFrame, broadcastDegrees: Boolean)
+      : (DataFrame, DataFrame, DataFrame) = {
     def bc(df: DataFrame): DataFrame =
       if (broadcastDegrees) broadcast(df) else df
     // canonical undirected edge set; feeds the degree count AND the
@@ -291,8 +303,47 @@ object Graph {
     val tri = wedges.join(
       o.select(col("src").as("v"), col("dst").as("w")),
       Seq("v", "w"), "left_semi")
-    tri.select(explode(array(col("src"), col("v"), col("w"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+      .select(col("src"), col("v"), col("w"))
+    (und, deg, tri)
+  }
+
+  /** Per-EDGE common-neighbor (co-citation) similarity: for every
+    * undirected edge (a, b), the number of shared neighbors and the
+    * neighbor-set Jaccard `common / (deg(a) + deg(b) − common)` — the
+    * link-strength score behind related-item suggestion and weak-tie
+    * pruning. Convention: N(·) is the RAW adjacency set (so a ∈ N(b)
+    * and b ∈ N(a) both count in the union but can never be common —
+    * self-loops are dropped); an edge with no shared neighbors scores
+    * 0.0, not NULL.
+    *
+    * Cost shape: the shared [[triangles]] enumeration (each triangle
+    * found once under the degeneracy bound) plus one explode — a
+    * triangle (u, v, w) contributes its third corner as a common
+    * neighbor to each of its three edges — one count aggregate on the
+    * canonical edge key, and one broadcast-degree stitch. The Jaccard
+    * is a single division of exact integers (identical IEEE result in
+    * any engine, unrounded — the exactAvg rule). */
+  def edgeJaccard(
+      edges: DataFrame, broadcastDegrees: Boolean = true): DataFrame = {
+    def bc(df: DataFrame): DataFrame =
+      if (broadcastDegrees) broadcast(df) else df
+    val (und, deg, tri) = triangles(edges, broadcastDegrees)
+    // three (edge, witness) emissions per triangle, edges re-canonicalized
+    val witnessed = tri.select(explode(array(
+        struct(col("v").as("x"), col("w").as("y")),
+        struct(col("src").as("x"), col("w").as("y")),
+        struct(col("src").as("x"), col("v").as("y")))).as("e"))
+      .select(least(col("e.x"), col("e.y")).as("a"),
+        greatest(col("e.x"), col("e.y")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    und.join(witnessed, Seq("a", "b"), "left")
+      .withColumn("common", coalesce(col("common"), lit(0L)))
+      .join(bc(deg.select(col("node").as("a"), col("deg").as("da"))), Seq("a"))
+      .join(bc(deg.select(col("node").as("b"), col("deg").as("db"))), Seq("b"))
+      .select(col("a"), col("b"), col("common"),
+        (col("common").cast("double")
+          / (col("da") + col("db") - col("common")).cast("double"))
+          .as("jaccard"))
   }
 
   /** Shared graph preparation: checkpointed (edge ⋈ out-weight ⋈ closed

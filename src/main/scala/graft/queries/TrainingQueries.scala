@@ -291,28 +291,6 @@ object TrainingQueries {
         .orderBy(col("user_id"))
     }),
 
-    // V12 — HOPPING (sliding) event-time windows via the builtin
-    // `window(ts, len, slide)`: each event lands in len/slide
-    // overlapping epoch-aligned buckets (1h window every 15min → 4),
-    // expanded MAP-SIDE before the one bucket-key shuffle — the
-    // overlap factor multiplies rows, never exchanges. Bucket starts
-    // are slide-aligned epoch integers, so the oracle replays them
-    // with integer µs arithmetic ((us div slide − j)·slide, j<4 —
-    // exactly Spark's alignment rule) and no timestamp comparison
-    // crosses engines (the v5 convention). The streaming form is the
-    // same expression under readStream + watermark (tumbling twin:
-    // v1/StreamingOps).
-    "v12_hopping_window" -> ((s, d) => {
-      Tables.events(s, d)
-        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
-          col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          Summaries.exactSum(col("value"), 2).as("sum_value"))
-        .select(unix_timestamp(col("w.start")).as("bucket_start_s"),
-          col("event_type"), col("n_events"), col("sum_value"))
-        .orderBy(col("bucket_start_s"), col("event_type"))
-    }),
-
     // V6 — stream-static enrichment join (batch form of
     // StreamingOps.enrichedSegmentCounts; streaming parity in
     // StreamingSpec): events decorated from the broadcast customer dim,
@@ -917,6 +895,57 @@ object TrainingQueries {
       profile("l_partkey").unionByName(profile("l_suppkey"))
         .unionByName(profile("l_orderkey"))
         .orderBy(col("key"))
+    }),
+
+    // T23 — unigram cross-entropy quality score (the perplexity-proxy
+    // filter): each document scored by −Σ tf·ln(p(term)) / len against
+    // the corpus's OWN unigram LM — the cheap stand-in for an LM
+    // perplexity filter (high cross-entropy = rare-word soup /
+    // boilerplate-free gibberish; low = stopword mush). t13's
+    // frequency machinery with a log-probability head: per-term ln
+    // rounds to 6 dp once (t8 convention), the per-doc sum rides
+    // exact decimals via c·lp products in DECIMAL arithmetic, and the
+    // final per-token division stays unrounded (exactAvg rule). The
+    // vocabulary frame broadcasts (bounded vocab — same contract and
+    // same n-gram escape hatch as t8).
+    "t23_unigram_logprob" -> ((s, d) => {
+      val tokc = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = false) // vocab agg + scoring join share it
+      val vocab = tokc.groupBy(col("word")).agg(sum(col("c")).as("freq"))
+      val total = vocab.agg(sum(col("freq")).as("tot"))
+      tokc.join(broadcast(vocab), Seq("word"))
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"), col("c"),
+          round(log(col("freq") * lit(1.0) / col("tot")), 6).as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("nt"),
+          sum(col("lp").cast("decimal(38,6)") * col("c")).as("nll"))
+        .select(col("doc_id"), col("nt"),
+          (-col("nll").cast("double") / col("nt")).as("cross_entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // G6 — per-edge common-neighbor Jaccard on the support-≥2
+    // co-purchase graph (the g5 graph): link strength for related-item
+    // suggestion and weak-tie pruning. Graph.edgeJaccard rides the
+    // SAME degeneracy-bounded triangle enumeration as g5 (each
+    // triangle witnesses its three edges once — an explode, not a new
+    // join), so the common-neighbor count never pays an unoriented
+    // wedge blowup; the Jaccard is one division of exact integers.
+    "g6_edge_jaccard" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.as("x").join(li.as("y"), Seq("l_orderkey"))
+        .filter(col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select(col("src"), col("dst"))
+      graft.operators.Graph.edgeJaccard(pairs)
+        .orderBy(col("a"), col("b"))
     }),
 
     // O8 — CDC upsert/delete merge (MERGE INTO semantics without a
@@ -1692,25 +1721,6 @@ object TrainingQueries {
         |  min(v) AS lo, max(v) AS hi
         |FROM r GROUP BY bin ORDER BY bin""".stripMargin,
 
-    // v12 replays Spark's hopping-window alignment with integer µs
-    // arithmetic: every event joins its len/slide = 4 slide-aligned
-    // bucket starts (us div slide − j for j in 0..3) — by construction
-    // each start is ≤ us and us < start + len, so no filter and no
-    // cross-engine timestamp comparison exists (the v5 convention)
-    "v12_hopping_window" ->
-      """WITH e AS (
-        |  SELECT epoch_us(ts) AS us, event_type, value FROM events
-        |), h AS (
-        |  SELECT (us // 900000000 - j.j) * 900000000 AS ws, event_type, value
-        |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j
-        |)
-        |SELECT ws // 1000000 AS bucket_start_s, event_type,
-        |  count(*) AS n_events,
-        |  CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE)
-        |    AS sum_value
-        |FROM h GROUP BY bucket_start_s, event_type
-        |ORDER BY bucket_start_s, event_type""".stripMargin,
-
     // t22 replays t2's prediction SQL then stitches the three class
     // counts exactly like the Spark side; ratios are single divisions
     // of exact integers (identical IEEE result), unrounded
@@ -1813,6 +1823,75 @@ object TrainingQueries {
         |    / (CAST(n_rows AS DOUBLE) / n_keys) AS skew_ratio,
         |  p50_freq, p99_freq
         |FROM p ORDER BY key""".stripMargin,
+
+    // t23 replays the LM with the shared rounded system: one ln per
+    // vocabulary term rounded to 6 dp, c·lp in exact decimal, final
+    // per-token division unrounded
+    "t23_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |), tf AS (
+        |  SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word
+        |), vocab AS (
+        |  SELECT word, sum(c) AS freq FROM tf GROUP BY word
+        |), tot AS (SELECT sum(freq) AS tot FROM vocab),
+        |w AS (
+        |  SELECT doc_id, c, round(ln(freq * 1.0 / tot), 6) AS lp
+        |  FROM tf JOIN vocab USING (word) CROSS JOIN tot
+        |)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS nt,
+        |  -CAST(sum(CAST(lp AS DECIMAL(38,6)) * c) AS DOUBLE) / sum(c)
+        |    AS cross_entropy
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // g6 reuses g5's oriented-triangle CTE chain; each triangle
+    // witnesses its three edges, the count left-joins back to the
+    // canonical edge set (no-common edges score 0.0), and the Jaccard
+    // is the same single integer division as the Spark side
+    "g6_edge_jaccard" ->
+      """WITH und AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey
+        |  GROUP BY a, b HAVING count(*) >= 2
+        |), deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+        |  ) GROUP BY node
+        |), o AS (
+        |  SELECT
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+        |         THEN u.a ELSE u.b END AS src,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+        |         THEN u.b ELSE u.a END AS dst,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+        |         THEN db.deg ELSE da.deg END AS ddeg
+        |  FROM und u
+        |  JOIN deg da ON u.a = da.node
+        |  JOIN deg db ON u.b = db.node
+        |), tri AS (
+        |  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+        |  FROM o e1 JOIN o e2 ON e1.src = e2.src
+        |    AND (e1.ddeg < e2.ddeg
+        |      OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+        |  WHERE EXISTS (
+        |    SELECT 1 FROM o e3 WHERE e3.src = e1.dst AND e3.dst = e2.dst)
+        |), wit AS (
+        |  SELECT least(x, y) AS a, greatest(x, y) AS b, count(*) AS common
+        |  FROM (
+        |    SELECT v AS x, w AS y FROM tri
+        |    UNION ALL SELECT u, w FROM tri
+        |    UNION ALL SELECT u, v FROM tri
+        |  ) GROUP BY 1, 2
+        |)
+        |SELECT u.a, u.b, coalesce(wit.common, 0) AS common,
+        |  CAST(coalesce(wit.common, 0) AS DOUBLE)
+        |    / (da.deg + db.deg - coalesce(wit.common, 0)) AS jaccard
+        |FROM und u
+        |LEFT JOIN wit ON u.a = wit.a AND u.b = wit.b
+        |JOIN deg da ON u.a = da.node
+        |JOIN deg db ON u.b = db.node
+        |ORDER BY u.a, u.b""".stripMargin,
 
     "o9_scd2_history" ->
       """WITH e AS (

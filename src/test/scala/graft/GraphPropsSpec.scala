@@ -147,6 +147,25 @@ object GraphPropsSpec extends Properties("graft.graph") {
       }
     }
 
+  property("edgeJaccard matches brute-force neighbor-set algebra on random graphs") =
+    forAll(edgesGen) { es =>
+      (es.nonEmpty) ==> {
+        val got = Graph.edgeJaccard(es.toDF("src", "dst"))
+          .as[(String, String, Long, Double)].collect()
+          .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+        val und = es.map { case (a, b) =>
+          if (a < b) (a, b) else (b, a)
+        }.toSet
+        val nbrs = und.toList.flatMap { case (a, b) => List(a -> b, b -> a) }
+          .groupBy(_._1).map { case (n, l) => n -> l.map(_._2).toSet }
+        val expected = und.map { case (a, b) =>
+          val c = (nbrs(a) intersect nbrs(b)).size.toLong
+          (a, b) -> (c, c.toDouble / (nbrs(a).size + nbrs(b).size - c))
+        }.toMap
+        got == expected
+      }
+    }
+
   private val corpusGen: Gen[Map[Long, String]] =
     Gen.mapOf(Gen.zip(Gen.choose(0L, 12L), Gen.oneOf("x", "y", "z")))
 

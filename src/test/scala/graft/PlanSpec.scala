@@ -344,4 +344,54 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"),
       s"the corpus must stream through the probe without shuffling\n$p")
   }
+
+  test("w28: the rollup lattice is ONE aggregate pair — no per-level re-scan") {
+    val df = SparkEntry.queries("w28_rollup")(spark, sf0001)
+    val p = finalPlan(df)
+    // Expand materializes all three grouping sets map-side; a UNION of
+    // per-level GROUP BYs would show one scan per level instead
+    assert(p.contains("Expand"), s"expected the grouping-set Expand\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"rollup must scan the fact table exactly once\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"one shuffle between partial and final aggregate\n$p")
+  }
+
+  test("t21: bm25 probes only query-term postings; df and stats broadcast") {
+    val df = SparkEntry.queries("t21_bm25")(spark, sf0001)
+    val p = finalPlan(df)
+    // the query-term restriction must sit scan-side (on the exploded
+    // token frame BEFORE the tf aggregate's exchange), so the posting
+    // join never materializes the corpus vocabulary
+    assert(p.contains("term#") && p.contains(" IN (vector,stream,window)")
+      || p.contains(" IN (stream,vector,window)"),
+      s"expected the query-term isin filter in the plan\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1,
+      s"df (and stats) should broadcast, not shuffle\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be heap-based, not a global sort\n$p")
+  }
+
+  test("x17: binning rides the distributed rank — no single-task global window") {
+    val df = SparkEntry.queries("x17_equal_freq_binning")(spark, sf0001)
+    val p = finalPlan(df)
+    // the o7 contract on a second consumer: range repartition + bounded
+    // per-partition offset table, never Window over an empty partition
+    assert(!p.contains("Window [row_number()") ||
+      p.contains("Exchange rangepartitioning"),
+      s"expected the range-repartitioned rank, not a global window\n$p")
+    assert(p.contains("Exchange rangepartitioning"),
+      s"expected the range repartition stage\n$p")
+  }
+
+  test("v4: sliding windows expand map-side — one shuffle for the bucket agg") {
+    val df = SparkEntry.queries("v4_sliding_window")(spark, sf0001)
+    val p = finalPlan(df)
+    assert(p.contains("Expand") || p.contains("explode"),
+      s"expected the map-side window expansion\n$p")
+    // partial agg → exchange → final agg; the ORDER BY adds a range
+    // exchange. No other hash exchange may appear.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"the overlap factor must multiply rows, not exchanges\n$p")
+  }
 }
