@@ -579,4 +579,64 @@ object Similarity {
       .orderBy(col("cosine_sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Exact driver-side cosine of two float vectors — index-order double
+    * accumulation, the same arithmetic as the codegen expression (used
+    * by the MMR greedy stage over a BOUNDED shortlist). */
+  private[graft] def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var i = 0; var dot = 0.0; var na = 0.0; var nb = 0.0
+    while (i < n) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** MAXIMAL-MARGINAL-RELEVANCE diversified re-rank: greedily select k
+    * of the `shortlist` most-relevant vectors, each step taking
+    * argmax λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s) — the standard
+    * redundancy-suppressing re-rank for retrieval-augmented sampling
+    * (a plain top-k returns near-duplicate neighbors; MMR trades
+    * marginal relevance for coverage).
+    *
+    * Scale shape: stage 1 (the expensive part — scoring the corpus) is
+    * the distributed [[bruteForceTopK]] (swap in [[annTopK]]/[[pqTopK]]
+    * for an index-backed shortlist at scale; the MMR stage is agnostic
+    * to how the shortlist was produced). Stage 2 runs on the DRIVER
+    * over the BOUNDED `shortlist`-row set (a greedy argmax chain is
+    * inherently sequential — k·shortlist cosines over ≤ a few hundred
+    * rows; the same bounded-small-side contract as nearDupClusters'
+    * union-find, documented rather than hidden). Tiebreak (score, then
+    * lower vec_id) makes the selection deterministic.
+    *
+    * Returns (rank 1..k, vec_id, relevance, mmr_score). `mmr_score` of
+    * the first pick is λ·rel (empty selected-set ⇒ zero penalty). */
+  def mmrRerank(embeddings: DataFrame, queryId: Long, k: Int,
+      shortlist: Int, lambda: Double = 0.7): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val pool = bruteForceTopK(embeddings, queryId, shortlist)
+      .join(embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("vec_id"), col("cosine_sim"), col("embedding"))
+      .as[(Long, Double, Array[Float])]
+      .collect() // BOUNDED: exactly `shortlist` rows by construction
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      pool.map(p => p._1 -> p): _*)
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Double, Array[Float], Double)]
+    while (picked.size < math.min(k, pool.length)) {
+      val best = remaining.values.map { case (id, rel, v) =>
+        val maxSim =
+          if (picked.isEmpty) 0.0
+          else picked.iterator.map(s => cosLocal(v, s._3)).max
+        (id, rel, v, lambda * rel - (1.0 - lambda) * maxSim)
+      }.minBy { case (id, _, _, score) => (-score, id) }
+      picked += best
+      remaining.remove(best._1)
+    }
+    picked.zipWithIndex.map { case ((id, rel, _, score), i) =>
+      ((i + 1).toLong, id, rel, math.rint(score * 10000) / 10000)
+    }.toSeq.toDF("rank", "vec_id", "relevance", "mmr_score")
+  }
 }

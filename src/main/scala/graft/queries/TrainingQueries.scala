@@ -543,6 +543,61 @@ object TrainingQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // E14 — MMR diversified re-rank (Similarity.mmrRerank): greedy
+    // λ-tradeoff between relevance and redundancy over a bounded
+    // 50-row shortlist (the distributed brute-force stage pays the
+    // corpus scan; the sequential greedy chain runs on the driver
+    // under the documented bounded-small-side contract). Rows-only at
+    // the oracle (float greedy selection has no SQL replay); the
+    // e14b contract twin pins the semantics.
+    "e14_mmr_rerank" -> ((s, d) => {
+      Similarity.mmrRerank(Tables.embeddings(s, d), queryId = 0L,
+          k = 10, shortlist = 50, lambda = 0.7)
+        .orderBy(col("rank"))
+    }),
+
+    // E14B — MMR CONTRACT (oracle asserts the booleans): k rows
+    // selected from within the shortlist; the first pick IS the top-1
+    // relevant vector (empty penalty set); λ=1 degenerates to exactly
+    // the plain top-k (determinism + tiebreak pinned); and the λ=0.7
+    // selection is no MORE redundant than plain top-k (mean pairwise
+    // cosine within the selected set — the property MMR exists for).
+    "e14b_mmr_contract" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val emb = Tables.embeddings(s, d)
+      val mmr = Similarity.mmrRerank(emb, queryId = 0L, k = 10,
+        shortlist = 50, lambda = 0.7)
+      val top = Similarity.bruteForceTopK(emb, queryId = 0L, k = 10)
+      val short = Similarity.bruteForceTopK(emb, queryId = 0L, k = 50)
+        .select(col("vec_id"))
+      val mmr1 = Similarity.mmrRerank(emb, queryId = 0L, k = 10,
+        shortlist = 10, lambda = 1.0)
+      def vecsOf(ids: Seq[Long]): Seq[Array[Float]] =
+        emb.filter(col("vec_id").isin(ids: _*))
+          .select(col("embedding")).as[Array[Float]].collect().toSeq
+      def meanPairSim(ids: Seq[Long]): Double = {
+        val vs = vecsOf(ids)
+        val sims = for (i <- vs.indices; j <- (i + 1) until vs.size)
+          yield Similarity.cosLocal(vs(i), vs(j))
+        sims.sum / sims.size
+      }
+      val mmrIds = mmr.orderBy(col("rank"))
+        .select(col("vec_id")).as[Long].collect().toSeq
+      val topIds = top.select(col("vec_id")).as[Long].collect().toSeq
+      val shortIds = short.as[Long].collect().toSet
+      val m1Ids = mmr1.orderBy(col("rank"))
+        .select(col("vec_id")).as[Long].collect().toSeq
+      Seq((
+        mmrIds.size == 10,
+        mmrIds.headOption.contains(topIds.head),
+        mmrIds.forall(shortIds.contains),
+        m1Ids == topIds,
+        meanPairSim(mmrIds) <= meanPairSim(topIds) + 1e-9
+      )).toDF("k_selected", "first_is_top1", "subset_of_shortlist",
+        "lambda1_equals_topk", "diversity_not_worse")
+    }),
+
     // E5 — ANN recall CONTRACT: multi-probe SRP-LSH top-10 must recover
     // at least half of the exact brute-force top-10 (the standard
     // recall@k acceptance gate for an ANN index). Oracle asserts the
@@ -2196,6 +2251,13 @@ object TrainingQueries {
 
     "e5_ann_recall" ->
       """SELECT true AS recall_at_10_ge_half""".stripMargin,
+
+    // e14 itself is rows-only (greedy float selection has no SQL
+    // replay); this contract twin pins its semantics
+    "e14b_mmr_contract" ->
+      """SELECT true AS k_selected, true AS first_is_top1,
+        |true AS subset_of_shortlist, true AS lambda1_equals_topk,
+        |true AS diversity_not_worse""".stripMargin,
 
     "e6_ivf_recall" ->
       """SELECT true AS recall_at_10_ge_08""".stripMargin,

@@ -493,6 +493,29 @@ class TextAnalysisSpec extends SparkSpec {
     // common 'cat' (df=3)
     assert(out(3L)._1 > out(1L)._1)
   }
+
+  test("mmrRerank: low λ skips the clone for diversity; λ=1 is pure relevance") {
+    // query 0 points at (1,0); vectors 1 and 2 are identical max-relevance
+    // clones; 3 is less relevant but diverse
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0),
+      (1L, Array(1f, 0f), 0),
+      (2L, Array(1f, 0f), 0),
+      (3L, Array(0.8f, 0.6f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    def ids(lambda: Double): Seq[Long] =
+      Similarity.mmrRerank(emb, queryId = 0L, k = 2, shortlist = 3,
+          lambda = lambda)
+        .orderBy(col("rank")).select(col("vec_id"))
+        .as[Long].collect().toSeq
+    // λ=0.3: pick 1 (top relevance, id tiebreak over its clone 2), then 3
+    // — the clone's redundancy penalty (sim 1.0) exceeds 3's relevance
+    // deficit: score(2) = 0.3·1 − 0.7·1 = −0.4 < score(3) ≈ 0.3·0.8 −
+    // 0.7·0.8 = −0.32
+    assert(ids(0.3) == Seq(1L, 3L))
+    // λ=1: pure relevance — both clones, in id order
+    assert(ids(1.0) == Seq(1L, 2L))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
