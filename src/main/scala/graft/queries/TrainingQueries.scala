@@ -952,6 +952,50 @@ object TrainingQueries {
         .orderBy(col("key"))
     }),
 
+    // V14 — cumulative unique users (the reach curve): per-day NEW
+    // users (each user counted on their first event day) plus the
+    // running total — the audience-growth analytic that a naive
+    // count(DISTINCT) over an expanding window would recompute
+    // quadratically. Shape: one user-grain min aggregate (the only
+    // full-data pass), a day-grain count, then the cumulative sum over
+    // the BOUNDED day table (≤ stream span in days — the v7
+    // bounded-single-partition exception, on a ~30-row frame). Days
+    // are epoch-day longs (integer div of epoch-µs — the v9
+    // convention).
+    "v14_cumulative_uniques" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(expr("unix_micros(ts) div 86400000000")).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+        .withColumn("cum_users", sum(col("new_users")).over(w))
+        .orderBy(col("day"))
+    }),
+
+    // T24 — Zipf rank-frequency fit: OLS of ln(freq) on ln(rank) over
+    // the corpus vocabulary — the corpus-statistics diagnostic (natural
+    // text slopes ≈ −1; synthetic or duplication-heavy corpora bend
+    // away). Composes the vocabulary aggregate with Summaries.olsFit
+    // (one more consumer of the shared moment machinery); both
+    // regressand and regressor are round-6 ln values (t8 convention),
+    // the rank is a row_number over the BOUNDED vocabulary frame (the
+    // t8 vocab-size contract), and the fit is exact-decimal moments +
+    // one shared double expression tree.
+    "t24_zipf_fit" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("freq").desc, col("word"))
+      val ranked = Tables.spread(Tables.documents(s, d))
+        .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+      Summaries.olsFit(ranked, Seq(lit("vocab").as("corpus")),
+          round(log(col("rank").cast("double")), 6),
+          round(log(col("freq").cast("double")), 6))
+        .orderBy(col("corpus"))
+    }),
+
     // T23 — unigram cross-entropy quality score (the perplexity-proxy
     // filter): each document scored by −Σ tf·ln(p(term)) / len against
     // the corpus's OWN unigram LM — the cheap stand-in for an LM
@@ -1878,6 +1922,53 @@ object TrainingQueries {
         |    / (CAST(n_rows AS DOUBLE) / n_keys) AS skew_ratio,
         |  p50_freq, p99_freq
         |FROM p ORDER BY key""".stripMargin,
+
+    "v14_cumulative_uniques" ->
+      """WITH f AS (
+        |  SELECT user_id, min(epoch_us(ts) // 86400000000) AS day
+        |  FROM events GROUP BY user_id
+        |), dd AS (
+        |  SELECT day, count(*) AS new_users FROM f GROUP BY day
+        |)
+        |SELECT day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM dd ORDER BY day""".stripMargin,
+
+    // t24 replays the ranked vocabulary and w27's exact-decimal moment
+    // system over round-6 ln values
+    "t24_zipf_fit" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |), v AS (
+        |  SELECT word, count(*) AS freq FROM tok GROUP BY word
+        |), r AS (
+        |  SELECT freq, row_number() OVER (ORDER BY freq DESC, word) AS rank
+        |  FROM v
+        |), xy AS (
+        |  SELECT round(ln(CAST(rank AS DOUBLE)), 6) AS x,
+        |    round(ln(CAST(freq AS DOUBLE)), 6) AS y
+        |  FROM r
+        |), m AS (
+        |  SELECT 'vocab' AS corpus, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,10))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y * y AS DECIMAL(38,10))) AS DOUBLE) AS syy
+        |  FROM xy
+        |)
+        |SELECT corpus, CAST(n AS BIGINT) AS n_obs,
+        |  round(CASE WHEN n * sxx - sx * sx > 0.0
+        |    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope,
+        |  round(CASE WHEN n * sxx - sx * sx > 0.0
+        |    THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+        |    END, 6) AS intercept,
+        |  round(CASE WHEN n * sxx - sx * sx > 0.0 AND n * syy - sy * sy > 0.0
+        |    THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
+        |FROM m ORDER BY corpus""".stripMargin,
 
     // t23 replays the LM with the shared rounded system: one ln per
     // vocabulary term rounded to 6 dp, c·lp in exact decimal, final
