@@ -124,6 +124,76 @@ object StreamingOps {
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 
+  /** Per-user ring of the last `window` (epoch-µs, event_id, centi-unit
+    * value) triples, ascending — the bounded state of
+    * [[rollingZScoreStream]]. */
+  case class ZRing(ring: Seq[(Long, Long, Long)])
+
+  /** Output row of [[rollingZScoreStream]] — matches the batch
+    * v13_rolling_zscore columns. */
+  case class ZOut(event_id: Long, user_id: Long, z: Option[Double],
+      is_anomaly: Boolean)
+
+  /** STREAMING twin of the batch v13 rolling z-score: each event scored
+    * against the mean/std of its user's previous `window` events, state
+    * = one bounded ring per user (the metric-monitoring anomaly
+    * detector, online). Bit-parity with the batch query by replaying
+    * the identical arithmetic: epoch-µs longs from the timestamp,
+    * centi-unit quantization via the same HALF_UP decimal conversion
+    * Spark's round() uses, integer window sums, one shared double
+    * expression tree, round-6 HALF_UP on z.
+    *
+    * Ordering contract: batch semantics order each user's events by
+    * (event time, event_id). Within a micro-batch the group iterator is
+    * sorted here; ACROSS batches the caller must deliver a user's
+    * events in event-time order (run behind a watermark-sorted stage,
+    * or accept per-batch ordering as the online approximation —
+    * exactly the contract `statefulSessions` documents and
+    * StreamingSpec proves for in-order feeds). */
+  def rollingZScoreStream(events: org.apache.spark.sql.Dataset[Event],
+      window: Int = 8, zCut: Double = 3.0)
+      : org.apache.spark.sql.Dataset[ZOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    def usOf(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ZRing, ZOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[ZRing]) =>
+          var ring = state.getOption.map(_.ring).getOrElse(Seq.empty)
+          val evs = batch.toSeq
+            .map(e => (usOf(e.ts), e.event_id,
+              // the exact HALF_UP decimal conversion Spark's round()
+              // applies to the double product — bit-parity with the
+              // batch round(value * 100)
+              BigDecimal.valueOf(e.value * 100)
+                .setScale(0, HALF_UP).toLong))
+            .sortBy(t => (t._1, t._2))
+          val out = evs.map { case (us, id, vu) =>
+            val z: Option[Double] =
+              if (ring.size == window) {
+                val n = window.toLong
+                val s1 = ring.map(_._3).sum
+                val s2 = ring.map(t => t._3 * t._3).sum
+                val varr = (n * s2 - s1 * s1).toDouble /
+                  (n * (n - 1)).toDouble
+                if (varr > 0) {
+                  val mean = s1.toDouble / n
+                  Some(BigDecimal
+                    .valueOf((vu.toDouble - mean) / math.sqrt(varr))
+                    .setScale(6, HALF_UP).toDouble)
+                } else None
+              } else None
+            ring = (ring :+ ((us, id, vu))).takeRight(window)
+            ZOut(id, uid, z, z.exists(zv => math.abs(zv) > zCut))
+          }
+          state.update(ZRing(ring))
+          out.iterator
+      }
+  }
+
   /** Per-user custom state for [[statefulUserStats]]. `totalValue` is an
     * exact decimal: a double accumulator would depend on the per-batch
     * iterator order (nondeterministic across runs), the same defect class

@@ -514,6 +514,48 @@ class StatefulStreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamed rolling z-score reproduces the batch v13 query bit-for-bit on an in-order feed") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.Event
+
+    implicit val sqlCtx = spark.sqlContext
+    // the REAL sf0.001 stream, delivered chronologically in three
+    // micro-batches — per-user order across batches then matches the
+    // batch query's (us, event_id) window order
+    val evs = graft.sources.Tables.events(spark, sf0001)
+      .orderBy(col("ts"), col("event_id"))
+      .collect()
+      .map(r => Event(r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type"), r.getAs[Double]("value")))
+    val input = MemoryStream[Event]
+    val q = StreamingOps.rollingZScoreStream(input.toDS())
+      .writeStream.format("memory").queryName("zscore_out")
+      .outputMode("append").start()
+    try {
+      evs.grouped((evs.length + 2) / 3).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("zscore_out")
+        .select(col("event_id"), col("user_id"), col("z"), col("is_anomaly"))
+        .as[(Long, Long, Option[Double], Boolean)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      val batch = SparkEntry.queries("v13_rolling_zscore")(spark, sf0001)
+        .as[(Long, Long, Option[Double], Boolean)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      assert(streamed.size == batch.size)
+      val diffs = batch.collect {
+        case (id, b) if streamed(id) != b => (id, b, streamed(id))
+      }
+      assert(diffs.isEmpty, s"batch/stream divergence: ${diffs.take(5)}")
+      // the fixture actually exercises the interesting rows
+      assert(batch.values.exists(_._2.isDefined), "no full windows scored")
+    } finally q.stop()
+  }
+
   test("event-time-timer sessionization closes sessions at the watermark, matching batch semantics") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -345,6 +345,17 @@ class PlanSpec extends SparkSpec {
       s"the corpus must stream through the probe without shuffling\n$p")
   }
 
+  test("g5: triangle enumeration has no cartesian product; degrees broadcast") {
+    val df = SparkEntry.queries("g5_triangle_count")(spark, sf0001)
+    val p = finalPlan(df)
+    assert(!p.contains("CartesianProduct"),
+      s"every triangle join must ride a bounded equi-key\n$p")
+    // the two orientation joins carry the |nodes|-row degree frame as
+    // broadcast build sides (the pageRank bounded-state contract)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"degree frames should broadcast into the orientation\n$p")
+  }
+
   test("w28: the rollup lattice is ONE aggregate pair — no per-level re-scan") {
     val df = SparkEntry.queries("w28_rollup")(spark, sf0001)
     val p = finalPlan(df)
