@@ -598,6 +598,64 @@ object TrainingQueries {
         "lambda1_equals_topk", "diversity_not_worse")
     }),
 
+    // D15 — SEMANTIC dedup APPLY (embedding grain): the end-to-end
+    // "drop near-duplicate meanings" pass — SRP-bucketed cosine
+    // candidate pairs (e3's bounded generator, threshold 0.95) →
+    // near-dup connected components (d9's hybrid union-find) → keep
+    // each cluster's min-id representative. Runs on the cloned corpus
+    // (every vec_id % 50 == 0 re-inserted at +1,000,000 — the e3b
+    // convention) so the collapse provably fires. Rows-only at the
+    // oracle (SRP buckets + float cosine have no SQL replay); d15b
+    // pins the semantics.
+    "d15_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cloned = emb.unionByName(emb.filter(col("vec_id") % 50 === 0)
+          .withColumn("vec_id", col("vec_id") + 1000000L))
+        .localCheckpoint(eager = false) // pairs, clusters, apply share it
+      val pairs = Similarity.cosineNearDupPairs(cloned,
+        threshold = 0.95, numPlanes = 8)
+      Dedup.nearDupClusters(cloned, pairs, "vec_id")
+        .filter(col("is_canonical"))
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // D15B — semantic-dedup CONTRACT (oracle asserts the booleans):
+    // every planted clone lands in its original's cluster (cos 1.0 ≥
+    // any threshold, identical SRP signature ⇒ shared bucket at any
+    // plane count — structurally guaranteed candidates), no clone
+    // survives the keep-min apply (clone ids sit +1e6 above their
+    // originals), and the kept + collapsed counts conserve the input.
+    "d15b_semantic_dedup_contract" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val emb = Tables.embeddings(s, d)
+      val cloned = emb.unionByName(emb.filter(col("vec_id") % 50 === 0)
+          .withColumn("vec_id", col("vec_id") + 1000000L))
+        .localCheckpoint(eager = false)
+      val pairs = Similarity.cosineNearDupPairs(cloned,
+        threshold = 0.95, numPlanes = 8)
+      val cl = Dedup.nearDupClusters(cloned, pairs, "vec_id")
+        .localCheckpoint(eager = false) // feeds both aggregates below
+      val planted = cl.filter(col("vec_id") >= 1000000L)
+        .select((col("vec_id") - 1000000L).as("orig_id"),
+          col("cluster_id").as("clone_cl"),
+          col("is_canonical").as("clone_canon"))
+        .join(cl.select(col("vec_id").as("orig_id"),
+          col("cluster_id").as("orig_cl")), Seq("orig_id"))
+        .agg(
+          (count(lit(1)) > 0).as("planted_pairs_exist"),
+          (count(when(col("clone_cl") =!= col("orig_cl"), 1)) === 0)
+            .as("clones_cluster_with_original"),
+          (count(when(col("clone_canon"), 1)) === 0)
+            .as("no_clone_survives"))
+      val conserve = cl.agg(
+        (count(when(col("is_canonical"), 1))
+          + count(when(!col("is_canonical"), 1)) === count(lit(1)))
+          .as("kept_plus_collapsed_conserves"))
+      planted.crossJoin(conserve)
+    }),
+
     // E5 — ANN recall CONTRACT: multi-probe SRP-LSH top-10 must recover
     // at least half of the exact brute-force top-10 (the standard
     // recall@k acceptance gate for an ANN index). Oracle asserts the
@@ -2342,6 +2400,13 @@ object TrainingQueries {
 
     "e5_ann_recall" ->
       """SELECT true AS recall_at_10_ge_half""".stripMargin,
+
+    // d15 itself is rows-only (SRP buckets + float cosine have no SQL
+    // replay); this contract twin pins its semantics
+    "d15b_semantic_dedup_contract" ->
+      """SELECT true AS planted_pairs_exist,
+        |true AS clones_cluster_with_original, true AS no_clone_survives,
+        |true AS kept_plus_collapsed_conserves""".stripMargin,
 
     // e14 itself is rows-only (greedy float selection has no SQL
     // replay); this contract twin pins its semantics
