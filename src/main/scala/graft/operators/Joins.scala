@@ -147,4 +147,41 @@ object Joins {
           .otherwise("right_only"))
       .select(outKey, "membership")
   }
+
+  /** BANDED range join: match each fact row to the [lo, hi) band
+    * containing its value — the "price BETWEEN tier.lo AND tier.hi"
+    * dimension join — as a bucket-key EQUI-join instead of the
+    * BroadcastNestedLoopJoin Spark plans for a non-equi condition
+    * (per-row scans of the whole band table; with a big band table or
+    * no broadcastable side it degrades to a cartesian — the non-equi
+    * join trap at scale).
+    *
+    * Shape (the v5 interval-join trick on the VALUE axis): each band
+    * explodes map-side into the integer buckets it covers
+    * (`(hi−1) div width − lo div width + 1` rows per band — bounded by
+    * band width / bucket width), the fact side computes its ONE bucket
+    * `value div width`, the join is a plain equi-join on the bucket,
+    * and a residual `lo ≤ v < hi` filter exactifies. A value matched
+    * by k bands appears k times (bands may overlap; disjoint bands ⇒
+    * at most one match). All arithmetic is integer (callers pass
+    * integer-grain values, e.g. cents), so bucketing can never
+    * misround at a band edge in either engine.
+    *
+    * `width` tunes the explode factor vs residual selectivity: one
+    * bucket per band (width ≥ band span) minimizes exploded rows; many
+    * buckets per band sharpen the equi-key. Bands are assumed small
+    * (a dimension table) — the exploded frame broadcasts; the fact
+    * side never shuffles for this join. */
+  def bandJoin(fact: DataFrame, bands: DataFrame, valueCol: String,
+      loCol: String, hiCol: String, width: Long): DataFrame = {
+    require(width > 0, "bandJoin width must be positive")
+    val exploded = bands.withColumn("__bkt",
+      explode(expr(s"sequence($loCol div ${width}L, " +
+        s"($hiCol - 1) div ${width}L)")))
+    fact
+      .withColumn("__bkt", expr(s"$valueCol div ${width}L"))
+      .join(broadcast(exploded), Seq("__bkt"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("__bkt")
+  }
 }

@@ -598,6 +598,36 @@ object TrainingQueries {
         "lambda1_equals_topk", "diversity_not_worse")
     }),
 
+    // J10 — BANDED range join (price-tier rollup): "price BETWEEN
+    // tier.lo AND tier.hi" as a bucket equi-join (Joins.bandJoin, the
+    // v5 interval trick on the value axis) — Spark's native plan for a
+    // non-equi join is BroadcastNestedLoopJoin (per-row scans of the
+    // band table; cartesian-class without a broadcastable side), which
+    // PlanSpec asserts is absent. Prices quantize to integer cents
+    // once (exact: 2-dp grid), so bucket and residual arithmetic is
+    // engine-exact; the bands cover the full observed price range
+    // ([902, 105000] dollars), so the inner join drops no rows and
+    // the oracle's BETWEEN replay is total.
+    "j10_band_join" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val tiers = Seq(
+        ("t1_budget", 0L, 2500000L),
+        ("t2_mid", 2500000L, 5000000L),
+        ("t3_high", 5000000L, 7500000L),
+        ("t4_premium", 7500000L, 11000000L)
+      ).toDF("tier", "lo_c", "hi_c")
+      val li = Tables.lineitem(s, d)
+        .select(col("l_extendedprice"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"))
+      graft.operators.Joins
+        .bandJoin(li, tiers, "price_c", "lo_c", "hi_c", width = 500000L)
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_items"),
+          Summaries.exactSum(col("l_extendedprice"), 2).as("sum_price"))
+        .orderBy(col("tier"))
+    }),
+
     // D15 — SEMANTIC dedup APPLY (embedding grain): the end-to-end
     // "drop near-duplicate meanings" pass — SRP-bucketed cosine
     // candidate pairs (e3's bounded generator, threshold 0.95) →
@@ -2400,6 +2430,20 @@ object TrainingQueries {
 
     "e5_ann_recall" ->
       """SELECT true AS recall_at_10_ge_half""".stripMargin,
+
+    // j10's oracle is the plain BETWEEN join — bucket-decomposition
+    // invariance of the result IS the correctness contract
+    "j10_band_join" ->
+      """WITH tiers(tier, lo_c, hi_c) AS (VALUES
+        |  ('t1_budget', 0, 2500000), ('t2_mid', 2500000, 5000000),
+        |  ('t3_high', 5000000, 7500000), ('t4_premium', 7500000, 11000000))
+        |SELECT tier, count(*) AS n_items,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 2)
+        |    AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN tiers
+        |  ON CAST(round(l_extendedprice * 100) AS BIGINT) >= lo_c
+        |  AND CAST(round(l_extendedprice * 100) AS BIGINT) < hi_c
+        |GROUP BY tier ORDER BY tier""".stripMargin,
 
     // d15 itself is rows-only (SRP buckets + float cosine have no SQL
     // replay); this contract twin pins its semantics

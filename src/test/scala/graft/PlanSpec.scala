@@ -345,6 +345,15 @@ class PlanSpec extends SparkSpec {
       s"the corpus must stream through the probe without shuffling\n$p")
   }
 
+  test("j10: banded range join is a bucket equi-join — no nested-loop, no cartesian") {
+    val df = SparkEntry.queries("j10_band_join")(spark, sf0001)
+    val p = finalPlan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the non-equi condition must ride the bucket equi-key\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the exploded band table should broadcast into an equi-join\n$p")
+  }
+
   test("g5: triangle enumeration has no cartesian product; degrees broadcast") {
     val df = SparkEntry.queries("g5_triangle_count")(spark, sf0001)
     val p = finalPlan(df)
