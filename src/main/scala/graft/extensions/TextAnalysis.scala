@@ -70,6 +70,19 @@ object TextAnalysis {
   def urlDomain(url: Column): Column =
     regexp_extract(url, "^https?://([^/]+)", 1)
 
+  /** Canonical form of a URL for URL-level dedup (the crawl-frontier
+    * collapse that runs before any fetch): scheme dropped, host
+    * lowercased, query string and fragment stripped, trailing slash
+    * removed. Path CASE is preserved — paths are case-sensitive, hosts
+    * are not (RFC 3986 §6.2.2.1). Pure codegen regexp ops. */
+  def canonicalUrl(url: Column): Column = {
+    val noQf = regexp_replace(url, "[?#].*$", "")
+    val host = lower(regexp_extract(noQf, "^https?://([^/]+)", 1))
+    val path = regexp_replace(
+      regexp_extract(noQf, "^https?://[^/]+(.*)$", 1), "/$", "")
+    concat(host, path)
+  }
+
   /** Punctuation density per character — boilerplate/code-dump signal. */
   def punctuationRatio(text: Column, nChars: Column): Column =
     round(size(regexp_extract_all(text, lit("""[^\w\s]"""), lit(0)))

@@ -1459,6 +1459,85 @@ object TrainingQueries {
       Multimodal.frameSampleStub(meta, stride = 2).toDF()
         .select(col("doc_id"), col("n_bytes"), col("frames"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Q3 — TPC-H Q3 shipping-priority shape (the canonical
+    // filter → join → join → agg → top-k analytical plan, completing
+    // the q1 scan-agg / q2 SQL-entry trio): BUILDING-segment customers'
+    // orders placed before the cutoff, revenue from line items shipped
+    // after it, top 10 orders by decimal-exact revenue. Both joins are
+    // plain equi-joins — the filtered customer key list sits well under
+    // the broadcast threshold so Catalyst/AQE picks BroadcastHashJoin
+    // on its own (forcing broadcast() here would bake in a hint that
+    // turns into a hazard when the dimension outgrows executor memory
+    // at 100 TB); the lineitem ⋈ orders join is the one shuffle pair.
+    // Top-10 plans as TakeOrderedAndProject. Dates emitted as formatted
+    // strings (oracle policy).
+    "q3_shipping_priority" -> ((s, d) => {
+      val cutoff = lit("1998-07-01").cast("timestamp")
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < cutoff)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(Summaries.exactSum(
+          col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+          .as("revenue"))
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_orderpriority"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // D16 — URL-level dedup (the crawl-frontier collapse that runs
+    // BEFORE any document fetch at corpus scale — distinct from t20's
+    // per-domain rollup, which counts URLs without canonicalizing):
+    // extract URLs, canonicalize (TextAnalysis.canonicalUrl: scheme
+    // dropped, host lowercased, query+fragment stripped, trailing slash
+    // removed), keep the min-doc_id occurrence per canonical URL. The
+    // synthetic corpus has no URLs, so each doc is injected with one of
+    // FOUR deterministic variants of a shared target (plain /
+    // cased-host+http / ?utm query / trailing-slash+#fragment — t20
+    // injection precedent, replayed verbatim by the oracle):
+    // canonicalization provably collapses all four onto one key, and
+    // the preserved 'Asset' path case pins that only the HOST folds.
+    // Scale: map-side explode + one bounded agg on the canonical key —
+    // the same shape as exact dedup (d1), no other shuffle.
+    "d16_url_dedup" -> ((s, d) => {
+      val k = pmod(col("doc_id"), lit(3)).cast("string")
+      val b = pmod(col("doc_id"), lit(20)).cast("string")
+      val variant = pmod(col("doc_id"), lit(4))
+      val url = when(variant === 0,
+          concat(lit("https://cdn"), k, lit(".example.com/Asset/"), b))
+        .when(variant === 1,
+          concat(lit("http://CDN"), k, lit(".Example.COM/Asset/"), b))
+        .when(variant === 2,
+          concat(lit("https://cdn"), k, lit(".example.com/Asset/"), b,
+            lit("?utm_source=feed")))
+        .otherwise(
+          concat(lit("https://cdn"), k, lit(".example.com/Asset/"), b,
+            lit("/#sec")))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" see "), url).as("text"))
+        .select(col("doc_id"),
+          explode(TextAnalysis.extractUrls(col("text"))).as("url"))
+        .groupBy(TextAnalysis.canonicalUrl(col("url")).as("canonical_url"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("keeper_doc_id"))
+        .orderBy(col("canonical_url"))
     })
   )
 
@@ -2546,6 +2625,50 @@ object TrainingQueries {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |CAST(greatest((CAST(octet_length(encode(text)) AS BIGINT) // 64 + 1) // 2, 1)
         |  AS INTEGER) AS frames
-        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |  o_orderpriority,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    // d16's oracle replays the injection, extraction and
+    // canonicalization verbatim (t20 precedent)
+    "d16_url_dedup" ->
+      """WITH injected AS (
+        |  SELECT doc_id, text || ' see ' ||
+        |    CASE CAST(doc_id % 4 AS INTEGER)
+        |      WHEN 0 THEN 'https://cdn' || (doc_id % 3) ||
+        |        '.example.com/Asset/' || (doc_id % 20)
+        |      WHEN 1 THEN 'http://CDN' || (doc_id % 3) ||
+        |        '.Example.COM/Asset/' || (doc_id % 20)
+        |      WHEN 2 THEN 'https://cdn' || (doc_id % 3) ||
+        |        '.example.com/Asset/' || (doc_id % 20) || '?utm_source=feed'
+        |      ELSE 'https://cdn' || (doc_id % 3) ||
+        |        '.example.com/Asset/' || (doc_id % 20) || '/#sec'
+        |    END AS text
+        |  FROM documents),
+        |urls AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^ ]+'))
+        |    AS url FROM injected),
+        |canon AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(regexp_replace(url, '[?#].*$', ''),
+        |      '^https?://([^/]+)', 1)) ||
+        |    regexp_replace(regexp_extract(regexp_replace(url, '[?#].*$', ''),
+        |      '^https?://[^/]+(.*)$', 1), '/$', '') AS canonical_url
+        |  FROM urls)
+        |SELECT canonical_url, count(*) AS n_urls,
+        |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper_doc_id
+        |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
   )
 }

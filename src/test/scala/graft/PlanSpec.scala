@@ -414,4 +414,32 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
       s"the overlap factor must multiply rows, not exchanges\n$p")
   }
+
+  test("q3: top-10 plans as a heap, dimensions broadcast without a hint") {
+    val df = SparkEntry.queries("q3_shipping_priority")(spark, sf0001)
+    val p = finalPlan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-10 must be per-partition heaps, not a full sort\n$p")
+    // no broadcast() hint in the query — Catalyst/AQE must pick
+    // BroadcastHashJoin on its own at this scale
+    assert(p.contains("BroadcastHashJoin"),
+      s"filtered dimension sides should broadcast at this scale\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"equi-joins only\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      p.contains("GreaterThan(l_shipdate"),
+      s"the shipdate cutoff must reach the parquet scan\n$p")
+  }
+
+  test("d16: url dedup is explode + one grouped agg — no join, no extra shuffle") {
+    val df = SparkEntry.queries("d16_url_dedup")(spark, sf0001)
+    val p = finalPlan(df)
+    assert(p.contains("Generate explode"),
+      s"url extraction must be a map-side explode\n$p")
+    assert(!p.contains("Join"), s"canonical-key dedup needs no join\n$p")
+    // countDistinct plans as a two-phase agg over ONE hash exchange
+    // (plus the presentation ORDER BY's range exchange)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"only the canonical-key aggregation may shuffle\n$p")
+  }
 }
