@@ -104,6 +104,61 @@ object EventWindows {
       .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
   }
 
+  /** Linear interpolation of a daily per-user gauge across calendar
+    * gaps — the time-series `resample().interpolate()` companion to
+    * [[densifyDaily]]'s zero-fill (pandas-side: `interpolate
+    * (method='time')`; the reference only forward-fills, W1).
+    *
+    * Shape: daily grain (one grouped agg), per-user calendar explode
+    * (map-side `sequence`), then ONE window pass each direction —
+    * `last(ignoreNulls)` carries the previous observed (value, day)
+    * forward, `first(ignoreNulls)` pulls the next observed pair
+    * backward, and the gap rows take
+    * `pv + (nv − pv) * (Δprev / Δspan)`. Because the calendar spans
+    * exactly [min(day), max(day)] per user, every gap row is interior:
+    * both neighbors always exist and the interpolation is total.
+    *
+    * Determinism: the daily gauge is a decimal-exact sum divided by the
+    * row count (unrounded IEEE quotient, the engine-wide average
+    * policy); the interpolation is a fixed-order IEEE expression — both
+    * replay bit-identically in the oracle.
+    *
+    * Scale: one hash exchange for the daily agg; the two windows share
+    * the same (user_id, day) sort — Catalyst plans a single Exchange +
+    * Sort for both window frames. Calendar explode multiplies rows,
+    * never exchanges. */
+  def interpolateDaily(events: DataFrame, valueCol: String = "value"): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg((sum(col(valueCol).cast("decimal(38,6)")).cast("double") /
+        count(lit(1))).as("v"))
+    val spans = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val calendar = spans.select(col("user_id"),
+      explode(sequence(col("d0"), col("d1"))).as("day"))
+    val dense = calendar.join(daily, Seq("user_id", "day"), "left")
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    dense
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("pd",
+        last(when(col("v").isNotNull, col("day")), ignoreNulls = true)
+          .over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nd",
+        first(when(col("v").isNotNull, col("day")), ignoreNulls = true)
+          .over(wNext))
+      .select(col("user_id"), col("day"),
+        col("v").isNotNull.as("observed"),
+        when(col("v").isNotNull, col("v"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            (datediff(col("day"), col("pd")).cast("double") /
+              datediff(col("nd"), col("pd")).cast("double")))
+          .as("v_interp"))
+  }
+
   /** `from_json` over the `props` JSON string column — the map/json
     * scalar surface the reference lacks (SURVEY.md §2.H). */
   def parsedProps(events: DataFrame): DataFrame =

@@ -1538,6 +1538,64 @@ object TrainingQueries {
           countDistinct(col("doc_id")).as("n_docs"),
           min(col("doc_id")).as("keeper_doc_id"))
         .orderBy(col("canonical_url"))
+    }),
+
+    // V14 — LINEAR interpolation over calendar gaps (the resample +
+    // interpolate companion to v3's zero-fill densify): per-user daily
+    // gauge, gap days take pv + (nv−pv)·(Δprev/Δspan) between the
+    // surrounding observed days. Every gap row is interior by
+    // construction (the calendar spans [min, max] observed day per
+    // user), so the expression is total. Raw IEEE doubles out — the
+    // engine-wide unrounded-average policy; the oracle replays the
+    // identical fixed-order expression over IGNORE NULLS windows.
+    "v14_interpolate" -> ((s, d) => {
+      graft.extensions.EventWindows.interpolateDaily(Tables.events(s, d))
+        .select(col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("observed"), col("v_interp"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+    // W30 — Misra-Gries heavy hitters (bounded-state top-key sketch):
+    // exact per-key counts over an unbounded key domain are O(distinct)
+    // aggregation state; MG carries at most k=16 counters per partial,
+    // so the shuffle is O(k) per partition at any cardinality. The
+    // counter SET depends on partitioning (legitimately), so the query
+    // is a CONTRACT: the guarantees — every true heavy hitter
+    // (count > n/(k+1)) survives, estimates never exceed truth, error
+    // ≤ n/(k+1), ≤ k counters — hold under ANY partitioning, and the
+    // skewed key (20% of rows collapse to key 0 — the only true heavy
+    // hitter at every SF, margin ~3.4×) makes the capture non-vacuous.
+    // n_true_hh and hh_exact_count are value-verified by the oracle.
+    "w30_heavy_hitters" -> ((s, d) => {
+      val K = 16
+      val mg = udaf(new graft.functions.MisraGriesAggregator(K))
+      val skew = Tables.lineitem(s, d).select(
+        when(pmod(col("l_partkey"), lit(5)) === 0, lit(0L))
+          .otherwise(pmod(col("l_partkey"), lit(997))).as("key"))
+      val est = skew.agg(mg(col("key")).as("sketch"))
+        .select(explode(col("sketch")).as(Seq("key", "est")))
+        .localCheckpoint(eager = false) // feeds two contract joins
+      val exact = skew.groupBy(col("key")).agg(count(lit(1)).as("exact"))
+        .localCheckpoint(eager = false)
+      val tot = skew.agg(count(lit(1)).as("n"))
+      val trueHh = exact.crossJoin(tot)
+        .filter(col("exact") * (K + 1) > col("n"))
+      val captured = trueHh.join(est, Seq("key"), "left_anti")
+        .agg(count(lit(1)).as("n_missed"))
+      val bounds = est.join(exact, Seq("key"), "left").crossJoin(tot)
+        .agg(
+          (max(when(col("est") > col("exact"), 1).otherwise(0)) === 0)
+            .as("est_le_exact"),
+          (max(when((col("exact") - col("est")) * (K + 1) > col("n"), 1)
+            .otherwise(0)) === 0).as("err_within_bound"),
+          (count(lit(1)) <= K).as("at_most_k"))
+      val hhStats = trueHh.agg(count(lit(1)).as("n_true_hh"),
+        sum(col("exact")).cast("long").as("hh_exact_count"))
+      captured.crossJoin(bounds).crossJoin(hhStats)
+        .select((col("n_missed") === 0).as("hh_captured"),
+          col("est_le_exact"), col("err_within_bound"), col("at_most_k"),
+          col("n_true_hh"), col("hh_exact_count"))
     })
   )
 
@@ -2669,6 +2727,55 @@ object TrainingQueries {
         |  FROM urls)
         |SELECT canonical_url, count(*) AS n_urls,
         |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper_doc_id
-        |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
+        |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
+
+    // v14: identical fixed-order IEEE interpolation over IGNORE NULLS
+    // windows; date_diff('day', a, b) = Spark's datediff(b, a)
+    "v14_interpolate" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS v
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        |spans AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY user_id),
+        |calendar AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM spans),
+        |dense AS (
+        |  SELECT c.user_id, c.day, d.v
+        |  FROM calendar c LEFT JOIN daily d USING (user_id, day)),
+        |w AS (
+        |  SELECT user_id, day, v,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM dense)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |  v IS NOT NULL AS observed,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |    ELSE pv + (nv - pv) * (CAST(date_diff('day', pd, day) AS DOUBLE) /
+        |      CAST(date_diff('day', pd, nd) AS DOUBLE)) END AS v_interp
+        |FROM w ORDER BY user_id, day""".stripMargin,
+
+    // w30: the four booleans are the MG guarantees (hold under any
+    // partitioning); n_true_hh / hh_exact_count are exact SQL values
+    "w30_heavy_hitters" ->
+      """WITH skew AS (SELECT CASE WHEN l_partkey % 5 = 0 THEN 0
+        |    ELSE l_partkey % 997 END AS key FROM lineitem),
+        |hh AS (SELECT key, count(*) AS exact FROM skew GROUP BY key
+        |  HAVING count(*) * 17 > (SELECT count(*) FROM skew))
+        |SELECT true AS hh_captured, true AS est_le_exact,
+        |  true AS err_within_bound, true AS at_most_k,
+        |  (SELECT count(*) FROM hh) AS n_true_hh,
+        |  (SELECT CAST(sum(exact) AS BIGINT) FROM hh) AS hh_exact_count""".stripMargin
   )
 }

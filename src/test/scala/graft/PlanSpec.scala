@@ -415,6 +415,21 @@ class PlanSpec extends SparkSpec {
       s"the overlap factor must multiply rows, not exchanges\n$p")
   }
 
+  test("v14: interpolation windows share one sort — no per-window exchange") {
+    val df = SparkEntry.queries("v14_interpolate")(spark, sf0001)
+    val p = finalPlan(df)
+    // both directions (pv/pd forward, nv/nd backward) ride the same
+    // (user_id, day) sort: exchanges are exactly the daily agg, the
+    // per-user span agg, and the presentation ORDER BY — nothing between
+    // the Window operators
+    assert(p.contains("Generate explode(sequence"),
+      s"calendar must expand map-side\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"windows must not add exchanges beyond the two aggs\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"equi-join only\n$p")
+  }
+
   test("q3: top-10 plans as a heap, dimensions broadcast without a hint") {
     val df = SparkEntry.queries("q3_shipping_priority")(spark, sf0001)
     val p = finalPlan(df)
