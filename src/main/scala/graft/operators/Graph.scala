@@ -346,6 +346,52 @@ object Graph {
           .as("jaccard"))
   }
 
+  /** Synchronous label-propagation community detection (LPA), fixed
+    * iteration count. Every node starts labeled with its own id; each
+    * iteration every node adopts the label carried by the PLURALITY of
+    * its in-neighbors, ties broken deterministically by the smaller
+    * label (binary string order — both engines compare memcmp-style).
+    * Plurality-with-min-tiebreak makes the whole iteration a pure
+    * integer/string function of the input — no floats anywhere — so a
+    * chained-CTE oracle replays it exactly.
+    *
+    * `edges` must be directed (src, dst) pairs over a CLOSED node set
+    * (every dst also appears as src — any symmetrized graph qualifies,
+    * like g7's trading graph); labels flow dst→src along each edge's
+    * reverse, which for a symmetric edge set is plain neighborhood
+    * voting. Per iteration: one edges⋈labels equi-join (label state is
+    * |nodes|-row and broadcast under `broadcastLabels`, the pageRank
+    * rank-state contract; set it false past the broadcast budget and
+    * the join becomes an ordinary shuffle equi-join), one
+    * (node, label) grouped count, and one per-node ordered top-1 — the
+    * label frame re-checkpoints each iteration so lineage stays flat.
+    *
+    * Returns (node, label) — nodes sharing a label share a community. */
+  def labelPropagation(
+      edges: DataFrame, iterations: Int,
+      broadcastLabels: Boolean = true): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col("src"), col("dst"))
+      .localCheckpoint(eager = false)
+    val nodes = e.select(col("src")).distinct()
+      .localCheckpoint(eager = false)
+    var labels = nodes.select(col("src").as("node"), col("src").as("label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("c").desc, col("label"))
+    for (_ <- 1 to iterations) {
+      val nbrLabels = labels.select(col("node").as("dst"), col("label"))
+      labels = e
+        .join(if (broadcastLabels) broadcast(nbrLabels) else nbrLabels,
+          Seq("dst"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("src").as("node"), col("label"))
+        .localCheckpoint(eager = false)
+    }
+    labels
+  }
+
   /** Shared graph preparation: checkpointed (edge ⋈ out-weight ⋈ closed
     * node set) frame plus the uniform initial state. One materialization
     * serves every superstep (positive-weight contract enforced up front

@@ -1123,15 +1123,7 @@ object TrainingQueries {
     // join), so the common-neighbor count never pays an unoriented
     // wedge blowup; the Jaccard is one division of exact integers.
     "g6_edge_jaccard" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val pairs = li.as("x").join(li.as("y"), Seq("l_orderkey"))
-        .filter(col("x.l_partkey") < col("y.l_partkey"))
-        .groupBy(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
-        .agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 2)
-        .select(col("src"), col("dst"))
-      graft.operators.Graph.edgeJaccard(pairs)
+      graft.operators.Graph.edgeJaccard(CoPurchasePairs(s, d))
         .orderBy(col("a"), col("b"))
     }),
 
@@ -1261,14 +1253,9 @@ object TrainingQueries {
     // the single (rank·w)/Σw double division replays bit-for-bit
     // (DuckDB sum(BIGINT) is HUGEINT — the oracle casts it back).
     "g2_weighted_pagerank" -> ((s, d) => {
-      val ce = Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_custkey"))
-        .join(Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
-          Seq("o_orderkey"))
-        .groupBy(concat(lit("c"), col("o_custkey").cast("string")).as("c"),
-          concat(lit("s"), col("l_suppkey").cast("string")).as("s"))
-        .agg(count(lit(1)).as("w"))
+      // the pair counts come from the shared TradingPairs artifact —
+      // same frame g1/g3/g4 read their keys from
+      val ce = TradingPairs(s, d)
       val edges = ce.select(col("c").as("src"), col("s").as("dst"), col("w"))
         .unionByName(ce.select(col("s").as("src"), col("c").as("dst"),
           col("w")))
@@ -1296,15 +1283,8 @@ object TrainingQueries {
     // extra pass) and cuts the edge set ~300× at sf0.1 — the
     // difference between mining structure and brute-forcing noise.
     "g5_triangle_count" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val pairs = li.as("x").join(li.as("y"), Seq("l_orderkey"))
-        .filter(col("x.l_partkey") < col("y.l_partkey"))
-        .groupBy(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
-        .agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 2)
-        .select(col("src"), col("dst"))
-      graft.operators.Graph.triangleCount(pairs).orderBy(col("node"))
+      graft.operators.Graph.triangleCount(CoPurchasePairs(s, d))
+        .orderBy(col("node"))
     }),
 
     // O7 — deterministic global row numbering (contiguous example ids /
@@ -1596,6 +1576,124 @@ object TrainingQueries {
         .select((col("n_missed") === 0).as("hh_captured"),
           col("est_le_exact"), col("err_within_bound"), col("at_most_k"),
           col("n_true_hh"), col("hh_exact_count"))
+    }),
+
+    // V15 — first-order Markov transition matrix over each user's
+    // time-ordered event stream (the behavioral model behind
+    // next-action prediction and anomalous-flow scoring): count
+    // cur_type→next_type transitions, then P(next|cur). The heavy
+    // event frame shuffles ONCE (the user_id lead window); the
+    // transition matrix itself is |types|²-tiny, so the conditional
+    // probabilities are a second aggregate over a bounded frame.
+    // Epoch-µs ordering (the v9 convention); ties pinned by event_id.
+    // p = n·1.0/rowtotal is one double division of exact longs —
+    // deterministic; round(·,6) quantizes identically in both engines.
+    "v15_markov_transitions" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cur_type"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("cur_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p",
+          round(col("n") * lit(1.0) / sum(col("n")).over(wc), 6))
+        .orderBy(col("cur_type"), col("next_type"))
+    }),
+
+    // G7 — label-propagation community detection (3 synchronous
+    // iterations) on the shared trading graph: the cheap plurality-
+    // voting community pass (no modularity optimization, no floats)
+    // that groups customers/suppliers into trading cliques. All-integer
+    // plurality + min-label tie-break makes the iteration exactly
+    // replayable; the oracle chains one CTE per iteration with the
+    // identical window tie-break. Per iteration one edges⋈labels
+    // broadcast join + one (node, label) count — the pageRank
+    // superstep's cost shape with no decimal sum needed.
+    "g7_label_propagation" -> ((s, d) => {
+      graft.operators.Graph
+        .labelPropagation(tradingEdges(s, d), iterations = 3)
+        .orderBy(col("node"))
+    }),
+
+    // S20 — temperature-balanced domain resampling (the multinomial
+    // α-temperature mix every multi-source LM corpus is drawn with,
+    // α = 0.5): target share ∝ √n_source, total budget half the
+    // corpus, acceptance per doc by deterministic multiplicative hash
+    // (the s8 family) against the per-source rate. Determinism: √n is
+    // one IEEE sqrt per SOURCE quantized to integer micro-units
+    // (round·1e6 — the v11/v13 trick), the share sum S is an exact
+    // BIGINT sum, each rate is one double division of exact integer
+    // products, and the hash threshold floor(rate·2²⁰) compares as
+    // longs. Scale: two passes over (doc_id, source) — a grouped
+    // count, then a broadcast rate join + filter; the corpus never
+    // sorts and nothing non-combinable touches the fat frame.
+    "s20_temperature_resample" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val counts = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("w", round(sqrt(col("n")) * 1e6).cast("long"))
+      val totals = counts.agg(sum(col("w")).as("sw"),
+        expr("sum(n) div 2").as("budget"))
+      val rates = counts.crossJoin(broadcast(totals))
+        .withColumn("rate",
+          least(lit(1.0), (col("budget") * col("w")).cast("double")
+            / (col("sw") * col("n")).cast("double")))
+        .withColumn("thresh",
+          floor(col("rate") * lit(1048576L)).cast("long"))
+      docs
+        .withColumn("h",
+          col("doc_id") % 999983 * lit(2654435761L) % 1048576)
+        .join(broadcast(rates), Seq("source"))
+        .filter(col("h") < col("thresh"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"))
+        .join(rates.select(col("source"), col("n"),
+          round(col("rate"), 6).as("rate")), Seq("source"))
+        .select(col("source"), col("n").as("n_docs"), col("rate"),
+          col("n_sampled"))
+        .orderBy(col("source"))
+    }),
+
+    // W31 — count-min sketch frequency estimation over the w30 skewed
+    // key stream, contract-checked against exact counts for the top-20
+    // keys: 4 hash rows × 256 cells of combinable integer state (the
+    // fixed-size streaming frequency sketch, CM estimate = min over
+    // rows). The multiplicative hash family is the s8 one with
+    // per-row (A,B) constants, so DuckDB replays the ENTIRE sketch
+    // bit-for-bit — est, exact, and the overestimate column are all
+    // value-verified, and est ≥ exact by construction. Scale: the fat
+    // stream posexplodes ×4 then map-side combines into ≤1024 cells;
+    // the probe side is 20 keys joining a broadcast sketch.
+    "w31_count_min" -> ((s, d) => {
+      val A = Seq(31L, 131L, 197L, 499L); val B = Seq(7L, 11L, 13L, 17L)
+      def cell(k: org.apache.spark.sql.Column, j: Int) =
+        (k * A(j) + B(j)) % 999983 * lit(2654435761L) % 256
+      val skew = Tables.lineitem(s, d).select(
+        when(pmod(col("l_partkey"), lit(5)) === 0, lit(0L))
+          .otherwise(pmod(col("l_partkey"), lit(997))).as("key"))
+      val sketch = skew
+        .select(posexplode(array((0 to 3).map(j => cell(col("key"), j)): _*))
+          .as(Seq("j", "cell")))
+        .groupBy(col("j"), col("cell")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(eager = false)
+      val top = skew.groupBy(col("key")).agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("key")).limit(20)
+      top
+        .select(col("key"), col("exact"),
+          posexplode(array((0 to 3).map(j => cell(col("key"), j)): _*))
+            .as(Seq("j", "cell")))
+        .join(broadcast(sketch), Seq("j", "cell"))
+        .groupBy(col("key"), col("exact"))
+        .agg(min(col("cnt")).as("est"))
+        .select(col("key"), col("exact"), col("est"),
+          (col("est") - col("exact")).as("overest"))
+        .orderBy(col("exact").desc, col("key"))
     })
   )
 
@@ -1608,18 +1706,65 @@ object TrainingQueries {
     * placement (one double multiply then one double divide) and casts
     * DuckDB's HUGEINT sum(BIGINT) back to BIGINT so the divisions see
     * the same operand types. */
+  /** Build-once/analyze-many trading-graph artifact: the distinct
+    * customer↔supplier pairs from orders⋈lineitem WITH their lineitem
+    * co-occurrence count — the one fact-table pass every g-family
+    * consumer starts from (g1/g3/g4 read the keys as the unweighted
+    * graph, g2 reads `w` as the edge weight). Shared per
+    * (session, sfDir) via the PqArtifact pattern: in production the
+    * graph is extracted from the fact table once and a SUITE of
+    * analytics runs over it; re-deriving the orders⋈lineitem join per
+    * query would re-pay the biggest shuffle four times. The lazy
+    * localCheckpoint keeps the frame recomputable from lineage on
+    * executor loss. */
+  private[graft] object TradingPairs {
+    private val cache = scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+    /** (c, s, w) — one row per distinct trading pair; w = #lineitems. */
+    def apply(s: SparkSession, d: String): DataFrame =
+      cache.getOrElseUpdate((s, d), {
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(s, d)
+            .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+            Seq("o_orderkey"))
+          .groupBy(
+            concat(lit("c"), col("o_custkey").cast("string")).as("c"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("s"))
+          .agg(count(lit(1)).as("w"))
+          .localCheckpoint(eager = false)
+      })
+  }
+
+  /** The g5/g6 graph: support-≥2 part co-purchase pairs from the
+    * lineitem self-join — the other shared graph-extraction artifact
+    * (triangle counting and edge Jaccard both start from it; the
+    * self-join is the costliest step either query runs). Same
+    * build-once contract as [[TradingPairs]]. */
+  private[graft] object CoPurchasePairs {
+    private val cache = scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+    /** (src, dst) — canonical src < dst part pairs with support ≥ 2. */
+    def apply(s: SparkSession, d: String): DataFrame =
+      cache.getOrElseUpdate((s, d), {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"))
+        li.as("x").join(li.as("y"), Seq("l_orderkey"))
+          .filter(col("x.l_partkey") < col("y.l_partkey"))
+          .groupBy(col("x.l_partkey").as("src"),
+            col("y.l_partkey").as("dst"))
+          .agg(count(lit(1)).as("sup"))
+          .filter(col("sup") >= 2)
+          .select(col("src"), col("dst"))
+          .localCheckpoint(eager = false)
+      })
+  }
+
   /** The g1/g3 graph: distinct customer↔supplier trading pairs from
     * orders⋈lineitem, symmetrized (every dst is also a src, so rank
     * mass is conserved — the GraphPropsSpec closed-graph property). */
   private[graft] def tradingEdges(s: SparkSession, d: String): DataFrame = {
-    val ce = Tables.orders(s, d)
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
-        Seq("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey").cast("string")).as("c"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("s"))
-      .distinct()
+    val ce = TradingPairs(s, d).select(col("c"), col("s"))
     ce.select(col("c").as("src"), col("s").as("dst"))
       .unionByName(ce.select(col("s").as("src"), col("c").as("dst")))
   }
@@ -2776,6 +2921,100 @@ object TrainingQueries {
         |SELECT true AS hh_captured, true AS est_le_exact,
         |  true AS err_within_bound, true AS at_most_k,
         |  (SELECT count(*) FROM hh) AS n_true_hh,
-        |  (SELECT CAST(sum(exact) AS BIGINT) FROM hh) AS hh_exact_count""".stripMargin
+        |  (SELECT CAST(sum(exact) AS BIGINT) FROM hh) AS hh_exact_count""".stripMargin,
+
+    // v15 replays the lead window on epoch-µs longs (the v9
+    // convention); p is one double division of exact counts, round 6
+    "v15_markov_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type AS cur_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS next_type
+        |  FROM events),
+        |c AS (
+        |  SELECT cur_type, next_type, count(*) AS n FROM t
+        |  WHERE next_type IS NOT NULL GROUP BY cur_type, next_type)
+        |SELECT cur_type, next_type, n,
+        |  round(CAST(n AS DOUBLE)
+        |    / CAST(sum(n) OVER (PARTITION BY cur_type) AS DOUBLE), 6) AS p
+        |FROM c ORDER BY cur_type, next_type""".stripMargin,
+
+    "g7_label_propagation" -> labelPropagationOracleSql(3),
+
+    // s20: sqrt is IEEE-identical per source, micro-unit quantized;
+    // the rate is exact-integer products divided once as double
+    "s20_temperature_resample" ->
+      """WITH docs AS (SELECT doc_id, source FROM documents),
+        |counts AS (
+        |  SELECT source, count(*) AS n,
+        |    CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT) AS w
+        |  FROM docs GROUP BY source),
+        |totals AS (SELECT CAST(sum(w) AS BIGINT) AS sw,
+        |  CAST(sum(n) // 2 AS BIGINT) AS budget FROM counts),
+        |th AS (
+        |  SELECT source, n,
+        |    least(1.0, CAST(budget * w AS DOUBLE) / CAST(sw * n AS DOUBLE))
+        |      AS rate
+        |  FROM counts, totals)
+        |SELECT t.source, t.n AS n_docs, round(t.rate, 6) AS rate,
+        |  count(*) AS n_sampled
+        |FROM docs d JOIN th t ON d.source = t.source
+        |WHERE d.doc_id % 999983 * 2654435761 % 1048576
+        |  < CAST(floor(t.rate * 1048576) AS BIGINT)
+        |GROUP BY t.source, t.n, t.rate
+        |ORDER BY t.source""".stripMargin,
+
+    // w31: the whole sketch replays bit-for-bit (integer hash family),
+    // so est/exact/overest are all value-checked
+    "w31_count_min" ->
+      """WITH skew AS (
+        |  SELECT CASE WHEN l_partkey % 5 = 0 THEN 0
+        |    ELSE l_partkey % 997 END AS key FROM lineitem),
+        |rows4 AS (SELECT * FROM (VALUES (0, 31, 7), (1, 131, 11),
+        |  (2, 197, 13), (3, 499, 17)) AS t(j, a, b)),
+        |sketch AS (
+        |  SELECT j, (key * a + b) % 999983 * 2654435761 % 256 AS cell,
+        |    count(*) AS cnt
+        |  FROM skew CROSS JOIN rows4 GROUP BY 1, 2),
+        |top AS (
+        |  SELECT key, count(*) AS exact FROM skew GROUP BY key
+        |  ORDER BY exact DESC, key LIMIT 20),
+        |probe AS (
+        |  SELECT key, exact, min(cnt) AS est FROM (
+        |    SELECT t.key, t.exact, r.j,
+        |      (t.key * r.a + r.b) % 999983 * 2654435761 % 256 AS cell
+        |    FROM top t CROSS JOIN rows4 r) p
+        |  JOIN sketch s ON s.j = p.j AND s.cell = p.cell
+        |  GROUP BY key, exact)
+        |SELECT key, exact, est, est - exact AS overest
+        |FROM probe ORDER BY exact DESC, key""".stripMargin
   )
+
+  /** DuckDB replay of Graph.labelPropagation's all-integer iteration:
+    * one CTE per synchronous round, plurality + min-label tie-break via
+    * the identical row_number window. */
+  private def labelPropagationOracleSql(iters: Int): String = {
+    val base =
+      """WITH ce AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), e AS (
+        |  SELECT c AS src, s AS dst FROM ce UNION ALL SELECT s, c FROM ce
+        |), l0 AS (
+        |  SELECT DISTINCT src AS node, src AS label FROM e
+        |)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s""", l$i AS (
+         |  SELECT node, label FROM (
+         |    SELECT src AS node, label, row_number() OVER
+         |      (PARTITION BY src ORDER BY c DESC, label) AS rn
+         |    FROM (SELECT e.src, l.label, count(*) AS c
+         |          FROM e JOIN l${i - 1} l ON e.dst = l.node
+         |          GROUP BY e.src, l.label))
+         |  WHERE rn = 1
+         |)""".stripMargin
+    }.mkString
+    s"$base$steps\nSELECT node, label FROM l$iters ORDER BY node"
+  }
 }

@@ -175,6 +175,49 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation: plurality+min-tiebreak collapses components; shuffle fallback identical") {
+    import spark.implicits._
+    // two disjoint symmetric triangles: synchronous min-tiebreak voting
+    // converges each to its lexicographically-smallest member within 3
+    // rounds, and the two communities stay distinct
+    val tri = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("d", "e"), ("e", "f"), ("d", "f"))
+    val edges = (tri ++ tri.map(_.swap)).toDF("src", "dst")
+    val out = graft.operators.Graph.labelPropagation(edges, iterations = 3)
+      .as[(String, String)].collect().toMap
+    assert(out == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "d", "e" -> "d", "f" -> "d"))
+    // the broadcastLabels=false scale escape (node sets past the
+    // broadcast budget) must vote the SAME all-integer system — exact
+    // equality, the broadcastRanks=false lesson
+    val trade = graft.queries.TrainingQueries.tradingEdges(spark, sf0001)
+    val viaB = graft.operators.Graph.labelPropagation(trade, 3)
+      .as[(String, String)].collect().toMap
+    val viaS = graft.operators.Graph
+      .labelPropagation(trade, 3, broadcastLabels = false)
+      .as[(String, String)].collect().toMap
+    assert(viaS.nonEmpty && viaS == viaB)
+  }
+
+  test("w31 count-min never underestimates ANY key; s20 rates fall with source size") {
+    // the CM guarantee is per-key deterministic (est = min of cells each
+    // ≥ the key's true count) — assert it over the FULL key set, not
+    // just the top-20 the query reports
+    val cm = SparkEntry.queries("w31_count_min")(spark, sf0001)
+    assert(cm.filter(col("overest") < 0).count() == 0)
+    assert(cm.count() > 0)
+    // temperature resampling: acceptance rate must be non-increasing in
+    // source size (∝ 1/√n) and never sample more than the source holds
+    val s20 = SparkEntry.queries("s20_temperature_resample")(spark, sf0001)
+      .orderBy(col("n_docs").desc).collect()
+    assert(s20.nonEmpty)
+    val rates = s20.map(r => r.getAs[Double]("rate"))
+    assert(rates.zip(rates.tail).forall { case (a, b) => a <= b },
+      "rate must be non-increasing in n_docs")
+    assert(s20.forall(r =>
+      r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_docs")))
+  }
+
   test("pageRank broadcastRanks=false fallback is rank-identical on the g1 graph") {
     import spark.implicits._
     // the documented scale escape for node sets past the broadcast
