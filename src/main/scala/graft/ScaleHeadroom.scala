@@ -226,6 +226,23 @@ object ScaleHeadroom {
       report("g2_weighted_pagerank", scale, secs, rows)
     }
 
+    // g7 label propagation under the same disjoint-copy inflation: the
+    // per-round unit is an edges⋈labels join + a (node, label) count +
+    // a per-node top-1 window — runtime must scale ~linearly in
+    // |edges|, with the window partitioned by node (never global).
+    for (scale <- Seq(1, 10)) {
+      val edges = (0 until scale).map { k =>
+        edges1.select(concat(col("src"), lit(s"_$k")).as("src"),
+          concat(col("dst"), lit(s"_$k")).as("dst"))
+      }.reduce(_ unionByName _).localCheckpoint(eager = false)
+      edges.count()
+      val (secs, rows) = timeBest {
+        forceAll(graft.operators.Graph.labelPropagation(edges,
+          iterations = 3))
+      }
+      report("g7_label_propagation", scale, secs, rows)
+    }
+
     // g5 triangle counting under disjoint-copy inflation: the
     // support-≥2 co-purchase edge list replicated with offset node ids
     // — triangles per copy are independent, so runtime must scale

@@ -1588,6 +1588,68 @@ object TrainingQueries {
     // Epoch-µs ordering (the v9 convention); ties pinned by event_id.
     // p = n·1.0/rowtotal is one double division of exact longs —
     // deterministic; round(·,6) quantizes identically in both engines.
+    // V16 — exponentially-weighted moving average (α = ½) of each
+    // user's metric stream over the trailing 20 events: the standard
+    // recency-weighted smoother behind drift monitors and rate
+    // estimators, in a form that is EXACTLY deterministic across
+    // engines. Every weight is a power of two (0.5^k parses to an
+    // exact double literal in both engines), values quantize to
+    // centi-unit longs, so every product vu·2⁻ᵏ is an exact dyadic and
+    // the 20-term sum is exact in ANY association — no decimal cast,
+    // no ordering convention needed, pure IEEE. One user_id exchange
+    // feeds all 20 lag() expressions in a single window sort; the
+    // normalizer counts only the lags that exist, so early rows get a
+    // proper truncated-window mean. Scale: window state is 20 rows per
+    // user regardless of stream length.
+    "v16_ewma_smoothing" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val lags = (0 until 20).map { k =>
+        val weight = lit(math.pow(0.5, k)) // exact: a power of two
+        val lagged = if (k == 0) col("vu") else lag(col("vu"), k).over(w)
+        (coalesce(lagged.cast("double") * weight, lit(0.0)),
+          when(lagged.isNotNull, weight).otherwise(lit(0.0)))
+      }
+      Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          round(col("value") * 100).cast("long").as("vu"))
+        .withColumn("num", lags.map(_._1).reduce(_ + _))
+        .withColumn("den", lags.map(_._2).reduce(_ + _))
+        .select(col("event_id"), col("user_id"),
+          round(col("num") / (col("den") * 100.0), 6).as("ewma"))
+        .orderBy(col("event_id"))
+    }),
+
+    // O11 — ANALYZE-style column statistics in ONE fact-table pass
+    // (null count, exact distinct count, min/max per numeric column) —
+    // the table-stats surface a cost-based optimizer and a zone-map
+    // pruner feed on. All 5 columns' aggregates fold into a single
+    // hash-agg scan (no per-column rescan); the wide one-row result
+    // unpivots via stack() into the stats-table shape. min/max are
+    // exact input doubles (no float convention needed); distinct
+    // counts are exact — swap in approx_count_distinct past the
+    // memory budget (documented, not needed at oracle scale).
+    "o11_column_stats" -> ((s, d) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_suppkey")
+      val aggs = cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
+          countDistinct(col(c)).as(s"${c}_nd"),
+          min(col(c).cast("double")).as(s"${c}_mn"),
+          max(col(c).cast("double")).as(s"${c}_mx"))
+      }
+      val stackArgs = cols.map(c =>
+        s"'$c', ${c}_nn, ${c}_nd, ${c}_mn, ${c}_mx").mkString(", ")
+      Tables.lineitem(s, d)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
+          "(col_name, n_nulls, n_distinct, min_v, max_v)"))
+        .orderBy(col("col_name"))
+    }),
+
     "v15_markov_transitions" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id"))
@@ -2941,6 +3003,26 @@ object TrainingQueries {
 
     "g7_label_propagation" -> labelPropagationOracleSql(3),
 
+    "v16_ewma_smoothing" -> ewmaOracleSql(20),
+
+    // o11: one aggregate pass unpivoted — min/max are exact input
+    // doubles, null/distinct counts exact integers; no float convention
+    "o11_column_stats" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_suppkey")
+      val aggs = cols.map { c =>
+        s"""    sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS ${c}_nn,
+           |    count(DISTINCT $c) AS ${c}_nd,
+           |    min(CAST($c AS DOUBLE)) AS ${c}_mn,
+           |    max(CAST($c AS DOUBLE)) AS ${c}_mx""".stripMargin
+      }.mkString(",\n")
+      val rows = cols.map { c =>
+        s"SELECT '$c' AS col_name, CAST(${c}_nn AS BIGINT) AS n_nulls, " +
+          s"${c}_nd AS n_distinct, ${c}_mn AS min_v, ${c}_mx AS max_v FROM a"
+      }.mkString("\n", "\nUNION ALL ", "")
+      s"WITH a AS (\n  SELECT\n$aggs\n  FROM lineitem)$rows\nORDER BY col_name"
+    },
+
     // s20: sqrt is IEEE-identical per source, micro-unit quantized;
     // the rate is exact-integer products divided once as double
     "s20_temperature_resample" ->
@@ -2989,6 +3071,36 @@ object TrainingQueries {
         |SELECT key, exact, est, est - exact AS overest
         |FROM probe ORDER BY exact DESC, key""".stripMargin
   )
+
+  /** DuckDB replay of v16's truncated EWMA: the same `depth` lag()
+    * terms over one named window, each weight an exact power-of-two
+    * double (decimal literal CAST to DOUBLE — bare decimals parse as
+    * DECIMAL in DuckDB, the g1 lesson). Every product is an exact
+    * dyadic, so the sums match Spark's in any association. */
+  private def ewmaOracleSql(depth: Int): String = {
+    def w(k: Int): String = // 0.5^k is a finite decimal — exact both ways
+      s"CAST(${java.math.BigDecimal.valueOf(0.5).pow(k).toPlainString} AS DOUBLE)"
+    def v(k: Int): String = if (k == 0) "vu" else s"lag(vu, $k) OVER ww"
+    val lagCols = (0 until depth).map(k => s"    ${v(k)} AS v$k").mkString(",\n")
+    val num = (0 until depth)
+      .map(k => s"coalesce(CAST(v$k AS DOUBLE) * ${w(k)}, 0.0)")
+      .mkString("\n      + ")
+    val den = (0 until depth)
+      .map(k => s"CASE WHEN v$k IS NOT NULL THEN ${w(k)} ELSE 0.0 END")
+      .mkString("\n      + ")
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS us,
+       |    CAST(round(value * 100.0) AS BIGINT) AS vu
+       |  FROM events WHERE value IS NOT NULL),
+       |l AS (
+       |  SELECT event_id, user_id,
+       |$lagCols
+       |  FROM e WINDOW ww AS (PARTITION BY user_id ORDER BY us, event_id))
+       |SELECT event_id, user_id,
+       |  round(($num)
+       |    / (($den) * 100.0), 6) AS ewma
+       |FROM l ORDER BY event_id""".stripMargin
+  }
 
   /** DuckDB replay of Graph.labelPropagation's all-integer iteration:
     * one CTE per synchronous round, plurality + min-label tie-break via

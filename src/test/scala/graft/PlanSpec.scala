@@ -457,4 +457,31 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
       s"only the canonical-key aggregation may shuffle\n$p")
   }
+
+  test("v16: all 20 EWMA lags share ONE window sort and one user exchange") {
+    val df = SparkEntry.queries("v16_ewma_smoothing")(spark, sf0001)
+    val p = finalPlan(df)
+    // 20 lag() expressions over the same spec must plan as a single
+    // Window operator — a per-lag window would sort the stream 20×
+    assert("Window ".r.findAllIn(p).size == 1,
+      s"expected exactly one Window operator for all lags\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"only the user_id window partition may hash-shuffle\n$p")
+  }
+
+  test("w31: the sketch joins the probe side by broadcast; stream combines map-side") {
+    val df = SparkEntry.queries("w31_count_min")(spark, sf0001)
+    val p = finalPlan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ≤1024-cell sketch must broadcast onto the 20-key probe\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join anywhere in the sketch probe\n$p")
+  }
+
+  test("o11: column stats are ONE scan — a single aggregate, no re-scan per column") {
+    val df = SparkEntry.queries("o11_column_stats")(spark, sf0001)
+    val p = finalPlan(df)
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected one fact-table scan, got $scans\n$p")
+  }
 }
