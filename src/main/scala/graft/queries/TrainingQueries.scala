@@ -1713,46 +1713,37 @@ object TrainingQueries {
           col("doc_id") % 999983 * lit(2654435761L) % 1048576)
         .join(broadcast(rates), Seq("source"))
         .filter(col("h") < col("thresh"))
-        .groupBy(col("source"))
+        // the broadcast join already carried n and rate — group on them
+        // (the oracle's GROUP BY source, n, rate) instead of re-joining
+        // rates, which would re-run the whole counts→totals pipeline
+        .groupBy(col("source"), col("n"), col("rate"))
         .agg(count(lit(1)).as("n_sampled"))
-        .join(rates.select(col("source"), col("n"),
-          round(col("rate"), 6).as("rate")), Seq("source"))
-        .select(col("source"), col("n").as("n_docs"), col("rate"),
-          col("n_sampled"))
+        .select(col("source"), col("n").as("n_docs"),
+          round(col("rate"), 6).as("rate"), col("n_sampled"))
         .orderBy(col("source"))
     }),
 
-    // W31 — count-min sketch frequency estimation over the w30 skewed
-    // key stream, contract-checked against exact counts for the top-20
-    // keys: 4 hash rows × 256 cells of combinable integer state (the
-    // fixed-size streaming frequency sketch, CM estimate = min over
-    // rows). The multiplicative hash family is the s8 one with
-    // per-row (A,B) constants, so DuckDB replays the ENTIRE sketch
-    // bit-for-bit — est, exact, and the overestimate column are all
-    // value-verified, and est ≥ exact by construction. Scale: the fat
-    // stream posexplodes ×4 then map-side combines into ≤1024 cells;
-    // the probe side is 20 keys joining a broadcast sketch.
+    // W31 — count-min sketch frequency estimation
+    // (Summaries.countMinEstimates) over the w30 skewed key stream,
+    // reported for the top-20 keys against their exact counts: 4 hash
+    // rows × 256 cells of combinable integer state (the fixed-size
+    // streaming frequency sketch, CM estimate = min over rows; the
+    // hash rows use large-multiplier mixing so they genuinely
+    // decorrelate — see the operator's scaladoc). The integer hash
+    // family lets DuckDB replay the ENTIRE sketch bit-for-bit — est,
+    // exact, and the overestimate column are all value-verified, and
+    // est ≥ exact for EVERY key by construction (asserted over the
+    // full key set in ScaleSpec). Scale: the fat stream posexplodes
+    // ×4 then map-side combines into ≤1024 cells; the probe side
+    // joins the broadcast sketch.
     "w31_count_min" -> ((s, d) => {
-      val A = Seq(31L, 131L, 197L, 499L); val B = Seq(7L, 11L, 13L, 17L)
-      def cell(k: org.apache.spark.sql.Column, j: Int) =
-        (k * A(j) + B(j)) % 999983 * lit(2654435761L) % 256
       val skew = Tables.lineitem(s, d).select(
         when(pmod(col("l_partkey"), lit(5)) === 0, lit(0L))
           .otherwise(pmod(col("l_partkey"), lit(997))).as("key"))
-      val sketch = skew
-        .select(posexplode(array((0 to 3).map(j => cell(col("key"), j)): _*))
-          .as(Seq("j", "cell")))
-        .groupBy(col("j"), col("cell")).agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(eager = false)
-      val top = skew.groupBy(col("key")).agg(count(lit(1)).as("exact"))
+      val est = Summaries.countMinEstimates(skew, "key")
+      skew.groupBy(col("key")).agg(count(lit(1)).as("exact"))
         .orderBy(col("exact").desc, col("key")).limit(20)
-      top
-        .select(col("key"), col("exact"),
-          posexplode(array((0 to 3).map(j => cell(col("key"), j)): _*))
-            .as(Seq("j", "cell")))
-        .join(broadcast(sketch), Seq("j", "cell"))
-        .groupBy(col("key"), col("exact"))
-        .agg(min(col("cnt")).as("est"))
+        .join(est, Seq("key"))
         .select(col("key"), col("exact"), col("est"),
           (col("est") - col("exact")).as("overest"))
         .orderBy(col("exact").desc, col("key"))
@@ -3046,16 +3037,18 @@ object TrainingQueries {
         |GROUP BY t.source, t.n, t.rate
         |ORDER BY t.source""".stripMargin,
 
-    // w31: the whole sketch replays bit-for-bit (integer hash family),
-    // so est/exact/overest are all value-checked
+    // w31: the whole sketch replays bit-for-bit (integer hash family —
+    // the large-multiplier decorrelated rows, Summaries.cmCell), so
+    // est/exact/overest are all value-checked
     "w31_count_min" ->
       """WITH skew AS (
         |  SELECT CASE WHEN l_partkey % 5 = 0 THEN 0
         |    ELSE l_partkey % 997 END AS key FROM lineitem),
-        |rows4 AS (SELECT * FROM (VALUES (0, 31, 7), (1, 131, 11),
-        |  (2, 197, 13), (3, 499, 17)) AS t(j, a, b)),
+        |rows4 AS (SELECT * FROM (VALUES (0, 2654435761, 7),
+        |  (1, 2246822519, 11), (2, 3266489917, 13),
+        |  (3, 668265263, 17)) AS t(j, a, b)),
         |sketch AS (
-        |  SELECT j, (key * a + b) % 999983 * 2654435761 % 256 AS cell,
+        |  SELECT j, (key * a + b) % 999983 % 256 AS cell,
         |    count(*) AS cnt
         |  FROM skew CROSS JOIN rows4 GROUP BY 1, 2),
         |top AS (
@@ -3064,7 +3057,7 @@ object TrainingQueries {
         |probe AS (
         |  SELECT key, exact, min(cnt) AS est FROM (
         |    SELECT t.key, t.exact, r.j,
-        |      (t.key * r.a + r.b) % 999983 * 2654435761 % 256 AS cell
+        |      (t.key * r.a + r.b) % 999983 % 256 AS cell
         |    FROM top t CROSS JOIN rows4 r) p
         |  JOIN sketch s ON s.j = p.j AND s.cell = p.cell
         |  GROUP BY key, exact)

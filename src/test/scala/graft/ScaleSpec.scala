@@ -197,12 +197,30 @@ class ScaleSpec extends SparkSpec {
       .labelPropagation(trade, 3, broadcastLabels = false)
       .as[(String, String)].collect().toMap
     assert(viaS.nonEmpty && viaS == viaB)
+    // UNSYMMETRIZED input (dst never a source): the node set stays
+    // total — un-voted nodes keep their own label instead of silently
+    // dropping out of the state
+    val open = graft.operators.Graph
+      .labelPropagation(Seq(("a", "zzz")).toDF("src", "dst"), 2)
+      .as[(String, String)].collect().toMap
+    assert(open == Map("a" -> "a"))
   }
 
   test("w31 count-min never underestimates ANY key; s20 rates fall with source size") {
+    import spark.implicits._
     // the CM guarantee is per-key deterministic (est = min of cells each
-    // ≥ the key's true count) — assert it over the FULL key set, not
-    // just the top-20 the query reports
+    // ≥ the key's true count) — assert it over the FULL key set via the
+    // operator (the query's top-20 report is a view over this); row
+    // decorrelation is pinned numerically in the cmCell scaladoc
+    val skew = Tables.lineitem(spark, sf0001).select(
+      when(pmod(col("l_partkey"), lit(5)) === 0, lit(0L))
+        .otherwise(pmod(col("l_partkey"), lit(997))).as("key"))
+    val full = graft.operators.Summaries.countMinEstimates(skew, "key")
+      .join(skew.groupBy(col("key")).agg(count(lit(1)).as("exact")),
+        Seq("key"))
+    assert(full.filter(col("est") < col("exact")).count() == 0,
+      "count-min must never underestimate any key")
+    assert(full.count() > 100, "the full key set, not a top slice")
     val cm = SparkEntry.queries("w31_count_min")(spark, sf0001)
     assert(cm.filter(col("overest") < 0).count() == 0)
     assert(cm.count() > 0)
