@@ -213,4 +213,41 @@ object WindowOps {
         col("valid_from"), col("valid_to"), col("n_events"),
         col("valid_to").isNull.as("is_current"))
   }
+
+  /** Trailing exponentially-weighted moving average with half-life
+    * weights — the recency-weighted smoother behind drift monitors and
+    * rate estimators — in a form that is EXACTLY deterministic across
+    * engines and partitionings with NO decimal-sum convention:
+    *
+    *   ewma = (Σₖ vu·2⁻ᵏ) / ((Σₖ 2⁻ᵏ) · scale),  k = 0..depth−1
+    *
+    * `vu` must be an integer-quantized LONG column (centi-units etc. —
+    * the v11/v13 trick; `scale` undoes the quantization in the final
+    * division). Every weight 2⁻ᵏ is an exact double and every product
+    * vu·2⁻ᵏ an exact dyadic, so for |vu| < 2^(52−depth) the numerator
+    * and denominator sums are exact in ANY association — pure IEEE
+    * equality, no rounding convention. The truncated window normalizes
+    * by the weights actually present, so early rows get a proper
+    * partial-window mean. All `depth` lag() expressions share ONE
+    * window spec — a single exchange on `key` and one sort (plan
+    * pinned in PlanSpec v16); per-row state is `depth` values
+    * regardless of stream length.
+    *
+    * Appends `outCol` = round(num/den/scale, 6) to `df`. */
+  def ewmaHalfLife(df: DataFrame, key: Column, order: Seq[Column],
+      vu: Column, depth: Int, scale: Double, outCol: String): DataFrame = {
+    require(depth >= 1 && depth <= 50, s"depth out of range: $depth")
+    val w = Window.partitionBy(key).orderBy(order: _*)
+    val lags = (0 until depth).map { k =>
+      val weight = lit(math.pow(0.5, k)) // exact: a power of two
+      val lagged = if (k == 0) vu else lag(vu, k).over(w)
+      (coalesce(lagged.cast("double") * weight, lit(0.0)),
+        when(lagged.isNotNull, weight).otherwise(lit(0.0)))
+    }
+    df.withColumn("__num", lags.map(_._1).reduce(_ + _))
+      .withColumn("__den", lags.map(_._2).reduce(_ + _))
+      .withColumn(outCol,
+        round(col("__num") / (col("__den") * lit(scale)), 6))
+      .drop("__num", "__den")
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.extensions.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.operators.{Summaries, WindowOps}
+import graft.operators.{Joins, Summaries, WindowOps}
 import graft.sources.Tables
 
 /** Round-2 additions to the training-data pipeline surface: deterministic
@@ -1602,24 +1602,48 @@ object TrainingQueries {
     // proper truncated-window mean. Scale: window state is 20 rows per
     // user regardless of stream length.
     "v16_ewma_smoothing" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id"))
-        .orderBy(col("us"), col("event_id"))
-      val lags = (0 until 20).map { k =>
-        val weight = lit(math.pow(0.5, k)) // exact: a power of two
-        val lagged = if (k == 0) col("vu") else lag(col("vu"), k).over(w)
-        (coalesce(lagged.cast("double") * weight, lit(0.0)),
-          when(lagged.isNotNull, weight).otherwise(lit(0.0)))
-      }
-      Tables.events(s, d)
+      val quantized = Tables.events(s, d)
         .filter(col("value").isNotNull)
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("us"),
           round(col("value") * 100).cast("long").as("vu"))
-        .withColumn("num", lags.map(_._1).reduce(_ + _))
-        .withColumn("den", lags.map(_._2).reduce(_ + _))
+      WindowOps.ewmaHalfLife(quantized, col("user_id"),
+          Seq(col("us"), col("event_id")), col("vu"),
+          depth = 20, scale = 100.0, outCol = "ewma")
+        .select(col("event_id"), col("user_id"), col("ewma"))
+        .orderBy(col("event_id"))
+    }),
+
+    // V17 — last-touch attribution: each purchase attributes to the
+    // user's LATEST preceding click within a 7-day window (the
+    // marketing-attribution / cause-assignment op every event pipeline
+    // runs). Rides Joins.asOfJoin — union + one ordered window per
+    // user, NO range join and no per-key quadratic work — then a left
+    // join re-attaches never-attributed purchases (out-of-window or
+    // click-less) as NULL rows, keeping the output total over
+    // purchases. Epoch-µs arithmetic throughout (the v9 convention);
+    // simultaneous clicks dedupe to max event_id upstream so the
+    // as-of match is deterministic; gap_s is exact integer division.
+    "v17_attribution" -> ((s, d) => {
+      val W7 = 604800000000L // 7 days in µs
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("us"))
+        .agg(max(col("event_id")).as("click_id"))
+        .select(col("user_id"), col("us").as("click_us"), col("click_id"))
+      val att = Joins.asOfJoin(purchases, clicks, "user_id",
+        "us", "click_us", Seq("click_id", "click_us"))
+      purchases
+        .join(att.select(col("event_id"), col("click_id"), col("click_us")),
+          Seq("event_id"), "left")
         .select(col("event_id"), col("user_id"),
-          round(col("num") / (col("den") * 100.0), 6).as("ewma"))
+          when(col("us") - col("click_us") <= W7, col("click_id"))
+            .as("click_id"),
+          when(col("us") - col("click_us") <= W7,
+            expr("(us - click_us) div 1000000")).as("gap_s"))
         .orderBy(col("event_id"))
     }),
 
@@ -2995,6 +3019,37 @@ object TrainingQueries {
     "g7_label_propagation" -> labelPropagationOracleSql(3),
 
     "v16_ewma_smoothing" -> ewmaOracleSql(20),
+
+    // v17 replays the as-of union trick: clicks and purchases interleave
+    // in one per-user window ordered (us, side) with clicks first at
+    // ties (inclusive as-of, the Joins.asOfJoin convention); the
+    // IGNORE NULLS last_value carries the latest click forward. The two
+    // filled columns cannot blend rows: click_id/cus are never null on
+    // click rows, always null on purchase rows.
+    "v17_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, us, max(event_id) AS click_id FROM ev
+        |  WHERE event_type = 'click' GROUP BY user_id, us),
+        |u AS (
+        |  SELECT user_id, us, NULL AS cid, NULL AS cus, 1 AS side,
+        |    event_id
+        |  FROM ev WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, us, click_id, us, 0, NULL FROM c),
+        |f AS (
+        |  SELECT *,
+        |    last_value(cid IGNORE NULLS) OVER ww AS lc,
+        |    last_value(cus IGNORE NULLS) OVER ww AS lcus
+        |  FROM u WINDOW ww AS (PARTITION BY user_id ORDER BY us, side
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        |  CASE WHEN us - lcus <= 604800000000 THEN lc END AS click_id,
+        |  CASE WHEN us - lcus <= 604800000000 THEN (us - lcus) // 1000000
+        |    END AS gap_s
+        |FROM f WHERE side = 1 ORDER BY event_id""".stripMargin,
 
     // o11: one aggregate pass unpivoted — min/max are exact input
     // doubles, null/distinct counts exact integers; no float convention

@@ -145,4 +145,36 @@ object WindowPropsSpec extends Properties("graft.windows") {
       }.init
       got == want
     }
+
+  property("ewmaHalfLife = exact-rational reference, bit-for-bit, any layout") =
+    forAll(Gen.listOfN(30, Gen.choose(-1000000L, 1000000L)),
+      Gen.choose(2, 8)) { (vus, parts) =>
+      // the operator's exactness claim: with power-of-two weights and
+      // integer-quantized values, num and den are EXACT dyadics, so the
+      // double result must equal the BigDecimal rational reference (one
+      // final division + HALF_UP round) — not approximately, bitwise —
+      // regardless of input partitioning
+      val depth = 20
+      val rows = vus.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val got = WindowOps.ewmaHalfLife(
+          rows.toDF("seq", "vu").repartition(parts),
+          lit("K"), Seq(col("seq")), col("vu"),
+          depth = depth, scale = 100.0, outCol = "e")
+        .orderBy("seq").select("e").as[Double].collect().toSeq
+      val want = vus.indices.map { t =>
+        val ks = (0 until depth).filter(_ <= t)
+        val half = java.math.BigDecimal.valueOf(0.5)
+        val num = ks.map(k => half.pow(k)
+            .multiply(java.math.BigDecimal.valueOf(vus(t - k))))
+          .reduce(_ add _)
+        val den = ks.map(half.pow(_)).reduce(_ add _)
+          .multiply(java.math.BigDecimal.valueOf(100L))
+        // both sums are exactly representable doubles; the division is
+        // the one inexact step, identical to the operator's
+        java.math.BigDecimal
+          .valueOf(num.doubleValue() / den.doubleValue())
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      }
+      got == want
+    }
 }
