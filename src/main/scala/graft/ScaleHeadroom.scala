@@ -231,6 +231,14 @@ object ScaleHeadroom {
     graphLeg("g7_label_propagation", edges1, Nil)(
       graft.operators.Graph.labelPropagation(_, iterations = 3))
 
+    // g8 HITS under the same disjoint-copy inflation (DIRECTED c→s
+    // edges — hubs and authorities are the two bipartite sides): per
+    // iteration two edge-probe joins + two |side|-row grouped sums +
+    // two bounded 1-row L1 totals; runtime must scale ~linearly in
+    // |edges| while the broadcast state grows with |side|.
+    graphLeg("g8_hits", ce.select(col("c").as("src"), col("s").as("dst")),
+      Nil)(graft.operators.Graph.hits(_, iterations = 3))
+
     // g5 triangle counting under disjoint-copy inflation: the
     // support-≥2 co-purchase edge list replicated with offset node ids
     // — triangles per copy are independent, so runtime must scale

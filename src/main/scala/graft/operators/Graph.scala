@@ -404,6 +404,82 @@ object Graph {
     labels
   }
 
+  /** HITS hubs & authorities (Kleinberg's mutual-reinforcement
+    * centrality) on a DIRECTED edge set — the two-sided ranking
+    * PageRank can't express: a node is a good HUB if it points at good
+    * authorities and a good AUTHORITY if good hubs point at it (on the
+    * customer→supplier trading graph: influential buyers vs
+    * sought-after suppliers). Per iteration: auth(v) = Σ_{u→v} hub(u)
+    * then hub(u) = Σ_{u→v} auth(v), each half-step L1-normalized
+    * (score / Σ scores). L1 replaces the textbook L2 deliberately: the
+    * ranking is identical (normalization is a monotone per-side
+    * rescale) but the arithmetic stays in the repo's replayable
+    * rounded-system family — an L2 sqrt over a float sum has no exact
+    * cross-engine form. Determinism: scores round to `scoreScale`,
+    * half-step sums accumulate those rounded values exactly as
+    * DECIMAL(38,`sumScale`) (association-proof), and each
+    * normalization is ONE double division rounded once — both engines
+    * iterate the identical system (the pageRank convention).
+    *
+    * Scale shape: the edge frame checkpoints ONCE and never
+    * re-shuffles — each half-step is one broadcast probe of the
+    * |side|-row state onto the edges plus one map-side-combined
+    * grouped sum (|side| rows out), and each L1 total is a bounded
+    * 1-row aggregate riding a broadcast cross join (never a driver
+    * collect). `broadcastState=false` is the same escape hatch as
+    * pageRank's `broadcastRanks` for state past the broadcast budget.
+    * Node-set totality needs no zero-union: every distinct src gets a
+    * hub score and every distinct dst an auth score by construction
+    * (each has at least the edge that defined it).
+    *
+    * `edges` must be pre-deduplicated (src, dst) pairs (the pageRank
+    * contract); returns (side ∈ {hub, auth}, node, score). */
+  def hits(edges: DataFrame, iterations: Int,
+      sumScale: Int = 12, scoreScale: Int = 9,
+      broadcastState: Boolean = true): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    def bc(df: DataFrame): DataFrame =
+      if (broadcastState) broadcast(df) else df
+    val dec = s"decimal(38,$sumScale)"
+    val e = edges.select(col("src"), col("dst"))
+      .localCheckpoint(eager = false)
+    val hubNodes = e.select(col("src")).distinct()
+    val nH = hubNodes.agg(count(lit(1)).as("n"))
+    def normalize(raw: DataFrame, key: String): DataFrame = {
+      // raw feeds both its own L1 total and the normalized state —
+      // checkpoint so the half-step join doesn't run twice
+      val r = raw.localCheckpoint(eager = false)
+      val tot = r.agg(sum(col("raw")).as("tot"))
+      r.crossJoin(broadcast(tot))
+        .select(col(key),
+          round(col("raw").cast("double") / col("tot").cast("double"),
+            scoreScale).as("score"))
+    }
+    var hubs = hubNodes.crossJoin(broadcast(nH))
+      .select(col("src"), (lit(1.0) / col("n")).as("score"))
+    var auths: DataFrame = null
+    for (k <- 1 to iterations) {
+      // explicit round-then-cast (the pageRank contribution pattern):
+      // after the first normalize scores are already at scoreScale, but
+      // the 1/n init is a raw double whose decimal conversion must be
+      // the same HALF_UP step in both engines
+      auths = normalize(
+        e.join(bc(hubs), Seq("src")).groupBy(col("dst"))
+          .agg(sum(round(col("score"), sumScale).cast(dec)).as("raw")),
+        "dst")
+      val nextHubs = normalize(
+        e.join(bc(auths), Seq("dst")).groupBy(col("src"))
+          .agg(sum(round(col("score"), sumScale).cast(dec)).as("raw")),
+        "src")
+      // barrier BETWEEN iterations keeps plans linear (pageRank rule)
+      hubs = if (k < iterations) nextHubs.localCheckpoint(eager = false)
+             else nextHubs
+    }
+    hubs.select(lit("hub").as("side"), col("src").as("node"), col("score"))
+      .unionByName(auths.select(lit("auth").as("side"),
+        col("dst").as("node"), col("score")))
+  }
+
   /** Shared graph preparation: checkpointed (edge ⋈ out-weight ⋈ closed
     * node set) frame plus the uniform initial state. One materialization
     * serves every superstep (positive-weight contract enforced up front

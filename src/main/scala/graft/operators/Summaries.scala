@@ -129,6 +129,59 @@ object Summaries {
       .drop("__n", "__sx", "__sy", "__sxy", "__sxx", "__syy")
   }
 
+  /** W32 — full k×k Pearson CORRELATION MATRIX in ONE pass (the
+    * feature-screening step before any model fit: k(k−1)/2 pairwise
+    * correlations from one scan, where naive per-pair [[pearson]] calls
+    * would re-read the data C(k,2) times). One hash aggregate computes
+    * n, the k sums, k squared-sums and C(k,2) cross-sums — 1+2k+C(k,2)
+    * decimal accumulators, all map-side-combinable partials, so at
+    * 100 TB the cost is exactly one scan plus a 1-row exchange — then
+    * each pair's correlation combines its five scalars in double on the
+    * single result row and an `explode` unpivots to (col_a, col_b,
+    * corr) rows. Determinism: the [[pearson]] policy verbatim — exact
+    * decimal moments (associative, aggregation-order-proof), then an
+    * identical IEEE expression tree both engines replay, rounded once.
+    *
+    * Row semantics are COMPLETE-CASE (a row with ANY of the k columns
+    * null is dropped from every moment), NOT pearson's pairwise-
+    * complete: with shared moments a pairwise rule would need per-pair
+    * n/sums anyway — complete-case is what keeps the matrix one
+    * aggregate, and is the standard trade documented by every stats
+    * package that offers both. Zero-variance columns yield NULL (not
+    * NaN) correlations via the guarded sqrt. */
+  def pearsonMatrix(df: DataFrame, cols: Seq[String], scale: Int = 6)
+      : DataFrame = {
+    require(cols.size >= 2, "pearsonMatrix needs at least two columns")
+    val dec = "decimal(38,10)"
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val moments =
+      count(lit(1)).cast("double").as("__n") +:
+      (cols.map(c => sum(col(c).cast(dec)).cast("double").as(s"__s_$c")) ++
+       cols.map(c =>
+         sum((col(c) * col(c)).cast(dec)).cast("double").as(s"__ss_$c")) ++
+       pairs.map { case (a, b) =>
+         sum((col(a) * col(b)).cast(dec)).cast("double").as(s"__x_${a}_$b")
+       })
+    val one = df
+      .filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .agg(moments.head, moments.tail: _*)
+    val cells = pairs.map { case (a, b) =>
+      val n = col("__n")
+      val va = n * col(s"__ss_$a") - col(s"__s_$a") * col(s"__s_$a")
+      val vb = n * col(s"__ss_$b") - col(s"__s_$b") * col(s"__s_$b")
+      val cab = n * col(s"__x_${a}_$b") - col(s"__s_$a") * col(s"__s_$b")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        round(when(va > 0.0 && vb > 0.0, cab / sqrt(va * vb)), scale)
+          .as("corr"))
+    }
+    one.select(col("__n").cast("long").as("n_obs"),
+        explode(array(cells: _*)).as("cell"))
+      .select(col("cell.col_a"), col("cell.col_b"), col("cell.corr"),
+        col("n_obs"))
+  }
+
   /** Decimal-exact sum of a double column, emitted as a rounded double.
     * Summing doubles is partition-order nondeterministic; casting each
     * value to an exact decimal makes the aggregate associative-exact,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.extensions.{Dedup, Multimodal, Similarity, TextAnalysis}
@@ -598,6 +598,43 @@ object TrainingQueries {
         "lambda1_equals_topk", "diversity_not_worse")
     }),
 
+    // E15 — HYBRID RETRIEVAL via Reciprocal-Rank Fusion: fuse the
+    // lexical BM25 ranking (t21 machinery) with the dense cosine
+    // ranking (e1 machinery) as Σ 1/(60+rank) — the score-free fusion
+    // every RAG / retrieval stack runs because it needs no
+    // cross-system score calibration. Scale shape: each ranking is a
+    // distributed top-50 (TakeOrderedAndProject — the corpus never
+    // fully sorts), and ONLY the two bounded 50-row shortlists meet
+    // the single-partition rank window and the full-outer fusion join
+    // (a doc top-ranked in one system and absent from the other keeps
+    // its one-sided score — that asymmetry is RRF's point).
+    // Determinism: ranks are integers off total-order (rounded score,
+    // id) sorts; each reciprocal term is one double division rounded
+    // to 9, and their sum is a single IEEE add both engines replay.
+    "e15_rrf_fusion" -> ((s, d) => {
+      val wLex = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      val lex = TextAnalysis.bm25(Tables.documents(s, d),
+          Seq("vector", "stream", "window"))
+        .orderBy(col("score").desc, col("doc_id")).limit(50)
+        .select(col("doc_id"),
+          row_number().over(wLex).cast("long").as("r_lex"))
+      val wDen = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cosine_sim").desc, col("vec_id"))
+      val den = Similarity.bruteForceTopK(Tables.embeddings(s, d),
+          queryId = 0L, k = 50)
+        .select(col("vec_id"),
+          row_number().over(wDen).cast("long").as("r_dense"))
+        .withColumnRenamed("vec_id", "doc_id")
+      lex.join(den, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("r_lex"), col("r_dense"),
+          (coalesce(round(lit(1.0) / (lit(60) + col("r_lex")), 9), lit(0.0))
+            + coalesce(round(lit(1.0) / (lit(60) + col("r_dense")), 9),
+              lit(0.0))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // J10 — BANDED range join (price-tier rollup): "price BETWEEN
     // tier.lo AND tier.hi" as a bucket equi-join (Joins.bandJoin, the
     // v5 interval trick on the value axis) — Spark's native plan for a
@@ -870,6 +907,22 @@ object TrainingQueries {
         .orderBy(col("event_type"))
     }),
 
+    // W32 — full 4×4 Pearson correlation matrix over the lineitem
+    // measures in ONE pass (Summaries.pearsonMatrix): 1 + 2k + C(k,2)
+    // decimal moment accumulators in a single hash aggregate — one
+    // scan and a 1-row exchange where per-pair w8 calls would scan six
+    // times — then each pair's correlation combines its five scalars
+    // in double on the result row and explodes to (col_a, col_b,
+    // corr) cells. Complete-case semantics (any-null rows leave every
+    // moment) keep the shared-moment trick honest; documented on the
+    // operator. The oracle replays the identical moment sums and
+    // double tree per cell and stacks the six rows with UNION ALL.
+    "w32_correlation_matrix" -> ((s, d) => {
+      Summaries.pearsonMatrix(Tables.lineitem(s, d),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy(col("col_a"), col("col_b"))
+    }),
+
     // W28 — ROLLUP subtotal lattice (grouping sets): per-(returnflag,
     // linestatus) detail, per-returnflag subtotals and the grand total
     // in ONE aggregate — Spark expands the grouping-set lattice
@@ -1038,6 +1091,65 @@ object TrainingQueries {
       profile("l_partkey").unionByName(profile("l_suppkey"))
         .unionByName(profile("l_orderkey"))
         .orderBy(col("key"))
+    }),
+
+    // W33 — corpus DIVERSITY profile per source: language entropy
+    // (Shannon, nats), Herfindahl concentration (HHI = Σ p²), language
+    // count and top-language share — the dataset-balance report every
+    // multilingual corpus audit ships (low entropy / high HHI flags a
+    // source collapsing to one language). ONE shuffle by source serves
+    // both phases: the (source, lang) count feeds a per-source window
+    // total (same partition key — no second exchange) and the final
+    // per-source aggregate. Determinism: p = cnt/n is one exact-integer
+    // double division; entropy follows the t23 convention (round-6 the
+    // single ln, cnt·lp products in exact decimal, final division by n
+    // unrounded); HHI's numerator Σ cnt² is exact-integer, the n²
+    // denominator multiplies as double (overflow-safe past 2³¹ rows of
+    // a source — documented, the 100 TB consideration).
+    "w33_diversity_profile" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+      Tables.documents(s, d)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("cnt"))
+        .withColumn("n", sum(col("cnt")).over(w))
+        .withColumn("lp",
+          round(log(col("cnt") * lit(1.0) / col("n")), 6))
+        .groupBy(col("source"))
+        .agg(
+          max(col("n")).as("n_docs"),
+          count(lit(1)).as("n_langs"),
+          (-sum(col("lp").cast("decimal(38,6)") * col("cnt"))
+            .cast("double") / max(col("n"))).as("lang_entropy"),
+          (sum(col("cnt") * col("cnt")) * lit(1.0)
+            / (max(col("n")).cast("double") * max(col("n")).cast("double")))
+            .as("hhi"),
+          (max(col("cnt")) * lit(1.0) / max(col("n"))).as("top_share"))
+        .orderBy(col("source"))
+    }),
+
+    // S19 — STRATIFIED k-fold assignment: deterministic 5-fold
+    // cross-validation splits that preserve per-language proportions —
+    // fold = (rank within lang by seeded hash) mod k, so each stratum
+    // splits exactly evenly (fold sizes differ by ≤1 per lang) where
+    // plain hash-mod folds (s8's machinery) only balance in
+    // expectation. The rank rides ONE window per lang partition (the
+    // stratum shuffle is the only exchange); the seeded-md5 order is
+    // the s13 reproducible-shuffle convention, so a re-run or resumed
+    // export yields byte-identical folds. Output: per (fold, lang)
+    // cell counts + per-cell char mass — the audit a CV harness
+    // actually reads.
+    "s19_stratified_kfold" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(concat(lit("fold42:"), col("doc_id").cast("string")))
+            .as("h"))
+        .withColumn("fold", ((row_number().over(w) - 1) % 5).cast("long"))
+        .groupBy(col("fold"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .orderBy(col("fold"), col("lang"))
     }),
 
     // V14 — cumulative unique users (the reach curve): per-day NEW
@@ -1227,6 +1339,21 @@ object TrainingQueries {
         .pageRankConverged(tradingEdges(s, d), maxIterations = 10,
           epsilon = 1.0)._1
         .orderBy(col("node"))
+    }),
+
+    // G8 — HITS hubs & authorities (3 iterations) on the DIRECTED
+    // customer→supplier trading graph — the two-sided ranking PageRank
+    // can't express (influential buyers vs sought-after suppliers).
+    // L1-normalized half-steps keep the whole iteration in the
+    // replayable rounded-system family (Graph.hits scaladoc: the
+    // ranking is identical to textbook L2 HITS, normalization being a
+    // monotone per-side rescale); edges checkpoint once, state
+    // broadcasts per half-step, L1 totals ride 1-row broadcast joins.
+    "g8_hits" -> ((s, d) => {
+      graft.operators.Graph.hits(
+          TradingPairs(s, d).select(col("c").as("src"), col("s").as("dst")),
+          iterations = 3)
+        .orderBy(col("side"), col("node"))
     }),
 
     // G4 — PERSONALIZED PageRank: teleport returns only to a seed set
@@ -1480,6 +1607,48 @@ object TrainingQueries {
         .limit(10)
     }),
 
+    // Q5 — TPC-H Q5 local-supplier-volume shape: the canonical 6-way
+    // star join (fact ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈
+    // region) with the non-key correlation c_nationkey = s_nationkey
+    // folded into the supplier join, revenue per nation inside one
+    // region-year slice. Join ORDER is the scale design: the region →
+    // nation → customer reduction happens entirely on broadcast-sized
+    // dimensions BEFORE touching the fact table, so lineitem joins an
+    // already-region-filtered orders side and the only big-big shuffle
+    // pair is lineitem ⋈ orders (same spine as q3); supplier joins
+    // after as a broadcast probe carrying the nationkey-equality
+    // filter. Catalyst/AQE picks the broadcast sides from size stats —
+    // no baked-in hints (the q3 rationale).
+    "q5_local_supplier" -> ((s, d) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1998-01-01").cast("timestamp")
+      val nat = Tables.nation(s, d)
+        .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = Tables.customer(s, d)
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"), col("n_name"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          Summaries.exactSum(
+            col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+            .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // D16 — URL-level dedup (the crawl-frontier collapse that runs
     // BEFORE any document fetch at corpus scale — distinct from t20's
     // per-domain rollup, which counts URLs without canonicalizing):
@@ -1672,6 +1841,88 @@ object TrainingQueries {
         .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
           "(col_name, n_nulls, n_distinct, min_v, max_v)"))
         .orderBy(col("col_name"))
+    }),
+
+    // O12 — declarative DATA-QUALITY AUDIT (the Deequ-style constraint
+    // suite every ingest gate runs before data reaches training): six
+    // named checks — key uniqueness, FK referential integrity, two
+    // numeric range rules, non-empty text, derived-column consistency —
+    // emitted as one (check_name, total_rows, violations, passed)
+    // frame. Scale shape: each table's rule set folds into ONE
+    // aggregate pass (countIf per rule, stack() to rows — the o11/w9
+    // pattern), and the FK check is a LEFT ANTI join — broadcast when
+    // the referenced key side fits (customer here), the same
+    // shuffle-anti-join at 100 TB that d7 decontamination runs. The
+    // driver tables are fully clean, so each violation class is
+    // INJECTED deterministically (dup keys 1-in-100, orphan custkeys
+    // 1-in-50, out-of-range quantities 1-in-200 — the w9
+    // injected-missingness rule): a constant-zero audit would be
+    // oracle-dead; the two control rows that DO pass stay green
+    // against the same machinery.
+    "o12_integrity_audit" -> ((s, d) => {
+      val chk = (name: String, total: Column, bad: Column) =>
+        struct(lit(name).as("check_name"), total.as("total_rows"),
+          bad.as("violations"), (bad === 0L).as("passed"))
+      // customer + 1-in-100 duplicated keys → uniqueness violations
+      val cust = Tables.customer(s, d)
+      val custAug = cust.unionByName(cust.filter(col("c_custkey") % 100 === 0))
+      val uniq = custAug.agg(
+        chk("customer.c_custkey unique",
+          count(lit(1)),
+          count(lit(1)) - countDistinct(col("c_custkey"))).as("r"))
+      // orders + 1-in-50 re-keyed rows → FK orphans vs real customers
+      val ordAug = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .unionByName(Tables.orders(s, d)
+          .filter(col("o_orderkey") % 50 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            (col("o_custkey") + 10000000L).as("o_custkey")))
+        .localCheckpoint(eager = false) // total + anti-join share it
+      val nOrd = ordAug.agg(count(lit(1)).as("t"))
+      val orphans = ordAug
+        .join(cust.select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("bad"))
+      val fk = orphans.crossJoin(nOrd)
+        .select(chk("orders.o_custkey in customer", col("t"), col("bad"))
+          .as("r"))
+      // lineitem + 1-in-200 out-of-range quantities; discount rule is
+      // the passing control on the same pass
+      val liAug = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_discount"))
+        .unionByName(Tables.lineitem(s, d)
+          .filter(col("l_orderkey") % 200 === 0 && col("l_linenumber") === 1)
+          .select((col("l_orderkey") + 10000000L).as("l_orderkey"),
+            col("l_linenumber"),
+            (col("l_quantity") + 100.0).as("l_quantity"), col("l_discount")))
+      val li = liAug.agg(
+        count(lit(1)).as("t"),
+        Summaries.countIf(col("l_quantity") < 1.0 ||
+          col("l_quantity") > 50.0).as("q_bad"),
+        Summaries.countIf(col("l_discount") < 0.0 ||
+          col("l_discount") > 0.1).as("d_bad"))
+        .select(array(
+          chk("lineitem.l_quantity in [1,50]", col("t"), col("q_bad")),
+          chk("lineitem.l_discount in [0,0.1]", col("t"), col("d_bad")))
+          .as("rs"))
+        .select(explode(col("rs")).as("r"))
+      // documents: non-empty text + n_chars consistency, one pass
+      val docs = Tables.documents(s, d).agg(
+        count(lit(1)).as("t"),
+        Summaries.countIf(col("text").isNull || col("text") === "")
+          .as("e_bad"),
+        Summaries.countIf(!(col("n_chars") === length(col("text"))))
+          .as("c_bad"))
+        .select(array(
+          chk("documents.text non-empty", col("t"), col("e_bad")),
+          chk("documents.n_chars = len(text)", col("t"), col("c_bad")))
+          .as("rs"))
+        .select(explode(col("rs")).as("r"))
+      uniq.unionByName(fk).unionByName(li).unionByName(docs)
+        .select(col("r.check_name"), col("r.total_rows"),
+          col("r.violations"), col("r.passed"))
+        .orderBy(col("check_name"))
     }),
 
     "v15_markov_transitions" -> ((s, d) => {
@@ -1894,6 +2145,47 @@ object TrainingQueries {
     s"$base,\n$its\nSELECT node, rank FROM r$iters ORDER BY node"
   }
 
+  /** HITS oracle: chained CTEs, two half-steps per iteration — each
+    * half-step the exact-decimal sum of round-12 scores followed by one
+    * double division rounded to 9 (Graph.hits's rounded system). */
+  private def hitsOracleSql(iters: Int): String = {
+    val base =
+      """WITH ce AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), hn AS (SELECT count(DISTINCT c) AS n FROM ce),
+        |h0 AS (
+        |  SELECT DISTINCT c AS node, CAST(1.0 AS DOUBLE) / n AS score
+        |  FROM ce, hn
+        |)""".stripMargin
+    val its = (1 to iters).map { k =>
+      s"""a${k}r AS (
+         |  SELECT ce.s AS node,
+         |    sum(CAST(round(h.score, 12) AS DECIMAL(38,12))) AS raw
+         |  FROM ce JOIN h${k - 1} h ON ce.c = h.node GROUP BY ce.s
+         |), a$k AS (
+         |  SELECT node, round(CAST(raw AS DOUBLE)
+         |    / CAST((SELECT sum(raw) FROM a${k}r) AS DOUBLE), 9) AS score
+         |  FROM a${k}r
+         |), h${k}r AS (
+         |  SELECT ce.c AS node,
+         |    sum(CAST(round(a.score, 12) AS DECIMAL(38,12))) AS raw
+         |  FROM ce JOIN a$k a ON ce.s = a.node GROUP BY ce.c
+         |), h$k AS (
+         |  SELECT node, round(CAST(raw AS DOUBLE)
+         |    / CAST((SELECT sum(raw) FROM h${k}r) AS DOUBLE), 9) AS score
+         |  FROM h${k}r
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$its
+       |SELECT side, node, score FROM (
+       |  SELECT 'hub' AS side, node, score FROM h$iters
+       |  UNION ALL SELECT 'auth' AS side, node, score FROM a$iters
+       |) ORDER BY side, node""".stripMargin
+  }
+
   private def pageRankOracleSql(iters: Int, weighted: Boolean): String = {
     val ce =
       if (weighted)
@@ -1937,6 +2229,7 @@ object TrainingQueries {
   val oracles: Map[String, String] = Map(
     "g1_pagerank" -> pageRankOracleSql(5, weighted = false),
     "g2_weighted_pagerank" -> pageRankOracleSql(5, weighted = true),
+    "g8_hits" -> hitsOracleSql(3),
     // the ε = 1.0 L1-stop deterministically selects 4 supersteps on this
     // graph at EVERY scale factor (SF-invariant residual sequence — see
     // the g3 query comment); the oracle pins that selected count
@@ -2207,6 +2500,44 @@ object TrainingQueries {
         |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
         |FROM m ORDER BY event_type""".stripMargin,
 
+    // w32 replays pearsonMatrix: one complete-case moment CTE, then
+    // each cell's five scalars combine in the IDENTICAL double tree
+    // (cab / sqrt(va * vb), same parenthesization as the Spark
+    // Column expression) and the six cells stack via UNION ALL
+    "w32_correlation_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val moments =
+        (cols.map(c =>
+          s"CAST(sum(CAST($c AS DECIMAL(38,10))) AS DOUBLE) AS s_$c") ++
+         cols.map(c =>
+           s"CAST(sum(CAST($c * $c AS DECIMAL(38,10))) AS DOUBLE) AS ss_$c") ++
+         (for { i <- cols.indices; j <- cols.indices if i < j }
+           yield {
+             val (a, b) = (cols(i), cols(j))
+             s"CAST(sum(CAST($a * $b AS DECIMAL(38,10))) AS DOUBLE) AS x_${a}_$b"
+           })).mkString(",\n        |    ")
+      val cells = (for { i <- cols.indices; j <- cols.indices if i < j }
+        yield {
+          val (a, b) = (cols(i), cols(j))
+          s"""SELECT '$a' AS col_a, '$b' AS col_b,
+             |  round(CASE WHEN n * ss_$a - s_$a * s_$a > 0.0
+             |         AND n * ss_$b - s_$b * s_$b > 0.0
+             |    THEN (n * x_${a}_$b - s_$a * s_$b)
+             |      / sqrt((n * ss_$a - s_$a * s_$a)
+             |             * (n * ss_$b - s_$b * s_$b)) END, 6) AS corr,
+             |  CAST(n AS BIGINT) AS n_obs FROM m""".stripMargin
+        }).mkString("\n        |  UNION ALL\n        |  ")
+      s"""WITH m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    $moments
+        |  FROM lineitem
+        |  WHERE ${cols.map(c => s"$c IS NOT NULL").mkString(" AND ")}
+        |)
+        |SELECT * FROM (
+        |  $cells
+        |) ORDER BY col_a, col_b""".stripMargin
+    },
+
     // w28 replays the rollup lattice; GROUPING(a, b) carries the same
     // bitmask (first column = MSB) in both engines, and the '(all)'
     // coalesce keeps NULLs out of the ORDER BY (Spark NULLS FIRST vs
@@ -2345,6 +2676,45 @@ object TrainingQueries {
     // w29: quantile_cont is DuckDB's (n−1)p linear interpolation —
     // the same rank formula as Spark's exact percentile (the w6
     // median convention, at two more quantiles)
+    // w33 replays the diversity profile: same (source,lang) counts,
+    // same per-source window total (one partition), the t23 round-6-ln
+    // entropy system and the exact-integer/double-denominator ratios
+    "w33_diversity_profile" ->
+      """WITH c AS (
+        |  SELECT source, lang, count(*) AS cnt
+        |  FROM documents GROUP BY source, lang
+        |), t AS (
+        |  SELECT source, lang, cnt,
+        |    sum(cnt) OVER (PARTITION BY source) AS n FROM c
+        |), l AS (
+        |  SELECT source, cnt, n, round(ln(cnt * 1.0 / n), 6) AS lp FROM t
+        |)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+        |  count(*) AS n_langs,
+        |  -CAST(sum(CAST(lp AS DECIMAL(38,6)) * cnt) AS DOUBLE) / max(n)
+        |    AS lang_entropy,
+        |  CAST(sum(cnt * cnt) AS BIGINT) * 1.0
+        |    / (CAST(max(n) AS DOUBLE) * CAST(max(n) AS DOUBLE)) AS hhi,
+        |  max(cnt) * 1.0 / max(n) AS top_share
+        |FROM l GROUP BY source ORDER BY source""".stripMargin,
+
+    // s19 replays the stratified fold assignment via the s13 seeded-md5
+    // order and the identical per-lang rank window
+    "s19_stratified_kfold" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    md5('fold42:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents
+        |), f AS (
+        |  SELECT lang, n_chars,
+        |    (row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) - 1) % 5
+        |      AS fold
+        |  FROM h
+        |)
+        |SELECT fold, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM f GROUP BY fold, lang ORDER BY fold, lang""".stripMargin,
+
     "w29_key_skew_profile" ->
       """WITH fp AS (SELECT l_partkey AS k, count(*) AS f FROM lineitem GROUP BY 1),
         |fs AS (SELECT l_suppkey AS k, count(*) AS f FROM lineitem GROUP BY 1),
@@ -2818,6 +3188,60 @@ object TrainingQueries {
         |true AS subset_of_shortlist, true AS lambda1_equals_topk,
         |true AS diversity_not_worse""".stripMargin,
 
+    // e15 stitches the t21 BM25 replay and the e1 unnest/rejoin cosine
+    // replay into the same two 50-row shortlists, ranks each with the
+    // identical total-order window, and fuses with the same
+    // round-9 reciprocal terms + one IEEE add
+    "e15_rrf_fusion" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY doc_id, term
+        |), dl AS (
+        |  SELECT doc_id, sum(cnt) AS dl FROM tf GROUP BY doc_id
+        |), st AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl FROM dl
+        |), df AS (
+        |  SELECT term, count(*) AS df FROM tf
+        |  WHERE term IN ('vector', 'stream', 'window') GROUP BY term
+        |), w AS (
+        |  SELECT tf.doc_id,
+        |    round(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+        |      * (tf.cnt * 2.2)
+        |      / (tf.cnt + 1.2 * (0.25 + (0.75 * dl.dl) / (st.sumdl / st.n))),
+        |      6) AS w
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+        |), lexs AS (
+        |  SELECT doc_id, CAST(sum(CAST(w AS DECIMAL(38,6))) AS DOUBLE) AS score
+        |  FROM w GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50
+        |), lexr AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex
+        |  FROM lexs
+        |), q AS (
+        |  SELECT generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS qv
+        |  FROM embeddings WHERE vec_id = 0
+        |), v AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS ev
+        |  FROM embeddings WHERE vec_id <> 0
+        |), m AS (
+        |  SELECT v.vec_id, sum(v.ev * q.qv) AS dot, sum(v.ev * v.ev) AS vv,
+        |    sum(q.qv * q.qv) AS qq
+        |  FROM v JOIN q ON v.i = q.i GROUP BY v.vec_id
+        |), dens AS (
+        |  SELECT vec_id AS doc_id, round(dot / (sqrt(vv) * sqrt(qq)), 4) AS cos
+        |  FROM m ORDER BY cos DESC, vec_id LIMIT 50
+        |), denr AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r_dense
+        |  FROM dens
+        |)
+        |SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id, l.r_lex, r.r_dense,
+        |  coalesce(round(1.0 / (60 + l.r_lex), 9), 0.0)
+        |    + coalesce(round(1.0 / (60 + r.r_dense), 9), 0.0) AS rrf
+        |FROM lexr l FULL OUTER JOIN denr r ON l.doc_id = r.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
     "e6_ivf_recall" ->
       """SELECT true AS recall_at_10_ge_08""".stripMargin,
 
@@ -2920,6 +3344,21 @@ object TrainingQueries {
         |  AND l_shipdate > TIMESTAMP '1998-07-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name, count(*) AS n_items,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
     // d16's oracle replays the injection, extraction and
     // canonicalization verbatim (t20 precedent)
@@ -3068,6 +3507,61 @@ object TrainingQueries {
       }.mkString("\n", "\nUNION ALL ", "")
       s"WITH a AS (\n  SELECT\n$aggs\n  FROM lineitem)$rows\nORDER BY col_name"
     },
+
+    // o12 replays the injected-violation audit: the same 1-in-100 /
+    // 1-in-50 / 1-in-200 augmentation CTEs, each rule an integer
+    // conditional count, FK orphans via NOT EXISTS (the anti join)
+    "o12_integrity_audit" ->
+      """WITH cust_aug AS (
+        |  SELECT * FROM customer
+        |  UNION ALL SELECT * FROM customer WHERE c_custkey % 100 = 0
+        |), ord_aug AS (
+        |  SELECT o_orderkey, o_custkey FROM orders
+        |  UNION ALL SELECT o_orderkey + 10000000, o_custkey + 10000000
+        |  FROM orders WHERE o_orderkey % 50 = 0
+        |), li_aug AS (
+        |  SELECT l_quantity, l_discount FROM lineitem
+        |  UNION ALL SELECT l_quantity + 100.0, l_discount
+        |  FROM lineitem WHERE l_orderkey % 200 = 0 AND l_linenumber = 1
+        |)
+        |SELECT * FROM (
+        |  SELECT 'customer.c_custkey unique' AS check_name,
+        |    count(*) AS total_rows,
+        |    count(*) - count(DISTINCT c_custkey) AS violations,
+        |    count(*) - count(DISTINCT c_custkey) = 0 AS passed
+        |  FROM cust_aug
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey in customer', count(*),
+        |    CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM customer c
+        |          WHERE c.c_custkey = o.o_custkey) THEN 1 ELSE 0 END) AS BIGINT),
+        |    sum(CASE WHEN NOT EXISTS (SELECT 1 FROM customer c
+        |          WHERE c.c_custkey = o.o_custkey) THEN 1 ELSE 0 END) = 0
+        |  FROM ord_aug o
+        |  UNION ALL
+        |  SELECT 'lineitem.l_quantity in [1,50]', count(*),
+        |    CAST(sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+        |          THEN 1 ELSE 0 END) AS BIGINT),
+        |    sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+        |          THEN 1 ELSE 0 END) = 0
+        |  FROM li_aug
+        |  UNION ALL
+        |  SELECT 'lineitem.l_discount in [0,0.1]', count(*),
+        |    CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1
+        |          THEN 1 ELSE 0 END) AS BIGINT),
+        |    sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1
+        |          THEN 1 ELSE 0 END) = 0
+        |  FROM li_aug
+        |  UNION ALL
+        |  SELECT 'documents.text non-empty', count(*),
+        |    CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT),
+        |    sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) = 0
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'documents.n_chars = len(text)', count(*),
+        |    CAST(sum(CASE WHEN n_chars <> len(text) THEN 1 ELSE 0 END) AS BIGINT),
+        |    sum(CASE WHEN n_chars <> len(text) THEN 1 ELSE 0 END) = 0
+        |  FROM documents
+        |) ORDER BY check_name""".stripMargin,
 
     // s20: sqrt is IEEE-identical per source, micro-unit quantized;
     // the rate is exact-integer products divided once as double

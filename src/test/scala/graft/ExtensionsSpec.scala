@@ -857,3 +857,38 @@ class ClusterSpec extends SparkSpec {
     }
   }
 }
+
+class RrfFusionSpec extends SparkSpec {
+  import org.apache.spark.sql.functions.col
+  import spark.implicits._
+
+  test("e15 RRF: ranks bounded, scores recompute exactly, order total") {
+    val rows = SparkEntry.queries("e15_rrf_fusion")(spark, sf0001)
+      .select(col("doc_id"), col("r_lex"), col("r_dense"), col("rrf"))
+      .as[(Long, Option[Long], Option[Long], Double)].collect().toSeq
+    assert(rows.size == 20)
+    // every emitted rank is within its 50-row shortlist
+    rows.foreach { case (_, rl, rd, _) =>
+      assert(rl.forall(r => r >= 1 && r <= 50))
+      assert(rd.forall(r => r >= 1 && r <= 50))
+      assert(rl.isDefined || rd.isDefined)
+    }
+    // the fusion is discriminating on the fixture: both-list docs exist
+    // and the top row is a both-list doc (one-sided rank-1 terms score
+    // 1/61 < any both-sided pair of reciprocals near the top)
+    assert(rows.exists { case (_, rl, rd, _) => rl.isDefined && rd.isDefined })
+    // scores recompute bit-for-bit from the ranks (round-9 reciprocal
+    // terms + one IEEE add — the oracle's arithmetic)
+    def r9(d: Double) =
+      BigDecimal.valueOf(d).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    rows.foreach { case (_, rl, rd, rrf) =>
+      val want = rl.map(r => r9(1.0 / (60 + r))).getOrElse(0.0) +
+        rd.map(r => r9(1.0 / (60 + r))).getOrElse(0.0)
+      assert(rrf == want, s"rrf $rrf != $want for ranks $rl/$rd")
+    }
+    // emitted in total (rrf desc, doc_id) order
+    val keys = rows.map { case (id, _, _, s) => (-s, id) }
+    assert(keys == keys.sorted)
+  }
+}

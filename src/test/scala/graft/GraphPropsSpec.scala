@@ -166,6 +166,46 @@ object GraphPropsSpec extends Properties("graft.graph") {
       }
     }
 
+  property("hits: sides are total, L1-normalized, and star-center wins") =
+    forAll(edgesGen, Gen.choose(1, 3)) { (es, iters) =>
+      // direct all edges low→high so both sides are non-empty and
+      // acyclic-bipartite-ish shapes occur; plus a star center 'z'
+      // pulled by every source — 'z' must be the unique top authority
+      val directed = es.map { case (a, b) =>
+        if (a < b) (a, b) else (b, a)
+      }.distinct
+      val star = directed.map(_._1).distinct.map(_ -> "z")
+      val edges = (directed ++ star).distinct
+      val got = Graph.hits(edges.toDF("src", "dst"), iterations = iters)
+        .as[(String, String, Double)].collect().toSeq
+      val (hubs, auths) = got.partition(_._1 == "hub")
+      val srcSet = edges.map(_._1).toSet
+      val dstSet = edges.map(_._2).toSet
+      // totality: one score per side-node
+      hubs.map(_._2).toSet == srcSet && auths.map(_._2).toSet == dstSet &&
+      // L1: each side sums to 1 within the 9-dp rounding budget
+      math.abs(hubs.map(_._3).sum - 1.0) < 1e-6 &&
+      math.abs(auths.map(_._3).sum - 1.0) < 1e-6 &&
+      // the star center is a MAXIMAL authority: its in-set is every
+      // hub, so no node can outscore it (ties allowed — a node the
+      // same full hub set points at scores equal, not less)
+      {
+        val z = auths.find(_._2 == "z").get._3
+        auths.forall(_._3 <= z)
+      }
+    }
+
+  property("hits: broadcastState=false is score-identical") =
+    forAll(edgesGen) { es =>
+      val edges = es.map { case (a, b) => (a, b + "$") }
+      val df = edges.toDF("src", "dst")
+      val a = Graph.hits(df, iterations = 2)
+        .as[(String, String, Double)].collect().toSet
+      val b = Graph.hits(df, iterations = 2, broadcastState = false)
+        .as[(String, String, Double)].collect().toSet
+      a == b
+    }
+
   private val corpusGen: Gen[Map[Long, String]] =
     Gen.mapOf(Gen.zip(Gen.choose(0L, 12L), Gen.oneOf("x", "y", "z")))
 

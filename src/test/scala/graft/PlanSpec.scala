@@ -446,6 +446,21 @@ class PlanSpec extends SparkSpec {
       s"the shipdate cutoff must reach the parquet scan\n$p")
   }
 
+  test("q5: 6-way star join — dims broadcast, one big-big pair, dates pushed") {
+    val df = SparkEntry.queries("q5_local_supplier")(spark, sf0001)
+    val p = finalPlan(df)
+    // region/nation/customer/supplier sides must all resolve to
+    // broadcast joins (no hint in the query — size stats decide); the
+    // only shuffle-worthy pair is lineitem ⋈ orders
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"dimension chain should broadcast at this scale\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"equi-joins only\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") ||
+      p.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"the orderdate window must reach the parquet scan\n$p")
+  }
+
   test("d16: url dedup is explode + one grouped agg — no join, no extra shuffle") {
     val df = SparkEntry.queries("d16_url_dedup")(spark, sf0001)
     val p = finalPlan(df)

@@ -215,4 +215,35 @@ class AsOfJoinSpec extends SparkSpec {
       .zipWithIndex.map { case ((k, _), i) => k -> (i + 1L) }.toMap
     assert(got == want)
   }
+
+  test("o12 integrity audit: injected violations counted exactly, controls pass") {
+    // expected counts derive from the deterministic injection rules at
+    // sf0.001 (152 customers → 2 with key%100=0 dup'd; 1500 orders → 30
+    // with key%50=0 re-keyed; 4 lineitem rows qualify for the +100
+    // quantity bump), independently confirmed against the DuckDB oracle
+    val got = SparkEntry.queries("o12_integrity_audit")(spark, sf0001)
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("customer.c_custkey unique", 152L, 2L, false),
+      ("documents.n_chars = len(text)", 500L, 0L, true),
+      ("documents.text non-empty", 500L, 0L, true),
+      ("lineitem.l_discount in [0,0.1]", 6004L, 0L, true),
+      ("lineitem.l_quantity in [1,50]", 6004L, 4L, false),
+      ("orders.o_custkey in customer", 1530L, 30L, false)))
+  }
+
+  test("s19 stratified k-fold: exact per-stratum balance, corpus partitioned") {
+    val cells = SparkEntry.queries("s19_stratified_kfold")(spark, sf0001)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // folds partition the corpus: cell counts sum to the doc count
+    assert(cells.map(_._3).sum ==
+      graft.sources.Tables.documents(spark, sf0001).count())
+    // stratification: within each lang, fold sizes differ by at most 1
+    cells.groupBy(_._2).foreach { case (lang, cs) =>
+      assert(cs.size <= 5)
+      val ns = cs.map(_._3)
+      assert(ns.max - ns.min <= 1, s"$lang fold sizes $ns")
+    }
+    assert(cells.map(_._1).distinct.sorted == Seq(0L, 1L, 2L, 3L, 4L))
+  }
 }

@@ -134,6 +134,37 @@ object WindowPropsSpec extends Properties("graft.windows") {
       got == want
     }
 
+  property("pearsonMatrix cell ≡ pairwise pearson on dense data; constant col → NULL") =
+    forAll(
+      Gen.choose(3, 15).flatMap(n => Gen.listOfN(n,
+        Gen.zip(Gen.choose(-50.0, 50.0), Gen.choose(-50.0, 50.0),
+          Gen.choose(-50.0, 50.0)))),
+      Gen.choose(1, 8)) { (pts, parts) =>
+      import graft.operators.Summaries
+      // index offsets guarantee non-zero variance for x/y/z, so each
+      // non-const pair is comparable against pearson (whose unguarded
+      // 0/0 would NaN where the matrix NULLs — the documented delta)
+      val df = pts.zipWithIndex.map { case ((a, b, c), i) =>
+        (math.rint(a) + i * 101, math.rint(b) + i * 103,
+          math.rint(c) + i * 107, 7.0)
+      }.toDF("x", "y", "z", "const").repartition(parts)
+      val cells = Summaries.pearsonMatrix(df, Seq("x", "y", "z", "const"))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+      def pair(a: String, b: String): Option[Double] =
+        Summaries.pearson(df, Seq.empty, col(a), col(b))
+          .select(col("corr_xy")).collect().head match {
+            case r => Option(r.get(0)).map(_.asInstanceOf[Double])
+          }
+      cells.size == 6 &&
+        cells(("x", "y")) == pair("x", "y") &&
+        cells(("x", "z")) == pair("x", "z") &&
+        cells(("y", "z")) == pair("y", "z") &&
+        cells(("x", "const")).isEmpty &&
+        cells(("y", "const")).isEmpty &&
+        cells(("z", "const")).isEmpty
+    }
+
   property("runningMaxExclusive = prefix max of prior arrivals") =
     forAll(Gen.listOfN(30, Gen.choose(0L, 100L))) { vals =>
       val rows = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
