@@ -335,6 +335,54 @@ object Similarity {
       .orderBy(col("label"), col("rnk"))
   }
 
+  /** NEAREST-CENTROID classification eval: fit one exact centroid per
+    * label (the e10 per-dimension decimal-exact mean), predict every
+    * vector's label as its max-cosine centroid, and report per-class
+    * counts/accuracy — the Rocchio-classifier eval harness an
+    * embedding-label pipeline ships next to its labeler (t22's
+    * confusion-aggregate shape on the dense modality).
+    *
+    * Scale shape: the centroid frame is |labels| rows and broadcasts;
+    * scoring is a map-side cross join (|labels| candidates per vector —
+    * bounded fanout, the e8 broadcast contract), and the argmax is a
+    * per-vector window over that bounded candidate set (ONE vec_id
+    * exchange). Determinism: cosine rounds to 4 (the e1 float-sum
+    * convention), argmax tiebreaks (sim desc, candidate label asc),
+    * accuracy is one exact-integer division (exactAvg rule). Zero-norm
+    * vectors are excluded from BOTH fit and eval (cosine undefined). */
+  def nearestCentroidEval(embeddings: DataFrame): DataFrame = {
+    val nonzero = embeddings
+      .filter(norm(col("embedding")) > 0)
+      .select(col("vec_id"), col("label").cast("long").as("actual"),
+        col("embedding"))
+      .localCheckpoint(eager = false) // feeds fit AND eval
+    val cents = nonzero
+      .select(col("actual").as("cand"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cand"), col("pos"))
+      .agg((sum(col("v").cast("double").cast("decimal(38,12)"))
+        .cast("double") / count(lit(1))).as("m"))
+      .groupBy(col("cand"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("centroid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cand"))
+    nonzero
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("actual"), col("cand"),
+        round(cosine(col("embedding"), col("centroid")), 4).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("actual").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        graft.operators.Summaries.countIf(col("cand") === col("actual"))
+          .as("n_correct"))
+      .withColumn("accuracy",
+        col("n_correct") * lit(1.0) / col("n_vecs"))
+  }
+
   /** Batch k-NN join: the top-k cosine neighbors in `corpus` for EVERY
     * vector in `queries`, in ONE corpus pass — the retrieval/eval shape
     * (probe a training corpus with a whole benchmark set at once) that

@@ -199,27 +199,25 @@ object TrainingQueries {
     // demonstrates exactly that key-join shape for its bigram vocab.
     // PlanSpec("t8") pins the broadcast so a silent planner fallback
     // to a fat-side shuffle is a caught regression.
-    "t8_tfidf" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val tok = Tables.spread(docs).select(col("doc_id"),
-        explode(TextAnalysis.tokens(col("text"))).as("term"))
-      val tf = tok.groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("cnt"))
-        // materialize once: tf feeds both the window side and dfreq —
-        // Spark shares no subplans across DataFrame reuse, so without
-        // the barrier the explode+groupBy evaluates twice
-        .localCheckpoint(eager = false)
-      val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val n = docs.agg(count(lit(1)).as("n"))
-      tf.withColumn("total", sum(col("cnt")).over(wDoc))
-        .join(broadcast(dfreq), "term")
-        .crossJoin(broadcast(n))
-        .select(col("doc_id"), col("term"),
-          round((col("cnt") * lit(1.0) / col("total"))
-            * log(col("n") * lit(1.0) / col("df")), 6).as("tfidf"))
+    "t8_tfidf" -> ((s, d) =>
+      tfidfScores(s, d)
         .orderBy(col("tfidf").desc, col("doc_id"), col("term"))
-        .limit(20)
+        .limit(20)),
+
+    // T25 — per-document KEYWORD extraction: each doc's top-3 TF-IDF
+    // terms (the doc-tagging / index-summarization pass) off the SAME
+    // scored frame as t8 — the rank window partitions by doc_id (high
+    // cardinality, never global), so the cut is one per-doc heap pass
+    // over the posting-sized frame. Deterministic: round-6 scores,
+    // (tfidf desc, term asc) tiebreak.
+    "t25_doc_keywords" -> ((s, d) => {
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term"))
+      tfidfScores(s, d)
+        .withColumn("rnk", row_number().over(wRank).cast("long"))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("doc_id"), col("rnk"))
     }),
 
     // J8 — flagship analytical join (TPC-H Q3 shape): selective dimension
@@ -596,6 +594,18 @@ object TrainingQueries {
         meanPairSim(mmrIds) <= meanPairSim(topIds) + 1e-9
       )).toDF("k_selected", "first_is_top1", "subset_of_shortlist",
         "lambda1_equals_topk", "diversity_not_worse")
+    }),
+
+    // E16 — NEAREST-CENTROID classification eval (Rocchio): fit one
+    // exact per-label centroid, predict each vector's label as its
+    // max-cosine centroid, report per-class accuracy — the
+    // label-quality harness for an embedding-labeled corpus (t22's
+    // eval shape on the dense modality). |labels| centroids broadcast,
+    // scoring is bounded map-side fanout, argmax one vec_id window;
+    // cosine round-4 (e1 convention), exact-integer accuracy division.
+    "e16_centroid_eval" -> ((s, d) => {
+      Similarity.nearestCentroidEval(Tables.embeddings(s, d))
+        .orderBy(col("label"))
     }),
 
     // E15 — HYBRID RETRIEVAL via Reciprocal-Rank Fusion: fuse the
@@ -1093,6 +1103,47 @@ object TrainingQueries {
         .orderBy(col("key"))
     }),
 
+    // W35 — GINI coefficient of customer spend per nation (the
+    // inequality/concentration analytic w33's HHI doesn't give: HHI
+    // weighs the top, Gini the whole Lorenz curve). Spend quantizes
+    // to exact integer cents (round → already-integral double → cast,
+    // identical truncation both engines), the per-nation rank rides
+    // ONE nationkey window (never global), and the Gini closed form
+    // (2·Σ rank·x − (n+1)·Σx) / (n·Σx) combines three decimal-exact
+    // per-nation scalars in one double tree rounded once. Order-less
+    // customers enter at 0 cents (true inequality, not
+    // inequality-among-buyers); all-zero nations yield NULL via the
+    // guard. rank·cents multiplies in BIGINT then casts — bounded by
+    // n·max_spend; at a scale where that nears 2⁶³, multiply in
+    // decimal instead (documented trade).
+    "w35_gini_spend" -> ((s, d) => {
+      val spend = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(Tables.orders(s, d)
+          .select(col("o_custkey"),
+            round(col("o_totalprice") * 100).cast("long").as("cents")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_nationkey"))
+        .agg(coalesce(sum(col("cents")), lit(0L)).as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_nationkey"))
+        .orderBy(col("cents"), col("c_custkey"))
+      spend.withColumn("rnk", row_number().over(w).cast("long"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("cents").cast("decimal(38,0)")).cast("double").as("sx"),
+          sum((col("rnk") * col("cents")).cast("decimal(38,0)"))
+            .cast("double").as("sxi"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("n").cast("long").as("n_customers"),
+          round(when(col("sx") > 0.0,
+            (lit(2.0) * col("sxi") - (col("n") + lit(1.0)) * col("sx"))
+              / (col("n") * col("sx"))), 6).as("gini"))
+        .orderBy(col("n_name"))
+    }),
+
     // W33 — corpus DIVERSITY profile per source: language entropy
     // (Shannon, nats), Herfindahl concentration (HHI = Σ p²), language
     // count and top-language share — the dataset-balance report every
@@ -1196,6 +1247,66 @@ object TrainingQueries {
         .orderBy(col("corpus"))
     }),
 
+    // T26 — add-one-smoothed BIGRAM LM cross-entropy per doc: the
+    // context-aware step up from t23's unigram perplexity proxy (a doc
+    // of common words in impossible orders scores high here, identical
+    // there). p(w2|w1) = (c(w1w2)+1)/(c(w1)+V) over the corpus's own
+    // counts — Laplace smoothing keeps unseen continuations finite;
+    // c(w1) is the corpus unigram count (documented variant of the
+    // prefix-count denominator). t23's rounded system verbatim: one
+    // round-6 ln per distinct (bigram) type, c·lp in exact decimal,
+    // final per-bigram division unrounded. The corpus bigram-count
+    // join is a plain equi-join (no broadcast hint — the bigram vocab
+    // is the n-gram case t8's escape hatch documents).
+    "t26_bigram_lm" -> ((s, d) => {
+      val docs = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .localCheckpoint(eager = false) // bigram AND unigram passes
+      val bg = docs.select(col("doc_id"),
+          explode(TextAnalysis.bigrams(col("toks"))).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = false) // corpus counts + scoring
+      val cbg = bg.groupBy(col("bg")).agg(sum(col("c")).as("cbg"))
+      val uni = docs.select(explode(col("toks")).as("w1"))
+        .groupBy(col("w1")).agg(count(lit(1)).as("cw1"))
+      val v = uni.agg(count(lit(1)).as("v"))
+      bg.withColumn("w1", split(col("bg"), " ").getItem(0))
+        .join(cbg, "bg")
+        .join(uni, "w1")
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"), col("c"),
+          round(log((col("cbg") + 1) * lit(1.0)
+            / (col("cw1") + col("v"))), 6).as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("nb"),
+          sum(col("lp").cast("decimal(38,6)") * col("c")).as("nll"))
+        .select(col("doc_id"), col("nb"),
+          (-col("nll").cast("double") / col("nb")).as("bigram_ce"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // G9 — degree distribution + power-law fit on the trading graph:
+    // the first diagnostic a graph pipeline runs (is this scale-free
+    // or a near-random gas? — decides whether hub-aware partitioning
+    // and the d3-class skew caps are load-bearing). Degrees are one
+    // grouped count off the symmetrized edge list, the histogram one
+    // more bounded count, and the ln-ln OLS (t24's zipf machinery on
+    // degrees) rides Summaries.olsFit over the |distinct degrees|-row
+    // frame; the 4-column fit broadcasts back onto every histogram
+    // row.
+    "g9_degree_dist" -> ((s, d) => {
+      val hist = tradingEdges(s, d)
+        .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+        .localCheckpoint(eager = false) // histogram rows + the fit
+      val fit = Summaries.olsFit(hist,
+          Seq(lit("degree_dist").as("g")),
+          round(log(col("degree").cast("double")), 6),
+          round(log(col("n_nodes").cast("double")), 6))
+        .select(col("slope"), col("r2"))
+      hist.crossJoin(broadcast(fit)).orderBy(col("degree"))
+    }),
+
     // T23 — unigram cross-entropy quality score (the perplexity-proxy
     // filter): each document scored by −Σ tf·ln(p(term)) / len against
     // the corpus's OWN unigram LM — the cheap stand-in for an LM
@@ -1278,6 +1389,41 @@ object TrainingQueries {
           attrCol = "event_type", tsCol = "ts",
           orderCols = Seq(col("ts"), col("event_id")))
         .orderBy(col("user_id"), col("version"))
+    }),
+
+    // J11 — POINT-IN-TIME dimension join (the feature-store /
+    // warehouse correctness join): each purchase event joins the SCD2
+    // state version VALID AT its timestamp — the user's last
+    // non-purchase activity run — never a later one (the time-travel
+    // leakage s18 guards against, solved at the join level). The dim
+    // is o9's scd2History at epoch-µs grain over non-purchase events;
+    // the PIT lookup rides Joins.asOfJoin (union + ONE ordered
+    // per-user window — no range join, no per-key quadratic work),
+    // and pre-state purchases re-attach as NULL rows via a left join
+    // (the v17 total-over-facts convention). state_age_s is exact
+    // integer µs division. The oracle replays the dim CTE chain and
+    // uses DuckDB's native ASOF LEFT JOIN — two independent
+    // formulations of the same semantics agreeing is the point.
+    "j11_pit_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      val dim = WindowOps.scd2History(
+          ev.filter(col("event_type") =!= "purchase"),
+          keyCol = "user_id", attrCol = "event_type", tsCol = "us",
+          orderCols = Seq(col("us"), col("event_id")))
+        .select(col("user_id"), col("version"),
+          col("event_type").as("state_type"), col("valid_from"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val pit = Joins.asOfJoin(purch, dim, "user_id", "us", "valid_from",
+        Seq("state_type", "version", "valid_from"))
+      purch
+        .join(pit.select(col("event_id"), col("state_type"),
+          col("version"), col("valid_from")), Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"), col("state_type"),
+          col("version"),
+          expr("(us - valid_from) div 1000000").as("state_age_s"))
+        .orderBy(col("event_id"))
     }),
 
     // O10 — corpus snapshot diff: classify every doc id across two
@@ -2045,6 +2191,30 @@ object TrainingQueries {
     * query would re-pay the biggest shuffle four times. The lazy
     * localCheckpoint keeps the frame recomputable from lineage on
     * executor loss. */
+  /** Shared TF-IDF scored frame (doc_id, term, round-6 tfidf) — t8's
+    * posting machinery, factored so t8 (global top-20) and t25
+    * (per-doc top-3) rank the SAME scores. tf materializes once: it
+    * feeds both the per-doc total window and dfreq — Spark shares no
+    * subplans across DataFrame reuse, so without the barrier the
+    * explode+groupBy would evaluate twice. */
+  private def tfidfScores(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tok = Tables.spread(docs).select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    tf.withColumn("total", sum(col("cnt")).over(wDoc))
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round((col("cnt") * lit(1.0) / col("total"))
+          * log(col("n") * lit(1.0) / col("df")), 6).as("tfidf"))
+  }
+
   private[graft] object TradingPairs {
     private val cache = scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), DataFrame]
@@ -2676,6 +2846,32 @@ object TrainingQueries {
     // w29: quantile_cont is DuckDB's (n−1)p linear interpolation —
     // the same rank formula as Spark's exact percentile (the w6
     // median convention, at two more quantiles)
+    // w35 replays the integer-cent quantization, the identical
+    // per-nation rank window and the same Gini double tree
+    "w35_gini_spend" ->
+      """WITH spend AS (
+        |  SELECT c.c_custkey, c.c_nationkey,
+        |    CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)),
+        |      0) AS BIGINT) AS cents
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey, c.c_nationkey
+        |), ranked AS (
+        |  SELECT c_nationkey, cents,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY cents, c_custkey) AS rnk
+        |  FROM spend
+        |), agg AS (
+        |  SELECT c_nationkey, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(rnk * cents AS DECIMAL(38,0))) AS DOUBLE) AS sxi
+        |  FROM ranked GROUP BY c_nationkey
+        |)
+        |SELECT n_name, CAST(n AS BIGINT) AS n_customers,
+        |  round(CASE WHEN sx > 0.0
+        |    THEN (2.0 * sxi - (n + 1.0) * sx) / (n * sx) END, 6) AS gini
+        |FROM agg JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY n_name""".stripMargin,
+
     // w33 replays the diversity profile: same (source,lang) counts,
     // same per-source window total (one partition), the t23 round-6-ln
     // entropy system and the exact-integer/double-denominator ratios
@@ -2787,6 +2983,71 @@ object TrainingQueries {
         |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
         |FROM m ORDER BY corpus""".stripMargin,
 
+    // t26 replays the smoothed bigram LM: positional bigram assembly
+    // via range(1, len), the identical (cbg+1)/(cw1+V) round-6 ln,
+    // c·lp in exact decimal, per-bigram division unrounded
+    "t26_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), b AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)
+        |), bgc AS (
+        |  SELECT doc_id, bg, count(*) AS c FROM b GROUP BY doc_id, bg
+        |), cbg AS (
+        |  SELECT bg, sum(c) AS cbg FROM bgc GROUP BY bg
+        |), uni AS (
+        |  SELECT word, count(*) AS cw1 FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |  ) GROUP BY word
+        |), v AS (SELECT count(*) AS v FROM uni),
+        |sc AS (
+        |  SELECT bgc.doc_id, bgc.c,
+        |    round(ln((cbg.cbg + 1) * 1.0 / (uni.cw1 + v.v)), 6) AS lp
+        |  FROM bgc JOIN cbg USING (bg)
+        |  JOIN uni ON string_split(bgc.bg, ' ')[1] = uni.word
+        |  CROSS JOIN v
+        |)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb,
+        |  -CAST(sum(CAST(lp AS DECIMAL(38,6)) * c) AS DOUBLE) / sum(c)
+        |    AS bigram_ce
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // g9 replays the degree histogram and the t24-style ln-ln moment
+    // fit, cross-joined back onto every histogram row
+    "g9_degree_dist" ->
+      """WITH ce AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), e AS (
+        |  SELECT c AS src FROM ce UNION ALL SELECT s FROM ce
+        |), deg AS (
+        |  SELECT src, count(*) AS degree FROM e GROUP BY src
+        |), h AS (
+        |  SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+        |), xy AS (
+        |  SELECT degree, n_nodes,
+        |    round(ln(CAST(degree AS DOUBLE)), 6) AS x,
+        |    round(ln(CAST(n_nodes AS DOUBLE)), 6) AS y
+        |  FROM h
+        |), m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,10))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y * y AS DECIMAL(38,10))) AS DOUBLE) AS syy
+        |  FROM xy
+        |)
+        |SELECT h.degree, h.n_nodes,
+        |  round(CASE WHEN n * sxx - sx * sx > 0.0
+        |    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope,
+        |  round(CASE WHEN n * sxx - sx * sx > 0.0 AND n * syy - sy * sy > 0.0
+        |    THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
+        |FROM h CROSS JOIN m ORDER BY h.degree""".stripMargin,
+
     // t23 replays the LM with the shared rounded system: one ln per
     // vocabulary term rounded to 6 dp, c·lp in exact decimal, final
     // per-token division unrounded
@@ -2882,6 +3143,37 @@ object TrainingQueries {
         |FROM runs WINDOW wv AS (PARTITION BY user_id ORDER BY version)
         |ORDER BY user_id, version""".stripMargin,
 
+    // j11 replays the non-purchase SCD2 dim (o9's CTE chain at µs
+    // grain) and does the PIT lookup with DuckDB's native ASOF LEFT
+    // JOIN — an independent formulation of the as-of-union semantics
+    "j11_pit_join" ->
+      """WITH np AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE event_type <> 'purchase'
+        |), m AS (
+        |  SELECT *, CASE WHEN lag(1) OVER w IS NULL OR lag(event_type)
+        |    OVER w IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        |  FROM np WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), r AS (
+        |  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS version
+        |  FROM m
+        |), dim AS (
+        |  SELECT user_id, version, event_type AS state_type,
+        |    min(us) AS valid_from
+        |  FROM r GROUP BY user_id, version, event_type
+        |), purch AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT p.event_id, p.user_id, d.state_type, d.version,
+        |  (p.us - d.valid_from) // 1000000 AS state_age_s
+        |FROM purch p ASOF LEFT JOIN dim d
+        |  ON p.user_id = d.user_id AND p.us >= d.valid_from
+        |ORDER BY p.event_id""".stripMargin,
+
     "o10_snapshot_diff" ->
       """WITH v1 AS (
         |  SELECT doc_id, text FROM documents
@@ -2967,6 +3259,31 @@ object TrainingQueries {
         |  round((tf.cnt * 1.0 / dl.total) * ln(n.n * 1.0 / df.df), 6) AS tfidf
         |FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n
         |ORDER BY tfidf DESC, tf.doc_id, tf.term LIMIT 20""".stripMargin,
+
+    // t25 ranks the identical t8 scored frame per doc
+    "t25_doc_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY doc_id, term
+        |), dl AS (
+        |  SELECT doc_id, sum(cnt) AS total FROM tf GROUP BY doc_id
+        |), df AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round((tf.cnt * 1.0 / dl.total) * ln(n.n * 1.0 / df.df), 6)
+        |      AS tfidf
+        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n
+        |), r AS (
+        |  SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, term) AS rnk
+        |  FROM sc
+        |)
+        |SELECT doc_id, rnk, term, tfidf FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
 
     "j8_flagship_join" ->
       """SELECT l_orderkey,
@@ -3187,6 +3504,43 @@ object TrainingQueries {
       """SELECT true AS k_selected, true AS first_is_top1,
         |true AS subset_of_shortlist, true AS lambda1_equals_topk,
         |true AS diversity_not_worse""".stripMargin,
+
+    // e16 replays the e10 exact-centroid CTE, the e1 unnest cosine per
+    // (vector, candidate-label) pair, the identical round-4 + (sim
+    // desc, cand) argmax window, and the exact-integer accuracy
+    "e16_centroid_eval" ->
+      """WITH x AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS actual,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |), nz AS (
+        |  SELECT vec_id FROM x GROUP BY vec_id HAVING sum(v * v) > 0
+        |), cent AS (
+        |  SELECT actual AS cand, i,
+        |    CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS c
+        |  FROM x WHERE vec_id IN (SELECT vec_id FROM nz)
+        |  GROUP BY actual, i
+        |), s AS (
+        |  SELECT x.vec_id, x.actual, cent.cand,
+        |    sum(x.v * cent.c) AS dot, sum(x.v * x.v) AS vv,
+        |    sum(cent.c * cent.c) AS cc
+        |  FROM x JOIN cent ON x.i = cent.i
+        |  WHERE x.vec_id IN (SELECT vec_id FROM nz)
+        |  GROUP BY x.vec_id, x.actual, cent.cand
+        |), p AS (
+        |  SELECT vec_id, actual, cand,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY round(dot / (sqrt(vv) * sqrt(cc)), 4) DESC, cand)
+        |      AS rn
+        |  FROM s
+        |)
+        |SELECT actual AS label, count(*) AS n_vecs,
+        |  CAST(sum(CASE WHEN cand = actual THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  CAST(sum(CASE WHEN cand = actual THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1.0 / count(*) AS accuracy
+        |FROM p WHERE rn = 1 GROUP BY actual ORDER BY label""".stripMargin,
 
     // e15 stitches the t21 BM25 replay and the e1 unnest/rejoin cosine
     // replay into the same two 50-row shortlists, ranks each with the

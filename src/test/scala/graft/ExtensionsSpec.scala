@@ -892,3 +892,30 @@ class RrfFusionSpec extends SparkSpec {
     assert(keys == keys.sorted)
   }
 }
+
+class CentroidEvalSpec extends SparkSpec {
+  import org.apache.spark.sql.functions.col
+  import spark.implicits._
+
+  test("e16 nearest-centroid: separable clusters classify perfectly; counts partition") {
+    // two near-orthogonal clusters with within-cluster jitter — the
+    // centroid of each cluster stays closest (cosine) to its members
+    val rows = (0 until 10).map { i =>
+      (i.toLong, 0, Array(1.0f, 0.02f * i, 0.0f, 0.0f))
+    } ++ (10 until 20).map { i =>
+      (i.toLong, 1, Array(0.0f, 0.0f, 1.0f, 0.015f * i))
+    }
+    val got = graft.extensions.Similarity
+      .nearestCentroidEval(rows.toDF("vec_id", "label", "embedding"))
+      .orderBy(col("label"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 10L, 10L, 1.0), (1L, 10L, 10L, 1.0)))
+    // driver-table query: per-class rows partition the (nonzero) corpus
+    val q = SparkEntry.queries("e16_centroid_eval")(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(q.map(_._2).sum == 500) // sf0.001 has no zero-norm vectors
+    q.foreach { case (_, n, c, acc) =>
+      assert(c <= n && acc == c * 1.0 / n)
+    }
+  }
+}
