@@ -426,6 +426,21 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // M5 — binary-payload exact dedup: collapse byte-identical media
+    // blobs by content hash BEFORE any decode touches them (at 100 TB
+    // of media the decode is the expensive stage — d1's exact-dedup
+    // discipline applied at the payload grain, where it pays the
+    // most). One hash aggregate on the md5 of the bytes, min-id
+    // representative, dup groups only; documentsWithDups plants the
+    // +1,000,000 clones so the collapse provably fires.
+    "m5_payload_dedup" -> ((s, d) => {
+      Multimodal.withBinaryPayload(Tables.documentsWithDups(s, d))
+        .groupBy(md5(col("payload")).as("payload_md5"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+        .filter(col("n_copies") > 1)
+        .orderBy(col("keep_id"))
+    }),
+
     // M3 — multimodal training-sample assembly: text + binary payload +
     // embedding sidecar joined into one sample row with per-modality
     // completeness flags — the manifest-join step that precedes any
@@ -1432,6 +1447,20 @@ object ExtensionQueries {
     "m1_payload_stats" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // m5 replays the clone injection and the content-hash collapse
+    // (DuckDB md5 of VARCHAR ≡ Spark md5 of the utf-8 binary — the
+    // o10 fingerprint pairing)
+    "m5_payload_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text
+        |  FROM documents WHERE doc_id % 25 = 0
+        |)
+        |SELECT md5(text) AS payload_md5, count(*) AS n_copies,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_id
+        |FROM d GROUP BY md5(text) HAVING count(*) > 1
+        |ORDER BY keep_id""".stripMargin,
 
     "m3_sample_assembly" ->
       """WITH d AS (

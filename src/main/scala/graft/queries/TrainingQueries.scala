@@ -1103,6 +1103,39 @@ object TrainingQueries {
         .orderBy(col("key"))
     }),
 
+    // V18 — INTER-ARRIVAL time profile per event type: the gap
+    // distribution (n, mean, exact p50/p95) between a user's
+    // consecutive events, keyed by the arriving event's type — the
+    // burstiness/cadence diagnostic behind session-gap tuning (v2's
+    // 1800 s threshold comes FROM this table) and anomaly baselines.
+    // Gaps are exact integer seconds off ONE user_id window at
+    // epoch-µs (the v9 convention); the percentiles ride
+    // Summaries.sortedPercentiles (gap cardinality is unbounded — the
+    // w6 decision rule's sort path), the mean is the exactAvg rule,
+    // and the two per-type aggregates stitch on the bounded
+    // event-type key.
+    "v18_interarrival" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val gaps = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .withColumn("gap_s", expr("(us - prev) div 1000000"))
+        .filter(col("gap_s").isNotNull)
+        .drop("prev")
+        .localCheckpoint(eager = false) // stats + percentiles share it
+      val stats = gaps.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          Summaries.exactAvg(col("gap_s").cast("double")).as("mean_gap_s"))
+      val pcts = Summaries.sortedPercentiles(gaps, Seq("event_type"),
+        col("gap_s").cast("double"),
+        Seq("p50_gap_s" -> 0.5, "p95_gap_s" -> 0.95))
+      stats.join(pcts, Seq("event_type"))
+        .orderBy(col("event_type"))
+    }),
+
     // W35 — GINI coefficient of customer spend per nation (the
     // inequality/concentration analytic w33's HHI doesn't give: HHI
     // weighs the top, Gini the whole Lorenz curve). Spend quantizes
@@ -1283,6 +1316,29 @@ object TrainingQueries {
         .select(col("doc_id"), col("nb"),
           (-col("nll").cast("double") / col("nb")).as("bigram_ce"))
         .orderBy(col("doc_id"))
+    }),
+
+    // G10 — degree ASSORTATIVITY of the trading graph: the Pearson
+    // correlation of endpoint degrees across edges (do hubs attach to
+    // hubs, or to leaves? — negative on bipartite hub-and-spoke
+    // commerce graphs, positive on social graphs). Composes g9's
+    // degree frame with w8's exact-moment pearson over the edge list:
+    // the |nodes|-row degree frame joins the edges twice (size stats
+    // pick broadcast — the pageRank state-join shape), then one
+    // five-moment hash aggregate. Integer degrees make every decimal
+    // moment exact; the closed form is w8's rounded double tree.
+    "g10_assortativity" -> ((s, d) => {
+      val edges = tradingEdges(s, d)
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(eager = false) // joins both endpoints
+      edges
+        .join(deg.select(col("src"), col("deg").as("deg_src")), "src")
+        .join(deg.select(col("src").as("dst"), col("deg").as("deg_dst")),
+          "dst")
+        .withColumn("graph", lit("trading"))
+        .transform(df => Summaries.pearson(df, Seq(col("graph")),
+          col("deg_src").cast("double"), col("deg_dst").cast("double")))
+        .orderBy(col("graph"))
     }),
 
     // G9 — degree distribution + power-law fit on the trading graph:
@@ -2846,6 +2902,57 @@ object TrainingQueries {
     // w29: quantile_cont is DuckDB's (n−1)p linear interpolation —
     // the same rank formula as Spark's exact percentile (the w6
     // median convention, at two more quantiles)
+    // v18 replays the µs lag window, the integer-second div, the
+    // exactAvg mean and quantile_cont (≡ the Hive interpolation
+    // sortedPercentiles reproduces bit-for-bit — the w29 pairing)
+    "v18_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id)) // 1000000 AS gap_s
+        |  FROM events
+        |)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  CAST(sum(CAST(CAST(gap_s AS DOUBLE) AS DECIMAL(38,6)))
+        |    AS DOUBLE) / count(*) AS mean_gap_s,
+        |  CAST(quantile_cont(CAST(gap_s AS DOUBLE), 0.5) AS DOUBLE)
+        |    AS p50_gap_s,
+        |  CAST(quantile_cont(CAST(gap_s AS DOUBLE), 0.95) AS DOUBLE)
+        |    AS p95_gap_s
+        |FROM g WHERE gap_s IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // g10 replays the degree frame + double edge join and the w8
+    // exact-moment correlation tree
+    "g10_assortativity" ->
+      """WITH ce AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), e AS (
+        |  SELECT c AS src, s AS dst FROM ce
+        |  UNION ALL SELECT s, c FROM ce
+        |), deg AS (
+        |  SELECT src, count(*) AS deg FROM e GROUP BY src
+        |), xy AS (
+        |  SELECT 'trading' AS graph, CAST(a.deg AS DOUBLE) AS x,
+        |    CAST(b.deg AS DOUBLE) AS y
+        |  FROM e JOIN deg a ON e.src = a.src JOIN deg b ON e.dst = b.src
+        |), m AS (
+        |  SELECT graph, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,10))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y * y AS DECIMAL(38,10))) AS DOUBLE) AS syy
+        |  FROM xy GROUP BY graph
+        |)
+        |SELECT graph,
+        |  round((n * sxy - sx * sy)
+        |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |    AS corr_xy
+        |FROM m ORDER BY graph""".stripMargin,
+
     // w35 replays the integer-cent quantization, the identical
     // per-nation rank window and the same Gini double tree
     "w35_gini_spend" ->
