@@ -182,6 +182,43 @@ object Summaries {
         col("n_obs"))
   }
 
+  /** WEIGHTED median per group (SURVEY §7.4's named extension): the
+    * smallest value whose cumulative weight reaches half the group's
+    * total — the lower weighted median, the convention that needs no
+    * interpolation and stays EXACT under integer weights (2·cumw ≥ W
+    * is an integer comparison; no float threshold can ulp-flip it).
+    * Distribution-shape analytics weight by quantity/size routinely;
+    * the unweighted exact forms (builtin percentile /
+    * [[sortedPercentiles]]) cannot express it.
+    *
+    * Scale shape: ONE exchange on the group key, one in-group sort
+    * (spill-friendly — the sortedPercentiles envelope), a running
+    * cumulative-weight frame and a min-over-qualifying final aggregate
+    * — O(1) state per group past the sort. `orderCols` break ties in
+    * the cumulative order deterministically; the SELECTED value is
+    * tie-insensitive (equal values qualify together) but the
+    * deterministic order keeps intermediate frames replayable. Rows
+    * with a null value or non-positive weight are dropped (a zero
+    * weight carries no mass; negative weights have no median
+    * semantics). */
+  def weightedMedian(df: DataFrame, groupCols: Seq[String], valCol: Column,
+      weightCol: Column, orderCols: Seq[Column] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gs = groupCols.map(col)
+    val w = Window.partitionBy(gs: _*).orderBy(valCol +: orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(gs: _*)
+    df.filter(valCol.isNotNull && weightCol > 0)
+      .withColumn("__v", valCol)
+      .withColumn("__w", weightCol.cast("long"))
+      .withColumn("__cumw", sum(col("__w")).over(w))
+      .withColumn("__tot", sum(col("__w")).over(wAll))
+      .groupBy(gs: _*)
+      .agg(max(col("__tot")).as("total_weight"),
+        min(when(col("__cumw") * 2 >= col("__tot"), col("__v")))
+          .as("weighted_median"))
+  }
+
   /** Decimal-exact sum of a double column, emitted as a rounded double.
     * Summing doubles is partition-order nondeterministic; casting each
     * value to an exact decimal makes the aggregate associative-exact,

@@ -1136,6 +1136,20 @@ object TrainingQueries {
         .orderBy(col("event_type"))
     }),
 
+    // W36 — WEIGHTED median (SURVEY §7.4's named extension): per
+    // returnflag, the price point at which half the shipped QUANTITY
+    // sits below — the distribution-shape analytic the unweighted
+    // exact forms can't express (a 50-unit line item moves this median
+    // 50× more than a 1-unit one). Summaries.weightedMedian: one group
+    // exchange, one in-group sort, integer cumulative-weight threshold
+    // (2·cumw ≥ W — no float can ulp-flip it), min-over-qualifying.
+    "w36_weighted_median" -> ((s, d) => {
+      Summaries.weightedMedian(Tables.lineitem(s, d),
+          Seq("l_returnflag"), col("l_extendedprice"), col("l_quantity"),
+          Seq(col("l_orderkey"), col("l_linenumber")))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // W35 — GINI coefficient of customer spend per nation (the
     // inequality/concentration analytic w33's HHI doesn't give: HHI
     // weighs the top, Gini the whole Lorenz curve). Spend quantizes
@@ -2952,6 +2966,26 @@ object TrainingQueries {
         |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
         |    AS corr_xy
         |FROM m ORDER BY graph""".stripMargin,
+
+    // w36 replays the ordered cumulative-weight frame and the integer
+    // threshold
+    "w36_weighted_median" ->
+      """WITH f AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |    CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+        |), c AS (
+        |  SELECT l_returnflag, v, w,
+        |    sum(w) OVER (PARTITION BY l_returnflag
+        |      ORDER BY v, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM f
+        |)
+        |SELECT l_returnflag, CAST(max(tot) AS BIGINT) AS total_weight,
+        |  min(CASE WHEN cumw * 2 >= tot THEN v END) AS weighted_median
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // w35 replays the integer-cent quantization, the identical
     // per-nation rank window and the same Gini double tree

@@ -291,6 +291,83 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** One Misra-Gries sketch per shard: bounded-state streaming heavy
+    * hitters. `n_processed` carries the shard's stream size so the
+    * consumer can evaluate the n/(k+1) error bound per shard. The
+    * counters travel as parallel arrays (the state encoder rejects
+    * MapType); [[ShardHitters.counters]] restores the map view. */
+  case class ShardHitters(shard: Long, n_processed: Long,
+      keys: Seq[Long], counts: Seq[Long]) {
+    def counters: Map[Long, Long] = keys.zip(counts).toMap
+  }
+  object ShardHitters {
+    def of(shard: Long, n: Long, m: Map[Long, Long]): ShardHitters = {
+      val ks = m.keys.toSeq.sorted // deterministic row layout
+      ShardHitters(shard, n, ks, ks.map(m))
+    }
+  }
+
+  /** STREAMING heavy hitters — the SURVEY §7.4 "streaming top-k"
+    * extension: each shard of the key space folds its arrivals into a
+    * [[graft.functions.MisraGriesAggregator]] sketch held in a
+    * ValueState slot — AT MOST k counters per shard FOREVER, however
+    * many distinct keys the stream carries (the bounded-state
+    * discipline that separates a streaming sketch from an exact
+    * per-key count whose RocksDB state grows with key cardinality).
+    * Each micro-batch emits the shard's updated sketch (Update mode);
+    * the consumer merges the final per-shard rows with the PODS'12
+    * merge ([[mergeHitters]]) into one corpus-level sketch whose error
+    * bound is the SUM of the shard bounds — the same guarantee algebra
+    * the batch w30 contract query asserts, proven batch-vs-stream in
+    * StatefulStreamingSpec. Sharding by key-hash keeps every
+    * occurrence of one key in one sketch (estimates stay
+    * underestimates; no cross-shard double counting). */
+  class HeavyHittersProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, ShardHitters] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    private val mg = new graft.functions.MisraGriesAggregator(k)
+    @transient private var st: ValueState[ShardHitters] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[ShardHitters]("mgState",
+        org.apache.spark.sql.Encoders.product[ShardHitters], TTLConfig.NONE)
+
+    override def handleInputRows(shard: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[ShardHitters] = {
+      val prev =
+        if (st.exists()) st.get()
+        else ShardHitters(shard, 0L, Seq.empty, Seq.empty)
+      var m = prev.counters
+      var n = prev.n_processed
+      rows.foreach { e =>
+        m = mg.reduce(m, java.lang.Long.valueOf(e.user_id)); n += 1
+      }
+      val next = ShardHitters.of(shard, n, m)
+      st.update(next)
+      Iterator(next)
+    }
+  }
+
+  /** [[HeavyHittersProcessor]] over a `user_id % shards` keyed stream.
+    * Requires the RocksDB state-store provider (transformWithState). */
+  def streamingHeavyHitters(events: org.apache.spark.sql.Dataset[Event],
+      k: Int, shards: Int): org.apache.spark.sql.Dataset[ShardHitters] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .groupByKey(e => math.floorMod(e.user_id, shards.toLong))
+      .transformWithState(new HeavyHittersProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** PODS'12 merge of the final per-shard sketches into one
+    * corpus-level MG sketch (≤ k counters; error ≤ Σ shard n/(k+1)). */
+  def mergeHitters(shards: Seq[Map[Long, Long]], k: Int): Map[Long, Long] = {
+    val mg = new graft.functions.MisraGriesAggregator(k)
+    shards.foldLeft(Map.empty[Long, Long])(mg.merge)
+  }
+
   /** One open session per key. */
   case class SessionState(startSec: Long, lastSec: Long, nEvents: Long)
 

@@ -556,6 +556,71 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Misra-Gries heavy hitters: bounded state, merged guarantees hold") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.Event
+
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the REAL sf0.001 stream with a planted hitter: every user_id%5==0
+    // event collapses onto user 1, so ~1/5 of the stream is ONE key --
+    // above the merged n/(k+1) bound, hence MUST survive the sketch
+    val evs = graft.sources.Tables.events(spark, sf0001)
+      .orderBy(col("ts"), col("event_id"))
+      .collect()
+      .map(r => Event(r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("ts"),
+        { val u = r.getAs[Long]("user_id"); if (u % 5 == 0) 1L else u },
+        r.getAs[String]("event_type"), r.getAs[Double]("value")))
+    val k = 8
+    val shards = 4
+    val input = MemoryStream[Event]
+    val q = StreamingOps.streamingHeavyHitters(input.toDS(), k, shards)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("update").start()
+    try {
+      evs.grouped((evs.length + 2) / 3).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val rows = spark.table("hh_out")
+        .as[StreamingOps.ShardHitters].collect().toSeq
+      // final state per shard = its highest-n emission (update mode
+      // re-emits the accumulated sketch each micro-batch)
+      val fin = rows.groupBy(_.shard)
+        .map { case (_, rs) => rs.maxBy(_.n_processed) }.toSeq
+      assert(fin.map(_.n_processed).sum == evs.length)
+      fin.foreach(r => assert(r.counters.size <= k,
+        s"shard state exceeded k: ${r.counters.size}"))
+      val merged = StreamingOps.mergeHitters(fin.map(_.counters), k)
+      assert(merged.size <= k)
+      val exact = evs.groupBy(_.user_id)
+        .map { case (u, es) => u -> es.size.toLong }
+      val bound = fin.map(_.n_processed / (k + 1)).sum
+      // the planted hitter makes the capture assertion non-vacuous
+      assert(exact.exists(_._2 > bound),
+        s"fixture lost its hitter (bound $bound, max ${exact.values.max})")
+      merged.foreach { case (u, est) =>
+        val t = exact.getOrElse(u, 0L)
+        assert(est <= t, s"overestimate for $u: $est > $t")
+        assert(t - est <= bound, s"error bound broken for $u")
+      }
+      exact.filter(_._2 > bound).keys.foreach(u =>
+        assert(merged.contains(u), s"heavy hitter $u lost"))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("event-time-timer sessionization closes sessions at the watermark, matching batch semantics") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

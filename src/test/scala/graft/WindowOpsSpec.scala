@@ -216,6 +216,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("weightedMedian: hand fixture, threshold straddle, unit-weight degeneracy") {
+    // group A: values 1,2,3 with weights 1,1,4 → total 6, half 3;
+    // cumw(1)=1, cumw(2)=2, cumw(3)=6 → first 2·cumw ≥ 6 is value 3
+    // group B: the big weight sits FIRST: values 1,2 weights 5,1 →
+    // cumw(1)=5, 2·5 ≥ 6 → median 1 (the straddle case)
+    val df = Seq(
+      ("A", 1.0, 1L), ("A", 2.0, 1L), ("A", 3.0, 4L),
+      ("B", 1.0, 5L), ("B", 2.0, 1L),
+      ("C", 7.0, 0L), ("C", 9.0, 2L) // zero weight drops
+    ).toDF("g", "v", "wt")
+    val got = Summaries.weightedMedian(df, Seq("g"), col("v"), col("wt"))
+      .orderBy(col("g"))
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("A", 6L, 3.0), ("B", 6L, 1.0), ("C", 2L, 9.0)))
+    // unit weights degrade to the LOWER median (even count picks the
+    // lower of the two central values)
+    val units = Seq(("U", 10.0, 1L), ("U", 20.0, 1L),
+      ("U", 30.0, 1L), ("U", 40.0, 1L)).toDF("g", "v", "wt")
+    val lm = Summaries.weightedMedian(units, Seq("g"), col("v"), col("wt"))
+      .select("weighted_median").as[Double].collect().head
+    assert(lm == 20.0)
+  }
+
   test("o12 integrity audit: injected violations counted exactly, controls pass") {
     // expected counts derive from the deterministic injection rules at
     // sf0.001 (152 customers → 2 with key%100=0 dup'd; 1500 orders → 30
