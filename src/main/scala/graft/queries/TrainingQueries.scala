@@ -1865,6 +1865,46 @@ object TrainingQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // Q10 — TPC-H Q10 returned-item reporting shape: which customers
+    // returned the most revenue this half-year — the
+    // filter-fact-early → join → wide-group → top-k plan that
+    // completes the q1/q3/q5 TPC-H spine with a HIGH-CARDINALITY
+    // grouping key (q1 groups on 6 cells, q5 on nations; q10 groups
+    // on customers — the shape where partial aggregation and the
+    // top-k heap earn their keep at scale). The returnflag filter cuts
+    // the fact scan first; orders date-prunes before joining; nation
+    // broadcasts onto the grouped result (post-aggregation — |groups|
+    // rows, not |lineitem|).
+    "q10_returned_items" -> ((s, d) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1996-07-01").cast("timestamp")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount"))
+      val grouped = li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          Summaries.exactSum(
+            col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+            .as("revenue"))
+      grouped
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("n_items"), col("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // D16 — URL-level dedup (the crawl-frontier collapse that runs
     // BEFORE any document fetch at corpus scale — distinct from t20's
     // per-domain rollup, which counts URLs without canonicalizing):
@@ -3839,6 +3879,20 @@ object TrainingQueries {
         |  AND l_shipdate > TIMESTAMP '1998-07-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name, count(*) AS n_items,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q5_local_supplier" ->
       """SELECT n_name, count(*) AS n_items,

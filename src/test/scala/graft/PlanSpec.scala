@@ -461,6 +461,18 @@ class PlanSpec extends SparkSpec {
       s"the orderdate window must reach the parquet scan\n$p")
   }
 
+  test("w36: weighted median — one group exchange serves both windows and the agg") {
+    val df = SparkEntry.queries("w36_weighted_median")(spark, sf0001)
+    val p = finalPlan(df)
+    // cumulative + total windows and the final aggregate all cluster on
+    // l_returnflag: exactly ONE hash exchange (plus the presentation
+    // range sort), and no join anywhere
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"one group-key exchange expected\n$p")
+    assert(!p.contains("Join"), s"no join in the weighted median\n$p")
+    assert("Window".r.findAllIn(p).size >= 1, s"window frame expected\n$p")
+  }
+
   test("d16: url dedup is explode + one grouped agg — no join, no extra shuffle") {
     val df = SparkEntry.queries("d16_url_dedup")(spark, sf0001)
     val p = finalPlan(df)

@@ -165,6 +165,32 @@ object WindowPropsSpec extends Properties("graft.windows") {
         cells(("z", "const")).isEmpty
     }
 
+  property("weightedMedian = brute-force reference, any partitioning") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(-20, 20), Gen.choose(0L, 5L))),
+      Gen.choose(1, 8)) { (pts, parts) =>
+      import graft.operators.Summaries
+      val df = pts.zipWithIndex.map { case ((v, wt), i) =>
+        ("g", v.toDouble, wt, i.toLong)
+      }.toDF("g", "v", "wt", "id").repartition(parts)
+      val got = Summaries.weightedMedian(df, Seq("g"), col("v"), col("wt"),
+          Seq(col("id")))
+        .select(col("total_weight"), col("weighted_median"))
+        .as[(Long, Option[Double])].collect().toSeq
+      val kept = pts.filter(_._2 > 0)
+      if (kept.isEmpty) got.isEmpty // all weight dropped → no group row
+      else {
+        // reference: sort by value, walk cumulative weight to W/2
+        val tot = kept.map(_._2).sum
+        val sorted = kept.map { case (v, wt) => (v.toDouble, wt) }.sortBy(_._1)
+        var cum = 0L
+        val med = sorted.collectFirst {
+          case (v, wt) if { cum += wt; 2 * cum >= tot } => v
+        }.get
+        got == Seq((tot, Some(med)))
+      }
+    }
+
   property("runningMaxExclusive = prefix max of prior arrivals") =
     forAll(Gen.listOfN(30, Gen.choose(0L, 100L))) { vals =>
       val rows = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
