@@ -197,10 +197,12 @@ object Summaries {
     * — O(1) state per group past the sort. `orderCols` break ties in
     * the cumulative order deterministically; the SELECTED value is
     * tie-insensitive (equal values qualify together) but the
-    * deterministic order keeps intermediate frames replayable. Rows
-    * with a null value or non-positive weight are dropped (a zero
-    * weight carries no mass; negative weights have no median
-    * semantics). */
+    * deterministic order keeps intermediate frames replayable.
+    * Weights must be INTEGRAL (the long cast truncates — a fractional
+    * weight has no exact-threshold semantics; quantize upstream like
+    * v11/w35 do); rows with a null value or a non-positive POST-CAST
+    * weight are dropped, so a (0,1) fraction or NaN cannot slip
+    * through as a zero-mass row and fabricate an all-zero group. */
   def weightedMedian(df: DataFrame, groupCols: Seq[String], valCol: Column,
       weightCol: Column, orderCols: Seq[Column] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -208,9 +210,13 @@ object Summaries {
     val w = Window.partitionBy(gs: _*).orderBy(valCol +: orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(gs: _*)
-    df.filter(valCol.isNotNull && weightCol > 0)
-      .withColumn("__v", valCol)
-      .withColumn("__w", weightCol.cast("long"))
+    df.withColumn("__v", valCol)
+      // try_cast: NaN/±Inf become NULL instead of an ANSI cast error,
+      // and the post-cast filter drops them with the zero-mass rows
+      .withColumn("__w", weightCol.try_cast("long"))
+      // filter on the CAST weight: the raw-weight form would keep
+      // fractional (0,1) and NaN weights as zero-mass rows
+      .filter(col("__v").isNotNull && col("__w") > 0)
       .withColumn("__cumw", sum(col("__w")).over(w))
       .withColumn("__tot", sum(col("__w")).over(wAll))
       .groupBy(gs: _*)

@@ -1201,9 +1201,9 @@ object TrainingQueries {
     // per-source aggregate. Determinism: p = cnt/n is one exact-integer
     // double division; entropy follows the t23 convention (round-6 the
     // single ln, cnt·lp products in exact decimal, final division by n
-    // unrounded); HHI's numerator Σ cnt² is exact-integer, the n²
-    // denominator multiplies as double (overflow-safe past 2³¹ rows of
-    // a source — documented, the 100 TB consideration).
+    // unrounded); HHI's numerator Σ cnt² accumulates in exact DECIMAL
+    // and the n² denominator squares in double, so NEITHER side wraps
+    // past 2³¹-row sources (the 100 TB consideration).
     "w33_diversity_profile" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source"))
@@ -1218,7 +1218,11 @@ object TrainingQueries {
           count(lit(1)).as("n_langs"),
           (-sum(col("lp").cast("decimal(38,6)") * col("cnt"))
             .cast("double") / max(col("n"))).as("lang_entropy"),
-          (sum(col("cnt") * col("cnt")) * lit(1.0)
+          // numerator in decimal (a cnt ≥ ~3e9 would silently wrap a
+          // long multiply in Spark and hard-error in DuckDB); the
+          // denominator squares in double — both honest past 2³¹ rows
+          (sum(col("cnt").cast("decimal(38,0)") * col("cnt"))
+            .cast("double")
             / (max(col("n")).cast("double") * max(col("n")).cast("double")))
             .as("hhi"),
           (max(col("cnt")) * lit(1.0) / max(col("n"))).as("top_share"))
@@ -1477,12 +1481,22 @@ object TrainingQueries {
     "j11_pit_join" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("us"), col("event_type"))
+      // same-µs tie collapse (the v17 simultaneous-click rule): two
+      // runs starting at one valid_from microsecond would make the
+      // as-of pick whichever row is physically last — keep only the
+      // LATEST version per (user, valid_from), the state that holds
+      // after both events
+      val wTie = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("valid_from"))
+        .orderBy(col("version").desc)
       val dim = WindowOps.scd2History(
           ev.filter(col("event_type") =!= "purchase"),
           keyCol = "user_id", attrCol = "event_type", tsCol = "us",
           orderCols = Seq(col("us"), col("event_id")))
         .select(col("user_id"), col("version"),
           col("event_type").as("state_type"), col("valid_from"))
+        .withColumn("__rn", row_number().over(wTie))
+        .filter(col("__rn") === 1).drop("__rn")
       val purch = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("us"))
       val pit = Joins.asOfJoin(purch, dim, "user_id", "us", "valid_from",
@@ -3014,7 +3028,8 @@ object TrainingQueries {
         |  SELECT l_returnflag, l_extendedprice AS v,
         |    CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
         |  FROM lineitem
-        |  WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+        |  WHERE l_extendedprice IS NOT NULL
+        |    AND CAST(l_quantity AS BIGINT) > 0
         |), c AS (
         |  SELECT l_returnflag, v, w,
         |    sum(w) OVER (PARTITION BY l_returnflag
@@ -3070,7 +3085,7 @@ object TrainingQueries {
         |  count(*) AS n_langs,
         |  -CAST(sum(CAST(lp AS DECIMAL(38,6)) * cnt) AS DOUBLE) / max(n)
         |    AS lang_entropy,
-        |  CAST(sum(cnt * cnt) AS BIGINT) * 1.0
+        |  CAST(sum(CAST(cnt AS DECIMAL(38,0)) * cnt) AS DOUBLE)
         |    / (CAST(max(n) AS DOUBLE) * CAST(max(n) AS DOUBLE)) AS hhi,
         |  max(cnt) * 1.0 / max(n) AS top_share
         |FROM l GROUP BY source ORDER BY source""".stripMargin,
@@ -3341,10 +3356,14 @@ object TrainingQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS version
         |  FROM m
-        |), dim AS (
+        |), dim0 AS (
         |  SELECT user_id, version, event_type AS state_type,
         |    min(us) AS valid_from
         |  FROM r GROUP BY user_id, version, event_type
+        |), dim AS (
+        |  SELECT * FROM dim0
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, valid_from
+        |    ORDER BY version DESC) = 1
         |), purch AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS us
         |  FROM events WHERE event_type = 'purchase'

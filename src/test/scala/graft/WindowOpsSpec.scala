@@ -237,6 +237,13 @@ class AsOfJoinSpec extends SparkSpec {
     val lm = Summaries.weightedMedian(units, Seq("g"), col("v"), col("wt"))
       .select("weighted_median").as[Double].collect().head
     assert(lm == 20.0)
+    // fractional and NaN weights truncate to zero mass and must DROP —
+    // a raw-weight filter would keep them and fabricate a zero-total
+    // group whose first row "qualifies" (2·0 ≥ 0)
+    val frac = Seq(("F", 1.0, 0.5), ("F", 2.0, 0.7),
+      ("F", 3.0, Double.NaN)).toDF("g", "v", "wt")
+    assert(Summaries.weightedMedian(frac, Seq("g"), col("v"), col("wt"))
+      .count() == 0)
   }
 
   test("o12 integrity audit: injected violations counted exactly, controls pass") {
