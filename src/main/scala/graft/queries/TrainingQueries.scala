@@ -1919,6 +1919,52 @@ object TrainingQueries {
         .limit(20)
     }),
 
+    // Q14 — TPC-H Q14 promo-revenue shape: what share of a quarter's
+    // revenue came from promo-type parts — the conditional-aggregate
+    // ratio computed in ONE pass (both sums ride the same hash
+    // aggregate; a UNION of two filtered sums would scan twice). The
+    // shipdate window prunes the fact scan; the |parts|-row dimension
+    // broadcasts by stats. Ratio = one double division of two
+    // decimal-exact sums, unrounded (the exactAvg rule).
+    "q14_promo_revenue" -> ((s, d) => {
+      val lo = lit("1997-01-01").cast("timestamp")
+      val hi = lit("1997-04-01").cast("timestamp")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select(col("l_partkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("rev"))
+        .join(Tables.part(s, d).select(col("p_partkey"), col("p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(count(lit(1)).as("n_items"),
+          (lit(100.0) * sum(when(col("p_type") === "PROMO", col("rev"))
+              .otherwise(lit(0.0)).cast("decimal(38,6)")).cast("double")
+            / sum(col("rev").cast("decimal(38,6)")).cast("double"))
+            .as("promo_revenue_pct"))
+    }),
+
+    // Q18 — TPC-H Q18 large-volume-order shape: aggregate-THEN-join —
+    // the qualifying-order set (sum(qty) > 250) reduces on the fact
+    // table's own key BEFORE any join touches orders or customer, so
+    // the join sides are |qualifying orders|-sized, not
+    // |lineitem|-sized (the shape that matters when the fact table is
+    // 10⁴× the qualifying set at 100 TB). Top-100 plans as the heap.
+    "q18_large_orders" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(Summaries.exactSum(col("l_quantity"), 2).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     // D16 — URL-level dedup (the crawl-frontier collapse that runs
     // BEFORE any document fetch at corpus scale — distinct from t20's
     // per-domain rollup, which counts URLs without canonicalizing):
@@ -3898,6 +3944,31 @@ object TrainingQueries {
         |  AND l_shipdate > TIMESTAMP '1998-07-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT count(*) AS n_items,
+        |  100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+        |    AS DECIMAL(38,6))) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(38,6))) AS DOUBLE) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2)
+        |      AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2)
+        |    AS DOUBLE) > 250
+        |)
+        |SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name, count(*) AS n_items,
