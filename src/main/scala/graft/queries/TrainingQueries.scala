@@ -1136,6 +1136,65 @@ object TrainingQueries {
         .orderBy(col("event_type"))
     }),
 
+    // X18 — feature STANDARDIZATION (z-score scaling): the
+    // fit-then-transform feature-prep pass every model input runs —
+    // ONE stats aggregate (decimal-exact moments → mean and population
+    // σ per column), the 1-row stats frame broadcast back, and a pure
+    // map pass emits (x − μ)/σ. Sample variance vs population is a
+    // knob; population (σ² = E[x²] − μ²) is sklearn's
+    // StandardScaler default, replayed here. The probe slice (every
+    // 200th row) keeps the oracle output bounded while the transform
+    // itself is corpus-wide by construction. z rounds to 6 after the
+    // one division (the shared float convention).
+    "x18_standardize" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val stats = li.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("l_extendedprice").cast("decimal(38,10)")).cast("double")
+          .as("sx"),
+        sum((col("l_extendedprice") * col("l_extendedprice"))
+          .cast("decimal(38,10)")).cast("double").as("sxx"))
+      li.filter(col("l_orderkey") % 200 === 0 && col("l_linenumber") === 1)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .crossJoin(broadcast(stats))
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          round((col("l_extendedprice") - col("sx") / col("n"))
+            / sqrt(col("sxx") / col("n")
+              - (col("sx") / col("n")) * (col("sx") / col("n"))), 6)
+            .as("z"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // O13 — integrity REPAIR (o12's apply stage): quarantine FK
+    // orphans instead of just counting them — the clean side continues
+    // to training, the orphan side lands in a quarantine audit with
+    // a reason tag (the SourceError quarantine discipline applied
+    // relationally). LEFT ANTI for the quarantine, LEFT SEMI for the
+    // clean pass-through — two joins against the same broadcast key
+    // side, no row ever silently dropped: clean + quarantined = input
+    // (asserted by the audit row the query emits).
+    "o13_integrity_repair" -> ((s, d) => {
+      val ordAug = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .unionByName(Tables.orders(s, d)
+          .filter(col("o_orderkey") % 50 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            (col("o_custkey") + 10000000L).as("o_custkey")))
+        .localCheckpoint(eager = false) // semi + anti + total share it
+      val custKeys = Tables.customer(s, d).select(col("c_custkey"))
+      val clean = ordAug.join(custKeys,
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      val quarantined = ordAug.join(custKeys,
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      val total = ordAug.agg(count(lit(1)).as("n_input"))
+      clean.agg(count(lit(1)).as("n_clean"))
+        .crossJoin(quarantined.agg(count(lit(1)).as("n_quarantined")))
+        .crossJoin(total)
+        .select(col("n_input"), col("n_clean"), col("n_quarantined"),
+          (col("n_clean") + col("n_quarantined") === col("n_input"))
+            .as("partitioned"))
+    }),
+
     // W36 — WEIGHTED median (SURVEY §7.4's named extension): per
     // returnflag, the price point at which half the shipped QUANTITY
     // sits below — the distribution-shape analytic the unweighted
@@ -3066,6 +3125,41 @@ object TrainingQueries {
         |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
         |    AS corr_xy
         |FROM m ORDER BY graph""".stripMargin,
+
+    // x18 replays the moment CTE and the identical (x−μ)/σ tree
+    "x18_standardize" ->
+      """WITH m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE)
+        |      AS sx,
+        |    CAST(sum(CAST(l_extendedprice * l_extendedprice
+        |      AS DECIMAL(38,10))) AS DOUBLE) AS sxx
+        |  FROM lineitem
+        |)
+        |SELECT l_orderkey, l_extendedprice,
+        |  round((l_extendedprice - sx / n)
+        |    / sqrt(sxx / n - (sx / n) * (sx / n)), 6) AS z
+        |FROM lineitem CROSS JOIN m
+        |WHERE l_orderkey % 200 = 0 AND l_linenumber = 1
+        |ORDER BY l_orderkey""".stripMargin,
+
+    // o13 replays the augmentation and counts both sides of the
+    // semi/anti partition
+    "o13_integrity_repair" ->
+      """WITH ord_aug AS (
+        |  SELECT o_orderkey, o_custkey FROM orders
+        |  UNION ALL SELECT o_orderkey + 10000000, o_custkey + 10000000
+        |  FROM orders WHERE o_orderkey % 50 = 0
+        |)
+        |SELECT count(*) AS n_input,
+        |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM customer c
+        |    WHERE c.c_custkey = o.o_custkey) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clean,
+        |  CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM customer c
+        |    WHERE c.c_custkey = o.o_custkey) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_quarantined,
+        |  true AS partitioned
+        |FROM ord_aug o""".stripMargin,
 
     // w36 replays the ordered cumulative-weight frame and the integer
     // threshold
