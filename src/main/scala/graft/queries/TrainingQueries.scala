@@ -1978,6 +1978,51 @@ object TrainingQueries {
         .limit(20)
     }),
 
+    // D17 — corpus OVERLAP ESTIMATION via bottom-k sketches: how much
+    // of corpus B is already in corpus A, WITHOUT joining the full
+    // fingerprint sets — the capacity-planning / contamination-rate
+    // estimate that runs before committing to a d7-style exact pass.
+    // Bottom-k (the order-statistics cousin of MinHash): each corpus
+    // keeps its k smallest fingerprint hashes (TakeOrderedAndProject —
+    // a distributed heap, corpus never sorts), and
+    // J ≈ |bottomk(A∪B) ∩ skA ∩ skB| / k. UNLIKE the float-projection
+    // ANN family this estimator is a DETERMINISTIC integer function of
+    // the data (s13's md5→BIGINT idiom), so the estimate itself
+    // hash-oracles — emitted NEXT TO the exact Jaccard and the abs
+    // error, making the accuracy visible in the oracle output. B
+    // derives from A deterministically (every 3rd doc shared, the rest
+    // suffixed) so exact J ≈ 1/5 and both engines replay it.
+    "d17_overlap_bottomk" -> ((s, d) => {
+      val K = 128
+      def hkey(c: Column): Column =
+        conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+      val docs = Tables.documents(s, d)
+      val a = docs.select(hkey(col("text")).as("h")).distinct()
+        .localCheckpoint(eager = false) // sketch + exact sides share it
+      val b = docs.select(
+          when(col("doc_id") % 3 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" vB"))).as("tb"))
+        .select(hkey(col("tb")).as("h")).distinct()
+        .localCheckpoint(eager = false)
+      val ka = a.orderBy(col("h")).limit(K)
+        .localCheckpoint(eager = false) // union + membership probes
+      val kb = b.orderBy(col("h")).limit(K)
+        .localCheckpoint(eager = false)
+      val ku = ka.unionByName(kb).distinct().orderBy(col("h")).limit(K)
+      val y = ku.join(ka, Seq("h"), "left_semi")
+        .join(kb, Seq("h"), "left_semi").agg(count(lit(1)).as("y"))
+      val inter = a.join(b, Seq("h"), "left_semi")
+        .agg(count(lit(1)).as("ni"))
+      val est = col("y") * lit(1.0) / lit(K)
+      val exact =
+        col("ni") * lit(1.0) / (col("na") + col("nb") - col("ni"))
+      y.crossJoin(inter)
+        .crossJoin(a.agg(count(lit(1)).as("na")))
+        .crossJoin(b.agg(count(lit(1)).as("nb")))
+        .select(lit(K.toLong).as("k"), est.as("est_jaccard"),
+          exact.as("exact_jaccard"), abs(est - exact).as("abs_err"))
+    }),
+
     // Q14 — TPC-H Q14 promo-revenue shape: what share of a quarter's
     // revenue came from promo-type parts — the conditional-aggregate
     // ratio computed in ONE pass (both sums ride the same hash
@@ -4038,6 +4083,38 @@ object TrainingQueries {
         |  AND l_shipdate > TIMESTAMP '1998-07-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    // d17 replays the bottom-k sketches with the s13 md5→BIGINT idiom;
+    // the estimator, the exact Jaccard and the error all hash-compare
+    "d17_overlap_bottomk" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |a AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+        |    AS h FROM docs
+        |), bsrc AS (
+        |  SELECT CASE WHEN doc_id % 3 = 0 THEN text
+        |    ELSE text || ' vB' END AS tb FROM docs
+        |), b AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(tb), 1, 15) AS BIGINT)
+        |    AS h FROM bsrc
+        |), ka AS (SELECT h FROM a ORDER BY h LIMIT 128),
+        |kb AS (SELECT h FROM b ORDER BY h LIMIT 128),
+        |ku AS (
+        |  SELECT DISTINCT h FROM (
+        |    SELECT h FROM ka UNION ALL SELECT h FROM kb
+        |  ) ORDER BY h LIMIT 128
+        |), y AS (
+        |  SELECT count(*) AS y FROM ku
+        |  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+        |), i AS (
+        |  SELECT count(*) AS ni FROM a WHERE h IN (SELECT h FROM b)
+        |), na AS (SELECT count(*) AS na FROM a),
+        |nb AS (SELECT count(*) AS nb FROM b)
+        |SELECT CAST(128 AS BIGINT) AS k,
+        |  y * 1.0 / 128 AS est_jaccard,
+        |  ni * 1.0 / (na + nb - ni) AS exact_jaccard,
+        |  abs(y * 1.0 / 128 - ni * 1.0 / (na + nb - ni)) AS abs_err
+        |FROM y, i, na, nb""".stripMargin,
 
     "q14_promo_revenue" ->
       """SELECT count(*) AS n_items,
