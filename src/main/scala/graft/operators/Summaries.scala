@@ -198,11 +198,15 @@ object Summaries {
     * the cumulative order deterministically; the SELECTED value is
     * tie-insensitive (equal values qualify together) but the
     * deterministic order keeps intermediate frames replayable.
-    * Weights must be INTEGRAL (the long cast truncates — a fractional
-    * weight has no exact-threshold semantics; quantize upstream like
-    * v11/w35 do); rows with a null value or a non-positive POST-CAST
-    * weight are dropped, so a (0,1) fraction or NaN cannot slip
-    * through as a zero-mass row and fabricate an all-zero group. */
+    * Fractional weights quantize by FLOOR before the long cast — an
+    * explicit floor() on BOTH engines, because a bare cast diverges
+    * cross-engine (Spark's cast truncates, DuckDB's CAST AS BIGINT
+    * rounds to nearest: weight 0.7 would be dropped here but kept as
+    * 1 by a naive oracle). Prefer integral weights (quantize upstream
+    * like v11/w35 do — floor is a lossy policy, not a semantics);
+    * rows with a null value or a non-positive POST-FLOOR weight are
+    * dropped, so a (0,1) fraction or NaN cannot slip through as a
+    * zero-mass row and fabricate an all-zero group. */
   def weightedMedian(df: DataFrame, groupCols: Seq[String], valCol: Column,
       weightCol: Column, orderCols: Seq[Column] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -211,9 +215,11 @@ object Summaries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(gs: _*)
     df.withColumn("__v", valCol)
-      // try_cast: NaN/±Inf become NULL instead of an ANSI cast error,
-      // and the post-cast filter drops them with the zero-mass rows
-      .withColumn("__w", weightCol.try_cast("long"))
+      // floor-then-try_cast: floor pins the fractional-weight policy
+      // to one both engines express identically; try_cast turns
+      // NaN/±Inf into NULL instead of an ANSI cast error, and the
+      // post-cast filter drops them with the zero-mass rows
+      .withColumn("__w", floor(weightCol).try_cast("long"))
       // filter on the CAST weight: the raw-weight form would keep
       // fractional (0,1) and NaN weights as zero-mass rows
       .filter(col("__v").isNotNull && col("__w") > 0)

@@ -2009,16 +2009,22 @@ object TrainingQueries {
       val kb = b.orderBy(col("h")).limit(K)
         .localCheckpoint(eager = false)
       val ku = ka.unionByName(kb).distinct().orderBy(col("h")).limit(K)
+        .localCheckpoint(eager = false) // membership probe + size
       val y = ku.join(ka, Seq("h"), "left_semi")
         .join(kb, Seq("h"), "left_semi").agg(count(lit(1)).as("y"))
       val inter = a.join(b, Seq("h"), "left_semi")
         .agg(count(lit(1)).as("ni"))
-      val est = col("y") * lit(1.0) / lit(K)
+      // denominator is the ACTUAL bottom-k size |ku| = min(K, |A∪B|),
+      // not the capacity K: on a union smaller than K the estimator
+      // y/K is biased low on BOTH engines (shared bias the oracle
+      // can't catch) — y/|ku| is the unbiased inclusion fraction
+      val est = col("y") * lit(1.0) / least(lit(K), col("ku_n"))
       val exact =
         col("ni") * lit(1.0) / (col("na") + col("nb") - col("ni"))
       y.crossJoin(inter)
         .crossJoin(a.agg(count(lit(1)).as("na")))
         .crossJoin(b.agg(count(lit(1)).as("nb")))
+        .crossJoin(ku.agg(count(lit(1)).as("ku_n")))
         .select(lit(K.toLong).as("k"), est.as("est_jaccard"),
           exact.as("exact_jaccard"), abs(est - exact).as("abs_err"))
     }),
@@ -3211,10 +3217,10 @@ object TrainingQueries {
     "w36_weighted_median" ->
       """WITH f AS (
         |  SELECT l_returnflag, l_extendedprice AS v,
-        |    CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
+        |    CAST(floor(l_quantity) AS BIGINT) AS w, l_orderkey, l_linenumber
         |  FROM lineitem
         |  WHERE l_extendedprice IS NOT NULL
-        |    AND CAST(l_quantity AS BIGINT) > 0
+        |    AND CAST(floor(l_quantity) AS BIGINT) > 0
         |), c AS (
         |  SELECT l_returnflag, v, w,
         |    sum(w) OVER (PARTITION BY l_returnflag
@@ -4109,12 +4115,14 @@ object TrainingQueries {
         |), i AS (
         |  SELECT count(*) AS ni FROM a WHERE h IN (SELECT h FROM b)
         |), na AS (SELECT count(*) AS na FROM a),
-        |nb AS (SELECT count(*) AS nb FROM b)
+        |nb AS (SELECT count(*) AS nb FROM b),
+        |kun AS (SELECT count(*) AS ku_n FROM ku)
         |SELECT CAST(128 AS BIGINT) AS k,
-        |  y * 1.0 / 128 AS est_jaccard,
+        |  y * 1.0 / least(128, ku_n) AS est_jaccard,
         |  ni * 1.0 / (na + nb - ni) AS exact_jaccard,
-        |  abs(y * 1.0 / 128 - ni * 1.0 / (na + nb - ni)) AS abs_err
-        |FROM y, i, na, nb""".stripMargin,
+        |  abs(y * 1.0 / least(128, ku_n)
+        |    - ni * 1.0 / (na + nb - ni)) AS abs_err
+        |FROM y, i, na, nb, kun""".stripMargin,
 
     "q14_promo_revenue" ->
       """SELECT count(*) AS n_items,

@@ -244,6 +244,14 @@ class AsOfJoinSpec extends SparkSpec {
       ("F", 3.0, Double.NaN)).toDF("g", "v", "wt")
     assert(Summaries.weightedMedian(frac, Seq("g"), col("v"), col("wt"))
       .count() == 0)
+    // fractional weights ≥ 1 quantize by FLOOR, not round-to-nearest:
+    // 2.7 contributes mass 2 (a nearest-rounding engine would give 3
+    // and flip the median to 5.0 — the cross-engine divergence the
+    // explicit floor() pins down on both sides of the oracle)
+    val fl = Seq(("G", 5.0, 2.7), ("G", 1.0, 2.0)).toDF("g", "v", "wt")
+    val flGot = Summaries.weightedMedian(fl, Seq("g"), col("v"), col("wt"))
+      .as[(String, Long, Double)].collect().head
+    assert(flGot == (("G", 4L, 1.0)))
   }
 
   test("o12 integrity audit: injected violations counted exactly, controls pass") {
