@@ -345,6 +345,38 @@ class PlanSpec extends SparkSpec {
       s"the corpus must stream through the probe without shuffling\n$p")
   }
 
+  test("q4/q17/q21/q22: correlated subqueries decorrelate to hash equi-joins — no BNLJ") {
+    // the capability under test: Catalyst's RewritePredicateSubquery /
+    // RewriteCorrelatedScalarSubquery must turn every EXISTS /
+    // NOT EXISTS / correlated scalar aggregate into semi / anti /
+    // aggregate-then-join HASH machinery. A BroadcastNestedLoopJoin or
+    // CartesianProduct here means a correlated predicate survived as a
+    // per-outer-row rescan — the plan class that dies at any scale
+    // (q21's double self-reference is the shape that historically bites)
+    // shapes pin on the PRE-adaptive plan: q21 is legitimately empty at
+    // sf0.001 and AQE's EmptyRelation propagation erases the very joins
+    // under test from the finalized plan — the decorrelation decision
+    // is made before AQE and is what must hold at scale
+    for (q <- Seq("q4_priority_check", "q17_small_qty_revenue",
+        "q21_waiting_suppliers", "q22_dormant_customers")) {
+      val p = planString(q)
+      assert(!p.contains("BroadcastNestedLoopJoin")
+          && !p.contains("CartesianProduct"),
+        s"$q: correlated predicate survived as a nested-loop plan\n$p")
+    }
+    // the specific decorrelated shapes, pinned: q21 = one semi (other
+    // supplier exists) + one anti (no other LATE supplier) on the fact
+    // key; q22's NOT EXISTS = one anti on custkey, and its uncorrelated
+    // scalar average pushes all the way into the parquet scan
+    val q21 = planString("q21_waiting_suppliers")
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"),
+      s"q21 should plan one semi and one anti join\n$q21")
+    val q22 = planString("q22_dormant_customers")
+    assert(q22.contains("LeftAnti"), s"q22 NOT EXISTS should be an anti join\n$q22")
+    assert(q22.contains("GreaterThan(c_acctbal,ScalarSubquery"),
+      s"q22's scalar-subquery threshold should push to the scan\n$q22")
+  }
+
   test("j10: banded range join is a bucket equi-join — no nested-loop, no cartesian") {
     val df = SparkEntry.queries("j10_band_join")(spark, sf0001)
     val p = finalPlan(df)
