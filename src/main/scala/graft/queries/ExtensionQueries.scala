@@ -201,11 +201,16 @@ object ExtensionQueries {
         .join(pairs, Seq("a_id", "b_id"), "left_anti")
         .agg(coalesce(count(lit(1)), lit(0L)).as("n_missed"))
       val nPlanted = plantKeys.agg(count(lit(1)).as("n_planted"))
+      // d17 pattern: n_planted (nonzero-norm vec_id%50 rows) is
+      // SQL-expressible — the oracle re-derives it from the embeddings
+      // table (e10's nz-CTE machinery), so a broken injection stage
+      // now hash-mismatches instead of passing vacuously
       reverified.crossJoin(recall).crossJoin(nPlanted).select(
         (col("n_pairs") > col("n_planted") && col("n_planted") > 0)
           .as("has_natural_pairs"),
         (col("n_missed") === 0).as("planted_recalled"),
-        (col("n_mismatch") === 0).as("pairs_reverified"))
+        (col("n_mismatch") === 0).as("pairs_reverified"),
+        col("n_planted"))
     }),
 
     // E10 — semantic outlier scoring (SemDeDup / SSL-prototype pruning):
@@ -1200,9 +1205,19 @@ object ExtensionQueries {
       """SELECT true AS has_pairs, true AS pairs_cross_only,
         |  true AS pairs_reverified""".stripMargin,
 
+    // e3b's n_planted re-derives from the embeddings table via e10's
+    // nonzero-norm CTE (the d17 pattern)
     "e3b_neardup_contract" ->
-      """SELECT true AS has_natural_pairs, true AS planted_recalled,
-        |  true AS pairs_reverified""".stripMargin,
+      """WITH x AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |), nz AS (
+        |  SELECT vec_id FROM x GROUP BY vec_id HAVING sum(v * v) > 0
+        |)
+        |SELECT true AS has_natural_pairs, true AS planted_recalled,
+        |  true AS pairs_reverified,
+        |  (SELECT count(*) FROM nz WHERE vec_id % 50 = 0) AS n_planted""".stripMargin,
 
     "q2_sql_surface" ->
       """WITH x AS (
