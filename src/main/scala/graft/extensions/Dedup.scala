@@ -787,4 +787,81 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
+
+  /** EXACT substring-level duplication profile — the arbitrary-LENGTH
+    * duplicated-passage pass the fixed-n-gram family (d5/d8/d13) can't
+    * express (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", the industry-standard LLM-corpus dedup; their
+    * suffix-array formulation re-expressed relationally): a duplicated
+    * substring of L ≥ `width` tokens appears as a RUN of L − width + 1
+    * consecutive duplicated width-shingles, so maximal runs of
+    * duplicated shingle positions recover maximal duplicated
+    * substrings EXACTLY at token grain (for any L ≥ width), without a
+    * suffix array and without any pair join.
+    *
+    * Stages, all integer-exact (oracles like d17):
+    *  1. per-position width-token shingles (map-side explode:
+    *     |tokens| rows, narrow);
+    *  2. duplicated-shingle set = md5-hash group with ≥ minOccurrences
+    *     occurrences (within- OR cross-document — one map-side-
+    *     combinable hash aggregate);
+    *  3. mark positions via a LEFT SEMI join on the hash — the
+    *     bucket-key equi-join discipline (d14): there is NO candidate
+    *     pair stage anywhere, the operator is strictly linear in token
+    *     count;
+    *  4. gaps-and-islands (pos − row_number per doc) groups consecutive
+    *     duplicated positions into runs; per-doc rollup emits run
+    *     count, longest duplicated substring (run + width − 1 tokens)
+    *     and total duplicated-shingle mass.
+    *
+    * Scale shape: one hash exchange on the shingle hash (agg + semi
+    * join share it via exchange reuse), one doc-keyed window, one
+    * doc-keyed aggregate — no skew trap (a pathological shingle
+    * repeated 10⁹ times adds ROWS to one group's count, never a pair
+    * blowup, because nothing ever joins bucket-members to each other).
+    * Docs shorter than `width` tokens contribute no shingles and
+    * report zeros via the corpus left join. */
+  def substringRuns(docs: DataFrame, idCol: String, textCol: String,
+      width: Int = 8, minOccurrences: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(width >= 2, "width must be at least 2 tokens")
+    val sh = parallelizeSmallScan(docs)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      // the filter, not greatest(): Spark's sequence(1, 0) counts DOWN
+      // ([1, 0]) instead of emitting empty — short docs must never
+      // reach the transform
+      .filter(size(col("toks")) >= width)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(toks) - ${width - 1}), " +
+          s"i -> array_join(slice(toks, i, $width), ' '))")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        conv(substring(md5(col("col").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      // barrier: the dup aggregate and the semi-join probe both read
+      // this frame — without it the tokenize+shingle+hash projection
+      // runs twice (the minHashLshPairs precedent)
+      .localCheckpoint(eager = false)
+    val dup = sh.groupBy(col("h"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOccurrences)
+      .select(col("h"))
+    val marked = sh.join(dup, Seq("h"), "left_semi")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val runs = marked
+      .groupBy(col("doc_id"), (col("pos") - col("rn")).as("island"))
+      .agg(count(lit(1)).as("run_shingles"))
+    val perDoc = runs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_runs"),
+        (max(col("run_shingles")) + lit(width - 1).cast("long"))
+          .as("longest_dup_tokens"),
+        sum(col("run_shingles")).as("dup_shingles"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_runs"), lit(0L)).as("n_dup_runs"),
+        coalesce(col("longest_dup_tokens"), lit(0L))
+          .as("longest_dup_tokens"),
+        coalesce(col("dup_shingles"), lit(0L)).as("dup_shingles"))
+  }
 }

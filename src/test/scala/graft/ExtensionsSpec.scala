@@ -81,6 +81,33 @@ class DedupSpec extends SparkSpec {
       "no regrow cycle: membership unchanged once the bucket is full")
   }
 
+  test("substringRuns recovers the planted maximal duplicated substring exactly") {
+    // docs 1 and 2 share ONLY the 8-token block s1..s8, embedded at
+    // different offsets with doc-unique flanks: at width 4 exactly the
+    // 5 block-internal shingles duplicate and the boundary shingles
+    // terminate the run, so longest = 5 + (4-1) = 8 — the planted
+    // substring recovered at its exact length, not longer. doc 5 pins
+    // WITHIN-doc repetition (same shingle at two positions → two
+    // 1-shingle runs); doc 3 has unique shingles, doc 4 is shorter
+    // than the width and must report zeros via the corpus left join.
+    val sdocs = Seq(
+      (1L, "p1 p2 p3 s1 s2 s3 s4 s5 s6 s7 s8 t1 t2"),
+      (2L, "q1 q2 q3 q4 q5 s1 s2 s3 s4 s5 s6 s7 s8 u1 u2 u3"),
+      (3L, "v1 v2 v3 v4 v5 v6"),
+      (4L, "w1 w2 w3"),
+      (5L, "x1 x2 x3 x4 y9 x1 x2 x3 x4")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringRuns(sdocs, "doc_id", "text", width = 4)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 8L, 5L),
+      (2L, 1L, 8L, 5L),
+      (3L, 0L, 0L, 0L),
+      (4L, 0L, 0L, 0L),
+      (5L, 2L, 4L, 2L)))
+  }
+
   test("containment catches a subset doc that Jaccard misses") {
     // doc 11 is the first half of doc 10: Jaccard ≈ 0.5 (below any
     // near-dup threshold), containment(11→10) = 1.0. Directedness:
