@@ -484,6 +484,30 @@ object Graph {
     * node set) frame plus the uniform initial state. One materialization
     * serves every superstep (positive-weight contract enforced up front
     * — see [[pageRank]]'s scaladoc). */
+  /** CONNECTED COMPONENTS over an undirected BIGINT-id edge list — the
+    * first-class graph surface over
+    * [[graft.extensions.Dedup.nearDupClusters]]'s cluster engine: the
+    * near-dup clustering problem IS connected components, so the graph
+    * query reuses that tested machinery (hybrid driver union-find under
+    * its documented bounded-edge contract, distributed alternating-min
+    * label iteration as the scale fallback — force it with
+    * `driverEdgeLimit = 0`) instead of a second implementation.
+    * Returns (node, component_id) for every edge-incident node, with
+    * component_id = the component's minimum node id (the deterministic
+    * labeling both the d9 recursive-CTE oracle replay and the keep-min
+    * dedup apply use). Isolated nodes are the caller's concern: a graph
+    * extraction that emits edges has already dropped them. */
+  def connectedComponents(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", driverEdgeLimit: Long = 5000000L): DataFrame = {
+    val nodes = edges.select(col(srcCol).as("node"))
+      .unionByName(edges.select(col(dstCol).as("node")))
+      .distinct()
+    graft.extensions.Dedup.nearDupClusters(nodes,
+        edges.select(col(srcCol).as("a_id"), col(dstCol).as("b_id")),
+        "node", driverEdgeLimit = driverEdgeLimit)
+      .select(col("node"), col("cluster_id").as("component_id"))
+  }
+
   private def prepare(
       edges: DataFrame, broadcastRanks: Boolean,
       weightCol: Option[String]): (DataFrame, DataFrame) = {

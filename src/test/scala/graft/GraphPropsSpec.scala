@@ -206,6 +206,37 @@ object GraphPropsSpec extends Properties("graft.graph") {
       a == b
     }
 
+  private val longEdgesGen: Gen[List[(Long, Long)]] =
+    Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))
+      .map(_.filter { case (a, b) => a != b }.distinct)
+      .suchThat(_.nonEmpty)
+
+  property("connectedComponents = brute-force union-find, both engine paths") =
+    forAll(longEdgesGen) { es =>
+      // local ground truth: min-id component labels via union-find
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElseUpdate(r, r) != r) {
+          parent(r) = parent(parent(r)); r = parent(r)
+        }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(k => k -> find(k)).toMap
+      val df = es.toDF("src", "dst")
+      val driver = Graph.connectedComponents(df)
+        .as[(Long, Long)].collect().toMap
+      // distributed alternating-min fallback must label identically —
+      // the path a >5M-edge graph takes on a real cluster
+      val dist = Graph.connectedComponents(df, driverEdgeLimit = 0L)
+        .as[(Long, Long)].collect().toMap
+      driver == expected && dist == expected
+    }
+
   private val corpusGen: Gen[Map[Long, String]] =
     Gen.mapOf(Gen.zip(Gen.choose(0L, 12L), Gen.oneOf("x", "y", "z")))
 
