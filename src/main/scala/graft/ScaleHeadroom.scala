@@ -312,6 +312,83 @@ object ScaleHeadroom {
       }
       report(s"d14_skewed_$label", 1, secs, rows)
     }
+
+    // ---- g5 degree-orientation binding on a dense hub graph ---------
+    // (r5 verdict item 6 — the d3/d14 cap-experiment discipline applied
+    // to triangles.) The copy-inflation fixture above is overhead-bound
+    // (flat seconds through 25×), so the orientation's wedge-volume
+    // bound had never been OBSERVED binding. This fixture makes it
+    // bind: 4 hubs adjacent to all 3,000 spokes + a spoke ring. An
+    // UNORIENTED wedge join pays Σ C(deg,2) ≈ 4·C(3000,2) ≈ 18M wedge
+    // rows (hub-centered); the (deg,id)-orientation gives every
+    // spoke→hub edge to the spoke, so hubs have out-degree 0 and wedge
+    // volume collapses to Σ C(outdeg,2) ≈ 3000·C(6,2) ≈ 45k — the
+    // ~400× reduction that IS the Chiba–Nishizeki/degeneracy argument,
+    // measured. The naive comparator enumerates unoriented wedges
+    // (v < w de-dups the two wedge arms) and closes against the
+    // canonical edge set — same per-node triangle counts (asserted),
+    // quadratic hub fanout.
+    def naiveTriangleCount(edges: DataFrame): DataFrame = {
+      val und = edges
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(eager = false)
+      val adj = und.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+        .localCheckpoint(eager = false)
+      val wedges = adj
+        .join(adj.select(col("u"), col("v").as("w")), Seq("u"))
+        .filter(col("v") < col("w"))
+      wedges.join(und.select(col("a").as("v"), col("b").as("w")),
+          Seq("v", "w"), "left_semi")
+        .groupBy(col("u").as("node")).agg(count(lit(1)).as("triangles"))
+    }
+    val nSpokes = 3000L
+    val spokeIds = spark.range(nSpokes)
+    val hubGraph = spokeIds.crossJoin(
+        spark.range(4).select((col("id") + 1000000L).as("dst")))
+      .select(col("id").as("src"), col("dst"))
+      .unionByName(spokeIds.select(col("id").as("src"),
+        pmod(col("id") + 1L, lit(nSpokes)).as("dst")))
+      .localCheckpoint(eager = false)
+    hubGraph.count()
+    val undH = hubGraph
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(eager = false)
+    val degH = undH.select(col("a").as("node"))
+      .unionByName(undH.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = false)
+    // deg·(deg−1) is even, so the halving stays exact in LONG — `/ 2`
+    // on Columns is DOUBLE division and would ClassCastException the
+    // getLong below
+    val naiveWedges = degH
+      .agg(sum(col("deg") * (col("deg") - 1))).first().getLong(0) / 2
+    val orientedWedges = undH
+      .join(degH.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(degH.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(when(col("da") < col("db")
+          || (col("da") === col("db") && col("a") < col("b")),
+        col("a")).otherwise(col("b")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("od"))
+      .agg(sum(col("od") * (col("od") - 1))).first().getLong(0) / 2
+    println(s"""{"harness":"scale_headroom","query":"g5_dense_wedge_volume"""" +
+      s""","oriented":$orientedWedges,"naive":$naiveWedges}""")
+    val oriTotal = graft.operators.Graph.triangleCount(hubGraph)
+      .agg(sum(col("triangles"))).first().getLong(0)
+    val naiveTotal = naiveTriangleCount(hubGraph)
+      .agg(sum(col("triangles"))).first().getLong(0)
+    require(oriTotal == naiveTotal,
+      s"oriented ($oriTotal) and naive ($naiveTotal) disagree on the hub graph")
+    for ((label, fn) <- Seq[(String, DataFrame => DataFrame)](
+        "oriented" -> (graft.operators.Graph.triangleCount(_)),
+        "naive_wedges" -> (naiveTriangleCount _))) {
+      val (secs, rows) = timeBest { forceAll(fn(hubGraph)) }
+      report(s"g5_dense_$label", 1, secs, rows)
+    }
     spark.stop()
   }
 }

@@ -18,6 +18,13 @@ import graft.sources.Tables
   */
 object TrainingQueries {
 
+  /** The deterministic 30-token passage d18 appends to every
+    * doc_id % 7 == 0 (the d16 injection precedent) — shared by the
+    * Spark query and the DuckDB oracle so both replay it verbatim. */
+  val DedupPassage: String = "grain alpha beta gamma delta epsilon " +
+    "zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma " +
+    "tau upsilon phi chi psi omega red green blue gold silver"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // S8 — stratified deterministic sampling via a multiplicative integer
@@ -1729,6 +1736,57 @@ object TrainingQueries {
         .orderBy(col("node"))
     }),
 
+    // G11 — CONNECTED COMPONENTS as a first-class graph query
+    // (r5 verdict item 5): per-component part counts over the SHARED
+    // CoPurchasePairs artifact (the g5/g6 extraction — support-≥2
+    // co-purchase pairs fragment genuinely: 8 components at sf0.01,
+    // ~2300 at sf0.1). Graph.connectedComponents delegates to the
+    // nearDupClusters engine d9 already proved against the recursive-
+    // CTE oracle — this query re-proves it on a DIFFERENT graph with
+    // the same transitive-closure replay. min-id component labels make
+    // the rollup deterministic.
+    "g11_connected_components" -> ((s, d) => {
+      graft.operators.Graph.connectedComponents(CoPurchasePairs(s, d))
+        .groupBy(col("component_id"))
+        .agg(count(lit(1)).as("n_parts"), max(col("node")).as("max_part"))
+        .orderBy(col("n_parts").desc, col("component_id"))
+    }),
+
+    // G12 — K-HOP NEIGHBORHOOD AGGREGATION over the shared TradingPairs
+    // artifact: for each seed customer (c_custkey % 100 == 0 — the g4
+    // seed set), the 1-hop supplier count + traded-lineitem mass and
+    // the 2-hop customer reach (customers sharing a supplier with the
+    // seed, seed excluded). The relational k-hop shape: k BOUNDED
+    // equi-joins on the pair table's own keys — frontier expansion
+    // with no iteration state, no cartesian exposure; seeds broadcast
+    // by stats, countDistinct exchanges on the seed key only. Seeds
+    // with no trades report zeros via the corpus left join.
+    "g12_khop_aggregation" -> ((s, d) => {
+      val ce = TradingPairs(s, d)
+      val seeds = Tables.customer(s, d)
+        .filter(col("c_custkey") % 100 === 0)
+        .select(concat(lit("c"), col("c_custkey").cast("string"))
+          .as("seed"))
+      val h1 = seeds.join(ce, col("seed") === col("c"))
+        .select(col("seed"), col("s"), col("w"))
+        .localCheckpoint(eager = false) // 1-hop agg + 2-hop frontier share it
+      val h1agg = h1.groupBy(col("seed"))
+        .agg(countDistinct(col("s")).as("n_suppliers_1hop"),
+          sum(col("w")).as("w_1hop"))
+      val h2agg = h1.select(col("seed"), col("s")).distinct()
+        .join(ce.select(col("s"), col("c").as("c2")), Seq("s"))
+        .filter(col("c2") =!= col("seed"))
+        .groupBy(col("seed"))
+        .agg(countDistinct(col("c2")).as("n_customers_2hop"))
+      seeds.join(h1agg, Seq("seed"), "left")
+        .join(h2agg, Seq("seed"), "left")
+        .select(col("seed"),
+          coalesce(col("n_suppliers_1hop"), lit(0L)).as("n_suppliers_1hop"),
+          coalesce(col("w_1hop"), lit(0L)).as("w_1hop"),
+          coalesce(col("n_customers_2hop"), lit(0L)).as("n_customers_2hop"))
+        .orderBy(col("seed"))
+    }),
+
     // O7 — deterministic global row numbering (contiguous example ids /
     // leaderboard positions) WITHOUT `row_number() OVER (ORDER BY …)`'s
     // single-task global window: range repartition + parallel in-
@@ -2053,6 +2111,29 @@ object TrainingQueries {
         .crossJoin(ku.agg(count(lit(1)).as("ku_n")))
         .select(lit(K.toLong).as("k"), est.as("est_jaccard"),
           exact.as("exact_jaccard"), abs(est - exact).as("abs_err"))
+    }),
+
+    // D18 — EXACT substring-level dedup (Lee et al.'s dedup-substring
+    // pass, the arbitrary-length complement to the fixed-grain d5/d8/
+    // d13 family): maximal runs of consecutive duplicated 8-token
+    // shingles recover maximal duplicated substrings exactly — see
+    // Dedup.substringRuns. The corpus carries no guaranteed long
+    // shared passage, so a deterministic 30-token passage is appended
+    // to every doc_id % 7 == 0 (the d16 injection precedent, replayed
+    // verbatim by the oracle): those docs provably report
+    // longest_dup_tokens ≥ 30 (23 consecutive passage-internal
+    // shingles + width − 1), while the boundary shingles spanning each
+    // doc's own tail stay doc-unique and terminate the run — the
+    // maximal-extraction property the fixture pins. Integer-exact
+    // (counts + md5-derived hashes) → full hash oracle.
+    "d18_substring_dedup" -> ((s, d) => {
+      val injected = Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" " + DedupPassage)))
+            .otherwise(col("text")).as("text"))
+      Dedup.substringRuns(injected, "doc_id", "text", width = 8)
+        .orderBy(col("doc_id"))
     }),
 
     // Q14 — TPC-H Q14 promo-revenue shape: what share of a quarter's
@@ -2826,6 +2907,55 @@ object TrainingQueries {
   val oracles: Map[String, String] = Map(
     "g1_pagerank" -> pageRankOracleSql(5, weighted = false),
     "g2_weighted_pagerank" -> pageRankOracleSql(5, weighted = true),
+
+    // g11 replays min-label components via the d9 transitive-closure
+    // recursive CTE — a second formulation of the same closure on the
+    // co-purchase graph
+    "g11_connected_components" ->
+      """WITH RECURSIVE cp AS (
+        |  SELECT x.l_partkey AS src, y.l_partkey AS dst
+        |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+        |  WHERE x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), nodes AS (
+        |  SELECT src AS node FROM cp UNION SELECT dst FROM cp
+        |), edges AS (
+        |  SELECT src AS s, dst AS t FROM cp UNION ALL SELECT dst, src FROM cp
+        |), reach(id, r) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e.t, r.r FROM reach r JOIN edges e ON e.s = r.id
+        |), lbl AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id)
+        |SELECT component_id, count(*) AS n_parts, max(id) AS max_part
+        |FROM lbl GROUP BY component_id
+        |ORDER BY n_parts DESC, component_id""".stripMargin,
+
+    "g12_khop_aggregation" ->
+      """WITH ce AS (
+        |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS s, count(*) AS w
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2
+        |), seeds AS (
+        |  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS seed FROM customer
+        |  WHERE c_custkey % 100 = 0
+        |), h1 AS (SELECT seed, s, w FROM seeds JOIN ce ON seed = c),
+        |h1agg AS (
+        |  SELECT seed, count(DISTINCT s) AS n_suppliers_1hop,
+        |    CAST(sum(w) AS BIGINT) AS w_1hop FROM h1 GROUP BY seed
+        |), h2 AS (
+        |  SELECT DISTINCT h.seed, ce.c AS c2
+        |  FROM (SELECT DISTINCT seed, s FROM h1) h JOIN ce ON h.s = ce.s
+        |  WHERE ce.c <> h.seed
+        |), h2agg AS (
+        |  SELECT seed, count(*) AS n_customers_2hop FROM h2 GROUP BY seed
+        |)
+        |SELECT sd.seed, coalesce(a.n_suppliers_1hop, 0) AS n_suppliers_1hop,
+        |  coalesce(a.w_1hop, 0) AS w_1hop,
+        |  coalesce(b.n_customers_2hop, 0) AS n_customers_2hop
+        |FROM seeds sd LEFT JOIN h1agg a ON sd.seed = a.seed
+        |LEFT JOIN h2agg b ON sd.seed = b.seed
+        |ORDER BY sd.seed""".stripMargin,
     "g8_hits" -> hitsOracleSql(3),
     // the ε = 1.0 L1-stop deterministically selects 4 supersteps on this
     // graph at EVERY scale factor (SF-invariant residual sequence — see
@@ -4389,6 +4519,45 @@ object TrainingQueries {
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    // d18 replays the injection, the per-position 8-token shingles, the
+    // md5-hash duplicated-set, and the gaps-and-islands run extraction
+    // (1-based positions vs Spark's 0-based — the island arithmetic
+    // pos − row_number is offset-invariant)
+    "d18_substring_dedup" ->
+      ("""WITH injected AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |    THEN text || ' """ + DedupPassage + """' ELSE text END AS text
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM injected
+        |  WHERE len(string_split(text, ' ')) >= 8
+        |), pos AS (
+        |  SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i FROM base
+        |), sh AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    CAST('0x' || substr(md5(array_to_string(
+        |      list_slice(toks, i, i + 7), ' ')), 1, 15) AS BIGINT) AS h
+        |  FROM pos
+        |), dup AS (
+        |  SELECT h FROM sh GROUP BY h HAVING count(*) >= 2
+        |), marked AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+        |  FROM sh WHERE h IN (SELECT h FROM dup)
+        |), runs AS (
+        |  SELECT doc_id, pos - rn AS island, count(*) AS rs
+        |  FROM marked GROUP BY doc_id, pos - rn
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_dup_runs,
+        |    max(rs) + 7 AS longest_dup_tokens, sum(rs) AS dup_shingles
+        |  FROM runs GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(a.n_dup_runs, 0) AS n_dup_runs,
+        |  coalesce(a.longest_dup_tokens, 0) AS longest_dup_tokens,
+        |  coalesce(a.dup_shingles, 0) AS dup_shingles
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""").stripMargin,
 
     // q4/q17/q21/q22: DuckDB runs the SAME correlated-subquery text —
     // the second formulation is the second ENGINE's decorrelation,
