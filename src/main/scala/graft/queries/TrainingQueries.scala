@@ -2303,6 +2303,162 @@ object TrainingQueries {
         ORDER BY cntrycode""")
     }),
 
+    // Q7 — TPC-H Q7 volume-shipping shape: trade volume between two
+    // nations by direction and year — the symmetric-pair predicate
+    // ((A,B) OR (B,A)) carried on two BROADCAST nation dims, the
+    // shipdate window pruning the fact scan, year() extraction as a
+    // grouping key. The two nation joins reduce customer/supplier to
+    // keyed (key, nation) frames BEFORE touching lineitem (the q5
+    // dimension-first discipline).
+    "q7_nation_volume" -> ((s, d) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1998-01-01").cast("timestamp")
+      val supN = Tables.supplier(s, d)
+        .join(Tables.nation(s, d),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val custN = Tables.customer(s, d)
+        .join(Tables.nation(s, d),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_shipdate"), col("l_extendedprice"), col("l_discount"))
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(supN, col("l_suppkey") === col("s_suppkey"))
+        .join(custN, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_3"
+            && col("cust_nation") === "NATION_8")
+          || (col("supp_nation") === "NATION_8"
+            && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n_items"),
+          Summaries.exactSum(
+            col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+            .as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("yr"))
+    }),
+
+    // Q9 — TPC-H Q9 product-profit shape: profit per supplier nation
+    // per order year over a name-pattern part slice. The schema has no
+    // partsupp, so supply cost adapts to 0.8·p_retailprice (a
+    // deterministic per-part cost the oracle replays verbatim) —
+    // preserving the shape: a 5-way join where the widest row (the
+    // profit term) is assembled map-side and immediately aggregated on
+    // a LOW-cardinality (nation, year) key; nation broadcasts, part
+    // prunes on the LIKE before joining.
+    "q9_product_profit" -> ((s, d) => {
+      val amount = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        lit(0.8) * col("p_retailprice") * col("l_quantity")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"), col("l_quantity"))
+        .join(Tables.part(s, d)
+          .filter(col("p_name").like("%a%"))
+          .select(col("p_partkey"), col("p_retailprice")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(Summaries.exactSum(amount, 2).as("sum_profit"))
+        .orderBy(col("n_name"), col("yr"))
+    }),
+
+    // Q16 — TPC-H Q16 supplier-count shape: distinct suppliers per
+    // (brand, type, size) slice, EXCLUDING a supplier denylist via
+    // NOT IN (uncorrelated subquery → one broadcast LEFT ANTI join —
+    // the relational form of q16's complaint filter, here suppliers in
+    // arrears). The part-attribute filters (<> and IN-list) push to
+    // the part scan; lineitem plays the part↔supplier relation the
+    // schema's missing partsupp would provide; countDistinct exchanges
+    // once on the 3-column group key.
+    "q16_supplier_count" -> ((s, d) => {
+      val denylist = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"))
+        .join(denylist, col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .join(Tables.part(s, d)
+          .filter(col("p_brand") =!= "Brand#45"
+            && col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"),
+            col("p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"),
+          col("p_type"), col("p_size"))
+        .limit(20)
+    }),
+
+    // Q19 — TPC-H Q19 discounted-revenue shape: the OR-of-ANDs
+    // predicate class — three (brand, size-band, quantity-band)
+    // disjuncts spanning BOTH join sides. The engine capability under
+    // test: Catalyst splits the disjunction into the part-local
+    // residual ((brand∧size) OR …) — pushed INTO the part scan — and
+    // keeps only the cross-table conjuncts as the join residual, on
+    // top of a plain partkey equi-join (no BNLJ; PlanSpec pins both).
+    "q19_disjunctive_revenue" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      li.join(p, col("l_partkey") === col("p_partkey")
+          && ((col("p_brand") === "Brand#12"
+              && col("p_size").between(1, 15)
+              && col("l_quantity").between(1, 21))
+            || (col("p_brand") === "Brand#23"
+              && col("p_size").between(10, 30)
+              && col("l_quantity").between(10, 30))
+            || (col("p_brand") === "Brand#34"
+              && col("p_size").between(20, 50)
+              && col("l_quantity").between(20, 40))))
+        .agg(count(lit(1)).as("n_items"),
+          Summaries.exactSum(
+            col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+            .as("revenue"))
+    }),
+
+    // Q20 — TPC-H Q20 excess-stock shape: the nested IN + correlated
+    // aggregate — suppliers who DOMINATE a meaningful part's flow
+    // (own shipped quantity > 20% of the part's corpus-wide total AND
+    // ≥ 60 units; no partsupp in the schema, so lineitem's own
+    // (part, supplier) rollup plays availqty). SQL text (the q4/q21
+    // discipline): Catalyst decorrelates the HAVING's scalar subquery
+    // into a per-part total aggregate joined back on l_partkey, and
+    // the IN into one left-semi join on s_suppkey — no per-row
+    // re-aggregation, no BNLJ (PlanSpec).
+    "q20_dominant_suppliers" -> ((s, d) => {
+      Tables.supplier(s, d).createOrReplaceTempView("supplier")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      s.sql("""
+        SELECT s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM lineitem l1
+          GROUP BY l_partkey, l_suppkey
+          HAVING sum(l_quantity) >= 60
+            AND sum(l_quantity) > 0.2 * (
+              SELECT sum(l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = l1.l_partkey))
+        ORDER BY s_name""")
+    }),
+
     // D16 — URL-level dedup (the crawl-frontier collapse that runs
     // BEFORE any document fetch at corpus scale — distinct from t20's
     // per-domain rollup, which counts URLs without canonicalizing):
@@ -4558,6 +4714,77 @@ object TrainingQueries {
         |  coalesce(a.dup_shingles, 0) AS dup_shingles
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         |ORDER BY d.doc_id""").stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT supp_nation, cust_nation, yr, count(*) AS n_items,
+        |  CAST(round(sum(CAST(rev AS DECIMAL(38,6))), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |    l_extendedprice * (1 - l_discount) AS rev
+        |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        |      OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01')
+        |GROUP BY supp_nation, cust_nation, yr
+        |ORDER BY supp_nation, cust_nation, yr""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name, yr,
+        |  CAST(round(sum(CAST(amount AS DECIMAL(38,6))), 2) AS DOUBLE)
+        |    AS sum_profit
+        |FROM (
+        |  SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    l_extendedprice * (1 - l_discount)
+        |      - 0.8 * p_retailprice * l_quantity AS amount
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%a%')
+        |GROUP BY n_name, yr ORDER BY n_name, yr""".stripMargin,
+
+    "q16_supplier_count" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#45'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        |LIMIT 20""".stripMargin,
+
+    "q19_disjunctive_revenue" ->
+      """SELECT count(*) AS n_items,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 21)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+        |    AND l_quantity BETWEEN 10 AND 30)
+        |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+        |    AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "q20_dominant_suppliers" ->
+      """SELECT s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem l1
+        |  GROUP BY l_partkey, l_suppkey
+        |  HAVING sum(l_quantity) >= 60
+        |    AND sum(l_quantity) > 0.2 * (
+        |      SELECT sum(l_quantity) FROM lineitem l2
+        |      WHERE l2.l_partkey = l1.l_partkey))
+        |ORDER BY s_name""".stripMargin,
 
     // q4/q17/q21/q22: DuckDB runs the SAME correlated-subquery text —
     // the second formulation is the second ENGINE's decorrelation,

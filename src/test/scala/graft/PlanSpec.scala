@@ -358,12 +358,20 @@ class PlanSpec extends SparkSpec {
     // under test from the finalized plan — the decorrelation decision
     // is made before AQE and is what must hold at scale
     for (q <- Seq("q4_priority_check", "q17_small_qty_revenue",
-        "q21_waiting_suppliers", "q22_dormant_customers")) {
+        "q21_waiting_suppliers", "q22_dormant_customers",
+        "q20_dominant_suppliers")) {
       val p = planString(q)
       assert(!p.contains("BroadcastNestedLoopJoin")
           && !p.contains("CartesianProduct"),
         s"$q: correlated predicate survived as a nested-loop plan\n$p")
     }
+    // q20's nested IN + correlated HAVING: the scalar per-part total
+    // must decorrelate into an aggregate joined back on l_partkey (one
+    // fact scan per aggregate, no per-row re-aggregation) and the IN
+    // into a semi join
+    val q20 = planString("q20_dominant_suppliers")
+    assert(q20.contains("LeftSemi"),
+      s"q20 IN should plan a semi join\n$q20")
     // the specific decorrelated shapes, pinned: q21 = one semi (other
     // supplier exists) + one anti (no other LATE supplier) on the fact
     // key; q22's NOT EXISTS = one anti on custkey, and its uncorrelated
@@ -375,6 +383,22 @@ class PlanSpec extends SparkSpec {
     assert(q22.contains("LeftAnti"), s"q22 NOT EXISTS should be an anti join\n$q22")
     assert(q22.contains("GreaterThan(c_acctbal,ScalarSubquery"),
       s"q22's scalar-subquery threshold should push to the scan\n$q22")
+  }
+
+  test("q19: OR-of-ANDs splits — per-side residuals pushed to BOTH scans, equi-join kept") {
+    // the disjunction spans both join sides; Catalyst must extract the
+    // part-local disjunction into the part scan, the quantity-only
+    // disjunction into the lineitem scan, keep the cross-table
+    // conjuncts as the join residual — and the join must REMAIN a
+    // partkey equi-join (a naive planner turns OR-joins into BNLJ)
+    val p = planString("q19_disjunctive_revenue")
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"), s"OR-join must stay equi\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(p_partkey), Or(")
+      || p.contains("Or(Or(And(EqualTo(p_brand"),
+      s"part-local disjunction should push to the part scan\n$p")
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"),
+      s"quantity disjunction should push to the lineitem scan\n$p")
   }
 
   test("j10: banded range join is a bucket equi-join — no nested-loop, no cartesian") {
