@@ -639,10 +639,16 @@ object ExtensionQueries {
           round(Similarity.cosineBuiltin(col("nv"), col("ov")), 4)
             =!= col("cosine_sim") || col("cosine_sim") < 0.3, 1))
           .as("n_mismatch"))
-      stats.crossJoin(reverified).select(
+      // d17 pattern: the batch size is SQL-expressible ground truth
+      // for the cross-only invariant — the oracle re-derives it
+      stats.crossJoin(reverified)
+        .crossJoin(emb.filter(col("vec_id") >= 400 && col("vec_id") < 500)
+          .agg(count(lit(1)).as("n_batch")))
+        .select(
         (col("n_pairs") > 0).as("has_pairs"),
         (col("n_wrong_side") === 0).as("pairs_cross_only"),
-        (col("n_mismatch") === 0).as("pairs_reverified"))
+        (col("n_mismatch") === 0).as("pairs_reverified"),
+        col("n_batch"))
     }),
 
     // E9 — embedding near-dup cluster CONTRACT (companion to e3 + d9;
@@ -678,13 +684,16 @@ object ExtensionQueries {
           max(when(col("is_canonical"), col("vec_id"))).as("canon_id"))
         .agg(count(when(col("min_id") =!= col("canon_id")
           || col("canon_id").isNull, 1)).as("n_bad_canon"))
+      // d17 pattern: the corpus size the totality invariant is measured
+      // against is SQL-expressible — the oracle re-derives it
       colocated.crossJoin(labeled).crossJoin(total).crossJoin(canon)
         .select(
           (col("n_pairs") > 0).as("has_candidate_pairs"),
           (col("n_split") === 0).as("pairs_colocated"),
           (col("n_rows") === col("n_vecs")
             && col("n_ids") === col("n_vecs")).as("all_labeled_once"),
-          (col("n_bad_canon") === 0).as("canonical_is_min_id"))
+          (col("n_bad_canon") === 0).as("canonical_is_min_id"),
+          col("n_vecs"))
     }),
 
     // T15 — Unicode NFC normalization (native codegen expression,
@@ -1197,13 +1206,18 @@ object ExtensionQueries {
 
     // Contract oracle (e5/e6 pattern): Spark emits the invariant checks
     // as booleans; the oracle asserts they all hold.
+    // e9/e11 ground truth re-derives from the embeddings table
+    // (the d17 pattern)
     "e9_embed_clusters" ->
       """SELECT true AS has_candidate_pairs, true AS pairs_colocated,
-        |  true AS all_labeled_once, true AS canonical_is_min_id""".stripMargin,
+        |  true AS all_labeled_once, true AS canonical_is_min_id,
+        |  (SELECT count(*) FROM embeddings) AS n_vecs""".stripMargin,
 
     "e11_incremental_ann" ->
       """SELECT true AS has_pairs, true AS pairs_cross_only,
-        |  true AS pairs_reverified""".stripMargin,
+        |  true AS pairs_reverified,
+        |  (SELECT count(*) FROM embeddings
+        |   WHERE vec_id >= 400 AND vec_id < 500) AS n_batch""".stripMargin,
 
     // e3b's n_planted re-derives from the embeddings table via e10's
     // nonzero-norm CTE (the d17 pattern)
