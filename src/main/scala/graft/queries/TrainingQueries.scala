@@ -482,11 +482,17 @@ object TrainingQueries {
       val fpDropped = exact.join(bloom, Seq("doc_id"), "left_anti")
         .agg(count(lit(1)).as("n_fp_dropped"))
       val total = corpus.agg(count(lit(1)).as("n_corpus"))
+      // d17 pattern: the EXACT side is SQL-expressible ground truth —
+      // the oracle re-derives the exact-survivor and corpus counts (the
+      // d7 replay), so only the bloom-specific booleans stay
+      // Spark-asserted
       falseNeg.crossJoin(fpDropped).crossJoin(total)
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact_kept")))
         .select(
           (col("n_false_neg") === 0).as("bloom_subset_of_exact"),
           (col("n_fp_dropped") * lit(1.0) / col("n_corpus") <= 0.01)
-            .as("fp_rate_le_1pct"))
+            .as("fp_rate_le_1pct"),
+          col("n_exact_kept"), col("n_corpus"))
     }),
 
     // T9 — C4/Gopher-style quality filtering: compose the text-analysis
@@ -2459,6 +2465,162 @@ object TrainingQueries {
         ORDER BY s_name""")
     }),
 
+    // Q6 — TPC-H Q6 forecast-revenue shape: the pure scan query — every
+    // predicate (date window, discount band, quantity cap) pushes into
+    // the parquet scan and ONE aggregate runs with no join and no
+    // shuffle beyond the 1-row final combine. The floor case of the
+    // spine: at 100 TB this query IS the scan, so the plan must show
+    // zero operators between scan and aggregate.
+    "q6_forecast_revenue" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_discount").between(0.03, 0.05)
+          && col("l_quantity") < 24)
+        .agg(Summaries.exactSum(
+            col("l_extendedprice") * col("l_discount"), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Q8 — TPC-H Q8 market-share shape: one nation's share of a
+    // region's market for one part type, per year — the conditional
+    // NUMERATOR over the same rows as the denominator (one hash
+    // aggregate carries both decimal sums; q14's one-pass ratio
+    // discipline on a 7-way join). Dimension-first: region→nation→
+    // customer prunes before orders; the supplier-side nation tags the
+    // numerator rows. Share = one unrounded double division.
+    "q8_market_share" -> ((s, d) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1998-01-01").cast("timestamp")
+      val custAsia = Tables.customer(s, d)
+        .join(Tables.nation(s, d).select(col("n_nationkey").as("c_nk"),
+            col("n_regionkey")),
+          col("c_nationkey") === col("c_nk"))
+        .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val supN = Tables.supplier(s, d)
+        .join(Tables.nation(s, d).select(col("n_nationkey").as("s_nk"),
+            col("n_name").as("supp_nation")),
+          col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(Tables.part(s, d).filter(col("p_type") === "PROMO")
+          .select(col("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(custAsia, col("o_custkey") === col("c_custkey"))
+        .join(supN, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .agg((sum(when(col("supp_nation") === "NATION_5", vol)
+              .otherwise(lit(0.0)).cast("decimal(38,6)")).cast("double")
+            / sum(vol.cast("decimal(38,6)")).cast("double"))
+          .as("mkt_share"))
+        .orderBy(col("yr"))
+    }),
+
+    // Q11 — TPC-H Q11 important-stock shape: per-part value held by one
+    // nation's suppliers, kept only where it exceeds a FRACTION OF THE
+    // WHOLE (the group-vs-global comparison): the per-part aggregate
+    // computes once, and the global threshold re-aggregates THAT
+    // |parts|-row frame (not the fact table) into a 1-row broadcast —
+    // two aggregate grains, one fact scan. No partsupp in the schema,
+    // so lineitem value plays stock value.
+    "q11_important_stock" -> ((s, d) => {
+      val natSupp = Tables.supplier(s, d)
+        .join(Tables.nation(s, d).filter(col("n_name") === "NATION_5"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val value = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+        .join(natSupp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(Summaries.exactSum(col("l_extendedprice"), 2)
+          .as("part_value"))
+        .localCheckpoint(eager = false) // threshold + filter share it
+      val threshold = value.agg(
+        (sum(col("part_value").cast("decimal(38,6)")).cast("double")
+          * 0.002).as("thr"))
+      value.crossJoin(broadcast(threshold))
+        .filter(col("part_value") > col("thr"))
+        .select(col("l_partkey"), col("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+        .limit(20)
+    }),
+
+    // Q12 — TPC-H Q12 shipping-priority-by-mode shape: the two-level
+    // conditional count (urgent vs non-urgent lines per shipping
+    // class) in ONE aggregate pass — both counts ride the same hash
+    // aggregate as conditional sums. The schema has no l_shipmode;
+    // l_returnflag plays the 3-class mode axis (the CASE machinery —
+    // the capability under test — is identical).
+    "q12_priority_by_class" -> ((s, d) => {
+      val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+        .join(Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_returnflag")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_returnflag").as("ship_class"))
+        .agg(sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!urgent, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy(col("ship_class"))
+    }),
+
+    // Q13 — TPC-H Q13 customer-distribution shape: the outer join with
+    // the predicate IN THE JOIN CONDITION (not a WHERE — customers
+    // with zero qualifying orders must survive as count 0), then a
+    // two-level aggregation: per-customer order count, then the
+    // distribution over counts. The second grain aggregates a
+    // |customers|-row frame, not the fact table.
+    "q13_customer_distribution" -> ((s, d) => {
+      val perCust = Tables.customer(s, d).select(col("c_custkey"))
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderpriority")),
+          col("c_custkey") === col("o_custkey")
+            && col("o_orderpriority") =!= "1-URGENT",
+          "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+        .limit(10)
+    }),
+
+    // Q15 — TPC-H Q15 top-supplier shape: the aggregate-then-argmax —
+    // quarterly revenue per supplier (one fact-table aggregate), then
+    // the max-equality filter against a 1-row broadcast of max(rev)
+    // over that |suppliers|-row frame (ties all surface — the
+    // reference semantics). The name stitch joins AFTER the argmax, on
+    // a frame of the winners only.
+    "q15_top_supplier" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(Summaries.exactSum(
+          col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+          .as("total_revenue"))
+        .localCheckpoint(eager = false) // argmax + filter share it
+      val top = rev.agg(max(col("total_revenue")).as("max_rev"))
+      rev.crossJoin(broadcast(top))
+        .filter(col("total_revenue") === col("max_rev"))
+        .join(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name")),
+          col("supplier_no") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // D16 — URL-level dedup (the crawl-frontier collapse that runs
     // BEFORE any document fetch at corpus scale — distinct from t20's
     // per-domain rollup, which counts URLs without canonicalizing):
@@ -4273,9 +4435,17 @@ object TrainingQueries {
         |FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
         |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
 
+    // d10's exact side re-derives via the d7 replay (the d17 pattern)
     "d10_bloom_decontaminate" ->
       """SELECT true AS bloom_subset_of_exact,
-        |  true AS fp_rate_le_1pct""".stripMargin,
+        |  true AS fp_rate_le_1pct,
+        |  (SELECT count(*) FROM documents a
+        |   WHERE doc_id % 20 <> 0 AND NOT EXISTS (
+        |     SELECT 1 FROM documents b WHERE b.doc_id % 20 = 0
+        |     AND md5(lower(trim(b.text))) = md5(lower(trim(a.text)))))
+        |    AS n_exact_kept,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 20 <> 0)
+        |    AS n_corpus""".stripMargin,
 
     "d11_incremental_dedup" ->
       """WITH idx AS (
@@ -4714,6 +4884,87 @@ object TrainingQueries {
         |  coalesce(a.dup_shingles, 0) AS dup_shingles
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         |ORDER BY d.doc_id""").stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
+        |    AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.05
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH allrows AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    l_extendedprice * (1 - l_discount) AS volume,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT yr,
+        |  CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_5' THEN volume
+        |      ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)
+        |    / CAST(sum(CAST(volume AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS mkt_share
+        |FROM allrows GROUP BY yr ORDER BY yr""".stripMargin,
+
+    "q11_important_stock" ->
+      """WITH val AS (
+        |  SELECT l_partkey,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 2)
+        |      AS DOUBLE) AS part_value
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_5'
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey, part_value FROM val
+        |WHERE part_value > (SELECT CAST(sum(CAST(part_value
+        |    AS DECIMAL(38,6))) AS DOUBLE) * 0.002 FROM val)
+        |ORDER BY part_value DESC, l_partkey LIMIT 20""".stripMargin,
+
+    "q12_priority_by_class" ->
+      """SELECT l_returnflag AS ship_class,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag ORDER BY ship_class""".stripMargin,
+
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC LIMIT 10""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q7_nation_volume" ->
       """SELECT supp_nation, cust_nation, yr, count(*) AS n_items,

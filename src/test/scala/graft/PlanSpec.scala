@@ -385,6 +385,17 @@ class PlanSpec extends SparkSpec {
       s"q22's scalar-subquery threshold should push to the scan\n$q22")
   }
 
+  test("q6: the pure-scan aggregate — all predicates pushed, no join, 4-column read") {
+    val p = planString("q6_forecast_revenue")
+    assert(!p.contains("Join"), s"q6 must be scan→aggregate only\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipda")
+      && p.contains("PushedFilters"),
+      s"date/discount/quantity predicates should reach the scan\n$p")
+    assert(p.contains("ReadSchema: struct<l_quantity:double," +
+      "l_extendedprice:double,l_discount:double,l_shipdate:timestamp>"),
+      s"scan should read exactly the 4 referenced columns\n$p")
+  }
+
   test("q19: OR-of-ANDs splits — per-side residuals pushed to BOTH scans, equi-join kept") {
     // the disjunction spans both join sides; Catalyst must extract the
     // part-local disjunction into the part scan, the quantity-only
