@@ -788,16 +788,22 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
-  /** EXACT substring-level duplication profile — the arbitrary-LENGTH
+  /** Substring-level duplication profile at arbitrary LENGTH — the
     * duplicated-passage pass the fixed-n-gram family (d5/d8/d13) can't
-    * express (Lee et al., "Deduplicating Training Data Makes Language
-    * Models Better", the industry-standard LLM-corpus dedup; their
-    * suffix-array formulation re-expressed relationally): a duplicated
-    * substring of L ≥ `width` tokens appears as a RUN of L − width + 1
-    * consecutive duplicated width-shingles, so maximal runs of
-    * duplicated shingle positions recover maximal duplicated
-    * substrings EXACTLY at token grain (for any L ≥ width), without a
-    * suffix array and without any pair join.
+    * express. Semantics (state them precisely — they are the
+    * Bloom-filter span-removal semantics of production LLM-corpus
+    * dedup à la Dolma's BFF, not Lee et al.'s suffix-array exactness):
+    * a run is a maximal span in which EVERY width-shingle occurs ≥
+    * minOccurrences times corpus-wide. Every true duplicated substring
+    * of L ≥ width tokens yields a run of length ≥ L (completeness: all
+    * its L−width+1 shingles are duplicated), and a run from a SINGLE
+    * duplication source has exactly the duplicated substring's length
+    * (the planted-passage and full-doc-dup fixtures) — but duplicated
+    * windows from DIFFERENT partners can chain, so a run is an upper
+    * ENVELOPE of exact duplicated substrings, not always one verbatim
+    * duplicate (DedupSpec pins the chaining case). That envelope is
+    * the span such pipelines actually redact — and it needs no suffix
+    * array and no pair join.
     *
     * Stages, all integer-exact (oracles like d17):
     *  1. per-position width-token shingles (map-side explode:
@@ -811,8 +817,8 @@ object Dedup {
     *     count;
     *  4. gaps-and-islands (pos − row_number per doc) groups consecutive
     *     duplicated positions into runs; per-doc rollup emits run
-    *     count, longest duplicated substring (run + width − 1 tokens)
-    *     and total duplicated-shingle mass.
+    *     count, longest duplicated span (run + width − 1 tokens) and
+    *     total duplicated-shingle mass.
     *
     * Scale shape: one hash exchange on the shingle hash (agg + semi
     * join share it via exchange reuse), one doc-keyed window, one

@@ -2119,11 +2119,13 @@ object TrainingQueries {
           exact.as("exact_jaccard"), abs(est - exact).as("abs_err"))
     }),
 
-    // D18 — EXACT substring-level dedup (Lee et al.'s dedup-substring
-    // pass, the arbitrary-length complement to the fixed-grain d5/d8/
-    // d13 family): maximal runs of consecutive duplicated 8-token
-    // shingles recover maximal duplicated substrings exactly — see
-    // Dedup.substringRuns. The corpus carries no guaranteed long
+    // D18 — substring-level dedup at arbitrary length (the complement
+    // to the fixed-grain d5/d8/d13 family): maximal spans in which
+    // every 8-token shingle is duplicated corpus-wide — the
+    // Bloom-filter span-removal semantics (exact for single-source
+    // duplication like the planted passage; an upper envelope when
+    // duplicated windows chain across partners — see
+    // Dedup.substringRuns' contract and DedupSpec's chaining fixture). The corpus carries no guaranteed long
     // shared passage, so a deterministic 30-token passage is appended
     // to every doc_id % 7 == 0 (the d16 injection precedent, replayed
     // verbatim by the oracle): those docs provably report
@@ -2463,6 +2465,40 @@ object TrainingQueries {
               SELECT sum(l_quantity) FROM lineitem l2
               WHERE l2.l_partkey = l1.l_partkey))
         ORDER BY s_name""")
+    }),
+
+    // Q2 — TPC-H Q2 minimum-cost-supplier shape (q2_sql_surface is the
+    // SQL-registration demo, THIS is the reference query): for a part
+    // slice, the region's suppliers achieving that part's GLOBAL
+    // minimum unit cost — the correlated scalar min() whose
+    // decorrelation is the canonical Q2 test. lineitem's per
+    // (part, supplier) min unit price plays the missing
+    // ps_supplycost; the cost frame computes ONCE (a CTE) and feeds
+    // both the outer join chain and the decorrelated per-part min —
+    // Catalyst plans the correlated subquery as a per-partkey
+    // aggregate of that same frame joined back, never a per-row
+    // re-scan (the q17/q20 discipline; covered by the no-BNLJ guard).
+    "q2_min_cost_supplier" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      Tables.part(s, d).createOrReplaceTempView("part")
+      Tables.region(s, d).createOrReplaceTempView("region")
+      s.sql("""
+        WITH cost AS (
+          SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+            min(l_extendedprice / l_quantity) AS unit_cost
+          FROM lineitem GROUP BY l_partkey, l_suppkey)
+        SELECT p_partkey, s_suppkey, s_name, n_name,
+          round(c.unit_cost, 2) AS best_cost
+        FROM part JOIN cost c ON p_partkey = c.partkey
+        JOIN supplier ON s_suppkey = c.suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE p_size = 25 AND r_name = 'ASIA'
+          AND c.unit_cost = (SELECT min(c2.unit_cost) FROM cost c2
+                             WHERE c2.partkey = p_partkey)
+        ORDER BY p_partkey, s_suppkey LIMIT 100""")
     }),
 
     // Q6 — TPC-H Q6 forecast-revenue shape: the pure scan query — every
@@ -4884,6 +4920,22 @@ object TrainingQueries {
         |  coalesce(a.dup_shingles, 0) AS dup_shingles
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         |ORDER BY d.doc_id""").stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH cost AS (
+        |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+        |    min(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT p_partkey, s_suppkey, s_name, n_name,
+        |  round(c.unit_cost, 2) AS best_cost
+        |FROM part JOIN cost c ON p_partkey = c.partkey
+        |JOIN supplier ON s_suppkey = c.suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_size = 25 AND r_name = 'ASIA'
+        |  AND c.unit_cost = (SELECT min(c2.unit_cost) FROM cost c2
+        |                     WHERE c2.partkey = p_partkey)
+        |ORDER BY p_partkey, s_suppkey LIMIT 100""".stripMargin,
 
     "q6_forecast_revenue" ->
       """SELECT CAST(round(sum(CAST(l_extendedprice * l_discount

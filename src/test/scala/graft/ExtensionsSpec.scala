@@ -108,6 +108,26 @@ class DedupSpec extends SparkSpec {
       (5L, 2L, 4L, 2L)))
   }
 
+  test("substringRuns reports the span ENVELOPE when duplications chain (documented)") {
+    // doc 1's three 3-shingles each duplicate against a DIFFERENT
+    // partner (abc↔2, bcd↔3, cde↔4), so the run chains across all
+    // three and doc 1 reports a 5-token span even though no single
+    // partner contains "a b c d e" verbatim — the Bloom-filter
+    // span-removal semantics (the envelope such pipelines redact),
+    // pinned here so the operator's contract is the documented one,
+    // not suffix-array exactness
+    val chain = Seq(
+      (1L, "a b c d e"),
+      (2L, "z a b c q"),
+      (3L, "m b c d n"),
+      (4L, "p c d e r")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringRuns(chain, "doc_id", "text", width = 3)
+      .filter(col("doc_id") === 1L)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got == ((1L, 1L, 5L, 3L)))
+  }
+
   test("containment catches a subset doc that Jaccard misses") {
     // doc 11 is the first half of doc 10: Jaccard ≈ 0.5 (below any
     // near-dup threshold), containment(11→10) = 1.0. Directedness:

@@ -359,7 +359,7 @@ class PlanSpec extends SparkSpec {
     // is made before AQE and is what must hold at scale
     for (q <- Seq("q4_priority_check", "q17_small_qty_revenue",
         "q21_waiting_suppliers", "q22_dormant_customers",
-        "q20_dominant_suppliers")) {
+        "q20_dominant_suppliers", "q2_min_cost_supplier")) {
       val p = planString(q)
       assert(!p.contains("BroadcastNestedLoopJoin")
           && !p.contains("CartesianProduct"),
