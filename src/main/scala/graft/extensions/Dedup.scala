@@ -829,9 +829,25 @@ object Dedup {
     * report zeros via the corpus left join. */
   def substringRuns(docs: DataFrame, idCol: String, textCol: String,
       width: Int = 8, minOccurrences: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val sh = positionedShingles(docs, idCol, textCol, width)
+      // barrier: the dup aggregate and the semi-join probe both read
+      // this frame — without it the tokenize+shingle+hash projection
+      // runs twice (the minHashLshPairs precedent)
+      .localCheckpoint(eager = false)
+    val dup = sh.groupBy(col("h"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOccurrences)
+      .select(col("h"))
+    runProfile(sh.join(dup, Seq("h"), "left_semi"), docs, idCol, width)
+  }
+
+  /** Per-position width-token shingle hashes: (doc_id, pos, h) —
+    * the shared front half of [[substringRuns]] /
+    * [[substringRunsAgainstIndex]] / [[shingleIndex]]. */
+  private def positionedShingles(docs: DataFrame, idCol: String,
+      textCol: String, width: Int): DataFrame = {
     require(width >= 2, "width must be at least 2 tokens")
-    val sh = parallelizeSmallScan(docs)
+    parallelizeSmallScan(docs)
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
       // the filter, not greatest(): Spark's sequence(1, 0) counts DOWN
       // ([1, 0]) instead of emitting empty — short docs must never
@@ -843,18 +859,17 @@ object Dedup {
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         conv(substring(md5(col("col").cast("binary")), 1, 15), 16, 10)
           .cast("long").as("h"))
-      // barrier: the dup aggregate and the semi-join probe both read
-      // this frame — without it the tokenize+shingle+hash projection
-      // runs twice (the minHashLshPairs precedent)
-      .localCheckpoint(eager = false)
-    val dup = sh.groupBy(col("h"))
-      .agg(count(lit(1)).as("occ"))
-      .filter(col("occ") >= minOccurrences)
-      .select(col("h"))
-    val marked = sh.join(dup, Seq("h"), "left_semi")
+  }
+
+  /** Gaps-and-islands run extraction + per-doc rollup over a frame of
+    * MARKED (duplicated / index-hit) shingle positions — the shared
+    * back half of the substring-dedup family. */
+  private def runProfile(marked: DataFrame, docs: DataFrame,
+      idCol: String, width: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val runs = marked
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-    val runs = marked
       .groupBy(col("doc_id"), (col("pos") - col("rn")).as("island"))
       .agg(count(lit(1)).as("run_shingles"))
     val perDoc = runs.groupBy(col("doc_id"))
@@ -869,5 +884,33 @@ object Dedup {
         coalesce(col("longest_dup_tokens"), lit(0L))
           .as("longest_dup_tokens"),
         coalesce(col("dup_shingles"), lit(0L)).as("dup_shingles"))
+  }
+
+  /** Distinct shingle-hash index of a corpus snapshot — the persisted
+    * artifact [[substringRunsAgainstIndex]] probes (the d11/d12
+    * incremental-ingest discipline: build once at snapshot time, write
+    * to the warehouse, probe per batch). */
+  def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
+      width: Int = 8): DataFrame =
+    positionedShingles(docs, idCol, textCol, width)
+      .select(col("h")).distinct()
+
+  /** INCREMENTAL span dedup — the production ingest form of
+    * [[substringRuns]] (Bloom-filter span redaction à la Dolma's BFF,
+    * done exactly against a relational index): mark each batch
+    * position whose shingle is ALREADY IN the snapshot index, extract
+    * maximal hit runs, report per batch doc. The snapshot corpus is
+    * never re-read — the batch probes the (distinct-hash) index with
+    * one semi join, so per-ingest cost is O(batch tokens + index
+    * probe), flat in corpus size (the d12 measured property). Same
+    * envelope semantics as substringRuns; within-BATCH duplication is
+    * deliberately NOT flagged here (that is a substringRuns pass over
+    * the batch) — this operator answers "which spans has the corpus
+    * already seen". */
+  def substringRunsAgainstIndex(batch: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, width: Int = 8): DataFrame = {
+    val sh = positionedShingles(batch, idCol, textCol, width)
+    runProfile(sh.join(index.select(col("h")), Seq("h"), "left_semi"),
+      batch, idCol, width)
   }
 }

@@ -2467,6 +2467,31 @@ object TrainingQueries {
         ORDER BY s_name""")
     }),
 
+    // D19 — INCREMENTAL span dedup (d18's production ingest form, the
+    // d11/d12 discipline applied to spans): the first 400 doc_ids play
+    // the already-ingested snapshot — only their DISTINCT shingle-hash
+    // INDEX is touched — and the rest arrive as the new batch, whose
+    // spans are flagged where every 8-token shingle is already in the
+    // index. Snapshot text is never re-read at ingest; per-batch cost
+    // is one index semi-join probe, flat in corpus size. The shared
+    // 30-token passage is injected on BOTH sides (snapshot %5, batch
+    // %9 — d16/d18 precedent) so cross-snapshot span hits provably
+    // fire; batch docs that are verbatim copies of snapshot docs
+    // surface as full-doc runs alongside.
+    "d19_incremental_span_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def withPassage(df: DataFrame, mod: Int) = df.select(col("doc_id"),
+        when(col("doc_id") % mod === 0,
+          concat(col("text"), lit(" " + DedupPassage)))
+          .otherwise(col("text")).as("text"))
+      val snapshot = withPassage(docs.filter(col("doc_id") < 400), 5)
+      val batch = withPassage(docs.filter(col("doc_id") >= 400), 9)
+      val index = Dedup.shingleIndex(snapshot, "doc_id", "text", width = 8)
+      Dedup.substringRunsAgainstIndex(batch, index, "doc_id", "text",
+          width = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // Q2 — TPC-H Q2 minimum-cost-supplier shape (q2_sql_surface is the
     // SQL-registration demo, THIS is the reference query): for a part
     // slice, the region's suppliers achieving that part's GLOBAL
@@ -4919,6 +4944,53 @@ object TrainingQueries {
         |  coalesce(a.longest_dup_tokens, 0) AS longest_dup_tokens,
         |  coalesce(a.dup_shingles, 0) AS dup_shingles
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""").stripMargin,
+
+    // d19 replays the two-sided injection, the snapshot's distinct
+    // shingle index, and the batch's index-hit island extraction
+    "d19_incremental_span_dedup" ->
+      ("""WITH injected AS (
+        |  SELECT doc_id, CASE WHEN (doc_id < 400 AND doc_id % 5 = 0)
+        |      OR (doc_id >= 400 AND doc_id % 9 = 0)
+        |    THEN text || ' """ + DedupPassage + """' ELSE text END AS text
+        |  FROM documents
+        |), snapbase AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM injected
+        |  WHERE doc_id < 400 AND len(string_split(text, ' ')) >= 8
+        |), snappos AS (
+        |  SELECT toks, unnest(range(1, len(toks) - 6)) AS i FROM snapbase
+        |), idx AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(array_to_string(
+        |    list_slice(toks, i, i + 7), ' ')), 1, 15) AS BIGINT) AS h
+        |  FROM snappos
+        |), batchbase AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM injected
+        |  WHERE doc_id >= 400 AND len(string_split(text, ' ')) >= 8
+        |), bpos AS (
+        |  SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+        |  FROM batchbase
+        |), sh AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    CAST('0x' || substr(md5(array_to_string(
+        |      list_slice(toks, i, i + 7), ' ')), 1, 15) AS BIGINT) AS h
+        |  FROM bpos
+        |), marked AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+        |  FROM sh WHERE h IN (SELECT h FROM idx)
+        |), runs AS (
+        |  SELECT doc_id, pos - rn AS island, count(*) AS rs
+        |  FROM marked GROUP BY doc_id, pos - rn
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_dup_runs,
+        |    max(rs) + 7 AS longest_dup_tokens, sum(rs) AS dup_shingles
+        |  FROM runs GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(a.n_dup_runs, 0) AS n_dup_runs,
+        |  coalesce(a.longest_dup_tokens, 0) AS longest_dup_tokens,
+        |  coalesce(a.dup_shingles, 0) AS dup_shingles
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |WHERE d.doc_id >= 400
         |ORDER BY d.doc_id""").stripMargin,
 
     "q2_min_cost_supplier" ->

@@ -128,6 +128,24 @@ class DedupSpec extends SparkSpec {
     assert(got == ((1L, 1L, 5L, 3L)))
   }
 
+  test("substringRunsAgainstIndex flags snapshot spans only, not within-batch dups") {
+    val snapshot = Seq((1L, "s1 s2 s3 s4 s5 s6")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "x1 x2 s2 s3 s4 s5 y1"),        // one 4-token span in the index
+      (11L, "q1 q2 q3 q4 z9 q1 q2 q3 q4")   // within-batch dup: NOT flagged
+    ).toDF("doc_id", "text")
+    val idx = Dedup.shingleIndex(snapshot, "doc_id", "text", width = 4)
+    val got = Dedup.substringRunsAgainstIndex(batch, idx, "doc_id", "text",
+        width = 4)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 10: exactly the shingle "s2 s3 s4 s5" hits → 1 run, span 4;
+    // doc 11: the repeated shingle is new to the corpus — the ingest
+    // question is "already seen?", so it reports zero (a substringRuns
+    // pass over the batch itself is the within-batch complement)
+    assert(got == Seq((10L, 1L, 4L, 1L), (11L, 0L, 0L, 0L)))
+  }
+
   test("containment catches a subset doc that Jaccard misses") {
     // doc 11 is the first half of doc 10: Jaccard ≈ 0.5 (below any
     // near-dup threshold), containment(11→10) = 1.0. Directedness:
