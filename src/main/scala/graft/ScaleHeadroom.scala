@@ -313,6 +313,69 @@ object ScaleHeadroom {
       report(s"d14_skewed_$label", 1, secs, rows)
     }
 
+    // ---- d18/d19 substring-dedup scaling ----------------------------
+    // d18 must scale ~linearly in token count (no pair join anywhere —
+    // the design claim): disjoint-copy inflation replicates the
+    // duplication structure per copy, so a superlinear trend would
+    // betray a hidden pair blowup in the dup-set join or the window.
+    // d19's claim is the d12 one: the per-batch probe cost is FLAT in
+    // SNAPSHOT size — the same 1× batch probed against 1×/10×/25×
+    // snapshots' indexes must not grow with the corpus behind the
+    // index (the index build itself is the amortized snapshot-time
+    // cost, reported separately).
+    for ((scale, dir) <- dirs) {
+      val dd = spark.read.parquet(s"$dir/documents.parquet")
+      val (secs, rows) = timeBest {
+        forceAll(Dedup.substringRuns(dd, "doc_id", "text", width = 8))
+      }
+      report("d18_substring_runs", scale, secs, rows)
+    }
+    val batch1x = docs.filter(col("doc_id") % 10 === 0)
+      .localCheckpoint(eager = false)
+    batch1x.count()
+    for ((scale, dir) <- dirs) {
+      val snap = spark.read.parquet(s"$dir/documents.parquet")
+      val t0 = System.nanoTime()
+      val idx = Dedup.shingleIndex(snap, "doc_id", "text", width = 8)
+        .localCheckpoint(eager = false)
+      val nIdx = idx.count() // materialize: the snapshot-time artifact
+      report("d19_index_build", scale, (System.nanoTime() - t0) / 1e9, nIdx)
+      val (secs, rows) = timeBest {
+        forceAll(Dedup.substringRunsAgainstIndex(batch1x, idx,
+          "doc_id", "text", width = 8))
+      }
+      report("d19_ingest_probe", scale, secs, rows)
+    }
+
+    // d19 with the PRESCRIBED layout: the same probe against the index
+    // persisted BUCKETED BY h (the s12 layout). The unbucketed probe
+    // above re-shuffles the whole index per ingest (its growth is the
+    // index exchange+build); bucketed, the index side scans in place
+    // with NO exchange and only the 500-row batch shuffles to the
+    // bucket count — the flat-ingest property restored by LAYOUT, not
+    // algorithm. Broadcast is disabled so the 1× index (which would
+    // fit under the threshold) takes the same bucketed path as 25×.
+    {
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for ((scale, dir) <- dirs) {
+          val snap = spark.read.parquet(s"$dir/documents.parquet")
+          spark.sql(s"DROP TABLE IF EXISTS span_idx_x$scale")
+          Dedup.shingleIndex(snap, "doc_id", "text", width = 8)
+            .write.bucketBy(32, "h").sortBy("h")
+            .mode("overwrite").saveAsTable(s"span_idx_x$scale")
+          val idx = spark.table(s"span_idx_x$scale")
+          val (secs, rows) = timeBest {
+            forceAll(Dedup.substringRunsAgainstIndex(batch1x, idx,
+              "doc_id", "text", width = 8))
+          }
+          report("d19_ingest_probe_bucketed", scale, secs, rows)
+        }
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+
     // ---- g5 degree-orientation binding on a dense hub graph ---------
     // (r5 verdict item 6 — the d3/d14 cap-experiment discipline applied
     // to triangles.) The copy-inflation fixture above is overhead-bound

@@ -901,8 +901,15 @@ object Dedup {
     * position whose shingle is ALREADY IN the snapshot index, extract
     * maximal hit runs, report per batch doc. The snapshot corpus is
     * never re-read — the batch probes the (distinct-hash) index with
-    * one semi join, so per-ingest cost is O(batch tokens + index
-    * probe), flat in corpus size (the d12 measured property). Same
+    * one semi join. MEASURED scale shape (ScaleHeadroom): batch cost
+    * is flat, but probing an UNBUCKETED index re-shuffles the index
+    * side per ingest (0.27/1.19/3.02 s against 1×/10×/25× snapshots —
+    * growth is the index exchange+build, not the batch). Persisting
+    * the index BUCKETED BY h (the s12 layout) RESTORES flatness —
+    * measured 0.334/0.461/0.467 s against the same 1×/10×/25×
+    * snapshots: only the batch shuffles to the bucket count, the
+    * index scans in place with no exchange. Flat ingest is a LAYOUT
+    * property, demonstrated, not assumed. Same
     * envelope semantics as substringRuns; within-BATCH duplication is
     * deliberately NOT flagged here (that is a substringRuns pass over
     * the batch) — this operator answers "which spans has the corpus

@@ -2472,8 +2472,9 @@ object TrainingQueries {
     // the already-ingested snapshot — only their DISTINCT shingle-hash
     // INDEX is touched — and the rest arrive as the new batch, whose
     // spans are flagged where every 8-token shingle is already in the
-    // index. Snapshot text is never re-read at ingest; per-batch cost
-    // is one index semi-join probe, flat in corpus size. The shared
+    // index. Snapshot text is never re-read at ingest; the batch-side
+    // cost is flat, and the index side wants the s12 bucketed layout
+    // at scale (see substringRunsAgainstIndex's measured note). The shared
     // 30-token passage is injected on BOTH sides (snapshot %5, batch
     // %9 — d16/d18 precedent) so cross-snapshot span hits provably
     // fire; batch docs that are verbatim copies of snapshot docs
