@@ -372,8 +372,13 @@ object ScaleHeadroom {
           }
           report("d19_ingest_probe_bucketed", scale, secs, rows)
         }
-      } finally
+      } finally {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        // deterministic cleanup: don't leave three bucketed indexes
+        // (one corpus-sized) in the warehouse after the run
+        for ((scale, _) <- dirs)
+          spark.sql(s"DROP TABLE IF EXISTS span_idx_x$scale")
+      }
     }
 
     // ---- g5 degree-orientation binding on a dense hub graph ---------

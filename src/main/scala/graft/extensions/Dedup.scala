@@ -901,15 +901,15 @@ object Dedup {
     * position whose shingle is ALREADY IN the snapshot index, extract
     * maximal hit runs, report per batch doc. The snapshot corpus is
     * never re-read — the batch probes the (distinct-hash) index with
-    * one semi join. MEASURED scale shape (ScaleHeadroom): batch cost
-    * is flat, but probing an UNBUCKETED index re-shuffles the index
-    * side per ingest (0.27/1.19/3.02 s against 1×/10×/25× snapshots —
-    * growth is the index exchange+build, not the batch). Persisting
-    * the index BUCKETED BY h (the s12 layout) RESTORES flatness —
-    * measured 0.334/0.461/0.467 s against the same 1×/10×/25×
-    * snapshots: only the batch shuffles to the bucket count, the
-    * index scans in place with no exchange. Flat ingest is a LAYOUT
-    * property, demonstrated, not assumed. Same
+    * one semi join. MEASURED scale shape (ScaleHeadroom runs the
+    * probe both ways; numbers live in ONE place — EXPLAIN.md's
+    * round-6 d18/d19 table): batch cost is flat, but probing an
+    * UNBUCKETED index re-shuffles the whole index per ingest, so
+    * probe time grows with snapshot size; persisting the index
+    * BUCKETED BY h (the s12 layout) restores measured flatness —
+    * only the batch shuffles to the bucket count, the index scans in
+    * place with no exchange. Flat ingest is a LAYOUT property,
+    * demonstrated, not assumed. Same
     * envelope semantics as substringRuns; within-BATCH duplication is
     * deliberately NOT flagged here (that is a substringRuns pass over
     * the batch) — this operator answers "which spans has the corpus

@@ -480,10 +480,6 @@ object Graph {
         col("dst").as("node"), col("score")))
   }
 
-  /** Shared graph preparation: checkpointed (edge ⋈ out-weight ⋈ closed
-    * node set) frame plus the uniform initial state. One materialization
-    * serves every superstep (positive-weight contract enforced up front
-    * — see [[pageRank]]'s scaladoc). */
   /** CONNECTED COMPONENTS over an undirected BIGINT-id edge list — the
     * first-class graph surface over
     * [[graft.extensions.Dedup.nearDupClusters]]'s cluster engine: the
@@ -508,6 +504,10 @@ object Graph {
       .select(col("node"), col("cluster_id").as("component_id"))
   }
 
+  /** Shared graph preparation: checkpointed (edge ⋈ out-weight ⋈ closed
+    * node set) frame plus the uniform initial state. One materialization
+    * serves every superstep (positive-weight contract enforced up front
+    * — see [[pageRank]]'s scaladoc). */
   private def prepare(
       edges: DataFrame, broadcastRanks: Boolean,
       weightCol: Option[String]): (DataFrame, DataFrame) = {

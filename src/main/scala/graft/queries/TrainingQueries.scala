@@ -2104,11 +2104,12 @@ object TrainingQueries {
         .join(kb, Seq("h"), "left_semi").agg(count(lit(1)).as("y"))
       val inter = a.join(b, Seq("h"), "left_semi")
         .agg(count(lit(1)).as("ni"))
-      // denominator is the ACTUAL bottom-k size |ku| = min(K, |A∪B|),
-      // not the capacity K: on a union smaller than K the estimator
-      // y/K is biased low on BOTH engines (shared bias the oracle
-      // can't catch) — y/|ku| is the unbiased inclusion fraction
-      val est = col("y") * lit(1.0) / least(lit(K), col("ku_n"))
+      // denominator is the ACTUAL bottom-k size |ku| (≤ K structurally
+      // — ku is limit(K)), not the capacity K: on a union smaller than
+      // K the estimator y/K is biased low on BOTH engines (shared bias
+      // the oracle can't catch) — y/|ku| is the unbiased inclusion
+      // fraction
+      val est = col("y") * lit(1.0) / col("ku_n")
       val exact =
         col("ni") * lit(1.0) / (col("na") + col("nb") - col("ni"))
       y.crossJoin(inter)
@@ -3154,6 +3155,30 @@ object TrainingQueries {
     ce.select(col("c").as("src"), col("s").as("dst"))
       .unionByName(ce.select(col("s").as("src"), col("c").as("dst")))
   }
+
+  /** Shared e1-replay CTE: the brute-force cosine top-10 ground truth
+    * the e5/e6/e12b/e14b contract oracles re-derive (round-4 cosine,
+    * (sim DESC, vec_id) tiebreak — bruteForceTopK's exact ordering).
+    * ONE copy: a drift in the rounding or tiebreak convention must hit
+    * all four oracles together or none. */
+  private val BruteForceTop10Cte: String =
+    """WITH q AS (
+      |  SELECT generate_subscripts(embedding, 1) AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS qv
+      |  FROM embeddings WHERE vec_id = 0
+      |), v AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS ev
+      |  FROM embeddings WHERE vec_id <> 0
+      |), m AS (
+      |  SELECT v.vec_id, sum(v.ev * q.qv) AS dot,
+      |    sum(v.ev * v.ev) AS vv, sum(q.qv * q.qv) AS qq
+      |  FROM v JOIN q ON v.i = q.i GROUP BY v.vec_id
+      |), top10 AS (
+      |  SELECT vec_id FROM m
+      |  ORDER BY round(dot / (sqrt(vv) * sqrt(qq)), 4) DESC, vec_id
+      |  LIMIT 10
+      |)""".stripMargin
 
   /** Personalized-PageRank oracle: the g1 chained-CTE replay with the
     * per-node teleport (1/|seeds| on seeds, 0 elsewhere) re-attached
@@ -4548,25 +4573,9 @@ object TrainingQueries {
     // engine-asserted, but the exact id set they are measured against
     // is now independently recomputed by the oracle
     "e5_ann_recall" ->
-      """WITH q AS (
-        |  SELECT generate_subscripts(embedding, 1) AS i,
-        |    CAST(unnest(embedding) AS DOUBLE) AS qv
-        |  FROM embeddings WHERE vec_id = 0
-        |), v AS (
-        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-        |    CAST(unnest(embedding) AS DOUBLE) AS ev
-        |  FROM embeddings WHERE vec_id <> 0
-        |), m AS (
-        |  SELECT v.vec_id, sum(v.ev * q.qv) AS dot,
-        |    sum(v.ev * v.ev) AS vv, sum(q.qv * q.qv) AS qq
-        |  FROM v JOIN q ON v.i = q.i GROUP BY v.vec_id
-        |), top10 AS (
-        |  SELECT vec_id FROM m
-        |  ORDER BY round(dot / (sqrt(vv) * sqrt(qq)), 4) DESC, vec_id
-        |  LIMIT 10
-        |)
+      (BruteForceTop10Cte + """
         |SELECT true AS recall_at_10_ge_half,
-        |  (SELECT list_sort(list(vec_id)) FROM top10) AS exact_top10_ids""".stripMargin,
+        |  (SELECT list_sort(list(vec_id)) FROM top10) AS exact_top10_ids""".stripMargin),
 
     // j10's oracle is the plain BETWEEN join — bucket-decomposition
     // invariance of the result IS the correctness contract
@@ -4597,27 +4606,11 @@ object TrainingQueries {
     // e14 itself is rows-only (greedy float selection has no SQL
     // replay); this contract twin pins its semantics
     "e14b_mmr_contract" ->
-      """WITH q AS (
-        |  SELECT generate_subscripts(embedding, 1) AS i,
-        |    CAST(unnest(embedding) AS DOUBLE) AS qv
-        |  FROM embeddings WHERE vec_id = 0
-        |), v AS (
-        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-        |    CAST(unnest(embedding) AS DOUBLE) AS ev
-        |  FROM embeddings WHERE vec_id <> 0
-        |), m AS (
-        |  SELECT v.vec_id, sum(v.ev * q.qv) AS dot,
-        |    sum(v.ev * v.ev) AS vv, sum(q.qv * q.qv) AS qq
-        |  FROM v JOIN q ON v.i = q.i GROUP BY v.vec_id
-        |), top10 AS (
-        |  SELECT vec_id FROM m
-        |  ORDER BY round(dot / (sqrt(vv) * sqrt(qq)), 4) DESC, vec_id
-        |  LIMIT 10
-        |)
+      (BruteForceTop10Cte + """
         |SELECT true AS k_selected, true AS first_is_top1,
         |  true AS subset_of_shortlist, true AS lambda1_equals_topk,
         |  true AS diversity_not_worse,
-        |  (SELECT list_sort(list(vec_id)) FROM top10) AS exact_top10_ids""".stripMargin,
+        |  (SELECT list_sort(list(vec_id)) FROM top10) AS exact_top10_ids""".stripMargin),
 
     // e16 replays the e10 exact-centroid CTE, the e1 unnest cosine per
     // (vector, candidate-label) pair, the identical round-4 + (sim
@@ -4711,46 +4704,14 @@ object TrainingQueries {
         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
     "e6_ivf_recall" ->
-      """WITH q AS (
-        |  SELECT generate_subscripts(embedding, 1) AS i,
-        |    CAST(unnest(embedding) AS DOUBLE) AS qv
-        |  FROM embeddings WHERE vec_id = 0
-        |), v AS (
-        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-        |    CAST(unnest(embedding) AS DOUBLE) AS ev
-        |  FROM embeddings WHERE vec_id <> 0
-        |), m AS (
-        |  SELECT v.vec_id, sum(v.ev * q.qv) AS dot,
-        |    sum(v.ev * v.ev) AS vv, sum(q.qv * q.qv) AS qq
-        |  FROM v JOIN q ON v.i = q.i GROUP BY v.vec_id
-        |), top10 AS (
-        |  SELECT vec_id FROM m
-        |  ORDER BY round(dot / (sqrt(vv) * sqrt(qq)), 4) DESC, vec_id
-        |  LIMIT 10
-        |)
+      (BruteForceTop10Cte + """
         |SELECT true AS recall_at_10_ge_08,
-        |  (SELECT list_sort(list(vec_id)) FROM top10) AS exact_top10_ids""".stripMargin,
+        |  (SELECT list_sort(list(vec_id)) FROM top10) AS exact_top10_ids""".stripMargin),
 
     "e12b_pq_recall" ->
-      """WITH q AS (
-        |  SELECT generate_subscripts(embedding, 1) AS i,
-        |    CAST(unnest(embedding) AS DOUBLE) AS qv
-        |  FROM embeddings WHERE vec_id = 0
-        |), v AS (
-        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-        |    CAST(unnest(embedding) AS DOUBLE) AS ev
-        |  FROM embeddings WHERE vec_id <> 0
-        |), m AS (
-        |  SELECT v.vec_id, sum(v.ev * q.qv) AS dot,
-        |    sum(v.ev * v.ev) AS vv, sum(q.qv * q.qv) AS qq
-        |  FROM v JOIN q ON v.i = q.i GROUP BY v.vec_id
-        |), top10 AS (
-        |  SELECT vec_id FROM m
-        |  ORDER BY round(dot / (sqrt(vv) * sqrt(qq)), 4) DESC, vec_id
-        |  LIMIT 10
-        |)
+      (BruteForceTop10Cte + """
         |SELECT true AS ok_recall, true AS ok_codes,
-        |  (SELECT list_sort(list(vec_id)) FROM top10) AS exact_top10_ids""".stripMargin,
+        |  (SELECT list_sort(list(vec_id)) FROM top10) AS exact_top10_ids""".stripMargin),
 
     "o6_union_by_name" ->
       """SELECT c_custkey, c_name,
@@ -4877,9 +4838,9 @@ object TrainingQueries {
         |nb AS (SELECT count(*) AS nb FROM b),
         |kun AS (SELECT count(*) AS ku_n FROM ku)
         |SELECT CAST(128 AS BIGINT) AS k,
-        |  y * 1.0 / least(128, ku_n) AS est_jaccard,
+        |  y * 1.0 / ku_n AS est_jaccard,
         |  ni * 1.0 / (na + nb - ni) AS exact_jaccard,
-        |  abs(y * 1.0 / least(128, ku_n)
+        |  abs(y * 1.0 / ku_n
         |    - ni * 1.0 / (na + nb - ni)) AS abs_err
         |FROM y, i, na, nb, kun""".stripMargin,
 
