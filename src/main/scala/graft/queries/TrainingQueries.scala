@@ -612,7 +612,7 @@ object TrainingQueries {
         mmrIds.forall(shortIds.contains),
         m1Ids == topIds,
         meanPairSim(mmrIds) <= meanPairSim(topIds) + 1e-9,
-        topIds.sorted
+        topIds.sorted.mkString(",")
       )).toDF("k_selected", "first_is_top1", "subset_of_shortlist",
         "lambda1_equals_topk", "diversity_not_worse", "exact_top10_ids")
     }),
@@ -780,7 +780,8 @@ object TrainingQueries {
       // measured against
       hits.agg((count(lit(1)) >= 5).as("recall_at_10_ge_half"))
         .crossJoin(exact.agg(
-          sort_array(collect_list(col("vec_id"))).as("exact_top10_ids")))
+          array_join(sort_array(collect_list(col("vec_id"))), ",")
+            .as("exact_top10_ids")))
     }),
 
     // E6 — IVF recall CONTRACT (companion to e5): probing 4 of 16 cells
@@ -796,7 +797,8 @@ object TrainingQueries {
         .agg((count(lit(1)) >= 8).as("recall_at_10_ge_08"))
         // e5's d17 pattern: oracle re-derives the exact top-10 ground truth
         .crossJoin(exact.agg(
-          sort_array(collect_list(col("vec_id"))).as("exact_top10_ids")))
+          array_join(sort_array(collect_list(col("vec_id"))), ",")
+            .as("exact_top10_ids")))
     }),
 
     // E12B — PQ CONTRACT (e6 pattern; value-verifies e12): the ADC
@@ -831,7 +833,8 @@ object TrainingQueries {
           (min(array_min(col("codes"))) >= 0)).as("ok_codes"))
       // e5's d17 pattern: oracle re-derives the exact top-10 ground truth
       recall.crossJoin(codes).crossJoin(exact.agg(
-        sort_array(collect_list(col("vec_id"))).as("exact_top10_ids")))
+        array_join(sort_array(collect_list(col("vec_id"))), ",")
+            .as("exact_top10_ids")))
     }),
 
     // T10 — document chunking (64-token windows, 16-token overlap):
@@ -4575,7 +4578,7 @@ object TrainingQueries {
     "e5_ann_recall" ->
       (BruteForceTop10Cte + """
         |SELECT true AS recall_at_10_ge_half,
-        |  (SELECT list_sort(list(vec_id)) FROM top10) AS exact_top10_ids""".stripMargin),
+        |  (SELECT array_to_string(list_sort(list(vec_id)), ',') FROM top10) AS exact_top10_ids""".stripMargin),
 
     // j10's oracle is the plain BETWEEN join — bucket-decomposition
     // invariance of the result IS the correctness contract
@@ -4610,7 +4613,7 @@ object TrainingQueries {
         |SELECT true AS k_selected, true AS first_is_top1,
         |  true AS subset_of_shortlist, true AS lambda1_equals_topk,
         |  true AS diversity_not_worse,
-        |  (SELECT list_sort(list(vec_id)) FROM top10) AS exact_top10_ids""".stripMargin),
+        |  (SELECT array_to_string(list_sort(list(vec_id)), ',') FROM top10) AS exact_top10_ids""".stripMargin),
 
     // e16 replays the e10 exact-centroid CTE, the e1 unnest cosine per
     // (vector, candidate-label) pair, the identical round-4 + (sim
@@ -4706,12 +4709,12 @@ object TrainingQueries {
     "e6_ivf_recall" ->
       (BruteForceTop10Cte + """
         |SELECT true AS recall_at_10_ge_08,
-        |  (SELECT list_sort(list(vec_id)) FROM top10) AS exact_top10_ids""".stripMargin),
+        |  (SELECT array_to_string(list_sort(list(vec_id)), ',') FROM top10) AS exact_top10_ids""".stripMargin),
 
     "e12b_pq_recall" ->
       (BruteForceTop10Cte + """
         |SELECT true AS ok_recall, true AS ok_codes,
-        |  (SELECT list_sort(list(vec_id)) FROM top10) AS exact_top10_ids""".stripMargin),
+        |  (SELECT array_to_string(list_sort(list(vec_id)), ',') FROM top10) AS exact_top10_ids""".stripMargin),
 
     "o6_union_by_name" ->
       """SELECT c_custkey, c_name,
@@ -4899,7 +4902,8 @@ object TrainingQueries {
         |  FROM marked GROUP BY doc_id, pos - rn
         |), agg AS (
         |  SELECT doc_id, count(*) AS n_dup_runs,
-        |    max(rs) + 7 AS longest_dup_tokens, sum(rs) AS dup_shingles
+        |    CAST(max(rs) + 7 AS BIGINT) AS longest_dup_tokens,
+        |    CAST(sum(rs) AS BIGINT) AS dup_shingles
         |  FROM runs GROUP BY doc_id
         |)
         |SELECT d.doc_id, coalesce(a.n_dup_runs, 0) AS n_dup_runs,
@@ -4945,7 +4949,8 @@ object TrainingQueries {
         |  FROM marked GROUP BY doc_id, pos - rn
         |), agg AS (
         |  SELECT doc_id, count(*) AS n_dup_runs,
-        |    max(rs) + 7 AS longest_dup_tokens, sum(rs) AS dup_shingles
+        |    CAST(max(rs) + 7 AS BIGINT) AS longest_dup_tokens,
+        |    CAST(sum(rs) AS BIGINT) AS dup_shingles
         |  FROM runs GROUP BY doc_id
         |)
         |SELECT d.doc_id, coalesce(a.n_dup_runs, 0) AS n_dup_runs,
