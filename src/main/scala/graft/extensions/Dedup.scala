@@ -920,4 +920,98 @@ object Dedup {
     runProfile(sh.join(index.select(col("h")), Seq("h"), "left_semi"),
       batch, idCol, width)
   }
+
+  /** EXACT longest duplicated token span — the Lee et al.
+    * exact-substring semantics ("Deduplicating Training Data Makes
+    * Language Models Better", ExactSubstr) as the exact COMPLEMENT of
+    * [[substringRuns]]' envelope: a duplicated-shingle run only BOUNDS
+    * the true span (its shingles may each recur somewhere unrelated),
+    * so run + width − 1 over-reports. This computes the real maximum:
+    * the longest token sequence occurring at ≥ 2 distinct (doc, pos)
+    * positions, capped at `maxLen` tokens and floored at `width`
+    * (spans shorter than one shingle are invisible to the candidate
+    * generator and out of scope — the envelope family's grain).
+    *
+    * Algorithm: BINARY SEARCH over span length L with one distributed
+    * duplicate-check per probe. Candidate completeness lemma: every
+    * width-window inside a duplicated L-span is itself duplicated (it
+    * recurs at the matching offset of the other occurrence), so the
+    * span's start sits in a marked island whose tail extends ≥
+    * L − width shingles — probes therefore explode the ACTUAL text of
+    * only those candidate positions and group by the substring itself:
+    * exact, no hash-collision caveat anywhere in the reported value.
+    * Monotonicity (an L-dup's prefix is an (L−1)-dup at the same two
+    * positions) makes the search sound.
+    *
+    * Scale shape: the shingle mark-up is d18's single hash exchange;
+    * each of the ≤ log₂(maxLen − width) probes is one bounded
+    * substring group-by over candidate rows ONLY (duplicated-run mass,
+    * not the corpus — on a lightly-duplicated 100-TB corpus that is
+    * orders of magnitude below |tokens|). The probe verdicts are
+    * 1-value driver reads — the pageRankConverged residual class of
+    * bounded driver decisions. Returns ONE row
+    * (longest_exact_dup_tokens, n_occurrences, n_docs), zeros when no
+    * span of ≥ width tokens repeats. */
+  def exactDupSpan(docs: DataFrame, idCol: String, textCol: String,
+      width: Int = 8, maxLen: Int = 64): DataFrame = {
+    require(maxLen >= width, "maxLen must be at least the shingle width")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val toksF = parallelizeSmallScan(docs)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .filter(size(col("toks")) >= width)
+      .localCheckpoint(eager = false) // every probe slices from it
+    val sh = toksF
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(toks) - ${width - 1}), " +
+          s"i -> array_join(slice(toks, i, $width), ' '))")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        conv(substring(md5(col("col").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .localCheckpoint(eager = false) // dup agg + semi probe share it
+    val dup = sh.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select(col("h"))
+    // span_cap(pos) = the longest span STARTING at pos whose every
+    // width-window is duplicated = (island's last shingle − pos) + width
+    val marked = sh.join(dup, Seq("h"), "left_semi")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .withColumn("island", col("pos") - col("rn"))
+    val support = marked
+      .withColumn("maxpos", max(col("pos")).over(
+        Window.partitionBy(col("doc_id"), col("island"))))
+      .select(col("doc_id"), col("pos"),
+        (col("maxpos") - col("pos") + lit(width.toLong)).as("span_cap"))
+      .localCheckpoint(eager = false) // probed ≤ log₂(maxLen) times
+    def candidates(l: Int): DataFrame = support
+      .filter(col("span_cap") >= l)
+      .join(toksF, Seq("doc_id"))
+      // posexplode's pos is 0-based (the d18 oracle's documented offset
+      // convention); slice is 1-based
+      .select(col("doc_id"),
+        expr(s"array_join(slice(toks, CAST(pos + 1 AS INT), $l), ' ')").as("s"))
+    def exists(l: Int): Boolean = {
+      val c = candidates(l)
+      c.groupBy(col("s")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).limit(1).count() > 0
+    }
+    import spark.implicits._
+    if (!exists(width))
+      return Seq((0L, 0L, 0L))
+        .toDF("longest_exact_dup_tokens", "n_occurrences", "n_docs")
+    var lo = width
+    var hi = maxLen + 1 // exists(lo) true, exists(hi) treated false
+    if (exists(maxLen)) lo = maxLen
+    else while (hi - lo > 1) {
+      val mid = (lo + hi) / 2
+      if (exists(mid)) lo = mid else hi = mid
+    }
+    val cand = candidates(lo).localCheckpoint(eager = false)
+    val groups = cand.groupBy(col("s")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("s"))
+    cand.join(groups, Seq("s"), "left_semi")
+      .agg(lit(lo.toLong).as("longest_exact_dup_tokens"),
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+  }
 }

@@ -70,19 +70,116 @@ object Graph {
       edges: DataFrame, iterations: Int, damping: Double = 0.85,
       contribScale: Int = 12, rankScale: Int = 9,
       broadcastRanks: Boolean = true,
-      weightCol: Option[String] = None): DataFrame = {
-    require(iterations >= 1, "need at least one iteration")
-    val (ewd, init) = prepare(edges, broadcastRanks, weightCol)
-    var ranks = init
-    for (k <- 1 to iterations) {
-      val next =
-        superstep(ewd, ranks, damping, contribScale, rankScale, broadcastRanks)
-      // barrier BETWEEN supersteps keeps plans linear; the final state
-      // is consumed once downstream, so it needs no materialization
-      ranks = if (k < iterations) next.localCheckpoint(eager = false) else next
+      weightCol: Option[String] = None): DataFrame =
+    run(edges, damping, contribScale, rankScale, broadcastRanks, weightCol)
+      .ranks(iterations)
+
+  /** A PREPARED PageRank system whose iterate prefix is computed once and
+    * shared by every consumer — the shared-artifact pattern applied to
+    * supersteps themselves. A fixed-count ranking ([[Run.ranks]]), a
+    * convergence-stopped ranking ([[Run.converged]]) and a personalized
+    * variant ([[Run.personalized]]) over the same edge frame share the
+    * prepared (edge ⋈ out-weight ⋈ closed-node-set) frame, and the first
+    * two share every common superstep instead of re-deriving identical
+    * rounded-system states. At 100 TB that sharing is the difference
+    * between k and 2k edge-sized join passes for a workload that asks
+    * both "5 supersteps" and "to convergence" of one graph; the cached
+    * iterates are |nodes|-sized checkpoints — bounded state, never a
+    * data copy. */
+  final class Run private[Graph] (
+      edges: DataFrame, damping: Double, contribScale: Int, rankScale: Int,
+      broadcastRanks: Boolean, weightCol: Option[String]) {
+    private val (ewd, init) = prepare(edges, broadcastRanks, weightCol)
+    private val nodes = init.select(col("src"))
+    // states(k) = the k-th iterate of the rounded system, checkpointed;
+    // states(0) = the uniform initial state
+    private val states = scala.collection.mutable.ArrayBuffer[DataFrame](init)
+
+    /** The k-th CHECKPOINTED iterate (k = 0 is the initial state),
+      * computing and caching any missing prefix. */
+    def iterate(k: Int): DataFrame = synchronized {
+      while (states.size <= k)
+        states += superstep(ewd, states.last, damping, contribScale,
+          rankScale, broadcastRanks).localCheckpoint(eager = false)
+      states(k)
     }
-    ranks.select(col("src").as("node"), col("rank"))
+
+    /** Fixed-iteration ranks ([[Graph.pageRank]] semantics). The FINAL
+      * superstep stays raw, off the cached prefix: the consumer's plan
+      * IS one superstep (the PlanSpec g1 pin — broadcast rank state,
+      * single contribution exchange), and a later deeper consumer
+      * re-derives from the cached prefix rather than re-paying the
+      * whole chain. */
+    def ranks(iterations: Int): DataFrame = {
+      require(iterations >= 1, "need at least one iteration")
+      superstep(ewd, iterate(iterations - 1), damping, contribScale,
+          rankScale, broadcastRanks)
+        .select(col("src").as("node"), col("rank"))
+    }
+
+    /** Convergence-stopped ranks ([[Graph.pageRankConverged]]
+      * semantics). Residuals are measured between consecutive CACHED
+      * iterates, so a fixed-count consumer of the same run reuses every
+      * superstep this stop rule examined (and vice versa). */
+    def converged(maxIterations: Int, epsilon: Double): (DataFrame, Int) = {
+      require(maxIterations >= 1, "need at least one iteration")
+      require(epsilon > 0.0, "epsilon must be positive")
+      var iters = 0
+      var done = false
+      while (iters < maxIterations && !done) {
+        val prev = iterate(iters).select(col("src"), col("rank").as("__prev"))
+        val residual = iterate(iters + 1).select(col("src"), col("rank"))
+          .join(if (broadcastRanks) broadcast(prev) else prev, Seq("src"))
+          .agg(sum(abs(col("rank") - col("__prev"))
+            .cast("decimal(38,12)")).cast("double").as("d"))
+          .head.getDouble(0)
+        iters += 1
+        done = residual < epsilon
+      }
+      (iterate(iters).select(col("src").as("node"), col("rank")), iters)
+    }
+
+    /** Personalized ranks ([[Graph.personalizedPageRank]] semantics)
+      * over the shared prepared frames. Teleport states are
+      * seed-dependent, so they cannot share iterates with the uniform
+      * system — only the prepared edge frame and node set. */
+    def personalized(seeds: DataFrame, iterations: Int): DataFrame = {
+      require(iterations >= 1, "need at least one iteration")
+      val seedCol = seeds.columns.head
+      val inGraph = nodes
+        .join(seeds.select(col(seedCol).as("src")).distinct(),
+          Seq("src"), "left_semi")
+      // bounded 1-row guard: an empty effective seed set would divide the
+      // teleport into NaNs — fail loudly instead (pqCodebooks precedent)
+      val nSeeds = inGraph.count()
+      require(nSeeds > 0, "no seed intersects the graph's node set")
+      val seedFlag = inGraph.withColumn("__seed", lit(1))
+      var ranks = nodes
+        .join(if (broadcastRanks) broadcast(seedFlag) else seedFlag,
+          Seq("src"), "left")
+        .select(col("src"),
+          when(col("__seed").isNotNull, lit(1.0) / nSeeds)
+            .otherwise(lit(0.0)).as("__tele"))
+        .withColumn("rank", col("__tele"))
+        .select(col("src"), col("rank"), col("__tele"))
+      for (k <- 1 to iterations) {
+        val next = personalizedSuperstep(ewd, ranks, damping, contribScale,
+          rankScale, broadcastRanks)
+        ranks = if (k < iterations) next.localCheckpoint(eager = false)
+                else next
+      }
+      ranks.select(col("src").as("node"), col("rank"))
+    }
   }
+
+  /** Entry point for shared-prefix consumers; [[pageRank]],
+    * [[pageRankConverged]] and [[personalizedPageRank]] are one-shot
+    * wrappers over a fresh run. */
+  def run(edges: DataFrame, damping: Double = 0.85,
+      contribScale: Int = 12, rankScale: Int = 9,
+      broadcastRanks: Boolean = true,
+      weightCol: Option[String] = None): Run =
+    new Run(edges, damping, contribScale, rankScale, broadcastRanks, weightCol)
 
   /** Convergence-terminated damped PageRank: iterates the SAME rounded
     * system as [[pageRank]] and stops after the first superstep whose
@@ -115,32 +212,9 @@ object Graph {
       damping: Double = 0.85,
       contribScale: Int = 12, rankScale: Int = 9,
       broadcastRanks: Boolean = true,
-      weightCol: Option[String] = None): (DataFrame, Int) = {
-    require(maxIterations >= 1, "need at least one iteration")
-    require(epsilon > 0.0, "epsilon must be positive")
-    val (ewd, init) = prepare(edges, broadcastRanks, weightCol)
-    var ranks = init
-    var iters = 0
-    var converged = false
-    while (iters < maxIterations && !converged) {
-      // unlike the fixed loop, EVERY next state materializes: it feeds
-      // both the residual action and (if not converged) the next
-      // superstep / the returned frame
-      val next =
-        superstep(ewd, ranks, damping, contribScale, rankScale, broadcastRanks)
-          .localCheckpoint(eager = false)
-      val prev = ranks.select(col("src"), col("rank").as("__prev"))
-      val residual = next.select(col("src"), col("rank"))
-        .join(if (broadcastRanks) broadcast(prev) else prev, Seq("src"))
-        .agg(sum(abs(col("rank") - col("__prev"))
-          .cast("decimal(38,12)")).cast("double").as("d"))
-        .head.getDouble(0)
-      iters += 1
-      ranks = next
-      converged = residual < epsilon
-    }
-    (ranks.select(col("src").as("node"), col("rank")), iters)
-  }
+      weightCol: Option[String] = None): (DataFrame, Int) =
+    run(edges, damping, contribScale, rankScale, broadcastRanks, weightCol)
+      .converged(maxIterations, epsilon)
 
   /** PERSONALIZED PageRank: teleport mass (1−d) returns only to the
     * `seeds` (uniformly), not to every node — the "similar to THESE"
@@ -165,34 +239,9 @@ object Graph {
       damping: Double = 0.85,
       contribScale: Int = 12, rankScale: Int = 9,
       broadcastRanks: Boolean = true,
-      weightCol: Option[String] = None): DataFrame = {
-    require(iterations >= 1, "need at least one iteration")
-    val (ewd, init) = prepare(edges, broadcastRanks, weightCol)
-    val nodes = init.select(col("src"))
-    val seedCol = seeds.columns.head
-    val inGraph = nodes
-      .join(seeds.select(col(seedCol).as("src")).distinct(),
-        Seq("src"), "left_semi")
-    // bounded 1-row guard: an empty effective seed set would divide the
-    // teleport into NaNs — fail loudly instead (pqCodebooks precedent)
-    val nSeeds = inGraph.count()
-    require(nSeeds > 0, "no seed intersects the graph's node set")
-    val seedFlag = inGraph.withColumn("__seed", lit(1))
-    var ranks = nodes
-      .join(if (broadcastRanks) broadcast(seedFlag) else seedFlag,
-        Seq("src"), "left")
-      .select(col("src"),
-        when(col("__seed").isNotNull, lit(1.0) / nSeeds)
-          .otherwise(lit(0.0)).as("__tele"))
-      .withColumn("rank", col("__tele"))
-      .select(col("src"), col("rank"), col("__tele"))
-    for (k <- 1 to iterations) {
-      val next = personalizedSuperstep(ewd, ranks, damping, contribScale,
-        rankScale, broadcastRanks)
-      ranks = if (k < iterations) next.localCheckpoint(eager = false) else next
-    }
-    ranks.select(col("src").as("node"), col("rank"))
-  }
+      weightCol: Option[String] = None): DataFrame =
+    run(edges, damping, contribScale, rankScale, broadcastRanks, weightCol)
+      .personalized(seeds, iterations)
 
   /** One superstep of the personalized system: like [[superstep]], but
     * the teleport term is the per-NODE `__tele` column. Contribution

@@ -430,6 +430,47 @@ class StreamingSpec extends SparkSpec {
       "complete")
     assert(spark.table("stream_sessions").count() > 0)
   }
+
+  test("streaming session windows over the full events fixture equal the batch v2_sessionize query") {
+    // SURVEY §7.4 state-parity, promoted from "documented" to executed:
+    // the board's v2_sessionize (gaps-and-islands batch form) replayed
+    // as a REAL Structured Streaming session_window run — several
+    // micro-batches, session state merged across them by the state
+    // store — must produce the identical (user, session_start,
+    // n_events) set over the full sf0.001 events fixture.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-v2").toString
+    // stage four files in EVENT-TIME order (ntile over ts, distinct
+    // mtimes → the file source replays them as four ordered
+    // micro-batches): a broker replay in rough time order. Time-ordered
+    // arrival matters — the watermark filter drops rows older than
+    // max(ts)−10min from PREVIOUS batches even before state eviction,
+    // so randomly-partitioned files (each spanning the full range)
+    // would lose most of batches 2-4 and the parity assert below would
+    // (correctly!) fail. That failure mode is itself pinned by the
+    // watermarkAudit tests; here the claim is exact batch parity.
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"))
+    val ranked = graft.sources.Tables.events(spark, sf0001)
+      .withColumn("__f", ntile(4).over(w))
+    for (i <- 1 to 4) {
+      ranked.filter(col("__f") === i).drop("__f")
+        .coalesce(1).write.mode("append").parquet(tmp)
+      Thread.sleep(1100) // distinct mtimes → deterministic batch order
+    }
+    val stream = spark.readStream.schema(StreamingOps.eventSchema)
+      .option("maxFilesPerTrigger", 1).parquet(tmp)
+    StreamingOps.runToMemory(
+      StreamingOps.sessionCounts(stream, "30 minutes"), "stream_v2_parity",
+      "complete")
+    val streamed = spark.table("stream_v2_parity")
+      .select(col("user_id"), unix_timestamp(col("session_start")).as("s"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = SparkEntry.queries("v2_sessionize")(spark, sf0001)
+      .select(col("user_id"), col("session_start_s"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.size > 100) // the fixture genuinely sessionizes
+  }
 }
 
 /** Batch mirror of the streaming aggregation for the parity assert. */

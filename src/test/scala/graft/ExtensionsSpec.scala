@@ -128,6 +128,41 @@ class DedupSpec extends SparkSpec {
     assert(got == ((1L, 1L, 5L, 3L)))
   }
 
+  test("exactDupSpan computes the TRUE longest duplicated span (complement of the envelope)") {
+    // the chaining fixture above: the ENVELOPE reports a 5-token span
+    // for doc 1, but no 4-token sequence repeats anywhere in the corpus
+    // — the true longest duplicated spans are the three 3-token
+    // shingles, each occurring twice (6 occurrences across 4 docs)
+    val chain = Seq(
+      (1L, "a b c d e"),
+      (2L, "z a b c q"),
+      (3L, "m b c d n"),
+      (4L, "p c d e r")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactDupSpan(chain, "doc_id", "text",
+        width = 3, maxLen = 8)
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((3L, 6L, 4L)))
+    // single-source duplication (the planted block): exact answer MEETS
+    // the envelope — the shared 8-token block, its two occurrences
+    val sdocs = Seq(
+      (1L, "p1 p2 p3 s1 s2 s3 s4 s5 s6 s7 s8 t1 t2"),
+      (2L, "q1 q2 q3 q4 q5 s1 s2 s3 s4 s5 s6 s7 s8 u1 u2 u3")
+    ).toDF("doc_id", "text")
+    val block = Dedup.exactDupSpan(sdocs, "doc_id", "text",
+        width = 4, maxLen = 16)
+      .as[(Long, Long, Long)].collect().head
+    assert(block == ((8L, 2L, 2L)))
+    // no duplication at the width grain → explicit zeros, not an
+    // empty frame
+    val clean = Seq((1L, "v1 v2 v3 v4 v5 v6"), (2L, "w1 w2 w3 w4 w5"))
+      .toDF("doc_id", "text")
+    val zero = Dedup.exactDupSpan(clean, "doc_id", "text",
+        width = 4, maxLen = 8)
+      .as[(Long, Long, Long)].collect().head
+    assert(zero == ((0L, 0L, 0L)))
+  }
+
   test("substringRunsAgainstIndex flags snapshot spans only, not within-batch dups") {
     val snapshot = Seq((1L, "s1 s2 s3 s4 s5 s6")).toDF("doc_id", "text")
     val batch = Seq(

@@ -89,6 +89,68 @@ class PipelineSpec extends SparkSpec {
     assert(s.getAs[Long]("stale_data_countries") == 0L)
   }
 
+  test("match report reproduces the reference's match-rate headline shape on a fixture") {
+    // The reference publishes "Country matching: 194 of ~276 total
+    // countries successfully matched between sources"
+    // (streamlit_app.py:745) — this pins the SAME artifact at fixture
+    // scale with hand-computed values: 5 clean OWID countries + 5 clean
+    // API countries sharing 4 → 6 candidates, 4 matched; aggregates are
+    // cleaned out BEFORE the candidate pool is counted (the reference's
+    // "~276" is post-exclusion too).
+    def o(iso: String, c: String, dt: String, tc: Option[Double],
+        td: Option[Double], nc: Option[Double]) =
+      (iso, c, d(dt), tc, td, nc, Option.empty[Double], Some(1000000.0))
+    val owid = Seq(
+      o("USA", "United States", "2024-01-01", Some(900.0), Some(45.0), Some(10.0)),
+      o("USA", "United States", "2024-01-02", Some(1000.0), Some(50.0), Some(100.0)),
+      o("AFG", "Afghanistan", "2024-01-01", Some(480.0), Some(24.0), Some(5.0)),
+      o("AFG", "Afghanistan", "2024-01-02", Some(500.0), Some(25.0), Some(20.0)),
+      // total_cases NULL at every date → the NULL must survive
+      // forward-fill + last-non-null alignment into the merged frame
+      o("ATL", "Atlantis", "2024-01-01", None, Some(11.0), Some(2.0)),
+      o("ATL", "Atlantis", "2024-01-02", None, Some(12.0), Some(3.0)),
+      // a single data point → below trendMetrics' 2-row floor
+      // (data_merger.py:151-152), so no trend attaches for this country
+      o("BOR", "Borduria", "2024-01-02", Some(700.0), Some(35.0), None),
+      // OWID-only candidate: inflates the pool, not the matches
+      o("CAR", "Carpathia", "2024-01-02", Some(10.0), Some(1.0), Some(1.0)),
+      o("OWID_WRL", "World", "2024-01-02", Some(999999.0), Some(9999.0), None),
+      o(null, "Upper middle income", "2024-01-02", Some(5.0), Some(1.0), None)
+    ).toDF("iso_code", "country", "date", "total_cases", "total_deaths",
+      "new_cases", "new_deaths", "population")
+    val api = Seq(
+      ("USA", "USA", Option(1200L), Option(60L)),
+      ("Afghanistan", "AFG", Option(600L), Option(30L)),
+      ("Atlantis", "ATL", Option(90L), Option(9L)),
+      ("Borduria", "BOR", Option(800L), Option.empty[Long]), // deaths NULL
+      ("Syldavia", "SYL", Option(40L), Option(4L)),          // API-only candidate
+      ("World", "WRL", Option(99999999L), Option(999999L))   // aggregate: excluded
+    ).toDF("country", "iso_code", "current_cases", "current_deaths")
+      .withColumn("current_recovered", lit(0L))
+      .withColumn("population", lit(1000000L))
+      .withColumn("current_active", lit(0L))
+      .withColumn("current_critical", lit(0L))
+      .withColumn("tests_total", lit(0L))
+      .withColumn("last_updated", lit(Timestamp.valueOf("2024-01-02 00:00:00")))
+    val cfg = CovidPipeline.Config(asOf = java.time.LocalDate.parse("2024-01-05"))
+    val m = CovidPipeline.integrate(owid, api, cfg)
+    val r = CovidPipeline.matchReport(
+      CovidPipeline.cleanOwid(owid), CovidPipeline.cleanApi(api), m).collect()(0)
+    assert(r.getAs[Long]("owid_countries") == 5L)
+    assert(r.getAs[Long]("api_countries") == 5L)
+    assert(r.getAs[Long]("candidate_countries") == 6L)
+    assert(r.getAs[Long]("matched_countries") == 4L)
+    assert(r.getAs[Double]("match_rate_pct") == 66.7) // round(400/6, 1)
+    assert(r.getAs[Long]("owid_total_cases_available") == 3L)
+    assert(r.getAs[Double]("owid_total_cases_completeness_pct") == 75.0)
+    assert(r.getAs[Long]("api_current_cases_available") == 4L)
+    assert(r.getAs[Double]("api_current_cases_completeness_pct") == 100.0)
+    assert(r.getAs[Long]("owid_total_deaths_available") == 4L)
+    assert(r.getAs[Long]("api_current_deaths_available") == 3L)
+    assert(r.getAs[Double]("api_current_deaths_completeness_pct") == 75.0)
+    assert(r.getAs[Long]("countries_with_trends") == 3L)
+  }
+
   test("daily changes derived only when absent from the source (reference guard)") {
     // source-provided dailies pass through untouched (data_cleaner.py:186-192):
     // a lag-diff recompute would turn USA 01-01 new_cases (no prior row) into 0
