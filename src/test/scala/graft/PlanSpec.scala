@@ -250,6 +250,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d20: the exact-span result plan has no nested-loop/cartesian stage") {
+    // the final aggregate plan (candidates ⋈ toks equi-join + substring
+    // group-by + semi join) must stay hash-join-shaped; a BNLJ here
+    // would mean the probe degenerated into all-pairs text comparison
+    val df = SparkEntry.queries("d20_exact_dup_span")(spark, sf0001)
+    val p = finalPlan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"exact-span probe must stay equi-join shaped\n$p")
+  }
+
+  test("g1/g3/g4 share ONE memoized TradingRank run per (session, dir)") {
+    // the g-family artifact contract: the fixed-count, converged and
+    // personalized queries must read the same Run instance, or the
+    // iterate-prefix sharing (and its bench accounting) silently rots
+    val r1 = graft.queries.TrainingQueries.TradingRank(spark, sf0001)
+    val r2 = graft.queries.TrainingQueries.TradingRank(spark, sf0001)
+    assert(r1 eq r2, "TradingRank must memoize per (session, dir)")
+  }
+
   test("e4: IVF assign is a map pass — no corpus-wide argmin shuffle") {
     val df = SparkEntry.queries("e4_ivf_ann")(spark, sf0001)
     val p = finalPlan(df)
