@@ -999,12 +999,18 @@ object Dedup {
     if (!exists(width))
       return Seq((0L, 0L, 0L))
         .toDF("longest_exact_dup_tokens", "n_occurrences", "n_docs")
-    var lo = width
-    var hi = maxLen + 1 // exists(lo) true, exists(hi) treated false
-    if (exists(maxLen)) lo = maxLen
-    else while (hi - lo > 1) {
-      val mid = (lo + hi) / 2
-      if (exists(mid)) lo = mid else hi = mid
+    var lo = width // exists(lo) just proved true
+    if (maxLen > width) {
+      if (exists(maxLen)) lo = maxLen
+      else {
+        // exists(maxLen) just proved false — search strictly inside
+        // (lo, maxLen) so neither endpoint's probe job re-runs
+        var hi = maxLen
+        while (hi - lo > 1) {
+          val mid = (lo + hi) / 2
+          if (exists(mid)) lo = mid else hi = mid
+        }
+      }
     }
     val cand = candidates(lo).localCheckpoint(eager = false)
     val groups = cand.groupBy(col("s")).agg(count(lit(1)).as("c"))

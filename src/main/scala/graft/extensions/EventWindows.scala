@@ -76,9 +76,16 @@ object EventWindows {
             e => e.getField("event_type")),
           ">").as("event_seq"))
 
-  /** The built-in `session_window` form (same semantics, state-store
-    * backed under streaming). Kept alongside `sessionize` so the batch
-    * oracle checks the hand-rolled form while streaming uses this one. */
+  /** The built-in `session_window` form (state-store backed under
+    * streaming). Kept alongside `sessionize` so the batch oracle checks
+    * the hand-rolled form while streaming uses this one. BOUNDARY
+    * CONVENTION differs at exactly-the-gap: `sessionize` merges a gap
+    * EQUAL to `gapSeconds` (split iff gap > g, on unix_timestamp
+    * TRUNCATED seconds), while `session_window` splits when the next
+    * event reaches prev + gap (split iff gap ≥ g, at full timestamp
+    * precision). On integer-second data the two agree exactly when this
+    * form's gap is `gapSeconds + 1` — the equivalence the streaming v2
+    * parity test exercises end-to-end. */
   def sessionWindowAgg(events: DataFrame, gap: String): DataFrame =
     events
       .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))

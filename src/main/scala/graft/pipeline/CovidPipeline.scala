@@ -222,6 +222,13 @@ object CovidPipeline {
     val candidates = cleanedOwid.select(col("country_standardized"))
       .unionByName(cleanedApi.select(col("country_standardized")))
       .distinct().agg(count(lit(1)).as("candidate_countries"))
+      .localCheckpoint(eager = false) // guard below + report both read it
+    // bounded 1-row guard (the personalizedPageRank precedent): an
+    // empty candidate pool means the cleaning stage dropped every
+    // country, and the rate below would ship as a silent NULL/NaN —
+    // fail loudly instead
+    require(candidates.head.getLong(0) > 0,
+      "no candidate countries after cleaning — are both sources empty?")
     def completeness(c: String): Seq[Column] = Seq(
       count(col(c)).as(s"${c}_available"),
       round(lit(100.0) * count(col(c)) / count(lit(1)), 1)

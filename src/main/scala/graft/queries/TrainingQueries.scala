@@ -3188,7 +3188,11 @@ object TrainingQueries {
     * iterates serve the fixed-count (g1), convergence-stopped (g3) and
     * personalized (g4) queries — the [[TradingPairs]] build-once
     * contract applied to supersteps themselves (g1 and g3 walk the same
-    * rounded system; g4 shares the prepared frames). */
+    * rounded system; g4 shares the prepared frames). Like every
+    * build-once artifact here, entries live for the session (bounded:
+    * one |nodes|-sized iterate chain per (session, dir) actually
+    * queried) and assume the dir's parquet is immutable within a
+    * session — the Verify/Bench contract. */
   private[graft] object TradingRank {
     private val cache = scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), graft.operators.Graph.Run]

@@ -448,8 +448,17 @@ class StreamingSpec extends SparkSpec {
     // would lose most of batches 2-4 and the parity assert below would
     // (correctly!) fail. That failure mode is itself pinned by the
     // watermarkAudit tests; here the claim is exact batch parity.
+    //
+    // ts truncates to integer seconds at staging and the streaming gap
+    // is gapSeconds + 1: the batch form splits on TRUNCATED-second gap
+    // > 1800 while session_window splits on full-precision gap ≥ gap —
+    // on integer-second data the two predicates coincide EXACTLY under
+    // this (trunc, +1) transform (sessionWindowAgg's documented
+    // boundary convention), so the parity below holds by construction,
+    // not by the fixture happening to avoid [1800 s, 1801 s) gaps.
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"))
     val ranked = graft.sources.Tables.events(spark, sf0001)
+      .withColumn("ts", date_trunc("second", col("ts")))
       .withColumn("__f", ntile(4).over(w))
     for (i <- 1 to 4) {
       ranked.filter(col("__f") === i).drop("__f")
@@ -459,7 +468,7 @@ class StreamingSpec extends SparkSpec {
     val stream = spark.readStream.schema(StreamingOps.eventSchema)
       .option("maxFilesPerTrigger", 1).parquet(tmp)
     StreamingOps.runToMemory(
-      StreamingOps.sessionCounts(stream, "30 minutes"), "stream_v2_parity",
+      StreamingOps.sessionCounts(stream, "1801 seconds"), "stream_v2_parity",
       "complete")
     val streamed = spark.table("stream_v2_parity")
       .select(col("user_id"), unix_timestamp(col("session_start")).as("s"),

@@ -151,6 +151,19 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[Long]("countries_with_trends") == 3L)
   }
 
+  test("match report fails loudly on an empty candidate pool") {
+    // upstream cleaning that drops every country must not ship a
+    // silent NULL/NaN rate — the bounded 1-row guard fires instead
+    val owid = owidFixture.filter(col("country") === "no_such_country")
+    val api = apiFixture.filter(col("country") === "no_such_country")
+    val e = intercept[IllegalArgumentException] {
+      CovidPipeline.matchReport(
+        CovidPipeline.cleanOwid(owid), CovidPipeline.cleanApi(api),
+        CovidPipeline.integrate(owid, api, CovidPipeline.Config()))
+    }
+    assert(e.getMessage.contains("candidate countries"))
+  }
+
   test("daily changes derived only when absent from the source (reference guard)") {
     // source-provided dailies pass through untouched (data_cleaner.py:186-192):
     // a lag-diff recompute would turn USA 01-01 new_cases (no prior row) into 0

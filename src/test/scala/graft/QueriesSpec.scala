@@ -88,30 +88,32 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
-  test("no oracled query emits an array/map-typed output column") {
-    // the w24 list policy, made un-rottable: the driver's comparator
-    // materializes both sides as pandas frames and sort_values over
-    // every column — an ARRAY cell crashes it ("unhashable type:
-    // numpy.ndarray", e5/e6/e12b/e14b round 6) regardless of whether
-    // the values match. Lists must ship stringified
-    // (array_join/array_to_string on both sides).
-    import org.apache.spark.sql.types.{ArrayType, MapType}
-    val offenders = SparkEntry.oracleSql.keySet.toSeq.sorted.flatMap { name =>
-      SparkEntry.queries(name)(spark, sf0001).schema.fields.collect {
-        case f if f.dataType.isInstanceOf[ArrayType]
-               || f.dataType.isInstanceOf[MapType] =>
-          s"$name.${f.name}: ${f.dataType.simpleString}"
-      }
-    }
-    assert(offenders.isEmpty,
-      s"array/map-typed columns reach the driver comparator (stringify " +
-        s"per the w24 list policy): $offenders")
-  }
-
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name executes at sf0.001") {
       val df = fn(spark, sf0001)
       assert(df.columns.nonEmpty)
+      // the w24 list policy, made un-rottable (checked here so eager
+      // builders — convergence loops, binary searches, local collects —
+      // run ONCE per query, not twice): the driver's comparator
+      // materializes both sides as pandas frames and sort_values over
+      // every column — an ARRAY cell crashes it ("unhashable type:
+      // numpy.ndarray", e5/e6/e12b/e14b round 6) regardless of whether
+      // values match, and a STRUCT lands as an unhashable dict cell in
+      // the same class. Top-level suffices: any nested container sits
+      // inside a top-level Array/Map/Struct, which is itself flagged.
+      // Lists must ship stringified (array_join/array_to_string).
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+      if (SparkEntry.oracleSql.contains(name)) {
+        val offenders = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType]
+                 || f.dataType.isInstanceOf[MapType]
+                 || f.dataType.isInstanceOf[StructType] =>
+            s"${f.name}: ${f.dataType.simpleString}"
+        }
+        assert(offenders.isEmpty,
+          s"array/map/struct-typed columns reach the driver comparator " +
+            s"(stringify per the w24 list policy): ${offenders.toSeq}")
+      }
       df.count() // must not throw
     }
   }
