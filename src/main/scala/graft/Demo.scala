@@ -62,6 +62,8 @@ object Demo {
     println(s"[demo] media pipeline rows = ${media.count()}")
     println(s"[demo] pipeline rows = ${merged.count()}")
     CovidPipeline.integrationSummary(merged).show(truncate = false)
+    CovidPipeline.matchReport(CovidPipeline.cleanOwid(owid),
+      CovidPipeline.cleanApi(api), merged).show(truncate = false)
 
     // S5 CSV export sink (reference streamlit download contract)
     val csvOut = java.nio.file.Files.createTempDirectory("graft-csv").toString + "/export"

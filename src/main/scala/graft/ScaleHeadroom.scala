@@ -330,6 +330,22 @@ object ScaleHeadroom {
       }
       report("d18_substring_runs", scale, secs, rows)
     }
+    // d20's claim: the EXACT span search stays ~linear as well — each
+    // binary-search probe explodes the actual text of CANDIDATE
+    // positions only (duplicated-run mass, which disjoint-copy
+    // inflation replicates per copy), so the whole search rides the
+    // same linear trend as the d18 envelope; a superlinear 10×→25× leg
+    // would betray a corpus-sized explode hiding inside a probe. The
+    // timed action re-runs the full search including its bounded
+    // driver-side probe verdicts.
+    for ((scale, dir) <- dirs) {
+      val dd = spark.read.parquet(s"$dir/documents.parquet")
+      val (secs, rows) = timeBest {
+        forceAll(Dedup.exactDupSpan(dd, "doc_id", "text", width = 8,
+          maxLen = 64))
+      }
+      report("d20_exact_dup_span", scale, secs, rows)
+    }
     val batch1x = docs.filter(col("doc_id") % 10 === 0)
       .localCheckpoint(eager = false)
     batch1x.count()

@@ -828,18 +828,30 @@ object Dedup {
     * Docs shorter than `width` tokens contribute no shingles and
     * report zeros via the corpus left join. */
   def substringRuns(docs: DataFrame, idCol: String, textCol: String,
-      width: Int = 8, minOccurrences: Int = 2): DataFrame = {
-    val sh = positionedShingles(docs, idCol, textCol, width)
+      width: Int = 8, minOccurrences: Int = 2,
+      shingles: Option[DataFrame] = None): DataFrame = {
+    // `shingles`: a pre-built (already materialization-barriered)
+    // [[positionedShingleFrame]] of the SAME docs/width — lets callers
+    // that run several span operators over one corpus (d18 + d20) pay
+    // the md5 shingle explode once (the TradingRank sharing pattern)
+    val sh = shingles.getOrElse(positionedShingles(docs, idCol, textCol, width)
       // barrier: the dup aggregate and the semi-join probe both read
       // this frame — without it the tokenize+shingle+hash projection
       // runs twice (the minHashLshPairs precedent)
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = false))
     val dup = sh.groupBy(col("h"))
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= minOccurrences)
       .select(col("h"))
     runProfile(sh.join(dup, Seq("h"), "left_semi"), docs, idCol, width)
   }
+
+  /** Public form of [[positionedShingles]] for callers composing
+    * several span operators over one corpus (see [[substringRuns]]'
+    * `shingles` param). The caller owns the materialization barrier. */
+  def positionedShingleFrame(docs: DataFrame, idCol: String,
+      textCol: String, width: Int = 8): DataFrame =
+    positionedShingles(docs, idCol, textCol, width)
 
   /** Per-position width-token shingle hashes: (doc_id, pos, h) —
     * the shared front half of [[substringRuns]] /
@@ -953,7 +965,8 @@ object Dedup {
     * (longest_exact_dup_tokens, n_occurrences, n_docs), zeros when no
     * span of ≥ width tokens repeats. */
   def exactDupSpan(docs: DataFrame, idCol: String, textCol: String,
-      width: Int = 8, maxLen: Int = 64): DataFrame = {
+      width: Int = 8, maxLen: Int = 64,
+      shingles: Option[DataFrame] = None): DataFrame = {
     require(maxLen >= width, "maxLen must be at least the shingle width")
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
@@ -961,14 +974,9 @@ object Dedup {
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
       .filter(size(col("toks")) >= width)
       .localCheckpoint(eager = false) // every probe slices from it
-    val sh = toksF
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(toks) - ${width - 1}), " +
-          s"i -> array_join(slice(toks, i, $width), ' '))")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        conv(substring(md5(col("col").cast("binary")), 1, 15), 16, 10)
-          .cast("long").as("h"))
-      .localCheckpoint(eager = false) // dup agg + semi probe share it
+    val sh = shingles.getOrElse(
+      positionedShingles(docs, idCol, textCol, width)
+        .localCheckpoint(eager = false)) // dup agg + semi probe share it
     val dup = sh.groupBy(col("h")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2).select(col("h"))
     // span_cap(pos) = the longest span STARTING at pos whose every

@@ -2141,12 +2141,11 @@ object TrainingQueries {
     // maximal-extraction property the fixture pins. Integer-exact
     // (counts + md5-derived hashes) → full hash oracle.
     "d18_substring_dedup" -> ((s, d) => {
-      val injected = Tables.documents(s, d)
-        .select(col("doc_id"),
-          when(col("doc_id") % 7 === 0,
-            concat(col("text"), lit(" " + DedupPassage)))
-            .otherwise(col("text")).as("text"))
-      Dedup.substringRuns(injected, "doc_id", "text", width = 8)
+      // injected corpus + shingle frame from the shared artifact: the
+      // md5 explode is paid once for the d18/d20 pair
+      val (injected, sh) = InjectedShingles(s, d)
+      Dedup.substringRuns(injected, "doc_id", "text", width = 8,
+          shingles = Some(sh))
         .orderBy(col("doc_id"))
     }),
 
@@ -2163,13 +2162,9 @@ object TrainingQueries {
     // capped at the same 64-token depth. All-integer output → full
     // hash oracle.
     "d20_exact_dup_span" -> ((s, d) => {
-      val injected = Tables.documents(s, d)
-        .select(col("doc_id"),
-          when(col("doc_id") % 7 === 0,
-            concat(col("text"), lit(" " + DedupPassage)))
-            .otherwise(col("text")).as("text"))
+      val (injected, sh) = InjectedShingles(s, d)
       Dedup.exactDupSpan(injected, "doc_id", "text",
-        width = 8, maxLen = 64)
+        width = 8, maxLen = 64, shingles = Some(sh))
     }),
 
     // Q14 — TPC-H Q14 promo-revenue shape: what share of a quarter's
@@ -3193,6 +3188,31 @@ object TrainingQueries {
     * one |nodes|-sized iterate chain per (session, dir) actually
     * queried) and assume the dir's parquet is immutable within a
     * session — the Verify/Bench contract. */
+  /** The d18/d20 shared artifact: the injected corpus (the planted
+    * 30-token passage on every doc_id % 7 == 0) and its positioned
+    * 8-token shingle frame — the md5 shingle explode is the span
+    * family's dominant cost, and both the envelope (d18) and the exact
+    * (d20) operator consume the identical frame. Same build-once
+    * contract as [[TradingPairs]]/[[TradingRank]]. */
+  private[graft] object InjectedShingles {
+    private val cache = scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), (DataFrame, DataFrame)]
+    /** (injected docs, checkpointed (doc_id, pos, h) shingles). */
+    def apply(s: SparkSession, d: String): (DataFrame, DataFrame) =
+      cache.getOrElseUpdate((s, d), {
+        val injected = Tables.documents(s, d)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0,
+              concat(col("text"), lit(" " + DedupPassage)))
+              .otherwise(col("text")).as("text"))
+          .localCheckpoint(eager = false)
+        val sh = Dedup
+          .positionedShingleFrame(injected, "doc_id", "text", width = 8)
+          .localCheckpoint(eager = false)
+        (injected, sh)
+      })
+  }
+
   private[graft] object TradingRank {
     private val cache = scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), graft.operators.Graph.Run]
