@@ -96,6 +96,29 @@ object GraphPropsSpec extends Properties("graft.graph") {
         }
     }
 
+  property("a shared Run serves every consumer identically to fresh one-shot calls") =
+    forAll(edgesGen, Gen.choose(2, 4)) { (es, hi) =>
+      (es.nonEmpty) ==> {
+        val edges = es.toDF("src", "dst")
+        val run = Graph.run(edges)
+        // deeper-first: ranks(hi) populates the iterate cache, then the
+        // SHALLOWER consumer and the ε-stop must still read the same
+        // states a fresh one-shot derivation computes — an off-by-one
+        // in the prefix reuse would corrupt exactly this
+        val deep = run.ranks(hi).as[(String, Double)].collect().toMap
+        val shallow = run.ranks(hi - 1).as[(String, Double)].collect().toMap
+        val (conv, k) = run.converged(hi, 0.5)
+        val freshDeep = Graph.pageRank(edges, hi)
+          .as[(String, Double)].collect().toMap
+        val freshShallow = Graph.pageRank(edges, hi - 1)
+          .as[(String, Double)].collect().toMap
+        val (freshConv, freshK) = Graph.pageRankConverged(edges, hi, 0.5)
+        deep == freshDeep && shallow == freshShallow && k == freshK &&
+          conv.as[(String, Double)].collect().toMap ==
+            freshConv.as[(String, Double)].collect().toMap
+      }
+    }
+
   property("personalizedPageRank: totality, range, seeded-mass conservation on closed graphs") =
     forAll(edgesGen, Gen.choose(1, 3), Gen.nonEmptyListOf(nodeGen)) {
       (es, iters, seedPool) =>
