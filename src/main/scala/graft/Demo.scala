@@ -42,7 +42,10 @@ object Demo {
       .withColumn("current_critical", lit(0L))
       .withColumn("tests_total", lit(0L))
       .withColumn("last_updated", lit(Timestamp.valueOf("2024-01-02 00:00:00")))
-    val merged = CovidPipeline.integrate(owid, api,
+    // clean once; the merge and the match report read the same frames
+    val cleanedOwid = CovidPipeline.cleanOwid(owid)
+    val cleanedApi = CovidPipeline.cleanApi(api)
+    val merged = CovidPipeline.integrateCleaned(cleanedOwid, cleanedApi,
       CovidPipeline.Config(30, java.time.LocalDate.parse("2024-01-05")))
     merged.select("country_standardized", "owid_total_cases",
       "api_current_cases", "cases_data_gap", "cases_data_gap_percent",
@@ -62,8 +65,8 @@ object Demo {
     println(s"[demo] media pipeline rows = ${media.count()}")
     println(s"[demo] pipeline rows = ${merged.count()}")
     CovidPipeline.integrationSummary(merged).show(truncate = false)
-    CovidPipeline.matchReport(CovidPipeline.cleanOwid(owid),
-      CovidPipeline.cleanApi(api), merged).show(truncate = false)
+    CovidPipeline.matchReport(cleanedOwid, cleanedApi, merged)
+      .show(truncate = false)
 
     // S5 CSV export sink (reference streamlit download contract)
     val csvOut = java.nio.file.Files.createTempDirectory("graft-csv").toString + "/export"

@@ -834,6 +834,7 @@ object Dedup {
     // [[positionedShingleFrame]] of the SAME docs/width — lets callers
     // that run several span operators over one corpus (d18 + d20) pay
     // the md5 shingle explode once (the TradingRank sharing pattern)
+    shingles.foreach(requireShingleFrame(_, width))
     val sh = shingles.getOrElse(positionedShingles(docs, idCol, textCol, width)
       // barrier: the dup aggregate and the semi-join probe both read
       // this frame — without it the tokenize+shingle+hash projection
@@ -848,10 +849,29 @@ object Dedup {
 
   /** Public form of [[positionedShingles]] for callers composing
     * several span operators over one corpus (see [[substringRuns]]'
-    * `shingles` param). The caller owns the materialization barrier. */
+    * `shingles` param). The caller owns the materialization barrier.
+    * The shingle width is stamped into the `h` column's metadata so a
+    * consumer built for a DIFFERENT width fails loudly instead of
+    * silently corrupting the island arithmetic. */
   def positionedShingleFrame(docs: DataFrame, idCol: String,
       textCol: String, width: Int = 8): DataFrame =
     positionedShingles(docs, idCol, textCol, width)
+      .withColumn("h", col("h").as("h",
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("shingleWidth", width).build()))
+
+  /** Contract check for an injected `shingles` frame: the exact
+    * (doc_id, pos, h) shape, and — when the frame carries
+    * [[positionedShingleFrame]]'s width stamp — the SAME width the
+    * consumer will use for its run/span arithmetic. */
+  private def requireShingleFrame(f: DataFrame, width: Int): Unit = {
+    require(f.columns.toSeq.sorted == Seq("doc_id", "h", "pos"),
+      s"shingles frame must be (doc_id, pos, h), got ${f.columns.toSeq}")
+    val m = f.schema("h").metadata
+    require(!m.contains("shingleWidth") || m.getLong("shingleWidth") == width,
+      s"shingles frame was built at width ${m.getLong("shingleWidth")} " +
+        s"but the consumer runs at width $width")
+  }
 
   /** Per-position width-token shingle hashes: (doc_id, pos, h) —
     * the shared front half of [[substringRuns]] /
@@ -970,13 +990,21 @@ object Dedup {
     require(maxLen >= width, "maxLen must be at least the shingle width")
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
+    shingles.foreach(requireShingleFrame(_, width))
     val toksF = parallelizeSmallScan(docs)
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
       .filter(size(col("toks")) >= width)
       .localCheckpoint(eager = false) // every probe slices from it
-    val sh = shingles.getOrElse(
-      positionedShingles(docs, idCol, textCol, width)
-        .localCheckpoint(eager = false)) // dup agg + semi probe share it
+    // fallback builds the explode off the CHECKPOINTED toksF (the
+    // corpus is scanned+tokenized once), not off the raw docs
+    val sh = shingles.getOrElse(toksF
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(toks) - ${width - 1}), " +
+          s"i -> array_join(slice(toks, i, $width), ' '))")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        conv(substring(md5(col("col").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .localCheckpoint(eager = false)) // dup agg + semi probe share it
     val dup = sh.groupBy(col("h")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2).select(col("h"))
     // span_cap(pos) = the longest span STARTING at pos whose every

@@ -78,14 +78,15 @@ object EventWindows {
 
   /** The built-in `session_window` form (state-store backed under
     * streaming). Kept alongside `sessionize` so the batch oracle checks
-    * the hand-rolled form while streaming uses this one. BOUNDARY
-    * CONVENTION differs at exactly-the-gap: `sessionize` merges a gap
-    * EQUAL to `gapSeconds` (split iff gap > g, on unix_timestamp
-    * TRUNCATED seconds), while `session_window` splits when the next
-    * event reaches prev + gap (split iff gap ≥ g, at full timestamp
-    * precision). On integer-second data the two agree exactly when this
-    * form's gap is `gapSeconds + 1` — the equivalence the streaming v2
-    * parity test exercises end-to-end. */
+    * the hand-rolled form while streaming uses this one. PRECISION
+    * CONVENTION (measured, EventWindowsSpec's boundary test): Spark
+    * merges TOUCHING sessions, so both forms split iff gap > g — but
+    * `sessionize` evaluates the gap on unix_timestamp-TRUNCATED seconds
+    * while `session_window` uses full timestamp precision, so an event
+    * pair whose real gap is in (g, g+1) seconds but truncates to
+    * exactly g splits here and merges there. On SECOND-TRUNCATED data
+    * the two are identical at the same gap — the transform the
+    * streaming v2 parity test stages. */
   def sessionWindowAgg(events: DataFrame, gap: String): DataFrame =
     events
       .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))

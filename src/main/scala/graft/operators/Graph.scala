@@ -95,6 +95,11 @@ object Graph {
     // states(0) = the uniform initial state
     private val states = scala.collection.mutable.ArrayBuffer[DataFrame](init)
 
+    /** Iterates currently cached (0 = only the initial state) — lets a
+      * consumer-routing test prove a query actually walked THIS run's
+      * chain rather than building its own. */
+    def cachedIterates: Int = synchronized { states.size - 1 }
+
     /** The k-th CHECKPOINTED iterate (k = 0 is the initial state),
       * computing and caching any missing prefix. */
     def iterate(k: Int): DataFrame = synchronized {

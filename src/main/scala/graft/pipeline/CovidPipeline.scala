@@ -138,9 +138,16 @@ object CovidPipeline {
   /** J2 + J3 + derived metrics — the merge itself
     * (merge_datasets data_merger.py:226-299 +
     * calculate_derived_metrics :302-352). */
-  def integrate(owid: DataFrame, api: DataFrame, cfg: Config): DataFrame = {
-    val cleanedOwid = cleanOwid(owid)
-    val cleanedApi = cleanApi(api)
+  def integrate(owid: DataFrame, api: DataFrame, cfg: Config): DataFrame =
+    integrateCleaned(cleanOwid(owid), cleanApi(api), cfg)
+
+  /** [[integrate]] from ALREADY-CLEANED frames — for callers that also
+    * feed the same cleaned frames to [[matchReport]]: one cleaning pass
+    * (the window-heavy ffill/lag-diff stage runs once), and the report's
+    * candidate pool provably derives from the exact frames the merge
+    * consumed, not a second cleaning that could drift. */
+  def integrateCleaned(cleanedOwid: DataFrame, cleanedApi: DataFrame,
+      cfg: Config): DataFrame = {
     val merged = alignOwid(cleanedOwid)
       .join(alignApi(cleanedApi), Seq("country_standardized"), "inner")
       .join(trendMetrics(cleanedOwid, cfg), Seq("country_standardized"), "left")

@@ -3178,16 +3178,6 @@ object TrainingQueries {
       .unionByName(ce.select(col("s").as("src"), col("c").as("dst")))
   }
 
-  /** The g1/g3/g4 shared PageRank run over [[tradingEdges]]: one
-    * prepared edge frame and ONE chain of checkpointed unweighted
-    * iterates serve the fixed-count (g1), convergence-stopped (g3) and
-    * personalized (g4) queries — the [[TradingPairs]] build-once
-    * contract applied to supersteps themselves (g1 and g3 walk the same
-    * rounded system; g4 shares the prepared frames). Like every
-    * build-once artifact here, entries live for the session (bounded:
-    * one |nodes|-sized iterate chain per (session, dir) actually
-    * queried) and assume the dir's parquet is immutable within a
-    * session — the Verify/Bench contract. */
   /** The d18/d20 shared artifact: the injected corpus (the planted
     * 30-token passage on every doc_id % 7 == 0) and its positioned
     * 8-token shingle frame — the md5 shingle explode is the span
@@ -3213,6 +3203,16 @@ object TrainingQueries {
       })
   }
 
+  /** The g1/g3/g4 shared PageRank run over [[tradingEdges]]: one
+    * prepared edge frame and ONE chain of checkpointed unweighted
+    * iterates serve the fixed-count (g1), convergence-stopped (g3) and
+    * personalized (g4) queries — the [[TradingPairs]] build-once
+    * contract applied to supersteps themselves (g1 and g3 walk the same
+    * rounded system; g4 shares the prepared frames). Like every
+    * build-once artifact here, entries live for the session (bounded:
+    * one |nodes|-sized iterate chain per (session, dir) actually
+    * queried) and assume the dir's parquet is immutable within a
+    * session — the Verify/Bench contract. */
   private[graft] object TradingRank {
     private val cache = scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), graft.operators.Graph.Run]

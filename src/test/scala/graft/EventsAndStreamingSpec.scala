@@ -37,6 +37,35 @@ class EventWindowsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("exactly-the-gap merges in BOTH forms; sub-second precision is the real divergence") {
+    // measured boundary semantics, pinned explicitly rather than left
+    // to fixtures that avoid the boundary: session_window merges
+    // TOUCHING sessions (split iff gap > g at full precision), same
+    // split rule as gaps-and-islands — so integer-second data agrees
+    // at the SAME gap, exactly-the-gap included. The divergence is
+    // PRECISION: a real gap in (g, g+1) that truncates to g merges in
+    // the batch form (truncated seconds) but splits in the builtin.
+    // Second-truncation removes it — the streaming v2 parity transform.
+    val boundary = Seq(
+      (1L, ts(0), 1L, "view", 1.0, "{}"),
+      (2L, ts(1800), 1L, "view", 2.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(EventWindows.sessionize(boundary, 1800).count() == 1)
+    assert(EventWindows.sessionWindowAgg(boundary, "1800 seconds").count() == 1)
+    val subsec = Seq(
+      (1L, new Timestamp(100L), 1L, "view", 1.0, "{}"),     // 0.1 s
+      (2L, new Timestamp(1800900L), 1L, "view", 2.0, "{}")  // 1800.9 s
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // real gap 1800.8 s > 1800 → the builtin splits ...
+    assert(EventWindows.sessionWindowAgg(subsec, "1800 seconds").count() == 2)
+    // ... but the truncated-second gap is exactly 1800 → batch merges
+    assert(EventWindows.sessionize(subsec, 1800).count() == 1)
+    // second-truncation restores agreement at the same gap
+    assert(EventWindows.sessionWindowAgg(
+      subsec.withColumn("ts", date_trunc("second", col("ts"))),
+      "1800 seconds").count() == 1)
+  }
+
   test("tumbling window buckets to the hour") {
     val got = EventWindows.tumbling(events, "1 hour")
       .orderBy("bucket_start_s", "event_type")
@@ -449,13 +478,14 @@ class StreamingSpec extends SparkSpec {
     // (correctly!) fail. That failure mode is itself pinned by the
     // watermarkAudit tests; here the claim is exact batch parity.
     //
-    // ts truncates to integer seconds at staging and the streaming gap
-    // is gapSeconds + 1: the batch form splits on TRUNCATED-second gap
-    // > 1800 while session_window splits on full-precision gap ≥ gap —
-    // on integer-second data the two predicates coincide EXACTLY under
-    // this (trunc, +1) transform (sessionWindowAgg's documented
-    // boundary convention), so the parity below holds by construction,
-    // not by the fixture happening to avoid [1800 s, 1801 s) gaps.
+    // ts truncates to integer seconds at staging: both forms split iff
+    // gap > 1800, but the batch form evaluates the gap on TRUNCATED
+    // seconds while session_window uses full precision — a real gap in
+    // (1800 s, 1801 s) would merge in batch and split in streaming.
+    // On second-truncated data the two are identical at the SAME gap
+    // (sessionWindowAgg's documented precision convention, pinned at
+    // the boundary in EventWindowsSpec), so the parity below holds by
+    // construction, not by fixture luck.
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"))
     val ranked = graft.sources.Tables.events(spark, sf0001)
       .withColumn("ts", date_trunc("second", col("ts")))
@@ -468,7 +498,7 @@ class StreamingSpec extends SparkSpec {
     val stream = spark.readStream.schema(StreamingOps.eventSchema)
       .option("maxFilesPerTrigger", 1).parquet(tmp)
     StreamingOps.runToMemory(
-      StreamingOps.sessionCounts(stream, "1801 seconds"), "stream_v2_parity",
+      StreamingOps.sessionCounts(stream, "1800 seconds"), "stream_v2_parity",
       "complete")
     val streamed = spark.table("stream_v2_parity")
       .select(col("user_id"), unix_timestamp(col("session_start")).as("s"),

@@ -133,9 +133,12 @@ class PipelineSpec extends SparkSpec {
       .withColumn("tests_total", lit(0L))
       .withColumn("last_updated", lit(Timestamp.valueOf("2024-01-02 00:00:00")))
     val cfg = CovidPipeline.Config(asOf = java.time.LocalDate.parse("2024-01-05"))
-    val m = CovidPipeline.integrate(owid, api, cfg)
-    val r = CovidPipeline.matchReport(
-      CovidPipeline.cleanOwid(owid), CovidPipeline.cleanApi(api), m).collect()(0)
+    // the integrateCleaned + matchReport pairing: one cleaning pass
+    // feeds BOTH the merge and the report's candidate pool
+    val co = CovidPipeline.cleanOwid(owid)
+    val ca = CovidPipeline.cleanApi(api)
+    val m = CovidPipeline.integrateCleaned(co, ca, cfg)
+    val r = CovidPipeline.matchReport(co, ca, m).collect()(0)
     assert(r.getAs[Long]("owid_countries") == 5L)
     assert(r.getAs[Long]("api_countries") == 5L)
     assert(r.getAs[Long]("candidate_countries") == 6L)

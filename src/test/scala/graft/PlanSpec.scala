@@ -270,6 +270,22 @@ class PlanSpec extends SparkSpec {
     assert(r1 eq r2, "TradingRank must memoize per (session, dir)")
   }
 
+  test("g1 actually WALKS the shared run's iterate chain (routing pin)") {
+    // memoization alone can't catch a query quietly building its own
+    // run: observe the shared run's cache depth around the query. Uses
+    // sf0.01 — a dir no other test touches — so the before-state is
+    // provably untouched by suite ordering.
+    val run = graft.queries.TrainingQueries.TradingRank(
+      spark, "/root/testdata/sf0.01")
+    assert(run.cachedIterates == 0,
+      "precondition: no other test may run sf0.01 graph queries")
+    SparkEntry.queries("g1_pagerank")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(run.cachedIterates >= 4,
+      "g1 (5 iterations) must populate the SHARED run's first four " +
+        "checkpointed iterates — its final superstep stays raw")
+  }
+
   test("e4: IVF assign is a map pass — no corpus-wide argmin shuffle") {
     val df = SparkEntry.queries("e4_ivf_ann")(spark, sf0001)
     val p = finalPlan(df)
