@@ -42,9 +42,13 @@ object Demo {
       .withColumn("current_critical", lit(0L))
       .withColumn("tests_total", lit(0L))
       .withColumn("last_updated", lit(Timestamp.valueOf("2024-01-02 00:00:00")))
-    // clean once; the merge and the match report read the same frames
+    // clean once — same frames feed the merge AND the match report,
+    // with a barrier so the window-heavy cleaning physically runs once
+    // across the demo's several actions (integrateCleaned's contract)
     val cleanedOwid = CovidPipeline.cleanOwid(owid)
+      .localCheckpoint(eager = false)
     val cleanedApi = CovidPipeline.cleanApi(api)
+      .localCheckpoint(eager = false)
     val merged = CovidPipeline.integrateCleaned(cleanedOwid, cleanedApi,
       CovidPipeline.Config(30, java.time.LocalDate.parse("2024-01-05")))
     merged.select("country_standardized", "owid_total_cases",

@@ -877,14 +877,25 @@ object Dedup {
     * the shared front half of [[substringRuns]] /
     * [[substringRunsAgainstIndex]] / [[shingleIndex]]. */
   private def positionedShingles(docs: DataFrame, idCol: String,
-      textCol: String, width: Int): DataFrame = {
-    require(width >= 2, "width must be at least 2 tokens")
+      textCol: String, width: Int): DataFrame =
+    shinglesFromToks(tokenized(docs, idCol, textCol, width), width)
+
+  /** (doc_id, toks) with sub-width docs dropped — the filter, not
+    * greatest(): Spark's sequence(1, 0) counts DOWN ([1, 0]) instead
+    * of emitting empty, so short docs must never reach the transform. */
+  private def tokenized(docs: DataFrame, idCol: String, textCol: String,
+      width: Int): DataFrame =
     parallelizeSmallScan(docs)
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
-      // the filter, not greatest(): Spark's sequence(1, 0) counts DOWN
-      // ([1, 0]) instead of emitting empty — short docs must never
-      // reach the transform
       .filter(size(col("toks")) >= width)
+
+  /** The ONE copy of the shingle-hash recipe (md5 → 15 hex digits →
+    * 60-bit long), consumed by [[positionedShingles]] and
+    * [[exactDupSpan]]'s fallback — a drift between those paths would
+    * silently desynchronize h values across the span family. */
+  private def shinglesFromToks(toksF: DataFrame, width: Int): DataFrame = {
+    require(width >= 2, "width must be at least 2 tokens")
+    toksF
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, size(toks) - ${width - 1}), " +
           s"i -> array_join(slice(toks, i, $width), ' '))")))
@@ -987,23 +998,17 @@ object Dedup {
   def exactDupSpan(docs: DataFrame, idCol: String, textCol: String,
       width: Int = 8, maxLen: Int = 64,
       shingles: Option[DataFrame] = None): DataFrame = {
+    require(width >= 2, "width must be at least 2 tokens")
     require(maxLen >= width, "maxLen must be at least the shingle width")
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     shingles.foreach(requireShingleFrame(_, width))
-    val toksF = parallelizeSmallScan(docs)
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
-      .filter(size(col("toks")) >= width)
+    val toksF = tokenized(docs, idCol, textCol, width)
       .localCheckpoint(eager = false) // every probe slices from it
     // fallback builds the explode off the CHECKPOINTED toksF (the
-    // corpus is scanned+tokenized once), not off the raw docs
-    val sh = shingles.getOrElse(toksF
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(toks) - ${width - 1}), " +
-          s"i -> array_join(slice(toks, i, $width), ' '))")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        conv(substring(md5(col("col").cast("binary")), 1, 15), 16, 10)
-          .cast("long").as("h"))
+    // corpus is scanned+tokenized once, the hash recipe is the one
+    // shared copy in shinglesFromToks)
+    val sh = shingles.getOrElse(shinglesFromToks(toksF, width)
       .localCheckpoint(eager = false)) // dup agg + semi probe share it
     val dup = sh.groupBy(col("h")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2).select(col("h"))

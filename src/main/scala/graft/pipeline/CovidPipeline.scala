@@ -142,10 +142,14 @@ object CovidPipeline {
     integrateCleaned(cleanOwid(owid), cleanApi(api), cfg)
 
   /** [[integrate]] from ALREADY-CLEANED frames — for callers that also
-    * feed the same cleaned frames to [[matchReport]]: one cleaning pass
-    * (the window-heavy ffill/lag-diff stage runs once), and the report's
+    * feed the same cleaned frames to [[matchReport]]: the report's
     * candidate pool provably derives from the exact frames the merge
-    * consumed, not a second cleaning that could drift. */
+    * consumed, not a second cleaning that could drift. NOTE on cost:
+    * the frames stay LAZY here (the pipeline's documented
+    * one-Catalyst-plan contract), so a caller running MULTIPLE actions
+    * over them (merge + report, like Demo) should
+    * `localCheckpoint(eager = false)` the cleaned frames to make the
+    * window-heavy cleaning stage physically run once. */
   def integrateCleaned(cleanedOwid: DataFrame, cleanedApi: DataFrame,
       cfg: Config): DataFrame = {
     val merged = alignOwid(cleanedOwid)
