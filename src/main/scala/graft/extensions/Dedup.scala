@@ -720,6 +720,18 @@ object Dedup {
     parallelizeSmallScan(corpus).filter(!contaminated)
   }
 
+  /** Per-bit majority vote over an array-of-hashes column — the SimHash
+    * core shared by the token ([[withSimHash]]) and byte-shingle
+    * ([[withPayloadSimHash]]) forms: bit j of the fingerprint is the
+    * sign of Σ_elements (bit_j(h) ? +1 : −1). */
+  private def simHashOf(hashes: Column, bits: Int): Column =
+    (0 until bits).map { j =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(lit(-1L)))
+      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
   /** SimHash over token hashes: bit j of the fingerprint is the sign of
     * Σ_tokens (bit_j(h(token)) ? +1 : −1). Near-dup docs differ in few
     * bits (small Hamming distance). Default 64 bits of xxhash64; pass
@@ -732,13 +744,35 @@ object Dedup {
     // withMinHashSignature — see that Scaladoc)
     val staged = docs.withColumn("__sh_hashes",
       transform(TextAnalysis.tokens(col(textCol)), t => hashFn(t)))
-    val sim = (0 until bits).map { j =>
-      val votes = aggregate(col("__sh_hashes"), lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L)
-          .otherwise(lit(-1L)))
-      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    staged.withColumn("simhash", sim).drop("__sh_hashes")
+    staged.withColumn("simhash", simHashOf(col("__sh_hashes"), bits))
+      .drop("__sh_hashes")
+  }
+
+  /** SimHash over fixed-width BYTE shingles of a binary payload — the
+    * token-free form for media blobs, where there is no tokenizer to
+    * lean on (VERDICT r7 item 3: the d4-for-bytes analog). Shingle i is
+    * `substr(payload, i, width)` for i = 1, 1+stride, … — with
+    * `stride = 1` every byte offset contributes, so an insertion that
+    * shifts the byte stream still leaves the two payloads sharing all
+    * shingles outside the edit (the alignment-robustness a stride > 1
+    * sample forfeits: a shifted copy's sampled offsets land between the
+    * original's and the shingle sets decorrelate). Payloads shorter
+    * than `width` are dropped (no shingle to vote; also keeps
+    * `sequence()` ascending — Spark counts DOWN on an empty range).
+    * Map-side only: the explode-free `transform` keeps the whole
+    * signature one projection, no shuffle until a consumer asks. */
+  def withPayloadSimHash(docs: DataFrame, payloadCol: String,
+      width: Int, stride: Int = 1,
+      hashFn: Column => Column = xxhash64(_), bits: Int = 64): DataFrame = {
+    require(width > 0 && stride > 0, "width and stride must be positive")
+    val n = length(col(payloadCol))
+    val staged = docs
+      .filter(col(payloadCol).isNotNull && n >= width)
+      .withColumn("__sh_hashes",
+        transform(sequence(lit(1), n - (width - 1), lit(stride)),
+          i => hashFn(col(payloadCol).substr(i, lit(width)))))
+    staged.withColumn("simhash", simHashOf(col("__sh_hashes"), bits))
+      .drop("__sh_hashes")
   }
 
   /** SimHash near-dup pairs: block on 4×16-bit chunks (any chunk equal →
@@ -751,12 +785,35 @@ object Dedup {
     * chunk count if a complete guarantee at a larger radius is needed. */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 100,
-      hashFn: Column => Column = xxhash64(_), bits: Int = 64): DataFrame = {
+      hashFn: Column => Column = xxhash64(_), bits: Int = 64): DataFrame =
+    bandedSimHashPairs(
+      withSimHash(parallelizeSmallScan(docs), "text", hashFn, bits)
+        .select(col("doc_id"), col("simhash")),
+      maxHamming, maxBucket, bits)
+
+  /** SimHash near-dup pairs over binary payloads — [[simHashPairs]]'s
+    * banding applied to the [[withPayloadSimHash]] signature. Same
+    * 4-chunk pigeonhole recall contract, same `maxBucket` skew cap,
+    * never all-pairs: candidates come only from equal 15/16-bit chunk
+    * buckets, so a 100 TB media corpus pays one bounded bucket join —
+    * the byte-level twin of the text near-dup family. */
+  def payloadSimHashPairs(docs: DataFrame, payloadCol: String,
+      width: Int, stride: Int = 1, maxHamming: Int = 3, maxBucket: Int = 100,
+      hashFn: Column => Column = xxhash64(_), bits: Int = 64): DataFrame =
+    bandedSimHashPairs(
+      withPayloadSimHash(parallelizeSmallScan(docs), payloadCol, width,
+        stride, hashFn, bits)
+        .select(col("doc_id"), col("simhash")),
+      maxHamming, maxBucket, bits)
+
+  /** Chunk-banded candidate generation + Hamming verify over a
+    * (doc_id, simhash) frame — the shared back half of the SimHash
+    * family. */
+  private def bandedSimHashPairs(signed: DataFrame, maxHamming: Int,
+      maxBucket: Int, bits: Int): DataFrame = {
     require(bits % 4 == 0, s"bits ($bits) must split into 4 equal chunks")
     val chunkWidth = bits / 4
     val chunkMask = (1L << chunkWidth) - 1
-    val signed = withSimHash(parallelizeSmallScan(docs), "text", hashFn, bits)
-      .select(col("doc_id"), col("simhash"))
     val chunked = signed.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { ci =>
         struct(lit(ci).as("chunk"),

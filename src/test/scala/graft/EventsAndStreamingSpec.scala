@@ -510,6 +510,121 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.size > 100) // the fixture genuinely sessionizes
   }
+
+  test("streaming tumbling windows over the full events fixture equal the batch v1_tumbling_window query") {
+    // v1 promoted from the single-micro-batch smoke in StreamingSpec to
+    // the v2 discipline (VERDICT r7 item 2): four REAL micro-batches
+    // through the 10-minute watermark, asserted set-equal to the
+    // board's batch v1 query on EVERY column including the
+    // decimal-exact sum. Event-time-ordered staging (ntile over ts)
+    // makes batch i+1's min ts ≥ batch i's max ts, so the watermark
+    // filter provably drops nothing and exact parity is the correct
+    // expectation — hour-bucket membership is insensitive to the
+    // sub-second precision that made v2 need second truncation.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-v1").toString
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"))
+    val ranked = graft.sources.Tables.events(spark, sf0001)
+      .withColumn("__f", ntile(4).over(w))
+    for (i <- 1 to 4) {
+      ranked.filter(col("__f") === i).drop("__f")
+        .coalesce(1).write.mode("append").parquet(tmp)
+      Thread.sleep(1100) // distinct mtimes → deterministic batch order
+    }
+    val stream = spark.readStream.schema(StreamingOps.eventSchema)
+      .option("maxFilesPerTrigger", 1).parquet(tmp)
+    StreamingOps.runToMemory(
+      StreamingOps.tumblingCounts(stream, "1 hour"), "stream_v1_parity",
+      "complete")
+    val streamed = spark.table("stream_v1_parity")
+      .select(unix_timestamp(col("bucket_start")).as("s"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val batch = SparkEntry.queries("v1_tumbling_window")(spark, sf0001)
+      .select(col("bucket_start_s"), col("event_type"), col("n_events"),
+        col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.size > 100) // the fixture genuinely buckets
+  }
+
+  test("executed watermark drops equal the batch-grain replay; v7's audit is their upper bound") {
+    // v7's sizing claim EXECUTED (VERDICT r7 item 2): replay the same
+    // simulated at-least-once redelivery order the v7 query audits —
+    // arrival = event_id displaced by a replayable md5 jitter — as four
+    // REAL micro-batches through withWatermark(600 s) (dedupedStream's
+    // 10-minute delay) and observe which events Spark actually drops.
+    // Asserted: (1) the executed drop set equals a batch-grain
+    // watermark replay (wm for batch i = max event time over batches
+    // < i, minus the delay — Spark advances the watermark BETWEEN
+    // micro-batches, never inside one); (2) the row-grain
+    // watermarkAudit (v7's operator, run_max over the full arrival
+    // prefix ≥ run_max over previous batches only) flags a SUPERSET —
+    // the conservative bound a pre-deployment sizing query must give.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-v7").toString
+    import spark.implicits._
+    // %600 jitter (vs the query's %5): displacements up to ~2.4 batch
+    // widths (600 of 250 arrival slots) — necessary because the
+    // watermark an operator SEES in batch N reflects event times only
+    // through batch N−2 (measured below: publication lags one batch;
+    // the progress log's wm field is the post-batch value), so an
+    // event late only vs the immediately previous batch is never
+    // dropped, and single-boundary stragglers would make this test
+    // vacuously empty-vs-empty
+    val jit = graft.extensions.Dedup.md5Hash60(
+      col("event_id").cast("string")) % 600
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .withColumn("ts", date_trunc("second", col("ts")))
+      .withColumn("__arr",
+        (col("event_id") + jit) * lit(1048576L) + col("event_id"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__arr"))
+    val ranked = ev.withColumn("__f", ntile(4).over(w))
+      .localCheckpoint(eager = false) // one ntile evaluation for all consumers
+    val batches = (1 to 4).map(i => ranked.filter(col("__f") === i)
+      .select(col("event_id"), col("ts").cast("long").as("s"))
+      .as[(Long, Long)].collect().toSeq)
+    // batch-grain replay of the MEASURED watermark publication rule:
+    // the wm during batch i (1-based) is max event time over batches
+    // 1..i−2, minus the delay — batches 1 and 2 see no effective
+    // watermark (Spark publishes epoch 0, below any real event time)
+    val maxes = batches.map(_.map(_._2).max)
+    val predicted = scala.collection.mutable.Set[Long]()
+    for (i <- batches.indices; (id, s) <- batches(i)) {
+      if (i >= 2 && s < maxes.take(i - 1).max - 600L) predicted += id
+    }
+    for (i <- 1 to 4) {
+      ranked.filter(col("__f") === i).drop("__f", "__arr")
+        .coalesce(1).write.mode("append").parquet(tmp)
+      Thread.sleep(1100) // distinct mtimes → deterministic batch order
+    }
+    val stream = spark.readStream.schema(StreamingOps.eventSchema)
+      .option("maxFilesPerTrigger", 1).parquet(tmp)
+    // which operator actually DROPS late rows was measured before this
+    // test was written (Spark 4.1.2): plain window/session aggregates
+    // ADMIT late rows in update/append/complete modes
+    // (numRowsDroppedByWatermark = 0; a late row re-creates evicted
+    // state and emits — the documented "may or may not be dropped"
+    // caveat resolving to "not"), while the streaming DEDUP operator
+    // filters them on input (numRowsDroppedByWatermark counts exactly
+    // the ts < wm rows). So the executed form is the production ingest
+    // shape v7 sizes anyway: watermark + dropDuplicates(event_id) in
+    // append mode — every admitted row emits once (ids are unique
+    // here), so an id absent from the sink IS an executed drop.
+    StreamingOps.runToMemory(
+      stream.withWatermark("ts", "600 seconds")
+        .dropDuplicates("event_id"),
+      "stream_v7_drops", "append")
+    val survivors = spark.table("stream_v7_drops")
+      .select("event_id").as[Long].collect().toSet
+    val executedDrops = batches.flatten.map(_._1).toSet -- survivors
+    assert(executedDrops == predicted.toSet)
+    assert(executedDrops.nonEmpty) // the watermark genuinely bites
+    val audited = graft.extensions.EventWindows
+      .watermarkAudit(ranked, delaySeconds = 600L, seqCol = "__arr")
+      .filter(col("is_late")).select("event_id").as[Long].collect().toSet
+    assert(executedDrops.subsetOf(audited))
+  }
 }
 
 /** Batch mirror of the streaming aggregation for the parity assert. */

@@ -635,6 +635,50 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.sortBy(_.doc_id).toSeq == again.sortBy(_.doc_id).toSeq)
   }
 
+  test("payload SimHash: planted near-identical byte payloads cluster, disjoint ones don't") {
+    import spark.implicits._
+    // SimHash vote math sets the fixture scale: a single flipped byte
+    // corrupts `width` stride-1 shingles, and a signature bit flips
+    // when that disturbance (sd ≈ 2√width) beats the bit's vote margin
+    // (sd ≈ √n_shingles) — so "near-identical" at Hamming ≤ 3 means
+    // the corrupted FRACTION must be ~0.1%, not "a couple of edits in
+    // a short string" (the first fixture draft flipped 2 bytes of 800
+    // and landed far outside radius 3 — measured, not a bug). Hence
+    // ~48 KB deterministic LCG payloads with ONE flipped byte: 2 is a
+    // near dup of 1, 5 an exact clone of 1, 3 unrelated bytes, 4
+    // shorter than the shingle width (no signature at all).
+    def payload(seed: Long, n: Int): String = {
+      val sb = new StringBuilder(n); var x = seed
+      for (_ <- 0 until n) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        sb.append(('a' + ((x >>> 33) % 26)).toChar)
+      }
+      sb.toString
+    }
+    val base = payload(1L, 48000)
+    val near = base.updated(24000, '!')
+    val other = payload(2L, 48000)
+    val df = Seq((1L, base), (2L, near), (3L, other), (4L, "tiny"),
+        (5L, base))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.payloadSimHashPairs(
+        Multimodal.withBinaryPayload(df), "payload", width = 8, stride = 1,
+        maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("hamming"))).toSeq
+    // exactly the planted cluster {1, 2, 5}; nothing touches 3 or 4
+    assert(pairs.map(p => (p._1, p._2)).toSet ==
+      Set((1L, 2L), (1L, 5L), (2L, 5L)))
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair((1L, 5L)) == 0L) // byte-identical clone: Hamming 0
+    assert(byPair((1L, 2L)) <= 3L && byPair((1L, 2L)) == byPair((2L, 5L)))
+    // sub-width payloads are dropped before signing (nothing to vote)
+    val signed = Dedup.withPayloadSimHash(
+      Multimodal.withBinaryPayload(df), "payload", width = 8)
+    assert(signed.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 5L))
+  }
+
   test("relational payload stats agree with decode on byte length") {
     val docs = graft.sources.Tables.documents(spark, sf0001).limit(10)
     val withP = Multimodal.withBinaryPayload(docs)
