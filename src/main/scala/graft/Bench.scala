@@ -86,6 +86,13 @@ object Bench {
     // absorbs JVM/classloader/janino-codegen JIT, parquet footer reads and
     // shuffle-infra startup (cold-vs-warm is 2.7s vs 0.26s for a simple
     // hash groupBy), then the timed pass measures the queries themselves.
+    // The warm-up also BUILDS every shared memoized artifact
+    // (TradingPairs/TradingRank iterate chain, InjectedShingles,
+    // PqArtifact codebooks), so the timed per-query numbers are
+    // order-INdependent: no timed query pays — or escapes — the shared
+    // construction cost depending on who ran first; what a timed g1 or
+    // d20 measures is the steady-state probe against the warm artifact
+    // (the documented Verify/Bench contract for those families).
     // Warm-up swallowing exceptions is deliberate (best-effort by design);
     // the timed pass below records them.
     try {

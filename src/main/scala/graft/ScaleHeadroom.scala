@@ -73,6 +73,13 @@ object ScaleHeadroom {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // fresh temp warehouse per run: the bucketed-index saveAsTable
+      // below would otherwise collide with an orphaned
+      // ./spark-warehouse/span_idx_x* location left by a killed
+      // previous run (DROP TABLE IF EXISTS can't see locations the
+      // fresh in-memory catalog never registered)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-scale-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -472,6 +479,116 @@ object ScaleHeadroom {
         "naive_wedges" -> (naiveTriangleCount _))) {
       val (secs, rows) = timeBest { forceAll(fn(hubGraph)) }
       report(s"g5_dense_$label", 1, secs, rows)
+    }
+
+    // ---- g4 personalized PageRank under disjoint-copy inflation -----
+    // (VERDICT r7 item 1.) Teleport state is seed-specific so g4 shares
+    // no iterates with g1/g3 — its own leg: the per-superstep unit adds
+    // the per-node teleport column through the zeros union; runtime
+    // must still scale ~linearly in |edges| with the broadcast rank
+    // state growing with |nodes|. Seeds = every 100th customer node,
+    // replicated per copy like the edges.
+    val seeds1 = ce.select(col("c")).distinct()
+      .filter(pmod(substring(col("c"), 2, 100).cast("long"), lit(100)) === 0)
+      .select(col("c").as("node"))
+    for (scale <- Seq(1, 10)) {
+      val edges = (0 until scale).map { k =>
+        edges1.select(concat(col("src"), lit(s"_$k")).as("src"),
+          concat(col("dst"), lit(s"_$k")).as("dst"))
+      }.reduce(_ unionByName _).localCheckpoint(eager = false)
+      edges.count()
+      val seeds = (0 until scale).map { k =>
+        seeds1.select(concat(col("node"), lit(s"_$k")).as("node"))
+      }.reduce(_ unionByName _).localCheckpoint(eager = false)
+      seeds.count()
+      val (secs, rows) = timeBest {
+        forceAll(graft.operators.Graph.personalizedPageRank(edges, seeds,
+          iterations = 5))
+      }
+      report("g4_personalized_pagerank", scale, secs, rows)
+    }
+
+    // ---- e13 sparse-cosine posting join under corpus inflation ------
+    // The alphabet rotation keeps each copy's 3-gram shingle space
+    // disjoint, so per-term document frequency (and the df-prune at
+    // maxDf=100) is scale-invariant while posting volume grows
+    // linearly — the production shape for a growing corpus with a
+    // bounded-boilerplate vocabulary. A superlinear 10×→25× leg would
+    // betray a pair blowup hiding inside the term-keyed join.
+    for ((scale, dir) <- dirs) {
+      val dd = spark.read.parquet(s"$dir/documents.parquet")
+      val (secs, rows) = timeBest {
+        forceAll(graft.extensions.TextAnalysis.sparseCosinePairs(dd,
+          threshold = 0.35, maxDf = 100L, ngram = 3))
+      }
+      report("e13_sparse_cosine", scale, secs, rows)
+    }
+
+    // ---- w32 one-pass moment matrix under row inflation -------------
+    // Moment sums have no key structure, so plain row replication is
+    // the honest axis: the 1 + 2k + C(k,2) decimal accumulators must
+    // scale ~linearly in rows while the exchange stays one row.
+    val liW32 = Tables.lineitem(spark, base)
+      .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    for (scale <- Scales) {
+      val fat = (0 until scale).map(_ => liW32).reduce(_ unionByName _)
+        .localCheckpoint(eager = false)
+      fat.count()
+      val (secs, rows) = timeBest {
+        forceAll(graft.operators.Summaries.pearsonMatrix(fat,
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")))
+      }
+      report("w32_correlation_matrix", scale, secs, rows)
+    }
+
+    // ---- AQE skew-split vs manual salt vs plain, under inflation ----
+    // (VERDICT r7 item 5; r6 pinned the binding once at base scale in
+    // ScaleSpec.) One hot key of 30k·scale rows against a uniform
+    // tail, broadcast disabled so the join genuinely shuffles; AQE
+    // thresholds at the r6 test values so the split can fire at local
+    // data sizes; the manual salt at j9's factor 8. Three variants per
+    // scale — the recurring measured row that justifies keeping BOTH
+    // levers: AQE for joins it planned itself, the salt for hinted
+    // shapes and aggregation keys AQE never splits.
+    locally {
+      val confs = Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+      val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      try {
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        for (scale <- Scales) {
+          val hot = spark.range(30000L * scale)
+            .select(lit(1L).as("k"), col("id").as("v"))
+          val tail = spark.range(3000L * scale)
+            .select((col("id") % 500 + 2L).as("k"), col("id").as("v"))
+          val fact = hot.unionByName(tail).localCheckpoint(eager = false)
+          fact.count()
+          val dim = spark.range(600).select(col("id").as("k"),
+            (col("id") * 7L).as("d")).localCheckpoint(eager = false)
+          dim.count()
+          for ((label, skewOn, salted) <- Seq(
+              ("plain", false, false), ("aqe_skew", true, false),
+              ("salted", false, true))) {
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled",
+              skewOn.toString)
+            val (secs, rows) = timeBest {
+              forceAll(
+                if (salted) graft.operators.Joins.saltedEquiJoin(fact, dim,
+                  "k", saltSource = col("v"), factor = 8)
+                else fact.join(dim, Seq("k")))
+            }
+            report(s"skew_join_$label", scale, secs, rows)
+          }
+        }
+      } finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     }
     spark.stop()
   }

@@ -891,7 +891,7 @@ object Dedup {
     // [[positionedShingleFrame]] of the SAME docs/width — lets callers
     // that run several span operators over one corpus (d18 + d20) pay
     // the md5 shingle explode once (the TradingRank sharing pattern)
-    shingles.foreach(requireShingleFrame(_, width))
+    shingles.foreach(requireShingleFrame(_, width, docs, idCol, textCol))
     val sh = shingles.getOrElse(positionedShingles(docs, idCol, textCol, width)
       // barrier: the dup aggregate and the semi-join probe both read
       // this frame — without it the tokenize+shingle+hash projection
@@ -904,30 +904,51 @@ object Dedup {
     runProfile(sh.join(dup, Seq("h"), "left_semi"), docs, idCol, width)
   }
 
+  /** Canonical-plan identity of the (id, text) projection a shingle
+    * frame was built from — `semanticHash` of the analyzed plan: free
+    * (no job), stable within a session, and insensitive to cosmetic
+    * attribute-id differences, so two calls deriving the same corpus
+    * the same way agree while a different source/filter/column choice
+    * does not. */
+  private def docsStamp(docs: DataFrame, idCol: String,
+      textCol: String): Long =
+    docs.select(col(idCol), col(textCol))
+      .queryExecution.analyzed.semanticHash().toLong
+
   /** Public form of [[positionedShingles]] for callers composing
     * several span operators over one corpus (see [[substringRuns]]'
     * `shingles` param). The caller owns the materialization barrier.
-    * The shingle width is stamped into the `h` column's metadata so a
-    * consumer built for a DIFFERENT width fails loudly instead of
-    * silently corrupting the island arithmetic. */
+    * The shingle width AND a corpus-identity stamp ([[docsStamp]]) are
+    * stamped into the `h` column's metadata, so a consumer built for a
+    * DIFFERENT width — or joining the frame against different docs or
+    * a different id/text projection, which would silently yield wrong
+    * span caps — fails loudly instead. */
   def positionedShingleFrame(docs: DataFrame, idCol: String,
       textCol: String, width: Int = 8): DataFrame =
     positionedShingles(docs, idCol, textCol, width)
       .withColumn("h", col("h").as("h",
         new org.apache.spark.sql.types.MetadataBuilder()
-          .putLong("shingleWidth", width).build()))
+          .putLong("shingleWidth", width)
+          .putLong("docsHash", docsStamp(docs, idCol, textCol)).build()))
 
   /** Contract check for an injected `shingles` frame: the exact
     * (doc_id, pos, h) shape, and — when the frame carries
-    * [[positionedShingleFrame]]'s width stamp — the SAME width the
-    * consumer will use for its run/span arithmetic. */
-  private def requireShingleFrame(f: DataFrame, width: Int): Unit = {
+    * [[positionedShingleFrame]]'s stamps — the SAME width the consumer
+    * will use for its run/span arithmetic and the SAME corpus identity
+    * it will tokenize and join against. */
+  private def requireShingleFrame(f: DataFrame, width: Int,
+      docs: DataFrame, idCol: String, textCol: String): Unit = {
     require(f.columns.toSeq.sorted == Seq("doc_id", "h", "pos"),
       s"shingles frame must be (doc_id, pos, h), got ${f.columns.toSeq}")
     val m = f.schema("h").metadata
     require(!m.contains("shingleWidth") || m.getLong("shingleWidth") == width,
       s"shingles frame was built at width ${m.getLong("shingleWidth")} " +
         s"but the consumer runs at width $width")
+    require(!m.contains("docsHash") ||
+        m.getLong("docsHash") == docsStamp(docs, idCol, textCol),
+      "shingles frame was built from a DIFFERENT docs frame (or a " +
+        "different id/text projection) than the consumer's — span caps " +
+        "would be silently wrong")
   }
 
   /** Per-position width-token shingle hashes: (doc_id, pos, h) —
@@ -1059,7 +1080,7 @@ object Dedup {
     require(maxLen >= width, "maxLen must be at least the shingle width")
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
-    shingles.foreach(requireShingleFrame(_, width))
+    shingles.foreach(requireShingleFrame(_, width, docs, idCol, textCol))
     val toksF = tokenized(docs, idCol, textCol, width)
       .localCheckpoint(eager = false) // every probe slices from it
     // fallback builds the explode off the CHECKPOINTED toksF (the

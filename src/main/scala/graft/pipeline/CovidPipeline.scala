@@ -230,16 +230,23 @@ object CovidPipeline {
     def countries(df: DataFrame, as: String): DataFrame =
       df.select(col("country_standardized")).distinct()
         .agg(count(lit(1)).as(as))
+    // in-plan 1-row guard: an empty candidate pool means the cleaning
+    // stage dropped every country, and the rate below would ship as a
+    // silent NULL/NaN — raise instead, AT ACTION TIME. The guard lives
+    // on the value column itself (when/otherwise around raise_error),
+    // not as a droppable assert_true column Catalyst could prune, so
+    // building the report stays lazy (the repo's one-Catalyst-plan
+    // convention) and the guard fires exactly once with the consuming
+    // action rather than eagerly at construction.
     val candidates = cleanedOwid.select(col("country_standardized"))
       .unionByName(cleanedApi.select(col("country_standardized")))
       .distinct().agg(count(lit(1)).as("candidate_countries"))
-      .localCheckpoint(eager = false) // guard below + report both read it
-    // bounded 1-row guard (the personalizedPageRank precedent): an
-    // empty candidate pool means the cleaning stage dropped every
-    // country, and the rate below would ship as a silent NULL/NaN —
-    // fail loudly instead
-    require(candidates.head.getLong(0) > 0,
-      "no candidate countries after cleaning — are both sources empty?")
+      .select(
+        when(col("candidate_countries") > 0, col("candidate_countries"))
+          .otherwise(raise_error(lit("no candidate countries after " +
+            "cleaning — are both sources empty?")))
+          .as("candidate_countries"))
+      .localCheckpoint(eager = false) // rate + report column both read it
     def completeness(c: String): Seq[Column] = Seq(
       count(col(c)).as(s"${c}_available"),
       round(lit(100.0) * count(col(c)) / count(lit(1)), 1)

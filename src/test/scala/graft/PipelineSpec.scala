@@ -156,14 +156,15 @@ class PipelineSpec extends SparkSpec {
 
   test("match report fails loudly on an empty candidate pool") {
     // upstream cleaning that drops every country must not ship a
-    // silent NULL/NaN rate — the bounded 1-row guard fires instead
+    // silent NULL/NaN rate — the in-plan raise_error guard fires with
+    // the consuming ACTION (construction stays lazy: building the
+    // report plan must not run a job, let alone throw)
     val owid = owidFixture.filter(col("country") === "no_such_country")
     val api = apiFixture.filter(col("country") === "no_such_country")
-    val e = intercept[IllegalArgumentException] {
-      CovidPipeline.matchReport(
-        CovidPipeline.cleanOwid(owid), CovidPipeline.cleanApi(api),
-        CovidPipeline.integrate(owid, api, CovidPipeline.Config()))
-    }
+    val report = CovidPipeline.matchReport( // lazy: must not throw here
+      CovidPipeline.cleanOwid(owid), CovidPipeline.cleanApi(api),
+      CovidPipeline.integrate(owid, api, CovidPipeline.Config()))
+    val e = intercept[Exception] { report.collect() }
     assert(e.getMessage.contains("candidate countries"))
   }
 

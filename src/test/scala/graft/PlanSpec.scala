@@ -272,15 +272,21 @@ class PlanSpec extends SparkSpec {
 
   test("g1 actually WALKS the shared run's iterate chain (routing pin)") {
     // memoization alone can't catch a query quietly building its own
-    // run: observe the shared run's cache depth around the query. Uses
-    // sf0.01 — a dir no other test touches — so the before-state is
-    // provably untouched by suite ordering.
-    val run = graft.queries.TrainingQueries.TradingRank(
-      spark, "/root/testdata/sf0.01")
+    // run: observe the shared run's cache depth around the query. The
+    // (session, dir) memoization key is made fresh BY CONSTRUCTION —
+    // a throwaway temp dir of symlinks to the sf0.001 fixtures that no
+    // other test can possibly have touched — instead of relying on a
+    // suite-wide "nobody else runs graph queries on dir X" invariant
+    // (which any future test could silently break) or hardcoding a
+    // second fixture path.
+    val dir = java.nio.file.Files.createTempDirectory("graft-g1route")
+    for (f <- Seq("orders.parquet", "lineitem.parquet", "customer.parquet"))
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve(f), java.nio.file.Paths.get(sf0001, f))
+    val run = graft.queries.TrainingQueries.TradingRank(spark, dir.toString)
     assert(run.cachedIterates == 0,
-      "precondition: no other test may run sf0.01 graph queries")
-    SparkEntry.queries("g1_pagerank")(spark, "/root/testdata/sf0.01")
-      .collect()
+      "a fresh throwaway dir must start with an empty iterate cache")
+    SparkEntry.queries("g1_pagerank")(spark, dir.toString).collect()
     assert(run.cachedIterates >= 4,
       "g1 (5 iterations) must populate the SHARED run's first four " +
         "checkpointed iterates — its final superstep stays raw")
