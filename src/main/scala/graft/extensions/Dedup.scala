@@ -596,16 +596,25 @@ object Dedup {
         transform(ngramShinglesFromTokens(col("__toks"), n),
           s => xxhash64(s))).as("__sh"): _*)
 
-  def decontaminateNgram(
+  /** Ids of corpus docs sharing ≥1 word n-gram with the benchmark set —
+    * the contaminated SET itself, for callers that label rather than
+    * drop (e.g. [[Curation.curate]]'s audit output). The benchmark
+    * shingle set is bounded by construction (eval suites are small), so
+    * it broadcasts; the corpus side is a scan-side semi-join probe. */
+  def contaminatedIdsNgram(
       corpus: DataFrame, bench: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {
     val benchSh = shingleHashes(bench, textCol, n).distinct()
-    val contaminated =
-      shingleHashes(parallelizeSmallScan(corpus), textCol, n, col(idCol))
-        .join(broadcast(benchSh), Seq("__sh"), "left_semi")
-        .select(col(idCol)).distinct()
-    corpus.join(contaminated, Seq(idCol), "left_anti")
+    shingleHashes(parallelizeSmallScan(corpus), textCol, n, col(idCol))
+      .join(broadcast(benchSh), Seq("__sh"), "left_semi")
+      .select(col(idCol)).distinct()
   }
+
+  def decontaminateNgram(
+      corpus: DataFrame, bench: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame =
+    corpus.join(contaminatedIdsNgram(corpus, bench, textCol, idCol, n),
+      Seq(idCol), "left_anti")
 
   /** Graded n-gram contamination: for each corpus doc, the FRACTION of
     * its distinct word n-gram shingles that occur anywhere in the

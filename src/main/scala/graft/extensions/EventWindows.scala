@@ -239,6 +239,25 @@ object EventWindows {
         coalesce(col("__ts_s") < col("watermark_s"), lit(false)))
       .drop("__run_max_s", "__ts_s")
 
+  /** Event-time disorder delays — the watermark-SIZING companion to
+    * [[watermarkAudit]]: instead of auditing one candidate delay, attach
+    * to every event how far (whole seconds) it arrived behind the
+    * running max event time over earlier arrivals (`delay_s`, 0 for
+    * in-order events). The p95/max quantiles of the positive delays are
+    * exactly the numbers an engineer reads off to pick
+    * `withWatermark`'s delay before deploying the streaming job. Same
+    * [[runningMaxExclusive]] decomposition — no single-partition window
+    * over the event table; second flooring per the audit's convention. */
+  def disorderDelays(events: DataFrame,
+      seqCol: String = "event_id"): DataFrame =
+    runningMaxExclusive(
+      events.withColumn("__ts_s", col("ts").cast("long")),
+      seqCol, "__ts_s", "__run_max_s")
+      .withColumn("delay_s",
+        greatest(coalesce(col("__run_max_s") - col("__ts_s"), lit(0L)),
+          lit(0L)))
+      .drop("__run_max_s", "__ts_s")
+
   /** Per-key interval join (view→click attribution: for each left event,
     * every right event by the same user in [l_ts, l_ts + maxLag)).
     *

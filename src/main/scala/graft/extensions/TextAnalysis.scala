@@ -97,6 +97,62 @@ object TextAnalysis {
       size(toks), 4)
   }
 
+  /** Symbol-to-word ratio — the Gopher/MassiveText rule signal (Rae et
+    * al. 2021, §A1.1): occurrences of the hash symbol or an ellipsis per
+    * word. Counted via length deltas after literal removal (leftmost
+    * non-overlapping, the semantics `replace` has in every engine), so
+    * the DuckDB oracle replays it with plain `replace`. The ellipsis
+    * delta is an exact multiple of 3, so the double division is exact. */
+  def symbolToWordRatio(text: Column, toks: Column): Column = {
+    val nHash = length(text) - length(regexp_replace(text, "#", ""))
+    val nEllipsis =
+      (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    round((nHash + nEllipsis).cast("double") / size(toks), 4)
+  }
+
+  /** Fraction of words containing at least one alphabetic character —
+    * the Gopher rule that drops tables of numbers / markup dumps. */
+  def alphaWordFraction(toks: Column): Column =
+    round(size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") /
+      size(toks), 4)
+
+  /** The Gopher mandatory-stopword list: a natural-English document is
+    * expected to contain at least 2 of these (Rae et al. 2021, §A1.1). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Count of [[GopherStopwords]] token hits (with multiplicity). */
+  def gopherStopwordHits(toks: Column): Column =
+    size(filter(toks, t => t.isin(GopherStopwords.map(lit): _*)))
+      .cast("long")
+
+  /** The full Gopher rule battery per doc: signals + the FIRST failing
+    * rule (`'pass'` when all hold) — the per-rule filter-rate audit form
+    * real pipelines log. Rule bands are the published ones (word count
+    * 50–100k, mean word length 3–10, symbol ratio ≤ 0.1, ≥ 80% alphabetic
+    * words, ≥ 2 mandatory stopwords). One token-array projection, all
+    * rules read it — a map-only codegen pass at any scale. */
+  def gopherProfile(docs: DataFrame, textCol: String, idCol: String,
+      nCharsCol: String): DataFrame =
+    docs
+      .select(col(idCol), col(textCol), col(nCharsCol),
+        tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_words"),
+        round((col(nCharsCol) - size(col("__toks")) + 1).cast("double") /
+          size(col("__toks")), 4).as("mean_word_len"),
+        symbolToWordRatio(col(textCol), col("__toks")).as("symbol_ratio"),
+        alphaWordFraction(col("__toks")).as("alpha_frac"),
+        gopherStopwordHits(col("__toks")).as("n_stopword_hits"))
+      .withColumn("reject_reason",
+        when(!col("n_words").between(50, 100000), lit("word_count"))
+          .when(!col("mean_word_len").between(3.0, 10.0),
+            lit("mean_word_len"))
+          .when(col("symbol_ratio") > 0.1, lit("symbol_ratio"))
+          .when(col("alpha_frac") < 0.8, lit("alpha_frac"))
+          .when(col("n_stopword_hits") < 2, lit("stopwords"))
+          .otherwise(lit("pass")))
+
   /** Repeated word-n-gram ratio — the Gopher-style boilerplate signal:
     * 1 − distinct/total n-grams. High values mean templated/repetitive
     * text (headers, navigation, generated spam). */

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.extensions.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.extensions.{Bpe, Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.operators.{Joins, Summaries, WindowOps}
 import graft.sources.Tables
 
@@ -337,6 +337,36 @@ object TrainingQueries {
         .orderBy(col("event_type"))
     }),
 
+    // V19 — event-time disorder profile: the watermark-sizing query run
+    // BEFORE deploying a streaming job. Per event type: how many events
+    // arrive behind the running max event time (same md5-jittered
+    // arrival order as v7), and the p50/p95/max of the positive delays —
+    // p95 IS the withWatermark delay a deployment would pick, and v7
+    // then audits that exact choice. Built on the runningMaxExclusive
+    // range-partition decomposition (no single-partition window) +
+    // sortedPercentiles (exact, quantile_cont-compatible).
+    "v19_disorder_profile" -> ((s, d) => {
+      val jit = Dedup.md5Hash60(col("event_id").cast("string")) % 5
+      val ev = Tables.events(s, d).withColumn("__arr",
+        (col("event_id") + jit) * lit(1048576L) + col("event_id"))
+      val delays = graft.extensions.EventWindows.disorderDelays(ev, "__arr")
+        .select(col("event_type"), col("delay_s"))
+        // reused by two aggregates below — pin one materialization
+        .localCheckpoint(eager = false)
+      val counts = delays.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          Summaries.countIf(col("delay_s") > 0).as("n_disordered"))
+      val qs = Summaries.sortedPercentiles(
+        delays.filter(col("delay_s") > 0), Seq("event_type"),
+        col("delay_s"),
+        Seq("p50_delay_s" -> 0.5, "p95_delay_s" -> 0.95,
+          "max_delay_s" -> 1.0))
+      counts.join(qs, Seq("event_type"), "left")
+        .withColumn("disorder_frac",
+          col("n_disordered") * lit(1.0) / col("n_events"))
+        .orderBy(col("event_type"))
+    }),
+
     // D13 — graded decontamination: instead of d8's binary any-collision
     // drop, score every training doc by the FRACTION of its distinct
     // 8-gram shingles that appear in the held-out set — the
@@ -525,6 +555,46 @@ object TrainingQueries {
           && col("dup_3gram_ratio") <= 0.3)
         .select(col("doc_id"), col("quality_score"), col("dup_3gram_ratio"),
           col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // T27 — the published Gopher/MassiveText rule filter (Rae et al.
+    // 2021, §A1.1): word-count band, mean-word-length band,
+    // symbol-to-word ratio, alphabetic-word fraction, mandatory English
+    // stopword hits. Emitted as per-doc signals + the FIRST failing rule
+    // (the form a pipeline logs for per-rule filter-rate audits; t9 is
+    // the score-threshold complement). One token-array projection, all
+    // rules read it — a pure map-only codegen pass at 100 TB.
+    "t27_gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherProfile(Tables.spread(Tables.documents(s, d)),
+          "text", "doc_id", "n_chars")
+        .orderBy(col("doc_id"))),
+
+    // T28 — distributed BPE merge LEARNING (Sennrich et al. 2016): the
+    // tokenizer-training complement of t19's apply-side count. Pair
+    // statistics at word-TYPE grain (the Zipf collapse — iterations
+    // never re-touch the corpus), per-merge argmax with deterministic
+    // (count desc, pair asc) tie-break attached by broadcast, greedy
+    // leftmost-non-overlapping application via the double-separator
+    // replace trick — semantics identical in both engines (see
+    // Bpe.learnMerges). k = 4 merges; output = the learned merge table.
+    "t28_bpe_merges" -> ((s, d) =>
+      Bpe.learnMerges(Tables.spread(Tables.documents(s, d)), "text", k = 4)
+        .orderBy(col("merge_rank"))),
+
+    // D21 — the END-TO-END curation recipe (quality rules → exact dedup
+    // → benchmark decontamination) as ONE composed Catalyst plan with
+    // full per-doc fate attribution — the flagship "run your whole
+    // pipeline on this engine" query. Corpus = documentsWithDups (live
+    // duplicates), benchmark = the doc_id%20 held-out split (d7/d8's
+    // convention; eval docs present in the corpus are themselves flagged
+    // contaminated — exactly what decontamination is for). Stage
+    // precedence and scale shape documented on Curation.curate.
+    "d21_corpus_curation" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.curate(Tables.spread(Tables.documentsWithDups(s, d)),
+          docs.filter(col("doc_id") % 20 === 0), "text", "doc_id",
+          "n_chars")
         .orderBy(col("doc_id"))
     }),
 
@@ -3374,7 +3444,60 @@ object TrainingQueries {
     s"$base,\n$its\nSELECT node, rank FROM it$iters ORDER BY node"
   }
 
+  /** DuckDB replay of [[Bpe.learnMerges]] as k chained CTE iterations:
+    * same char segmentation (`string_split(w, '')` ↔ the JVM `(?!^)`
+    * split — ASCII-only by the shared filter), same pair grain and
+    * (count desc, pair asc) argmax, same double-separator merge
+    * application (DuckDB `replace` is leftmost non-overlapping too).
+    * Counts CAST AS BIGINT per the HUGEINT→float64 driver lesson. */
+  private def bpeOracleSql(k: Int): String = {
+    val iters = (1 to k).map { i =>
+      val prev = s"w${i - 1}"
+      val pairAndBest =
+        s""", p$i AS (
+           |  SELECT unnest(list_transform(range(1, len(string_split(rep, ' '))),
+           |    j -> string_split(rep, ' ')[j] || ' ' || string_split(rep, ' ')[j+1]))
+           |    AS pair, cnt
+           |  FROM $prev
+           |), c$i AS (
+           |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS pc FROM p$i GROUP BY pair
+           |), b$i AS (
+           |  SELECT pair, pc FROM c$i ORDER BY pc DESC, pair ASC LIMIT 1
+           |)""".stripMargin
+      val apply =
+        if (i == k) ""
+        else
+          s""", w$i AS (
+             |  SELECT trim(replace(replace(' ' || replace(rep, ' ', '  ') || ' ',
+             |    ' ' || (SELECT string_split(pair, ' ')[1] FROM b$i) || '  ' ||
+             |      (SELECT string_split(pair, ' ')[2] FROM b$i) || ' ',
+             |    ' ' || (SELECT replace(pair, ' ', '') FROM b$i) || ' '),
+             |    '  ', ' ')) AS rep, cnt
+             |  FROM $prev
+             |)""".stripMargin
+      pairAndBest + apply
+    }.mkString("\n")
+    val rows = (1 to k).map { i =>
+      s"""SELECT $i AS merge_rank, string_split(pair, ' ')[1] AS sym_a,
+         |  string_split(pair, ' ')[2] AS sym_b, pc AS pair_count FROM b$i"""
+        .stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT array_to_string(string_split(w, ''), ' ') AS rep,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) u
+       |  WHERE regexp_matches(w, '^[!-~]+${"$"}')
+       |  GROUP BY w
+       |)
+       |$iters
+       |SELECT * FROM (
+       |  $rows
+       |) ORDER BY merge_rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+
+    "t28_bpe_merges" -> bpeOracleSql(4),
     "g1_pagerank" -> pageRankOracleSql(5, weighted = false),
     "g2_weighted_pagerank" -> pageRankOracleSql(5, weighted = true),
 
@@ -4569,6 +4692,129 @@ object TrainingQueries {
         |  AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
         |  AND q >= 0.5 AND nt BETWEEN 20 AND 1000 AND dup3 <= 0.3
         |ORDER BY doc_id""".stripMargin,
+
+    // Replays every Gopher rule signal: replace() is leftmost
+    // non-overlapping in both engines, the ellipsis delta is an exact
+    // multiple of 3, and the CASE precedence mirrors the Spark
+    // when-chain verbatim.
+    "t27_gopher_rules" ->
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    round((n_chars - len(string_split(text, ' ')) + 1) * 1.0
+        |      / len(string_split(text, ' ')), 4) AS mean_word_len,
+        |    round(((len(text) - len(replace(text, '#', '')))
+        |        + (len(text) - len(replace(text, '...', ''))) / 3) * 1.0
+        |      / len(string_split(text, ' ')), 4) AS symbol_ratio,
+        |    round(len(list_filter(string_split(text, ' '),
+        |        x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+        |      / len(string_split(text, ' ')), 4) AS alpha_frac,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','be','to','of','and','that','have','with')))
+        |      AS BIGINT) AS n_stopword_hits
+        |  FROM documents)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+        |  n_stopword_hits,
+        |  CASE WHEN n_words NOT BETWEEN 50 AND 100000 THEN 'word_count'
+        |       WHEN mean_word_len NOT BETWEEN 3.0 AND 10.0
+        |         THEN 'mean_word_len'
+        |       WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
+        |       WHEN alpha_frac < 0.8 THEN 'alpha_frac'
+        |       WHEN n_stopword_hits < 2 THEN 'stopwords'
+        |       ELSE 'pass' END AS reject_reason
+        |FROM sig ORDER BY doc_id""".stripMargin,
+
+    // Replays the full three-stage recipe: t9's signal formulas over the
+    // cloned corpus, keeper election per fingerprint among
+    // quality-passing docs, d8's shingle replay for contamination, and
+    // the same CASE precedence as Curation.curate.
+    "d21_corpus_curation" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, n_chars FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text, n_chars
+        |  FROM documents WHERE doc_id % 25 = 0
+        |), sig AS (
+        |  SELECT doc_id, text, md5(lower(trim(text))) AS fp,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('el','la','de','y','que','en','un'))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('der','die','das','und','ist','ein','zu'))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('le','la','de','et','est','un','dans'))) AS BIGINT) AS s_fr,
+        |    round(1.0 - len(list_distinct(list_transform(
+        |        range(1, greatest(len(string_split(text,' ')) - 3 + 2, 2)),
+        |        i -> array_to_string(list_slice(string_split(text,' '), i, i + 2),
+        |          ' ')))) * 1.0
+        |      / greatest(len(string_split(text,' ')) - 3 + 1, 1), 4) AS dup3,
+        |    round((CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.5 END)
+        |        * 0.4
+        |      + least(len(list_distinct(string_split(text, ' '))) * 1.0 /
+        |          len(string_split(text, ' ')) * 2, 1.0) * 0.6, 4) AS q
+        |  FROM corpus
+        |), flagged AS (
+        |  SELECT *, (s_en + s_es + s_de + s_fr > 0
+        |    AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+        |    AND q >= 0.5 AND nt BETWEEN 20 AND 1000 AND dup3 <= 0.3)
+        |    AS quality_ok
+        |  FROM sig
+        |), keep AS (
+        |  SELECT fp, min(doc_id) AS keep_id FROM flagged
+        |  WHERE quality_ok GROUP BY fp
+        |), bsh AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text,' ')) - 8 + 2, 2)),
+        |    i -> array_to_string(list_slice(string_split(text,' '), i, i + 7), ' '))))
+        |    AS sh
+        |  FROM documents WHERE doc_id % 20 = 0
+        |), contam AS (
+        |  SELECT DISTINCT c.doc_id FROM (
+        |    SELECT doc_id, unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text,' ')) - 8 + 2, 2)),
+        |      i -> array_to_string(list_slice(string_split(text,' '), i, i + 7), ' '))))
+        |      AS sh
+        |    FROM flagged WHERE quality_ok) c JOIN bsh USING (sh)
+        |)
+        |SELECT f.doc_id,
+        |  CASE WHEN NOT f.quality_ok THEN 'low_quality'
+        |       WHEN f.doc_id <> k.keep_id THEN 'exact_dup'
+        |       WHEN f.doc_id IN (SELECT doc_id FROM contam)
+        |         THEN 'contaminated'
+        |       ELSE 'kept' END AS status,
+        |  f.nt AS n_tokens
+        |FROM flagged f LEFT JOIN keep k ON f.fp = k.fp
+        |ORDER BY f.doc_id""".stripMargin,
+
+    // v7's running-max CTE with the delay magnitude kept instead of one
+    // candidate verdict; quantile_cont over the positive delays matches
+    // sortedPercentiles (the x16/w20-proven bit-compatible pair) and
+    // skips NULLs, mirroring the Spark left join.
+    "v19_disorder_profile" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |    (event_id + CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+        |      1, 15) AS BIGINT) % 5) * 1048576 + event_id AS arr
+        |  FROM events
+        |), w AS (
+        |  SELECT event_type,
+        |    greatest(coalesce(max(ts_s) OVER (ORDER BY arr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - ts_s,
+        |      0), 0) AS delay_s
+        |  FROM r)
+        |SELECT event_type, count(*) AS n_events,
+        |  count(CASE WHEN delay_s > 0 THEN 1 END) AS n_disordered,
+        |  count(CASE WHEN delay_s > 0 THEN 1 END) * 1.0 / count(*)
+        |    AS disorder_frac,
+        |  quantile_cont(CASE WHEN delay_s > 0 THEN delay_s END, 0.5)
+        |    AS p50_delay_s,
+        |  quantile_cont(CASE WHEN delay_s > 0 THEN delay_s END, 0.95)
+        |    AS p95_delay_s,
+        |  quantile_cont(CASE WHEN delay_s > 0 THEN delay_s END, 1.0)
+        |    AS max_delay_s
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // w15b's exact sides re-derive INDEPENDENTLY (the d17 pattern):
     // count(DISTINCT) and quantile_cont replay the countDistinct /

@@ -289,6 +289,29 @@ class EventWindowsSpec extends SparkSpec {
       .as[(Long, Boolean)].collect().toSeq
     assert(got == Seq(1L -> false, 2L -> false, 3L -> true, 4L -> false))
   }
+
+  test("disorderDelays = naive global replay; audit at delay D flags delay_s > D") {
+    // deliberately disordered event times over arrival order = event_id
+    val times = Seq(1000L, 2000L, 500L, 1500L, 2500L, 2400L, 100L)
+    val ev = times.zipWithIndex.map { case (t, i) =>
+      ((i + 1).toLong, ts(t), 1L, "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventWindows.disorderDelays(ev)
+      .orderBy("event_id").select("event_id", "delay_s")
+      .as[(Long, Long)].collect().toSeq
+    // naive replay: delay = max over earlier arrivals of ts − own ts
+    val naive = times.zipWithIndex.map { case (t, i) =>
+      val delay = if (i == 0) 0L else math.max(times.take(i).max - t, 0L)
+      ((i + 1).toLong, delay)
+    }
+    assert(got == naive)
+    // consistency with the audit: a candidate delay D drops exactly the
+    // events whose measured disorder exceeds D
+    val d = 600L
+    val late = EventWindows.watermarkAudit(ev, delaySeconds = d)
+      .orderBy("event_id").select("is_late").as[Boolean].collect().toSeq
+    assert(late == naive.map(_._2 > d))
+  }
 }
 
 class StreamingSpec extends SparkSpec {

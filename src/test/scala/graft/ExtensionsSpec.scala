@@ -616,6 +616,38 @@ class TextAnalysisSpec extends SparkSpec {
     // λ=1: pure relevance — both clones, in id order
     assert(ids(1.0) == Seq(1L, 2L))
   }
+
+  test("gopherProfile: every reject reason fires on its fixture; precedence holds") {
+    // 48 distinct-ish filler words + "the and" = 50 words, all alphabetic,
+    // mean length in band, no symbols → pass
+    val filler = (1 to 48).map(i => s"word$i")
+    val pass = ("the and " + filler.mkString(" "))
+    val short = "the and tiny"                         // 3 words → word_count
+    val shortWords = ("the and " + Seq.fill(48)("aa").mkString(" "))
+      // 50 words but mean word length (3+3+48·2+49·1? chars)… computed
+      // below from the actual string → < 3 → mean_word_len
+    val symbols = ("the and " + filler.take(42).mkString(" ") +
+      " ### ### ### ### ### ###")                      // 18 hashes / 50 words
+    val numeric = ("the and " + filler.take(33).mkString(" ") + " " +
+      (1 to 15).map(i => s"$i$i").mkString(" "))       // 15/50 non-alpha
+    val noStop = (filler ++ Seq("plus", "two")).mkString(" ") // 0 stopwords
+    val docs = Seq(
+      (1L, pass), (2L, short), (3L, shortWords), (4L, symbols),
+      (5L, numeric), (6L, noStop)
+    ).map { case (id, t) => (id, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    val got = TextAnalysis.gopherProfile(docs, "text", "doc_id", "n_chars")
+      .orderBy("doc_id").select("doc_id", "reject_reason")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq(1L -> "pass", 2L -> "word_count",
+      3L -> "mean_word_len", 4L -> "symbol_ratio", 5L -> "alpha_frac",
+      6L -> "stopwords"))
+    // signal spot-check: the symbol fixture counts 18 '#' over 50 words
+    val sym = TextAnalysis.gopherProfile(docs, "text", "doc_id", "n_chars")
+      .filter(col("doc_id") === 4L)
+      .select("n_words", "symbol_ratio").as[(Long, Double)].collect()(0)
+    assert(sym == ((50L, 0.36)))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
@@ -1061,5 +1093,93 @@ class CentroidEvalSpec extends SparkSpec {
     q.foreach { case (_, n, c, acc) =>
       assert(c <= n && acc == c * 1.0 / n)
     }
+  }
+}
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  // "the a of and to in is" = 7 en-stopword tokens → langId 'en', and with
+  // 13 distinct content words each doc passes the t9 quality contract
+  // (20 tokens, ttr ≈ 1 → q = 0.8, dup3 ≈ 0)
+  private val en = "the a of and to in is"
+  private val contamText = en +
+    " alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
+  private val keptText = en +
+    " one two three four five six seven eight nine ten eleven twelve thirteen"
+  private lazy val corpus = Seq(
+    (10L, contamText),      // keeper of the dup pair AND shares an 8-gram
+    (11L, contamText),      // exact dup of 10 — precedence over contamination
+    (20L, keptText),
+    (30L, "tiny text")      // 2 tokens, no stopwords → low_quality
+  ).map { case (id, t) => (id, t, t.length.toLong) }
+    .toDF("doc_id", "text", "n_chars")
+  private lazy val bench = Seq(
+    (100L, "alpha beta gamma delta epsilon zeta eta theta", 47L)
+  ).toDF("doc_id", "text", "n_chars")
+
+  test("curate attributes every doc to its stage with dedup-before-contamination precedence") {
+    val got = Curation.curate(corpus, bench, "text", "doc_id", "n_chars")
+      .orderBy("doc_id").select("doc_id", "status", "n_tokens")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((10L, "contaminated", 20L), (11L, "exact_dup", 20L),
+      (20L, "kept", 20L), (30L, "low_quality", 2L)))
+  }
+
+  test("curate's stage verdicts equal the standalone operators on the quality-passing slice") {
+    val got = Curation.curate(corpus, bench, "text", "doc_id", "n_chars")
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    val qualityOk = got.filter(_._2 != "low_quality").keySet
+    val passing = corpus.filter(col("doc_id").isin(qualityOk.toSeq: _*))
+    val keepIds = Dedup.exactGroups(passing, "text", "doc_id")
+      .select("keep_id").as[Long].collect().toSet
+    assert(got.filter(_._2 == "exact_dup").keySet == qualityOk -- keepIds)
+    val contamIds = Dedup.contaminatedIdsNgram(
+        passing.filter(col("doc_id").isin(keepIds.toSeq: _*)),
+        bench, "text", "doc_id", n = 8)
+      .as[Long].collect().toSet
+    assert(got.filter(_._2 == "contaminated").keySet == contamIds)
+    assert(got.filter(_._2 == "kept").keySet == keepIds -- contamIds)
+  }
+}
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("learnMerges reproduces the hand-computed Sennrich example with tie-breaks") {
+    // low×5, lower×2, newest×6, widest×3 — pair counts by hand:
+    // e-s 9 ties s-t 9 → 'e s' wins lexicographically; then es-t 9;
+    // then l-o 7 ties o-w 7 → 'l o' wins
+    val docs = Seq(
+      Seq.fill(5)("low").mkString(" "),
+      Seq.fill(2)("lower").mkString(" "),
+      Seq.fill(6)("newest").mkString(" "),
+      Seq.fill(3)("widest").mkString(" ")
+    ).toDF("text")
+    val got = Bpe.learnMerges(docs, "text", k = 3)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "e", "s", 9L), (2, "es", "t", 9L),
+      (3, "l", "o", 7L)))
+  }
+
+  test("learnMerges is greedy leftmost-non-overlapping on runs") {
+    // 'aaaaa' ×2: merge1 (a,a) count 8 (4 pairs × 2 words); applied
+    // greedily → 'aa aa a'; merge2 tie (aa,aa)=2 vs (aa,a)=2 → 'aa a'
+    // wins lexicographically (space < 'a')
+    val docs = Seq("aaaaa aaaaa").toDF("text")
+    val got = Bpe.learnMerges(docs, "text", k = 2)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a", "a", 8L), (2, "aa", "a", 2L)))
+  }
+
+  test("non-ASCII words are excluded from the trainable alphabet") {
+    val docs = Seq("héllo héllo héllo abab abab").toDF("text")
+    val got = Bpe.learnMerges(docs, "text", k = 1)
+      .as[(Int, String, String, Long)].collect().toSeq
+    // only 'abab' trains: a-b 2×2=4 beats b-a 1×2=2
+    assert(got == Seq((1, "a", "b", 4L)))
   }
 }
