@@ -134,4 +134,47 @@ object Multimodal {
       col("doc_id"),
       length(col("payload")).cast("long").as("n_bytes"),
       crc32(col("payload")).as("checksum"))
+
+  /** LAION-style image-text PAIR curation (Schuhmann et al. 2022 §2.2's
+    * filter battery re-shaped for this engine): every candidate pair is
+    * gated through min-resolution, aspect-ratio, caption-length and
+    * embedding-presence rules, emitting the FIRST failing rule as the
+    * pair's fate (the t27 per-rule-audit form — per-rule loss rates are
+    * one grouped count over `fate`). In production the dims come out of
+    * `decodeMeta`'s batch decode; here they are the deterministic
+    * md5-derived pseudo-dims (`Dedup.md5Hash60` — replayable
+    * cross-engine, unlike the crc32 stub), so the gating plumbing is
+    * real and oracle-checked while the codec stays stubbed.
+    *
+    * Scale shape: every signal is a map-side projection over the media
+    * scan (one codegen span, no decode for pairs that fail the cheap
+    * byte/caption gates — order the real decoder AFTER this pass and
+    * 100 TB of media only decodes the survivors); the one join probes
+    * the embedding sidecar per doc_id — broadcastable while the sidecar
+    * is small, a plain hash join on the uniform id key beyond. No
+    * shuffle of payload bytes anywhere. */
+  def pairCuration(withPayload: DataFrame, sidecar: DataFrame,
+      minDim: Int = 200, maxAspect: Double = 3.0,
+      minCapToks: Int = 10, maxCapToks: Int = 40): DataFrame = {
+    val side = sidecar.select(col("doc_id"), lit(true).as("__has_emb"))
+    withPayload
+      .withColumn("__h", Dedup.md5Hash60(col("payload")))
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        (pmod(col("__h"), lit(1920L)) + 1).as("width"),
+        (pmod(expr("__h div 2048"), lit(1080L)) + 1).as("height"),
+        TextAnalysis.tokenCount(col("text")).as("cap_tokens"))
+      .join(side, Seq("doc_id"), "left")
+      .withColumn("fate",
+        when(col("width") < minDim || col("height") < minDim,
+          lit("too_small"))
+          .when(greatest(col("width"), col("height")) * lit(1.0)
+            / least(col("width"), col("height")) > maxAspect,
+            lit("bad_aspect"))
+          .when(!col("cap_tokens").between(minCapToks, maxCapToks),
+            lit("caption_len"))
+          .when(col("__has_emb").isNull, lit("no_embedding"))
+          .otherwise(lit("kept")))
+      .drop("__has_emb")
+  }
 }

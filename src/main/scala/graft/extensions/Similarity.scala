@@ -628,6 +628,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ — the production large-scale ANN layout, composing the two
+    * measured stages: IVF cell routing bounds the candidate set to
+    * `nprobe` cells (e4/e6's geometry), PQ-ADC ranks ONLY the probed
+    * vectors from their m-byte codes, and the final top-k re-ranks
+    * `shortlist` raw vectors exactly (e12's two-stage shape, so emitted
+    * scores are exact cosines whenever true neighbors survive). At
+    * 100 TB the corpus is stored `partitionBy(cell_id)` with codes as a
+    * column: a query reads nprobe partitions' CODES plus `shortlist`
+    * raw vectors — never the full vector column, never all cells.
+    * Codebooks/codes are train-once snapshot artifacts (pass `codes` —
+    * e17 shares e12's PqArtifact); cell routing reuses ivfTopK's
+    * deterministic (-cos, cell_id) probe order. */
+  def ivfPqTopK(embeddings: DataFrame, books: DataFrame, m: Int,
+      ksub: Int, queryId: Long, k: Int, numCells: Int, nprobe: Int,
+      shortlist: Int, trainIters: Int = 0,
+      codes: Option[DataFrame] = None): DataFrame = {
+    val centroids = broadcast(
+      kMeansCentroids(embeddings, numCells, trainIters))
+    val assigned = assignCells(embeddings, centroids)
+    val probeCells = assigned.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("query_vec"))
+      .crossJoin(centroids
+        .select(col("cell_id").as("probe_cell"), col("centroid")))
+      .select(col("probe_cell"),
+        (-cosine(col("query_vec"), col("centroid"))).as("qdist"))
+      .orderBy(col("qdist"), col("probe_cell")).limit(nprobe)
+      .select(col("probe_cell"))
+    val probed = assigned
+      .join(broadcast(probeCells), col("cell_id") === col("probe_cell"),
+        "left_semi")
+      .drop("cell_id")
+      // one materialization: read twice below (codes probe + re-rank)
+      .localCheckpoint(eager = false)
+    // the query row rides along for pqTopK's query-side LUT build even
+    // when its own cell is not probed (it always is — its cell has
+    // qdist = -cos(q, nearest centroid), the minimum — but the union
+    // keeps that a non-assumption)
+    val subset = probed.filter(col("vec_id") =!= queryId)
+      .unionByName(embeddings.filter(col("vec_id") === queryId))
+    val probedCodes = codes.map(
+      _.join(probed.select(col("vec_id")), Seq("vec_id"), "left_semi"))
+    pqTopKRerank(subset, books, m, ksub, queryId, k, shortlist,
+      codes = probedCodes)
+  }
+
   /** Exact driver-side cosine of two float vectors — index-order double
     * accumulation, the same arithmetic as the codegen expression (used
     * by the MMR greedy stage over a BOUNDED shortlist). */

@@ -402,4 +402,65 @@ object TextAnalysis {
       .agg(sum(col("w").cast("decimal(38,6)")).cast("double").as("score"),
         count(lit(1)).as("n_terms_hit"))
   }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): score every raw document by the log importance
+    * ratio of a TARGET domain's hashed-n-gram distribution over the RAW
+    * corpus distribution, keep the top `keep` — the published recipe
+    * for "select pretraining data that looks like the target" without
+    * training a classifier. Features are word unigrams + bigrams hashed
+    * into `buckets` buckets (the paper's hashed n-gram features) via
+    * the cross-engine md5 recipe; both distributions are
+    * Laplace-smoothed bucket frequencies.
+    *
+    * Scale shape (the reason DSIR runs at pretraining-corpus scale):
+    * the per-bucket log-ratio table is BOUNDED (`buckets` rows) and
+    * broadcast back, so a 100 TB corpus pays one map-side explode, one
+    * (doc, bucket)-grain exchange, one broadcast probe and one
+    * doc-grain aggregate — no corpus-sized pairwise stage anywhere.
+    * Selection is the w5 heap plan (TakeOrderedAndProject — bounded
+    * partial top-k, no global sort), and the kept-id set (≤ `keep`
+    * rows) broadcasts back for the flag.
+    *
+    * Determinism (cross-engine): each of the two per-bucket lns rounds
+    * to 6 dp (t8 convention) before the difference; the per-doc
+    * Σ c·logratio rides exact DECIMAL(38,6); the final per-gram
+    * division stays unrounded (exactAvg rule); ranking ties break on
+    * doc_id. */
+  def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int,
+      keep: Int): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), isTarget.as("is_target"),
+        tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), col("is_target"),
+        explode(concat(col("__toks"), bigrams(col("__toks")))).as("g"))
+      .select(col("doc_id"), col("is_target"),
+        pmod(Dedup.md5Hash60(col("g")), lit(buckets.toLong)).as("f"))
+    val docf = grams
+      .groupBy(col("doc_id"), col("is_target"), col("f"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // feeds the bucket table AND scoring
+    val bucketTab = docf.groupBy(col("f")).agg(
+      sum(when(col("is_target"), col("c")).otherwise(lit(0L))).as("ct"),
+      sum(col("c")).as("cr"))
+    val totals = bucketTab.agg(
+      sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val logratio = bucketTab.crossJoin(broadcast(totals))
+      .select(col("f"),
+        (round(log((col("ct") + 1) * lit(1.0) / (col("nt") + buckets)), 6)
+          - round(log((col("cr") + 1) * lit(1.0) / (col("nr") + buckets)),
+            6)).as("lr"))
+    val scored = docf.join(broadcast(logratio), "f")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        sum(col("lr").cast("decimal(38,6)") * col("c")).as("w"))
+      .select(col("doc_id"), col("n_grams"),
+        (col("w").cast("double") / col("n_grams")).as("avg_logratio"))
+      .localCheckpoint(eager = false) // ranked (top-k) AND flag-joined
+    val kept = scored
+      .orderBy(col("avg_logratio").desc, col("doc_id")).limit(keep)
+      .select(col("doc_id"), lit(true).as("selected"))
+    scored.join(broadcast(kept), Seq("doc_id"), "left")
+      .withColumn("selected", coalesce(col("selected"), lit(false)))
+  }
 }

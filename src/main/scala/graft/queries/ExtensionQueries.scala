@@ -474,6 +474,22 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // M7 — LAION-style image-text pair curation: min-resolution /
+    // aspect-ratio / caption-length / embedding-presence gates with
+    // first-failing-rule fate attribution (t27's audit form at the PAIR
+    // grain) — the published pre-CLIP-score filter battery of LAION
+    // (Schuhmann et al. 2022). Pseudo-dims from the md5 recipe make the
+    // gating oracle-replayable while the codec stays stubbed; see
+    // Multimodal.pairCuration for the decode-after-gating scale story.
+    // documentsWithDups makes no_embedding discriminating (clones have
+    // no sidecar row — the m3 convention).
+    "m7_pair_curation" -> ((s, d) => {
+      Multimodal.pairCuration(
+          Multimodal.withBinaryPayload(Tables.documentsWithDups(s, d)),
+          Tables.embeddings(s, d).select(col("vec_id").as("doc_id")))
+        .orderBy(col("doc_id"))
+    }),
+
     // M3 — multimodal training-sample assembly: text + binary payload +
     // embedding sidecar joined into one sample row with per-modality
     // completeness flags — the manifest-join step that precedes any
@@ -569,6 +585,19 @@ object ExtensionQueries {
       Similarity.pqTopKRerank(Tables.embeddings(s, d), books,
         m = PqArtifact.M, ksub = PqArtifact.KSUB, queryId = 0L,
         k = 10, shortlist = 256, codes = Some(codes))
+    }),
+
+    // E17 — IVF-PQ composed ANN (the production layout: cell routing ×
+    // byte codes × exact re-rank; see Similarity.ivfPqTopK). Shares
+    // e12's train-once PqArtifact; rows-only (which ids survive the
+    // quantized stages is engine-specific) — e17b is the oracled
+    // recall CONTRACT.
+    "e17_ivfpq_ann" -> ((s, d) => {
+      val (books, codes) = PqArtifact(s, d)
+      Similarity.ivfPqTopK(Tables.embeddings(s, d), books,
+        m = PqArtifact.M, ksub = PqArtifact.KSUB, queryId = 0L,
+        k = 10, numCells = 16, nprobe = 8, shortlist = 128,
+        codes = Some(codes))
     }),
 
     // E13 — SPARSE tf-idf cosine near-dup pairs (the lexical complement
@@ -1565,6 +1594,35 @@ object ExtensionQueries {
         |SELECT s.doc_id, s.simhash, COALESCE(c.n_candidates, 0) AS n_candidates
         |FROM sim s LEFT JOIN cand c ON s.doc_id = c.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+
+    // m7 replays the clone injection, the md5 pseudo-dims (h%1920+1,
+    // (h//2048)%1080+1 — Spark `div` ≡ DuckDB `//` on the non-negative
+    // 60-bit hash), the sidecar presence probe and the CASE precedence.
+    "m7_pair_curation" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text
+        |  FROM documents WHERE doc_id % 25 = 0
+        |), sig AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS cap_tokens
+        |  FROM d
+        |), dims AS (
+        |  SELECT doc_id, n_bytes, h % 1920 + 1 AS width,
+        |    (h // 2048) % 1080 + 1 AS height, cap_tokens
+        |  FROM sig
+        |)
+        |SELECT m.doc_id, m.n_bytes, m.width, m.height, m.cap_tokens,
+        |  CASE WHEN m.width < 200 OR m.height < 200 THEN 'too_small'
+        |    WHEN greatest(m.width, m.height) * 1.0
+        |      / least(m.width, m.height) > 3.0 THEN 'bad_aspect'
+        |    WHEN m.cap_tokens NOT BETWEEN 10 AND 40 THEN 'caption_len'
+        |    WHEN e.vec_id IS NULL THEN 'no_embedding'
+        |    ELSE 'kept' END AS fate
+        |FROM dims m LEFT JOIN embeddings e ON m.doc_id = e.vec_id
+        |ORDER BY m.doc_id""".stripMargin,
 
     "m3_sample_assembly" ->
       """WITH d AS (

@@ -598,6 +598,74 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // T29 — DSIR importance resampling (Xie et al. 2023): select raw
+    // docs whose hashed-n-gram profile looks like the TARGET domain
+    // (here: the English slice as the target proxy) by the log ratio of
+    // Laplace-smoothed bucket distributions. 512 buckets, top-100 kept.
+    // The bounded log-ratio table broadcasts back; selection is the w5
+    // heap plan — see TextAnalysis.dsirWeights for the 100-TB shape.
+    "t29_dsir_select" -> ((s, d) =>
+      TextAnalysis.dsirWeights(Tables.spread(Tables.documents(s, d)),
+          isTarget = col("lang") === "en", buckets = 512, keep = 100)
+        .orderBy(col("doc_id"))),
+
+    // T30 — CCNet perplexity buckets (Wenzek et al. 2020 §4.3): score
+    // every doc by bigram cross-entropy against a per-language LM
+    // trained ONLY on the "clean" slice (sources src0–src4 stand in for
+    // the Wikipedia target), then cut each language into head/middle/
+    // tail terciles — the published shape for perplexity-based quality
+    // partitioning. t26's exact LM arithmetic with left-join zero
+    // counts for unseen grams; tercile bounds are the t18 pattern (one
+    // combinable per-lang percentile agg broadcast back, map-side
+    // banding — the corpus never sorts; swap percentile for
+    // approx_percentile at 100 TB if ce cardinality bites).
+    "t30_ccnet_buckets" -> ((s, d) => {
+      val cleanSrcs = Seq("src0", "src1", "src2", "src3", "src4")
+      val docs = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"), col("source"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        .localCheckpoint(eager = false) // bigram AND unigram passes
+      val bg = docs.select(col("doc_id"), col("lang"), col("source"),
+          explode(TextAnalysis.bigrams(col("toks"))).as("bg"))
+        .groupBy(col("doc_id"), col("lang"), col("source"), col("bg"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = false) // clean LM counts + scoring
+      val cbg = bg.filter(col("source").isin(cleanSrcs: _*))
+        .groupBy(col("lang"), col("bg")).agg(sum(col("c")).as("cbg"))
+      val uni = docs.filter(col("source").isin(cleanSrcs: _*))
+        .select(col("lang"), explode(col("toks")).as("w1"))
+        .groupBy(col("lang"), col("w1")).agg(count(lit(1)).as("cw1"))
+      val v = uni.groupBy(col("lang")).agg(count(lit(1)).as("v"))
+      val scored = bg
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .join(cbg, Seq("lang", "bg"), "left")
+        .join(uni, Seq("lang", "w1"), "left")
+        .join(broadcast(v), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("c"),
+          round(log((coalesce(col("cbg"), lit(0L)) + 1) * lit(1.0)
+            / (coalesce(col("cw1"), lit(0L)) + col("v"))), 6).as("lp"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("c")).as("nb"),
+          sum(col("lp").cast("decimal(38,6)") * col("c")).as("nll"))
+        .select(col("doc_id"), col("lang"), col("nb"),
+          (-col("nll").cast("double") / col("nb")).as("ce"))
+        .localCheckpoint(eager = false) // bounds agg + banding share it
+      val bounds = scored.groupBy(col("lang"))
+        .agg(expr(
+          "percentile(ce, array(0.3333333333333333D, 0.6666666666666666D))")
+          .as("bs"))
+        .select(col("lang"), col("bs").getItem(0).as("b1"),
+          col("bs").getItem(1).as("b2"))
+      scored.join(broadcast(bounds), Seq("lang"))
+        .withColumn("bucket",
+          when(col("ce") <= col("b1"), lit("head"))
+            .when(col("ce") <= col("b2"), lit("middle"))
+            .otherwise(lit("tail")))
+        .select(col("doc_id"), col("lang"), col("nb"), col("ce"),
+          col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     // W15B — sketch-accuracy CONTRACT: the HLL distinct count and the
     // approximate median must land within their documented error bounds
     // of the exact values. The d17 pattern (r5 verdict item 2): the
@@ -904,6 +972,30 @@ object TrainingQueries {
       // e5's d17 pattern: oracle re-derives the exact top-10 ground truth
       recall.crossJoin(codes).crossJoin(exact.agg(
         array_join(sort_array(collect_list(col("vec_id"))), ",")
+            .as("exact_top10_ids")))
+    }),
+
+    // E17B — IVF-PQ CONTRACT (e6/e12b pattern; value-verifies e17):
+    // after BOTH lossy stages (cell routing to 8 of 16 cells, ADC
+    // shortlist of 128 within the probed set) the exact re-rank must
+    // still recover ≥8 of the exact top-10 — measured 10/10 at sf0.01
+    // and 9/10 at sf0.1 (deterministic, no RNG). The d17 pattern:
+    // exact_top10_ids rides along for independent oracle re-derivation.
+    "e17b_ivfpq_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val (books, codes) = ExtensionQueries.PqArtifact(s, d)
+      val exact = Similarity.bruteForceTopK(emb, queryId = 0L, k = 10)
+        .select(col("vec_id")).localCheckpoint(eager = false)
+      val ivfpq = Similarity.ivfPqTopK(emb, books,
+          m = ExtensionQueries.PqArtifact.M,
+          ksub = ExtensionQueries.PqArtifact.KSUB,
+          queryId = 0L, k = 10, numCells = 16, nprobe = 8,
+          shortlist = 128, codes = Some(codes))
+        .select(col("vec_id"))
+      ivfpq.join(exact, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) >= 8).as("ok_recall"))
+        .crossJoin(exact.agg(
+          array_join(sort_array(collect_list(col("vec_id"))), ",")
             .as("exact_top10_ids")))
     }),
 
@@ -3498,6 +3590,95 @@ object TrainingQueries {
   val oracles: Map[String, String] = Map(
 
     "t28_bpe_merges" -> bpeOracleSql(4),
+
+    // t29 replays DSIR end-to-end: unigram+bigram explode, md5 bucket
+    // hash, Laplace-smoothed bucket distributions, round-6 ln pair,
+    // exact-decimal Σ c·lr, unrounded per-gram division, top-100 by
+    // (avg desc, doc_id) — the same system t23/t26 proved hash-exact.
+    "t29_dsir_select" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang = 'en' AS is_target,
+        |    string_split(text, ' ') AS toks
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, is_target, unnest(list_concat(toks,
+        |    list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i + 1]))) AS g
+        |  FROM base
+        |), docf AS (
+        |  SELECT doc_id, is_target,
+        |    CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 512 AS f,
+        |    count(*) AS c
+        |  FROM grams GROUP BY 1, 2, 3
+        |), bucket AS (
+        |  SELECT f, sum(CASE WHEN is_target THEN c ELSE 0 END) AS ct,
+        |    sum(c) AS cr
+        |  FROM docf GROUP BY f
+        |), tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM bucket),
+        |lr AS (
+        |  SELECT f, round(ln((ct + 1) * 1.0 / (nt + 512)), 6)
+        |    - round(ln((cr + 1) * 1.0 / (nr + 512)), 6) AS lr
+        |  FROM bucket, tot
+        |), scored AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |    CAST(sum(CAST(lr AS DECIMAL(38,6)) * c) AS DOUBLE) / sum(c)
+        |      AS avg_logratio
+        |  FROM docf JOIN lr USING (f) GROUP BY doc_id
+        |), kept AS (
+        |  SELECT doc_id FROM scored
+        |  ORDER BY avg_logratio DESC, doc_id LIMIT 100
+        |)
+        |SELECT s.doc_id, s.n_grams, s.avg_logratio,
+        |  k.doc_id IS NOT NULL AS selected
+        |FROM scored s LEFT JOIN kept k ON s.doc_id = k.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+
+    // t30 replays the clean-slice per-lang bigram LM (t26's arithmetic
+    // with COALESCE-0 unseen counts), then the tercile banding against
+    // quantile_cont bounds (percentile ≡ quantile_cont proven by w20;
+    // the two literals are the exact doubles of Scala's 1.0/3, 2.0/3).
+    "t30_ccnet_buckets" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, lang, source, g, count(*) AS c FROM (
+        |    SELECT doc_id, lang, source, unnest(list_transform(
+        |      range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS g
+        |    FROM base)
+        |  GROUP BY 1, 2, 3, 4
+        |), cbg AS (
+        |  SELECT lang, g, sum(c) AS cbg FROM bg
+        |  WHERE source IN ('src0','src1','src2','src3','src4')
+        |  GROUP BY 1, 2
+        |), uni AS (
+        |  SELECT lang, w1, count(*) AS cw1 FROM (
+        |    SELECT lang, unnest(toks) AS w1 FROM base
+        |    WHERE source IN ('src0','src1','src2','src3','src4'))
+        |  GROUP BY 1, 2
+        |), v AS (SELECT lang, count(*) AS v FROM uni GROUP BY lang),
+        |scored AS (
+        |  SELECT b.doc_id, b.lang, CAST(sum(b.c) AS BIGINT) AS nb,
+        |    -CAST(sum(CAST(round(ln((COALESCE(cb.cbg, 0) + 1) * 1.0
+        |        / (COALESCE(u.cw1, 0) + v.v)), 6) AS DECIMAL(38,6)) * b.c)
+        |      AS DOUBLE) / sum(b.c) AS ce
+        |  FROM bg b
+        |  LEFT JOIN cbg cb ON b.lang = cb.lang AND b.g = cb.g
+        |  LEFT JOIN uni u
+        |    ON b.lang = u.lang AND string_split(b.g, ' ')[1] = u.w1
+        |  JOIN v ON b.lang = v.lang
+        |  GROUP BY b.doc_id, b.lang
+        |), bounds AS (
+        |  SELECT lang, quantile_cont(ce, 0.3333333333333333) AS b1,
+        |    quantile_cont(ce, 0.6666666666666666) AS b2
+        |  FROM scored GROUP BY lang
+        |)
+        |SELECT s.doc_id, s.lang, s.nb, s.ce,
+        |  CASE WHEN s.ce <= b.b1 THEN 'head'
+        |    WHEN s.ce <= b.b2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM scored s JOIN bounds b ON s.lang = b.lang
+        |ORDER BY s.doc_id""".stripMargin,
+
     "g1_pagerank" -> pageRankOracleSql(5, weighted = false),
     "g2_weighted_pagerank" -> pageRankOracleSql(5, weighted = true),
 
@@ -5022,6 +5203,11 @@ object TrainingQueries {
     "e12b_pq_recall" ->
       (BruteForceTop10Cte + """
         |SELECT true AS ok_recall, true AS ok_codes,
+        |  (SELECT array_to_string(list_sort(list(vec_id)), ',') FROM top10) AS exact_top10_ids""".stripMargin),
+
+    "e17b_ivfpq_recall" ->
+      (BruteForceTop10Cte + """
+        |SELECT true AS ok_recall,
         |  (SELECT array_to_string(list_sort(list(vec_id)), ',') FROM top10) AS exact_top10_ids""".stripMargin),
 
     "o6_union_by_name" ->

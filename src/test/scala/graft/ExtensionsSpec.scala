@@ -444,6 +444,22 @@ class SimilaritySpec extends SparkSpec {
       assert(got(q) == want, s"query $q: ${got(q)} vs $want")
     }
   }
+
+  test("ivfPqTopK with every cell probed degenerates to the plain two-stage PQ result") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val (books, codes) =
+      graft.queries.ExtensionQueries.PqArtifact(spark, sf0001)
+    val m = graft.queries.ExtensionQueries.PqArtifact.M
+    val ksub = graft.queries.ExtensionQueries.PqArtifact.KSUB
+    val full = Similarity.pqTopKRerank(emb, books, m, ksub, queryId = 0L,
+        k = 10, shortlist = 64, codes = Some(codes))
+      .select("vec_id", "cosine_sim").as[(Long, Double)].collect().toSeq
+    val ivfpq = Similarity.ivfPqTopK(emb, books, m, ksub, queryId = 0L,
+        k = 10, numCells = 8, nprobe = 8, shortlist = 64,
+        codes = Some(codes))
+      .select("vec_id", "cosine_sim").as[(Long, Double)].collect().toSeq
+    assert(ivfpq == full)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
@@ -648,6 +664,59 @@ class TextAnalysisSpec extends SparkSpec {
       .select("n_words", "symbol_ratio").as[(Long, Double)].collect()(0)
     assert(sym == ((50L, 0.36)))
   }
+
+  test("dsirWeights ranks target-vocabulary docs above off-target ones") {
+    import spark.implicits._
+    // target slice speaks {x,y}; the raw pool adds {p,q} noise. Doc 4
+    // is NOT in the target slice but shares its vocabulary — DSIR's
+    // whole point is that it scores high anyway and gets selected.
+    val docs = Seq(
+      (1L, "x y x y x", true), (2L, "y x y x y", true),
+      (3L, "p q p q p", false), (4L, "x y x y y", false),
+      (5L, "q p q p q", false))
+      .toDF("doc_id", "text", "is_t")
+    val got = TextAnalysis.dsirWeights(docs, col("is_t"),
+        buckets = 512, keep = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_grams", "avg_logratio", "selected")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(got.map(_._2) == Seq(9L, 9L, 9L, 9L, 9L)) // 5 uni + 4 bi
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(4L)._3 > byId(3L)._3) // target-looking beats off-target
+    assert(got.filter(_._4).map(_._1).toSet == Set(1L, 2L, 4L))
+    // with 512 Laplace buckets against an 18-gram target slice the
+    // smoothing mass dominates tiny-fixture counts, so absolute signs
+    // carry no meaning here — the DSIR invariant that holds at every
+    // scale is the ORDERING: every target-vocab doc strictly outranks
+    // every noise doc
+    val targetVocab = Seq(1L, 2L, 4L).map(byId(_)._3)
+    val noise = Seq(3L, 5L).map(byId(_)._3)
+    assert(targetVocab.min > noise.max)
+  }
+
+  test("t30 CCNet buckets: per-lang tercile banding is ordered and balanced") {
+    val out = graft.SparkEntry.queries("t30_ccnet_buckets")(spark, sf0001)
+      .collect()
+    assert(out.nonEmpty)
+    val byLang = out.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, rows) =>
+      val byBucket = rows.groupBy(_.getAs[String]("bucket"))
+        .map { case (b, rs) => b -> rs.map(_.getAs[Double]("ce")).sorted }
+      // band ordering: every head ce <= every middle ce <= every tail ce
+      for {
+        h <- byBucket.get("head"); m <- byBucket.get("middle")
+      } assert(h.last <= m.head, s"$lang head/middle overlap")
+      for {
+        m <- byBucket.get("middle"); t <- byBucket.get("tail")
+      } assert(m.last <= t.head, s"$lang middle/tail overlap")
+      // terciles are balanced when ce values are distinct (they are on
+      // this fixture): counts within 1 of each other
+      val counts = Seq("head", "middle", "tail")
+        .map(b => byBucket.get(b).map(_.size).getOrElse(0))
+      assert(counts.max - counts.min <= 1,
+        s"$lang unbalanced terciles: $counts")
+    }
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
@@ -751,6 +820,42 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long)].head()
     assert(fp == Seq(expected._1, expected._2))
     assert(fp.distinct.size == 2) // slices differ (64 x's vs 6 x's)
+  }
+
+  test("pairCuration: md5 pseudo-dims and first-failing-rule precedence") {
+    import spark.implicits._
+    // 12-token caption (passes the [10,40] band), 2-token caption
+    // (fails it), both absent from the sidecar: the 2-token pair must
+    // read caption_len (precedence over no_embedding), the 12-token
+    // pair no_embedding. Pair 3 is in the sidecar.
+    val longCap = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, longCap), (2L, "just two"), (3L, longCap))
+      .toDF("doc_id", "text")
+    val side = Seq(Tuple1(3L)).toDF("doc_id")
+    // disable the hash-dependent gates (minDim=1 always passes: width,
+    // height >= 1 by construction; aspect bound above 1920/1)
+    val got = Multimodal.pairCuration(
+        Multimodal.withBinaryPayload(docs), side,
+        minDim = 1, maxAspect = 1e9, minCapToks = 10, maxCapToks = 40)
+      .orderBy("doc_id")
+      .select("doc_id", "width", "height", "cap_tokens", "fate")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got.map(r => (r._1, r._5)) ==
+      Seq((1L, "no_embedding"), (2L, "caption_len"), (3L, "kept")))
+    // dims are exactly the documented md5 pseudo-dim formula
+    val h = docs.filter(col("doc_id") === 1L)
+      .select(graft.extensions.Dedup.md5Hash60(col("text").cast("binary")))
+      .as[Long].head()
+    assert(got.head._2 == h % 1920 + 1)
+    assert(got.head._3 == (h / 2048) % 1080 + 1)
+    assert(got.head._4 == 12L)
+    // a too-small fate exists under a max-strict dim gate and WINS over
+    // every later rule (first-failing precedence from the top)
+    val strict = Multimodal.pairCuration(
+        Multimodal.withBinaryPayload(docs), side,
+        minDim = 1921, maxAspect = 1e9, minCapToks = 10, maxCapToks = 40)
+      .select("fate").as[String].collect().toSeq
+    assert(strict == Seq("too_small", "too_small", "too_small"))
   }
 }
 
