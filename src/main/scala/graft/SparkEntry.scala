@@ -35,7 +35,19 @@ object SparkEntry {
       .limit(15)
   }
 
-  /** One entry per implemented operator from SURVEY.md §2 (+ §7.4 extensions). */
+  /** One entry per implemented operator from SURVEY.md §2 (+ §7.4 extensions).
+    *
+    * ADD-A-QUERY CHECKLIST (each step is gated by a test — skipping one
+    * turns the suite red, so do all four in the same change):
+    *   1. the query lambda here (via one of the three registries) and,
+    *      unless genuinely non-SQL-expressible, its DuckDB oracle;
+    *   2. a row in OPERATORS.md (backticked query name) AND the Totals
+    *      line recount — QueriesSpec's doc-rot guard pins both;
+    *   3. refresh PLAN_FINGERPRINTS.json (`sbt "runMain graft.PlanFingerprints"`)
+    *      — PlanFingerprintSpec pins every query's physical-plan shape;
+    *   4. the per-query ScalaTest assertions (QueriesSpec executes every
+    *      entry automatically; add a dedicated spec for new operator code).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ ExtensionQueries.queries ++ TrainingQueries.queries
 

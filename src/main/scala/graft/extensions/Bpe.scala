@@ -42,9 +42,15 @@ object Bpe {
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .filter(col("w").rlike("^[!-~]+$"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      // "(?!^)" splits between every pair of chars without a leading
-      // empty token — the JVM-side twin of string_split(w, '')
-      .select(concat_ws(" ", split(col("w"), "(?!^)")).as("rep"),
+      // "(?!^)(?!$)" splits between every pair of chars with NO leading
+      // or trailing empty token — the JVM-side twin of
+      // string_split(w, ''). The $ guard matters: Spark's split keeps
+      // trailing empties (limit -1), so a bare "(?!^)" emits a phantom
+      // "" symbol per word, and the (last-char, "") pair — weighted by
+      // every word's frequency — can outrank the true top pair and
+      // produce a malformed rank-1 merge with empty sym_b (regression
+      // pinned in BpeSpec: "as bs cs" corpus).
+      .select(concat_ws(" ", split(col("w"), "(?!^)(?!$)")).as("rep"),
         col("cnt"))
       .localCheckpoint(eager = false)
 

@@ -53,8 +53,16 @@ object Curation {
         col("n_tokens").between(20, 1000) && col("__dup3") <= 0.3)
     val keepers = flagged.filter(col("__quality_ok"))
       .groupBy(col("__fp")).agg(min(id).as("__keep_id"))
+    // Contamination probes ONLY the keeper slice: a non-keeper
+    // duplicate's fate is `exact_dup` by precedence no matter what the
+    // probe would say, and its text is byte-identical to its keeper's —
+    // shingling it is pure waste at scale. The semi-join is (id)-grain;
+    // the shingle explode it avoids is (id × tokens)-grain.
+    val keeperSlice = flagged.filter(col("__quality_ok"))
+      .join(keepers.select(col("__keep_id").as(idCol)), Seq(idCol),
+        "left_semi")
     val contaminated = Dedup.contaminatedIdsNgram(
-        flagged.filter(col("__quality_ok")), bench, textCol, idCol, ngram)
+        keeperSlice, bench, textCol, idCol, ngram)
       .withColumn("__contaminated", lit(true))
     flagged
       .join(keepers, Seq("__fp"), "left")

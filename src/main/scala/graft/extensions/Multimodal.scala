@@ -156,7 +156,11 @@ object Multimodal {
   def pairCuration(withPayload: DataFrame, sidecar: DataFrame,
       minDim: Int = 200, maxAspect: Double = 3.0,
       minCapToks: Int = 10, maxCapToks: Int = 40): DataFrame = {
-    val side = sidecar.select(col("doc_id"), lit(true).as("__has_emb"))
+    // distinct: presence is a SET question — a sidecar carrying
+    // duplicate doc_ids (multi-vector embeddings, re-ingested shards)
+    // must not fan out the left join into duplicate pair rows
+    val side = sidecar.select(col("doc_id")).distinct()
+      .withColumn("__has_emb", lit(true))
     withPayload
       .withColumn("__h", Dedup.md5Hash60(col("payload")))
       .select(col("doc_id"),

@@ -640,7 +640,11 @@ object TrainingQueries {
         .withColumn("w1", split(col("bg"), " ").getItem(0))
         .join(cbg, Seq("lang", "bg"), "left")
         .join(uni, Seq("lang", "w1"), "left")
-        .join(broadcast(v), Seq("lang"))
+        // LEFT join: a language with no clean-slice docs has no LM row
+        // in v — its docs must surface as bucket='no_lm' (the d21/t27
+        // per-doc-fate convention), not silently vanish. lp stays null
+        // for every such row, so nll/ce aggregate to null.
+        .join(broadcast(v), Seq("lang"), "left")
         .select(col("doc_id"), col("lang"), col("c"),
           round(log((coalesce(col("cbg"), lit(0L)) + 1) * lit(1.0)
             / (coalesce(col("cw1"), lit(0L)) + col("v"))), 6).as("lp"))
@@ -658,7 +662,8 @@ object TrainingQueries {
           col("bs").getItem(1).as("b2"))
       scored.join(broadcast(bounds), Seq("lang"))
         .withColumn("bucket",
-          when(col("ce") <= col("b1"), lit("head"))
+          when(col("ce").isNull, lit("no_lm"))
+            .when(col("ce") <= col("b1"), lit("head"))
             .when(col("ce") <= col("b2"), lit("middle"))
             .otherwise(lit("tail")))
         .select(col("doc_id"), col("lang"), col("nb"), col("ce"),
@@ -3666,7 +3671,7 @@ object TrainingQueries {
         |  LEFT JOIN cbg cb ON b.lang = cb.lang AND b.g = cb.g
         |  LEFT JOIN uni u
         |    ON b.lang = u.lang AND string_split(b.g, ' ')[1] = u.w1
-        |  JOIN v ON b.lang = v.lang
+        |  LEFT JOIN v ON b.lang = v.lang
         |  GROUP BY b.doc_id, b.lang
         |), bounds AS (
         |  SELECT lang, quantile_cont(ce, 0.3333333333333333) AS b1,
@@ -3674,7 +3679,8 @@ object TrainingQueries {
         |  FROM scored GROUP BY lang
         |)
         |SELECT s.doc_id, s.lang, s.nb, s.ce,
-        |  CASE WHEN s.ce <= b.b1 THEN 'head'
+        |  CASE WHEN s.ce IS NULL THEN 'no_lm'
+        |    WHEN s.ce <= b.b1 THEN 'head'
         |    WHEN s.ce <= b.b2 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM scored s JOIN bounds b ON s.lang = b.lang
         |ORDER BY s.doc_id""".stripMargin,

@@ -856,6 +856,15 @@ class MultimodalSpec extends SparkSpec {
         minDim = 1921, maxAspect = 1e9, minCapToks = 10, maxCapToks = 40)
       .select("fate").as[String].collect().toSeq
     assert(strict == Seq("too_small", "too_small", "too_small"))
+    // presence is a SET question: a sidecar with duplicate doc_ids
+    // (multi-vector embeddings) must not fan out pair rows
+    val dupSide = Seq(3L, 3L, 3L).toDF("doc_id")
+    val dedup = Multimodal.pairCuration(
+        Multimodal.withBinaryPayload(docs), dupSide,
+        minDim = 1, maxAspect = 1e9, minCapToks = 10, maxCapToks = 40)
+    assert(dedup.count() == 3L)
+    assert(dedup.filter(col("doc_id") === 3L && col("fate") === "kept")
+      .count() == 1L)
   }
 }
 
@@ -1278,6 +1287,19 @@ class BpeSpec extends SparkSpec {
       .orderBy("merge_rank")
       .as[(Int, String, String, Long)].collect().toSeq
     assert(got == Seq((1, "a", "a", 8L), (2, "aa", "a", 2L)))
+  }
+
+  test("no phantom empty symbol from trailing-empty split (word-final letter corpus)") {
+    // Spark's split keeps trailing empties, so a bare "(?!^)" segmenter
+    // emits a "" symbol after every word's last char; here the
+    // (last-char, "") pair would weigh 9 (every word ends in 's') and
+    // outrank every true pair (each count 3), producing a malformed
+    // rank-1 merge ("s", "", 9). The fixed segmenter must yield the
+    // true top pair with the lexicographic tie-break: ("a", "s", 3).
+    val docs = Seq.fill(3)("as bs cs").toDF("text")
+    val got = Bpe.learnMerges(docs, "text", k = 1)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a", "s", 3L)))
   }
 
   test("non-ASCII words are excluded from the trainable alphabet") {
