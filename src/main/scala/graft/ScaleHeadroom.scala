@@ -116,11 +116,19 @@ object ScaleHeadroom {
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
       dir
     }
-    val dirs = Scales.map(n => n -> build(n))
-
     def report(query: String, scale: Int, secs: Double, rows: Long): Unit =
       println(s"""{"harness":"scale_headroom","query":"$query","scale":$scale,""" +
         s""""sec":${math.rint(secs * 1000) / 1000},"rows":$rows}""")
+
+    // standalone re-measure of just the iteration-axis leg (no 10×/25×
+    // corpus builds): SPARK_GRAFT_LEG=bpe
+    if (sys.env.get("SPARK_GRAFT_LEG").contains("bpe")) {
+      bpeIterationAxisLeg(spark, base, report)
+      spark.stop()
+      return
+    }
+
+    val dirs = Scales.map(n => n -> build(n))
 
     // ---- e12 train-once/probe-many split ----------------------------
     // runs BEFORE the headline loop so the PqArtifact cache miss (the
@@ -590,6 +598,38 @@ object ScaleHeadroom {
         case (k, None) => spark.conf.unset(k)
       }
     }
+
+    bpeIterationAxisLeg(spark, base, report)
     spark.stop()
+  }
+
+  /** t28 BPE: the ITERATION axis (VERDICT r8 item 4). Fixed corpus (the
+    * base documents table — no inflation; this axis is k, not data),
+    * k = 4/16/64 merges: the only operator whose dominant scale axis is
+    * ROUND COUNT. Expect per-merge cost ~flat in k (each round is the
+    * same bounded vocab-table work), i.e. "sec" ~linear in the scale
+    * field (= k) — the honest statement that serial BPE at k≈30k is
+    * latency-bound, not data-bound. The batched row then shows the
+    * mitigation: the same 64 merges learned with maxBatch=8 collapse
+    * into ~64/8 rewrite rounds, cutting wall time proportionally.
+    * Single timed run per k after one k=4 warm-up (a k=64 chain is 64
+    * sequenced rounds — best-of-3 would triple a minutes-long leg for
+    * noise rejection the 4×/16×/64× spread already dominates).
+    * Standalone: `SPARK_GRAFT_LEG=bpe runMain graft.ScaleHeadroom`. */
+  private def bpeIterationAxisLeg(spark: SparkSession, base: String,
+      report: (String, Int, Double, Long) => Unit): Unit = {
+    val corpus = Tables.documents(spark, base)
+      .select("text").localCheckpoint(eager = false)
+    corpus.count()
+    forceAll(graft.extensions.Bpe.learnMerges(corpus, "text", 4)) // warm-up
+    for (k <- Seq(4, 16, 64)) {
+      val t0 = System.nanoTime()
+      val rows = forceAll(graft.extensions.Bpe.learnMerges(corpus, "text", k))
+      report("t28_bpe_k_axis", k, (System.nanoTime() - t0) / 1e9, rows)
+    }
+    val t0 = System.nanoTime()
+    val rows = forceAll(graft.extensions.Bpe.learnMergesBatched(corpus,
+      "text", k = 64, maxBatch = 8))
+    report("t28_bpe_k64_batched8", 64, (System.nanoTime() - t0) / 1e9, rows)
   }
 }

@@ -127,6 +127,61 @@ object Multimodal {
         Dedup.md5Hash60(frame).as("frame_fp"))
   }
 
+  /** Content-signature near-dup over DECODED-FRAME fingerprints — the
+    * perceptual-hash shape one step past m6's byte-grain SimHash
+    * (VERDICT r8 item 6): m6 sees re-encoded copies as different byte
+    * streams, but a frame-level fingerprint survives container-level
+    * edits that keep frames intact (re-muxing, frame drops/inserts,
+    * clipping). Two payloads are near-dups when their frame-fingerprint
+    * SETS overlap: `overlap = |shared| / min(|A|, |B|)` — the
+    * containment coefficient, so a clip of a longer video still scores
+    * 1.0. Here the "decode" is [[sampleFrames]]' deterministic byte
+    * slicing (oracle-replayable); production swaps in a real
+    * frame-extractor + perceptual hash inside `decodeMeta` and this
+    * operator is unchanged — it only ever sees (doc_id, frame_fp).
+    *
+    * Scale shape: candidate pairs come from an equi-join ON frame_fp —
+    * never all-pairs — and every fingerprint bucket is capped at
+    * `maxBucket` docs first (the d3/m6 skew guard: a boilerplate frame
+    * — a black frame, digital silence — shared by millions of payloads
+    * would otherwise quadratically explode one bucket; dropping it
+    * also REMOVES it as evidence, which is what you want from
+    * boilerplate). Per-doc frame counts stay un-capped, so boilerplate
+    * deflates a pair's overlap rather than inflating it. One exchange
+    * on frame_fp (window + self-join share it), one on the (a, b) pair
+    * key, one per-doc aggregate — all key-grain, text/bytes never
+    * shuffle past the fingerprint projection. */
+  def frameNearDup(withPayload: DataFrame, frameBytes: Int, stride: Int,
+      minOverlap: Double = 0.8, maxBucket: Int = 100): DataFrame = {
+    val frames = sampleFrames(withPayload, frameBytes, stride)
+      .select(col("doc_id"), col("frame_fp")).distinct()
+      // barrier: the per-doc count and the pair join both read it —
+      // without it the slice+md5 projection runs three times
+      .localCheckpoint(eager = false)
+    val perDoc = frames.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nf"))
+    val capped = frames
+      .withColumn("bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("frame_fp"))))
+      .filter(col("bsize") <= maxBucket)
+      .select(col("doc_id"), col("frame_fp"))
+    val shared = capped.select(col("doc_id").as("a_id"), col("frame_fp"))
+      .join(capped.select(col("doc_id").as("b_id"), col("frame_fp")),
+        Seq("frame_fp"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared_frames"))
+    shared
+      .join(perDoc.select(col("doc_id").as("a_id"), col("nf").as("__na")),
+        Seq("a_id"))
+      .join(perDoc.select(col("doc_id").as("b_id"), col("nf").as("__nb")),
+        Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("shared_frames"),
+        round(col("shared_frames") * lit(1.0)
+          / least(col("__na"), col("__nb")), 4).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
   /** Relational fast-path for the metadata that needs no decode —
     * byte length + crc32 are Spark built-ins (codegen'd, oracle-able). */
   def payloadStats(withPayload: DataFrame): DataFrame =

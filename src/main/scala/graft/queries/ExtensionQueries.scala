@@ -474,6 +474,21 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // M8 — frame-fingerprint near-dup: payloads cluster when their
+    // SAMPLED-FRAME fingerprint sets overlap (containment ≥ 0.8) — the
+    // perceptual-hash shape over m4's frame grain, one step past m6's
+    // byte-grain SimHash (survives container edits that keep frames
+    // intact). Candidates from an fp equi-join with the d3/m6
+    // maxBucket skew cap; documentsWithDups plants clones so pairs
+    // provably fire at overlap 1.0; the frame-SHIFTED near-dup case is
+    // pinned in ExtensionsSpec where the fixture is controlled.
+    "m8_frame_neardup" -> ((s, d) => {
+      Multimodal.frameNearDup(
+          Multimodal.withBinaryPayload(Tables.documentsWithDups(s, d)),
+          frameBytes = 64, stride = 1, minOverlap = 0.8, maxBucket = 100)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // M7 — LAION-style image-text pair curation: min-resolution /
     // aspect-ratio / caption-length / embedding-presence gates with
     // first-failing-rule fate attribution (t27's audit form at the PAIR
@@ -1594,6 +1609,44 @@ object ExtensionQueries {
         |SELECT s.doc_id, s.simhash, COALESCE(c.n_candidates, 0) AS n_candidates
         |FROM sim s LEFT JOIN cand c ON s.doc_id = c.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+
+    // m8 replays the clone injection, m4's frame slicing/fingerprint
+    // (ASCII char slices ≡ byte slices), the window bucket cap, the
+    // fp equi-join pair generation and the containment cutoff
+    "m8_frame_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text
+        |  FROM documents WHERE doc_id % 25 = 0
+        |), f AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST('0x' || substr(md5(substring(text,
+        |      CAST(i * 64 + 1 AS BIGINT), 64)), 1, 15) AS BIGINT) AS fp
+        |  FROM (
+        |    SELECT doc_id, text, unnest(generate_series(0,
+        |      CAST((length(text) + 63) // 64 AS BIGINT) - 1, 1)) AS i
+        |    FROM d WHERE length(text) > 0)
+        |), perdoc AS (
+        |  SELECT doc_id, count(*) AS nf FROM f GROUP BY doc_id
+        |), capped AS (
+        |  SELECT doc_id, fp FROM (
+        |    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS bsize
+        |    FROM f)
+        |  WHERE bsize <= 100
+        |), shared AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    count(*) AS shared_frames
+        |  FROM capped a JOIN capped b
+        |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT s.a_id, s.b_id, s.shared_frames,
+        |  round(s.shared_frames * 1.0 / least(pa.nf, pb.nf), 4) AS overlap
+        |FROM shared s
+        |JOIN perdoc pa ON s.a_id = pa.doc_id
+        |JOIN perdoc pb ON s.b_id = pb.doc_id
+        |WHERE round(s.shared_frames * 1.0 / least(pa.nf, pb.nf), 4) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // m7 replays the clone injection, the md5 pseudo-dims (h%1920+1,
     // (h//2048)%1080+1 — Spark `div` ≡ DuckDB `//` on the non-negative

@@ -866,6 +866,46 @@ class MultimodalSpec extends SparkSpec {
     assert(dedup.filter(col("doc_id") === 3L && col("fate") === "kept")
       .count() == 1L)
   }
+
+  test("frameNearDup: frame-shifted payloads cluster, disjoint ones don't") {
+    import spark.implicits._
+    def frame(i: Int): String = (s"frame$i" + "x" * 64).take(64)
+    val a = (0 until 10).map(frame).mkString          // frames f0..f9
+    val b = (1 until 10).map(frame).mkString          // clip: f0 dropped
+    val c = (20 until 30).map(frame).mkString         // disjoint frames
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val got = Multimodal.frameNearDup(Multimodal.withBinaryPayload(docs),
+        frameBytes = 64, stride = 1, minOverlap = 0.8, maxBucket = 100)
+      .select("a_id", "b_id", "shared_frames", "overlap")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // containment: the 9 surviving frames of the clip all match, so the
+    // pair scores 1.0 despite different lengths; the disjoint doc pairs
+    // with nobody
+    assert(got == Seq((1L, 2L, 9L, 1.0)))
+  }
+
+  test("frameNearDup: over-cap boilerplate buckets pair nobody and deflate overlap") {
+    import spark.implicits._
+    val boiler = "z" * 64
+    // three pure-boilerplate docs: the fp bucket (3 docs) exceeds
+    // maxBucket=2, so candidate generation drops it — no pairs at all
+    val pure = Seq((1L, boiler), (2L, boiler), (3L, boiler))
+      .toDF("doc_id", "text")
+    assert(Multimodal.frameNearDup(Multimodal.withBinaryPayload(pure),
+      frameBytes = 64, stride = 1, minOverlap = 0.1, maxBucket = 2)
+      .count() == 0L)
+    // boilerplate DEFLATES overlap: docs 1/2 share the capped boiler
+    // frame (not evidence) plus one real frame; per-doc counts stay
+    // un-capped, so overlap = 1 shared / min(2, 3) = 0.5
+    val f = "f" * 64; val g = "g" * 64; val h = "h" * 64
+    val mixed = Seq((1L, boiler + f), (2L, boiler + f + g),
+      (3L, boiler + h)).toDF("doc_id", "text")
+    val got = Multimodal.frameNearDup(Multimodal.withBinaryPayload(mixed),
+        frameBytes = 64, stride = 1, minOverlap = 0.4, maxBucket = 2)
+      .select("a_id", "b_id", "shared_frames", "overlap")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1L, 0.5)))
+  }
 }
 
 class CosineExpressionSpec extends SparkSpec {
@@ -1308,5 +1348,65 @@ class BpeSpec extends SparkSpec {
       .as[(Int, String, String, Long)].collect().toSeq
     // only 'abab' trains: a-b 2×2=4 beats b-a 1×2=2
     assert(got == Seq((1, "a", "b", 4L)))
+  }
+
+  test("learnMergesBatched with maxBatch=1 is exactly the serial learner") {
+    val docs = Seq(
+      Seq.fill(5)("low").mkString(" "),
+      Seq.fill(2)("lower").mkString(" "),
+      Seq.fill(6)("newest").mkString(" "),
+      Seq.fill(3)("widest").mkString(" ")
+    ).toDF("text")
+    val serial = Bpe.learnMerges(docs, "text", k = 3)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+    val batched = Bpe.learnMergesBatched(docs, "text", k = 3, maxBatch = 1)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, Long, Int)].collect().toSeq
+    assert(batched.map(r => (r._1, r._2, r._3, r._4)) == serial)
+    // one merge per rewrite round: pass ≡ rank
+    assert(batched.map(r => (r._1, r._5)) == Seq((1, 1), (2, 2), (3, 3)))
+  }
+
+  test("learnMergesBatched collapses disjoint merges into one round") {
+    // four symbol-disjoint top pairs — one pass learns all four, in
+    // the serial (count desc, pair asc) acceptance order
+    val docs = Seq((Seq.fill(4)("ab") ++ Seq.fill(3)("cd") ++
+      Seq.fill(2)("ef") ++ Seq("gh")).mkString(" ")).toDF("text")
+    val got = Bpe.learnMergesBatched(docs, "text", k = 4, maxBatch = 4)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, Long, Int)].collect().toSeq
+    assert(got == Seq((1, "a", "b", 4L, 1), (2, "c", "d", 3L, 1),
+      (3, "e", "f", 2L, 1), (4, "g", "h", 1L, 1)))
+  }
+
+  test("learnMergesBatched defers conflicting merges to the next round") {
+    // 'aaa'×5: round 1 can only accept (a,a) — the runner-up in the
+    // shortlist shares symbol 'a' — so (aa,a) must wait for round 2's
+    // recount, exactly the serial result split across two passes
+    val docs = Seq(Seq.fill(5)("aaa").mkString(" ")).toDF("text")
+    val got = Bpe.learnMergesBatched(docs, "text", k = 2, maxBatch = 4)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, Long, Int)].collect().toSeq
+    assert(got == Seq((1, "a", "a", 10L, 1), (2, "aa", "a", 5L, 2)))
+  }
+
+  test("learnMergesBatched: per-pass conflict sets are pairwise disjoint on a real corpus") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val got = Bpe.learnMergesBatched(docs, "text", k = 12, maxBatch = 4)
+      .as[(Int, String, String, Long, Int)].collect().toSeq
+    assert(got.size == 12)
+    assert(got.map(_._1).sorted == (1 to 12))
+    // the round-count collapse is real: 12 merges in well under 12 rounds
+    assert(got.map(_._5).max <= 6)
+    for ((_, group) <- got.groupBy(_._5)) {
+      val sets = group.map(r => Set(r._2, r._3, r._2 + r._3))
+      for (Seq(x, y) <- sets.combinations(2))
+        assert((x intersect y).isEmpty,
+          s"conflicting merges in one pass: $group")
+      // acceptance follows the shortlist order within a pass
+      val counts = group.sortBy(_._1).map(_._4)
+      assert(counts == counts.sorted.reverse)
+    }
   }
 }
