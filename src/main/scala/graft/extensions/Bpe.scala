@@ -211,4 +211,48 @@ object Bpe {
     import spark.implicits._
     rows.toDF("merge_rank", "sym_a", "sym_b", "pair_count", "pass")
   }
+
+  /** APPLY a learned merge table to a corpus — the tokenizer-apply side
+    * completing [[learnMerges]]' train side (t19's regex count is the
+    * heuristic stand-in; this is the real thing). Per doc: ASCII-word
+    * count, BPE token count after applying all `merges` in rank order,
+    * and the character mass those words carry (`n_bpe_tokens` ≤
+    * `n_chars_ascii`; their ratio is the compression the learned vocab
+    * buys — the number a tokenizer ablation reads).
+    *
+    * Scale shape — the apply-side Zipf collapse: the merge chain (one
+    * codegen'd projection of 3k string ops, merges inlined as literals —
+    * they are k rows by construction, the e17 bounded-collect rule)
+    * runs at VOCAB grain, never on the corpus; the corpus pays one
+    * tokenize pass and one word equi-join against the segmented vocab
+    * (broadcastable while the vocab is small, a plain hash join on the
+    * word key beyond — uniform by construction, words ARE the key).
+    * Application is sequential in rank order with re-doubling per step,
+    * exactly [[learnMerges]]' training-time semantics, so train-then-
+    * apply round-trips: segmenting the training corpus with its own
+    * merges reproduces the final training state. Docs with no ASCII
+    * word emit nothing (nothing is tokenizable), mirrored by the
+    * oracle. */
+  def applyMerges(docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .filter(col("w").rlike("^[!-~]+$"))
+      // barrier: the vocab aggregate and the join probe both read it
+      .localCheckpoint(eager = false)
+    val rep0 = concat_ws(" ", split(col("w"), "(?!^)(?!$)"))
+    val repN = merges.foldLeft(rep0) { case (rep, (a, b)) =>
+      trim(replace(
+        applyMerge(concat(lit(" "), doubled(rep), lit(" ")), lit(a), lit(b)),
+        lit("  "), lit(" ")))
+    }
+    val vocab = words.select("w").distinct()
+      .select(col("w"), size(split(repN, " ")).cast("long").as("__n_sym"),
+        length(col("w")).cast("long").as("__n_chr"))
+    words.join(vocab, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__n_sym")).as("n_bpe_tokens"),
+        sum(col("__n_chr")).as("n_chars_ascii"))
+  }
 }

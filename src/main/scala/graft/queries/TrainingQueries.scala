@@ -582,6 +582,25 @@ object TrainingQueries {
       Bpe.learnMerges(Tables.spread(Tables.documents(s, d)), "text", k = 4)
         .orderBy(col("merge_rank"))),
 
+    // T31 — BPE APPLY: segment the corpus with the merge table t28
+    // learns (train-then-apply on the same corpus — the tokenizer-
+    // ablation loop). Per doc: ASCII-word count, BPE token count, char
+    // mass; tokens/chars is the compression the learned vocab buys.
+    // The k merge rows are a BOUNDED collect (k = 4 by construction,
+    // the e17 shortlist rule) inlined as literals into one vocab-grain
+    // codegen chain — the corpus pays tokenize + one word equi-join
+    // (see Bpe.applyMerges for the 100-TB shape).
+    "t31_bpe_apply" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.spread(Tables.documents(s, d))
+      val merges = Bpe.learnMerges(docs, "text", k = 4)
+        .orderBy(col("merge_rank"))
+        .select(col("sym_a"), col("sym_b"))
+        .as[(String, String)].collect().toSeq
+      Bpe.applyMerges(docs, "text", "doc_id", merges)
+        .orderBy(col("doc_id"))
+    }),
+
     // D21 — the END-TO-END curation recipe (quality rules → exact dedup
     // → benchmark decontamination) as ONE composed Catalyst plan with
     // full per-doc fate attribution — the flagship "run your whole
@@ -3547,7 +3566,7 @@ object TrainingQueries {
     * (count desc, pair asc) argmax, same double-separator merge
     * application (DuckDB `replace` is leftmost non-overlapping too).
     * Counts CAST AS BIGINT per the HUGEINT→float64 driver lesson. */
-  private def bpeOracleSql(k: Int): String = {
+  private def bpeChainSql(k: Int, applyAll: Boolean): String = {
     val iters = (1 to k).map { i =>
       val prev = s"w${i - 1}"
       val pairAndBest =
@@ -3561,11 +3580,13 @@ object TrainingQueries {
            |), b$i AS (
            |  SELECT pair, pc FROM c$i ORDER BY pc DESC, pair ASC LIMIT 1
            |)""".stripMargin
+      // the learn form (t28) never applies merge k — nothing reads the
+      // result; the apply form (t31) applies every learned merge
       val apply =
-        if (i == k) ""
+        if (i == k && !applyAll) ""
         else
           s""", w$i AS (
-             |  SELECT trim(replace(replace(' ' || replace(rep, ' ', '  ') || ' ',
+             |  SELECT w, trim(replace(replace(' ' || replace(rep, ' ', '  ') || ' ',
              |    ' ' || (SELECT string_split(pair, ' ')[1] FROM b$i) || '  ' ||
              |      (SELECT string_split(pair, ' ')[2] FROM b$i) || ' ',
              |    ' ' || (SELECT replace(pair, ' ', '') FROM b$i) || ' '),
@@ -3574,27 +3595,48 @@ object TrainingQueries {
              |)""".stripMargin
       pairAndBest + apply
     }.mkString("\n")
-    val rows = (1 to k).map { i =>
-      s"""SELECT $i AS merge_rank, string_split(pair, ' ')[1] AS sym_a,
-         |  string_split(pair, ' ')[2] AS sym_b, pc AS pair_count FROM b$i"""
-        .stripMargin
-    }.mkString("\n  UNION ALL ")
     s"""WITH w0 AS (
-       |  SELECT array_to_string(string_split(w, ''), ' ') AS rep,
+       |  SELECT w, array_to_string(string_split(w, ''), ' ') AS rep,
        |    CAST(count(*) AS BIGINT) AS cnt
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) u
        |  WHERE regexp_matches(w, '^[!-~]+${"$"}')
        |  GROUP BY w
        |)
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  private def bpeOracleSql(k: Int): String = {
+    val rows = (1 to k).map { i =>
+      s"""SELECT $i AS merge_rank, string_split(pair, ' ')[1] AS sym_a,
+         |  string_split(pair, ' ')[2] AS sym_b, pc AS pair_count FROM b$i"""
+        .stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""${bpeChainSql(k, applyAll = false)}
        |SELECT * FROM (
        |  $rows
        |) ORDER BY merge_rank""".stripMargin
   }
 
+  /** t31: the same k learn iterations, then apply ALL k merges and join
+    * the segmented vocab back to the corpus words for per-doc counts. */
+  private def bpeApplyOracleSql(k: Int): String =
+    s"""${bpeChainSql(k, applyAll = true)}
+       |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(string_split(v.rep, ' '))) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(length(d.w)) AS BIGINT) AS n_chars_ascii
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |      FROM documents) d
+       |JOIN w$k v ON d.w = v.w
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
 
     "t28_bpe_merges" -> bpeOracleSql(4),
+
+    // t31 replays the full train chain (t28's oracle) PLUS the k-th
+    // application, then the vocab→corpus word join and per-doc counts
+    "t31_bpe_apply" -> bpeApplyOracleSql(4),
 
     // t29 replays DSIR end-to-end: unigram+bigram explode, md5 bucket
     // hash, Laplace-smoothed bucket distributions, round-6 ln pair,

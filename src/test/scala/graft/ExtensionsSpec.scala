@@ -1391,6 +1391,55 @@ class BpeSpec extends SparkSpec {
     assert(got == Seq((1, "a", "a", 10L, 1), (2, "aa", "a", 5L, 2)))
   }
 
+  test("applyMerges segments by the merge chain in rank order, greedily") {
+    // merges [(l,o), (lo,w)] applied sequentially:
+    //   "low"   l o w   → "lo w" → "low"    = 1 token
+    //   "lower" l o w e r → "lo w e r" → "low e r" = 3 tokens
+    //   "wo"    w o — neither merge matches = 2 tokens
+    //   "lolo"  l o l o → "lo lo" (both occurrences, greedy) = 2 tokens
+    val docs = Seq((1L, "low lower wo"), (2L, "lolo")).toDF("doc_id", "text")
+    val got = Bpe.applyMerges(docs, "text", "doc_id",
+        Seq(("l", "o"), ("lo", "w")))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 6L, 10L), (2L, 1L, 2L, 4L)))
+  }
+
+  test("applyMerges with no merges counts characters; non-ASCII words drop") {
+    val docs = Seq((1L, "abc dé xy")).toDF("doc_id", "text")
+    val got = Bpe.applyMerges(docs, "text", "doc_id", Nil)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // 'dé' is untokenizable by the ASCII contract; 'abc'+'xy' = 5 chars
+    assert(got == Seq((1L, 2L, 5L, 5L)))
+  }
+
+  test("train-then-apply round-trips: own-corpus segmentation matches an independent replay") {
+    val docs = graft.sources.Tables.documents(spark, sf0001).limit(80)
+    val merges = Bpe.learnMerges(docs, "text", k = 3)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+      .map(r => (r._2, r._3))
+    val applied = Bpe.applyMerges(docs, "text", "doc_id", merges)
+      .agg(sum(col("n_bpe_tokens"))).as[Long].head()
+    // independent word-grain replay of the same chain: token counts
+    // weight by word frequency, so corpus-mass equality means the
+    // segmentations agree everywhere
+    val w = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[!-~]+$"))
+    val repN = merges.foldLeft(
+      concat_ws(" ", split(col("w"), "(?!^)(?!$)"))) { case (rep, (a, b)) =>
+      trim(replace(replace(
+          concat(lit(" "), replace(rep, lit(" "), lit("  ")), lit(" ")),
+          lit(" " + a + "  " + b + " "), lit(" " + a + b + " ")),
+        lit("  "), lit(" ")))
+    }
+    val expected = w.select(size(split(repN, " ")).cast("long").as("n"))
+      .agg(sum(col("n"))).as[Long].head()
+    assert(applied == expected)
+    assert(applied > 0L)
+  }
+
   test("learnMergesBatched: per-pass conflict sets are pairwise disjoint on a real corpus") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val got = Bpe.learnMergesBatched(docs, "text", k = 12, maxBatch = 4)
