@@ -152,9 +152,26 @@ object ScaleHeadroom {
       report("e12_pq_probe", scale, secs, rows)
     }
 
+    // standalone re-measure of just the m8 frame-near-dup leg (builds
+    // the inflated corpora, skips every other family): SPARK_GRAFT_LEG=m8
+    if (sys.env.get("SPARK_GRAFT_LEG").contains("m8")) {
+      for ((scale, dir) <- dirs) {
+        val (secs, rows) = timeBest {
+          forceAll(SparkEntry.queries("m8_frame_neardup")(spark, dir))
+        }
+        report("m8_frame_neardup", scale, secs, rows)
+      }
+      spark.stop()
+      return
+    }
+
     // ---- headline operators at each scale ---------------------------
+    // m8 joined in round 9: the newest pair-generating family (frame-fp
+    // equi-join under the maxBucket cap) — per-copy alphabet rotation
+    // makes each copy's frame space disjoint, so pair volume must grow
+    // linearly with copies, never quadratically
     val headline = Seq("d3_minhash_lsh", "e8_knn_join", "t8_tfidf",
-      "v2_sessionize", "d14_containment", "e12_pq_ann")
+      "v2_sessionize", "d14_containment", "e12_pq_ann", "m8_frame_neardup")
     for ((scale, dir) <- dirs; q <- headline) {
       val (secs, rows) = timeBest {
         forceAll(SparkEntry.queries(q)(spark, dir))

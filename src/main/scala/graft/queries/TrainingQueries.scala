@@ -601,6 +601,76 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // T32 — BM25 ranked retrieval (Robertson/Spärck Jones; Lucene's
+    // +1-inside-the-log idf so scores stay positive), k1=1.2, b=0.75:
+    // the query a retrieval-augmented pipeline runs against the corpus
+    // index. Per-term tf via size(filter(toks)) — a MAP-ONLY projection
+    // over the token array, no explode/shuffle at tf grain; corpus
+    // stats (N, Σlen, per-term df) are ONE aggregate broadcast back
+    // (bounded: 2 + |terms| values); top-k is the w5 heap plan. Float
+    // policy: per-row fixed-order arithmetic (no float aggregation
+    // anywhere — the sums are over exact longs), final score round-6,
+    // (bm25 desc, doc_id) total order so the cut is engine-identical.
+    "t32_bm25_topk" -> ((s, d) => {
+      val terms = Seq("hash", "join", "scan")
+      val docs = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(Seq(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens")) ++
+          terms.zipWithIndex.map { case (t, i) =>
+            size(filter(col("toks"), x => x === lit(t))).cast("long")
+              .as(s"__tf$i")
+          }: _*)
+        .localCheckpoint(eager = false) // stats agg + scoring share it
+      val statCols =
+        Seq(count(lit(1)).as("__n"), sum(col("n_tokens")).as("__sl")) ++
+          terms.indices.map(i =>
+            Summaries.countIf(col(s"__tf$i") > 0).as(s"__df$i"))
+      val st = docs.agg(statCols.head, statCols.tail: _*)
+      val avgl = col("__sl") * lit(1.0) / col("__n")
+      val score = terms.indices.map { i =>
+        log(lit(1.0) + (col("__n") - col(s"__df$i") + lit(0.5))
+          / (col(s"__df$i") + lit(0.5))) *
+          (col(s"__tf$i") * lit(2.2)) /
+          (col(s"__tf$i") + lit(1.2) *
+            (lit(1.0) - lit(0.75) + lit(0.75) * col("n_tokens") / avgl))
+      }.reduce(_ + _)
+      docs.crossJoin(broadcast(st))
+        .select(col("doc_id"), col("n_tokens"), round(score, 6).as("bm25"))
+        .filter(col("bm25") > 0)
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(15)
+    }),
+
+    // T33 — temperature-scaled source mixing (the multilingual/multi-
+    // domain sampling rule, cf. mT5 §3.1: p_s ∝ n_s^α with α = 0.3):
+    // per source, raw and α-smoothed sampling weights plus the epochs
+    // each source repeats at a 2×-total-tokens training budget — the
+    // over-sampling audit (epochs ≫ 1 on a tiny source means
+    // memorization risk). Two bounded aggregates (source grain), the
+    // 1-row total broadcast back. Float policy: pow round-6 BEFORE the
+    // denominator sum, which runs in DECIMAL so the (bounded) source
+    // frame sums exactly in any order; ratios divide exact inputs.
+    "t33_mix_weights" -> ((s, d) => {
+      val per = Tables.spread(Tables.documents(s, d))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
+        .localCheckpoint(eager = false) // totals + output share it
+      val pw = round(pow(col("n_tokens").cast("double"), lit(0.3)), 6)
+      val tot = per.agg(
+        sum(col("n_tokens")).as("__tot_tokens"),
+        sum(pw.cast("decimal(38,6)")).as("__tot_pw"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (col("n_tokens") * lit(1.0) / col("__tot_tokens")).as("p_raw"),
+          round(pw / col("__tot_pw").cast("double"), 6).as("p_alpha"),
+          round(lit(2.0) * col("__tot_tokens")
+            * (pw / col("__tot_pw").cast("double")) / col("n_tokens"), 4)
+            .as("epochs_at_2x"))
+        .orderBy(col("source"))
+    }),
+
     // D21 — the END-TO-END curation recipe (quality rules → exact dedup
     // → benchmark decontamination) as ONE composed Catalyst plan with
     // full per-doc fate attribution — the flagship "run your whole
@@ -3637,6 +3707,63 @@ object TrainingQueries {
     // t31 replays the full train chain (t28's oracle) PLUS the k-th
     // application, then the vocab→corpus word join and per-doc counts
     "t31_bpe_apply" -> bpeApplyOracleSql(4),
+
+    // t32 replays the map-only tf projection, the one-aggregate corpus
+    // stats and the fixed-order per-row BM25 arithmetic; identical
+    // operator associativity keeps the round-6 scores bit-aligned
+    "t32_bm25_topk" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), tf AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks, x -> x = 'hash')) AS BIGINT) AS tf0,
+        |    CAST(len(list_filter(toks, x -> x = 'join')) AS BIGINT) AS tf1,
+        |    CAST(len(list_filter(toks, x -> x = 'scan')) AS BIGINT) AS tf2
+        |  FROM base
+        |), st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(n_tokens) AS BIGINT) AS sl,
+        |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        |  FROM tf
+        |)
+        |SELECT doc_id, n_tokens, bm25 FROM (
+        |  SELECT doc_id, n_tokens, round(
+        |    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2)
+        |      / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * n_tokens / (sl * 1.0 / n)))
+        |    + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2)
+        |      / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * n_tokens / (sl * 1.0 / n)))
+        |    + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2)
+        |      / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * n_tokens / (sl * 1.0 / n))),
+        |    6) AS bm25
+        |  FROM tf, st)
+        |WHERE bm25 > 0
+        |ORDER BY bm25 DESC, doc_id
+        |LIMIT 15""".stripMargin,
+
+    // t33 replays the source-grain aggregates, the round-6 pow, the
+    // DECIMAL denominator sum and the exact-input ratios
+    "t33_mix_weights" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source
+        |), tot AS (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+        |    sum(CAST(round(power(n_tokens, 0.3), 6) AS DECIMAL(38,6)))
+        |      AS tot_pw
+        |  FROM per
+        |)
+        |SELECT source, n_docs, n_tokens,
+        |  n_tokens * 1.0 / tot_tokens AS p_raw,
+        |  round(round(power(n_tokens, 0.3), 6) / CAST(tot_pw AS DOUBLE), 6)
+        |    AS p_alpha,
+        |  round(2.0 * tot_tokens
+        |    * (round(power(n_tokens, 0.3), 6) / CAST(tot_pw AS DOUBLE))
+        |    / n_tokens, 4) AS epochs_at_2x
+        |FROM per, tot
+        |ORDER BY source""".stripMargin,
 
     // t29 replays DSIR end-to-end: unigram+bigram explode, md5 bucket
     // hash, Laplace-smoothed bucket distributions, round-6 ln pair,
