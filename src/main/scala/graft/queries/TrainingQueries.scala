@@ -642,6 +642,73 @@ object TrainingQueries {
         .limit(15)
     }),
 
+    // T34 — sequence-packing audit (GPT-style concat-and-chunk: docs
+    // concatenate in deterministic (source, doc_id) order and split
+    // into fixed C=256-token context windows). Per source: window
+    // count, docs SPLIT across a window boundary (fragmented docs lose
+    // attention locality — the number a packing ablation reads), and
+    // the tail padding the last window wastes. One cumulative-sum
+    // window at source grain + one aggregate, all exact ints. At
+    // 100 TB the partition key gains a shard component
+    // ((source, hash(doc_id) % k)) so no single source serializes into
+    // one task — any deterministic order packs equally well, so
+    // sharding changes boundaries but not the audit's meaning.
+    "t34_sequence_packing" -> ((s, d) => {
+      val c = 256
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.spread(Tables.documents(s, d))
+        .select(col("source"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("__cum", sum(col("n_tokens")).over(w))
+        // integer floor division on both engines (Spark `div` ≡ DuckDB
+        // `//` on non-negative longs — the m7 pseudo-dim precedent)
+        .withColumn("__split",
+          expr(s"(__cum - n_tokens) div $c") =!= expr(s"(__cum - 1) div $c"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          expr(s"((max(__cum) - 1) div $c) + 1").as("n_windows"),
+          Summaries.countIf(col("__split")).as("split_docs"),
+          expr(s"($c - (max(__cum) % $c)) % $c").as("pad_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    // T35 — PII scrubbing audit: regex battery (emails, phone-shaped
+    // strings) counted per doc plus the post-scrub char count — the
+    // redaction step every public-corpus pipeline runs before training.
+    // The base corpus is PII-free (letters only), so PII is PLANTED
+    // deterministically (the documentsWithDups convention: doc_id%7
+    // buckets get an email / a phone appended) to make every output
+    // column discriminating; both engines replay the injection. All
+    // map-only — regex count + replace in one codegen projection, no
+    // shuffle anywhere but the output sort.
+    "t35_pii_audit" -> ((s, d) => {
+      val email = "[a-z0-9]+@[a-z0-9.]+"
+      val phone = "555-[0-9]+"
+      Tables.spread(Tables.documents(s, d))
+        .withColumn("__t",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" contact"),
+              col("doc_id").cast("string"), lit("@example.com")))
+            .when(col("doc_id") % 7 === 1,
+              concat(col("text"), lit(" call 555-"),
+                (col("doc_id") % 9000 + 1000).cast("string")))
+            .otherwise(col("text")))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("__t"), lit(email), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("__t"), lit(phone), lit(0)))
+            .cast("long").as("n_phones"),
+          length(regexp_replace(
+            regexp_replace(col("__t"), email, "<EMAIL>"),
+            phone, "<PHONE>")).cast("long").as("n_chars_clean"))
+        .withColumn("has_pii", col("n_emails") + col("n_phones") > 0)
+        .orderBy(col("doc_id"))
+    }),
+
     // T33 — temperature-scaled source mixing (the multilingual/multi-
     // domain sampling rule, cf. mT5 §3.1: p_s ∝ n_s^α with α = 0.3):
     // per source, raw and α-smoothed sampling weights plus the epochs
@@ -3741,6 +3808,54 @@ object TrainingQueries {
         |WHERE bm25 > 0
         |ORDER BY bm25 DESC, doc_id
         |LIMIT 15""".stripMargin,
+
+    // t34 replays the deterministic (source, doc_id) concat order, the
+    // cumulative window, the boundary-split predicate and the per-source
+    // window/padding arithmetic — all exact integer ops (// ≡ div)
+    "t34_sequence_packing" ->
+      """WITH cum AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(sum(len(string_split(text, ' '))) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+        |  FROM documents
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  ((max(c) - 1) // 256) + 1 AS n_windows,
+        |  CAST(sum(CASE WHEN (c - n_tokens) // 256 <> (c - 1) // 256
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS split_docs,
+        |  (256 - (max(c) % 256)) % 256 AS pad_tokens
+        |FROM cum
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    // t35 replays the deterministic PII injection, the regex counts and
+    // the global-flag scrub ('g' — DuckDB defaults to first-match-only,
+    // Spark replaces all)
+    "t35_pii_audit" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' contact'
+        |        || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      WHEN doc_id % 7 = 1 THEN text || ' call 555-'
+        |        || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+        |      ELSE text END AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9.]+'))
+        |    AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '555-[0-9]+')) AS BIGINT)
+        |    AS n_phones,
+        |  CAST(length(regexp_replace(regexp_replace(t,
+        |    '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |    '555-[0-9]+', '<PHONE>', 'g')) AS BIGINT) AS n_chars_clean,
+        |  (len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9.]+'))
+        |    + len(regexp_extract_all(t, '555-[0-9]+'))) > 0 AS has_pii
+        |FROM d
+        |ORDER BY doc_id""".stripMargin,
 
     // t33 replays the source-grain aggregates, the round-6 pow, the
     // DECIMAL denominator sum and the exact-input ratios

@@ -299,6 +299,27 @@ class PlanSpec extends SparkSpec {
       s"cell assignment must not shuffle the corpus by vec_id\n$p")
   }
 
+  test("t32: per-term tf is map-only — no explode, no tf-grain shuffle") {
+    val df = SparkEntry.queries("t32_bm25_topk")(spark, sf0001)
+    val p = finalPlan(df)
+    // tf = size(filter(toks)) evaluates inside the projection: a
+    // Generate node would mean the token array exploded into rows (a
+    // corpus-tokens-sized shuffle at 100 TB); the only join is the
+    // broadcast of the 1-row stats frame, and top-k is the heap plan
+    assert(!p.contains("Generate"),
+      s"tf must not explode the token array\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must ride the bounded heap plan\n$p")
+  }
+
+  test("t35: the PII battery is one map-only projection over the scan") {
+    val df = SparkEntry.queries("t35_pii_audit")(spark, sf0001)
+    val p = finalPlan(df)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"regex count + scrub must not shuffle anything\n$p")
+    assert(!p.contains("Generate"), s"no explode in the regex battery\n$p")
+  }
+
   test("d7: decontamination is a broadcast anti-join — corpus side never shuffles") {
     val df = SparkEntry.queries("d7_decontaminate_exact")(spark, sf0001)
     val p = finalPlan(df)
