@@ -41,8 +41,9 @@ object SparkEntry {
     * turns the suite red, so do all four in the same change):
     *   1. the query lambda here (via one of the three registries) and,
     *      unless genuinely non-SQL-expressible, its DuckDB oracle;
-    *   2. a row in OPERATORS.md (backticked query name) AND the Totals
-    *      line recount — QueriesSpec's doc-rot guard pins both;
+    *   2. a row in OPERATORS.md (backticked query name), the Totals
+    *      line recount, and README.md's "(N queries, M oracled" counts
+    *      — QueriesSpec's doc-rot guard pins all three;
     *   3. refresh PLAN_FINGERPRINTS.json (`sbt "runMain graft.PlanFingerprints"`)
     *      — PlanFingerprintSpec pins every query's physical-plan shape;
     *   4. the per-query ScalaTest assertions (QueriesSpec executes every

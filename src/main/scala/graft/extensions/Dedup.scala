@@ -601,6 +601,46 @@ object Dedup {
     * drop (e.g. [[Curation.curate]]'s audit output). The benchmark
     * shingle set is bounded by construction (eval suites are small), so
     * it broadcasts; the corpus side is a scan-side semi-join probe. */
+  /** Cross-GROUP shingle-overlap matrix — corpus forensics: which
+    * sources/splits/snapshots leak into which (near-identical mirrors,
+    * shared boilerplate, benchmark text syndicated across crawls).
+    * Returns one row per group pair with ≥1 shared width-`n` word
+    * shingle: (a_group, b_group, shared_shingles, jaccard).
+    *
+    * Scale shape: the corpus collapses to DISTINCT (group, shingle-hash)
+    * FIRST — the whole trick: after that collapse a shingle fans out at
+    * most |groups| rows, so the self-join's worst bucket is |groups|²
+    * pairs (group cardinality, e.g. 20 sources → ≤ 190 pairs TOTAL),
+    * bounded by the group key, never by corpus size. One exchange on h
+    * (window-free: per-group counts and the pair join share the
+    * checkpointed collapse), one on the bounded (a, b) pair key. The
+    * hash is the md5 recipe so the oracle re-derives identical counts. */
+  def crossGroupOverlap(docs: DataFrame, groupCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val sh = docs
+      .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .select(col(groupCol).as("__g"),
+        explode(ngramShinglesFromTokens(col("__toks"), n)).as("__s"))
+      .select(col("__g"), md5Hash60(col("__s")).as("h"))
+      .distinct()
+      .localCheckpoint(eager = false) // per-group counts + pair join
+    val per = sh.groupBy(col("__g")).agg(count(lit(1)).as("n"))
+    val pairs = sh.select(col("__g").as("a_group"), col("h"))
+      .join(sh.select(col("__g").as("b_group"), col("h")), Seq("h"))
+      .filter(col("a_group") < col("b_group"))
+      .groupBy(col("a_group"), col("b_group"))
+      .agg(count(lit(1)).as("shared_shingles"))
+    pairs
+      .join(per.select(col("__g").as("a_group"), col("n").as("__na")),
+        Seq("a_group"))
+      .join(per.select(col("__g").as("b_group"), col("n").as("__nb")),
+        Seq("b_group"))
+      .select(col("a_group"), col("b_group"), col("shared_shingles"),
+        round(col("shared_shingles") * lit(1.0)
+          / (col("__na") + col("__nb") - col("shared_shingles")), 4)
+          .as("jaccard"))
+  }
+
   def contaminatedIdsNgram(
       corpus: DataFrame, bench: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {

@@ -676,6 +676,18 @@ object TrainingQueries {
         .orderBy(col("source"))
     }),
 
+    // T36 — cross-source contamination matrix (corpus forensics): which
+    // sources share width-8 shingles with which — mirrors, syndicated
+    // boilerplate, benchmark leakage across crawls. The corpus collapses
+    // to DISTINCT (source, shingle-hash) FIRST, so the self-join's worst
+    // bucket is |sources|² pairs — bounded by group cardinality, never
+    // corpus size (see Dedup.crossGroupOverlap).
+    "t36_source_overlap" -> ((s, d) => {
+      Dedup.crossGroupOverlap(Tables.spread(Tables.documents(s, d)),
+          "source", "text", n = 8)
+        .orderBy(col("a_group"), col("b_group"))
+    }),
+
     // T35 — PII scrubbing audit: regex battery (emails, phone-shaped
     // strings) counted per doc plus the post-scrub char count — the
     // redaction step every public-corpus pipeline runs before training.
@@ -3830,6 +3842,34 @@ object TrainingQueries {
         |FROM cum
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    // t36 replays the shingle recipe (d5's list_slice form at n=8, md5
+    // hash), the (source, h) collapse, the pair join and the jaccard
+    "t36_source_overlap" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT source AS g,
+        |    CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
+        |  FROM (
+        |    SELECT source, unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(toks) - 7, 1) + 1),
+        |      i -> array_to_string(list_slice(toks, i, i + 7), ' ')))) AS s
+        |    FROM (SELECT source, string_split(text, ' ') AS toks
+        |          FROM documents))
+        |), per AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY g
+        |), shared AS (
+        |  SELECT a.g AS a_group, b.g AS b_group,
+        |    CAST(count(*) AS BIGINT) AS shared_shingles
+        |  FROM sh a JOIN sh b ON a.h = b.h AND a.g < b.g
+        |  GROUP BY 1, 2
+        |)
+        |SELECT s.a_group, s.b_group, s.shared_shingles,
+        |  round(s.shared_shingles * 1.0
+        |    / (pa.n + pb.n - s.shared_shingles), 4) AS jaccard
+        |FROM shared s
+        |JOIN per pa ON s.a_group = pa.g
+        |JOIN per pb ON s.b_group = pb.g
+        |ORDER BY a_group, b_group""".stripMargin,
 
     // t35 replays the deterministic PII injection, the regex counts and
     // the global-flag scrub ('g' — DuckDB defaults to first-match-only,

@@ -18,6 +18,19 @@ class DedupSpec extends SparkSpec {
     (4L, "completely different words nothing shared here at all ok", "s1", 58L)
   ).toDF("doc_id", "text", "source", "n_chars")
 
+  test("crossGroupOverlap: shared shingle block links two groups, third stays out") {
+    // A: 8 tokens → 1 shingle; B: 9 tokens sharing A's full block →
+    // 2 shingles (one shared); C: disjoint. jaccard(A,B) = 1/(1+2-1)
+    val docs = Seq(
+      ("gA", "a b c d e f g h"),
+      ("gB", "a b c d e f g h x"),
+      ("gC", "z y x w v u t s")
+    ).toDF("source", "text")
+    val got = Dedup.crossGroupOverlap(docs, "source", "text", n = 8)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(("gA", "gB", 1L, 0.5)))
+  }
+
   test("exact dedup groups identical normalized text") {
     val g = Dedup.exactGroups(docs, "text", "doc_id")
       .filter(col("n_dups") > 1).collect()

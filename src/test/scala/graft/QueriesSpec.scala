@@ -86,6 +86,21 @@ class QueriesSpec extends SparkSpec {
         fail("OPERATORS.md Totals line missing or no longer matches " +
           "'**Totals: N queries — M DuckDB-oracled, K rows-only'")
     }
+    // README.md carries the same derived counts — same rot risk, same pin
+    val readme = {
+      val src = scala.io.Source.fromFile("README.md", "UTF-8")
+      try src.mkString finally src.close()
+    }
+    val rm = """\((\d+) queries, (\d+) oracled""".r
+    rm.findFirstMatchIn(readme) match {
+      case Some(m) =>
+        assert(m.group(1).toInt == SparkEntry.queries.size
+            && m.group(2).toInt == SparkEntry.oracleSql.size,
+          s"README.md says ${m.group(1)}/${m.group(2)} queries/oracled " +
+            s"but the code has ${SparkEntry.queries.size}/" +
+            s"${SparkEntry.oracleSql.size}")
+      case None => fail("README.md '(N queries, M oracled' line missing")
+    }
   }
 
   SparkEntry.queries.foreach { case (name, fn) =>
