@@ -840,6 +840,37 @@ object Dedup {
         .select(col("doc_id"), col("simhash")),
       maxHamming, maxBucket, bits)
 
+  /** Lazily-checkpointed (doc_id, simhash) frame over text — build ONCE
+    * and share between candidate generation
+    * ([[simHashPairsFromSigned]]) and signature emission: the vote pass
+    * (per-unit hash + `bits` sign votes) is the SimHash family's
+    * dominant cost, and a query that both emits signatures and counts
+    * candidates must not pay it twice. */
+  def signedSimHashFrame(docs: DataFrame, textCol: String,
+      hashFn: Column => Column = xxhash64(_), bits: Int = 64): DataFrame =
+    withSimHash(parallelizeSmallScan(docs), textCol, hashFn, bits)
+      .select(col("doc_id"), col("simhash"))
+      .localCheckpoint(eager = false)
+
+  /** [[signedSimHashFrame]]'s byte-payload twin (the m6 shape, where the
+    * stride-1 shingle explode makes the double-compute ~charsPerDoc×
+    * heavier than the word-grain case). */
+  def signedPayloadSimHashFrame(docs: DataFrame, payloadCol: String,
+      width: Int, stride: Int = 1,
+      hashFn: Column => Column = xxhash64(_), bits: Int = 64): DataFrame =
+    withPayloadSimHash(parallelizeSmallScan(docs), payloadCol, width,
+      stride, hashFn, bits)
+      .select(col("doc_id"), col("simhash"))
+      .localCheckpoint(eager = false)
+
+  /** Banded candidate pairs over a pre-signed (doc_id, simhash) frame —
+    * the pairs half for callers sharing a [[signedSimHashFrame]] /
+    * [[signedPayloadSimHashFrame]]. Same 4-chunk pigeonhole recall
+    * contract and `maxBucket` skew cap as [[simHashPairs]]. */
+  def simHashPairsFromSigned(signed: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 100, bits: Int = 64): DataFrame =
+    bandedSimHashPairs(signed, maxHamming, maxBucket, bits)
+
   /** SimHash near-dup pairs over binary payloads — [[simHashPairs]]'s
     * banding applied to the [[withPayloadSimHash]] signature. Same
     * 4-chunk pigeonhole recall contract, same `maxBucket` skew cap,

@@ -103,15 +103,16 @@ object ExtensionQueries {
     // D4 — SimHash (60-bit md5-derived fingerprint) + near-dup candidate
     // count — fully oracle-replayed like d3.
     "d4_simhash" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.simHashPairs(docs, maxHamming = 3,
-        hashFn = Dedup.md5Hash60, bits = 60)
+      // ONE vote pass: the signed frame is checkpointed and shared by
+      // candidate generation and the signature output (r9: the query
+      // previously computed the per-token hash + 60 sign votes twice)
+      val sim = Dedup.signedSimHashFrame(Tables.documents(s, d), "text",
+        Dedup.md5Hash60, bits = 60)
+      val pairs = Dedup.simHashPairsFromSigned(sim, maxHamming = 3, bits = 60)
       val perDoc = pairs
         .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))
-      Dedup.withSimHash(docs, "text", Dedup.md5Hash60, bits = 60)
-        .select(col("doc_id"), col("simhash"))
-        .join(perDoc, Seq("doc_id"), "left")
+      sim.join(perDoc, Seq("doc_id"), "left")
         .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
         .orderBy(col("doc_id"))
     }),
@@ -458,18 +459,20 @@ object ExtensionQueries {
     // Fully oracle-replayed like d4 (ASCII fixture: byte shingles ==
     // char shingles — the m4 equivalence).
     "m6_payload_neardup" -> ((s, d) => {
-      val withPayload =
-        Multimodal.withBinaryPayload(Tables.documentsWithDups(s, d))
-      val pairs = Dedup.payloadSimHashPairs(withPayload, "payload",
-        width = 16, stride = 1, maxHamming = 3,
-        hashFn = Dedup.md5Hash60, bits = 60)
+      // ONE vote pass (r9): at stride 1 the shingle explode is
+      // ~payloadBytes hashes per doc — the board's single heaviest
+      // projection — so the signed frame is checkpointed and shared by
+      // candidate generation and the signature output instead of
+      // computing the votes twice (was ~10 s at sf0.1, the top-cost
+      // query; the fix removes half the vote work)
+      val sim = Dedup.signedPayloadSimHashFrame(
+        Multimodal.withBinaryPayload(Tables.documentsWithDups(s, d)),
+        "payload", width = 16, stride = 1, Dedup.md5Hash60, bits = 60)
+      val pairs = Dedup.simHashPairsFromSigned(sim, maxHamming = 3, bits = 60)
       val perDoc = pairs
         .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))
-      Dedup.withPayloadSimHash(withPayload, "payload", width = 16,
-          stride = 1, Dedup.md5Hash60, bits = 60)
-        .select(col("doc_id"), col("simhash"))
-        .join(perDoc, Seq("doc_id"), "left")
+      sim.join(perDoc, Seq("doc_id"), "left")
         .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
         .orderBy(col("doc_id"))
     }),
