@@ -130,6 +130,20 @@ object ScaleHeadroom {
 
     val dirs = Scales.map(n => n -> build(n))
 
+    // standalone re-measure of just the m8 frame-near-dup leg (builds
+    // the inflated corpora, skips every other family — including the
+    // e12 split below): SPARK_GRAFT_LEG=m8
+    if (sys.env.get("SPARK_GRAFT_LEG").contains("m8")) {
+      for ((scale, dir) <- dirs) {
+        val (secs, rows) = timeBest {
+          forceAll(SparkEntry.queries("m8_frame_neardup")(spark, dir))
+        }
+        report("m8_frame_neardup", scale, secs, rows)
+      }
+      spark.stop()
+      return
+    }
+
     // ---- e12 train-once/probe-many split ----------------------------
     // runs BEFORE the headline loop so the PqArtifact cache miss (the
     // 7-job Lloyd training + corpus encode — the FIXED cost a
@@ -150,19 +164,6 @@ object ScaleHeadroom {
           queryId = 0L, k = 10, shortlist = 256, codes = Some(codes)))
       }
       report("e12_pq_probe", scale, secs, rows)
-    }
-
-    // standalone re-measure of just the m8 frame-near-dup leg (builds
-    // the inflated corpora, skips every other family): SPARK_GRAFT_LEG=m8
-    if (sys.env.get("SPARK_GRAFT_LEG").contains("m8")) {
-      for ((scale, dir) <- dirs) {
-        val (secs, rows) = timeBest {
-          forceAll(SparkEntry.queries("m8_frame_neardup")(spark, dir))
-        }
-        report("m8_frame_neardup", scale, secs, rows)
-      }
-      spark.stop()
-      return
     }
 
     // ---- headline operators at each scale ---------------------------

@@ -33,6 +33,8 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** The shared front half: corpus → (rep, cnt) word-TYPE table with
     * space-separated single-char symbols.
     *
@@ -189,6 +191,16 @@ object Bpe {
         used += a; used += b; used += (a + b)
         batch += ((a, b, c))
       }
+      // observability for the k/B round-collapse claim: a pass that
+      // accepts fewer merges than it wanted (conflicts exhausted the
+      // bounded shortlist — pathological shared-symbol corpora) silently
+      // degrades toward serial round counts; surface it so the
+      // degradation is measurable when it happens
+      if (batch.size < math.min(maxBatch, want))
+        log.warn(s"BPE batched pass $pass accepted ${batch.size} of " +
+          s"${math.min(maxBatch, want)} wanted merges " +
+          s"(shortlist ${shortlist.length}, conflicts exhausted it); " +
+          "round count degrades toward serial for this corpus")
       for ((a, b, c) <- batch)
         accepted += ((accepted.size + 1, a, b, c, pass))
       if (accepted.size < k) {

@@ -596,11 +596,6 @@ object Dedup {
         transform(ngramShinglesFromTokens(col("__toks"), n),
           s => xxhash64(s))).as("__sh"): _*)
 
-  /** Ids of corpus docs sharing ≥1 word n-gram with the benchmark set —
-    * the contaminated SET itself, for callers that label rather than
-    * drop (e.g. [[Curation.curate]]'s audit output). The benchmark
-    * shingle set is bounded by construction (eval suites are small), so
-    * it broadcasts; the corpus side is a scan-side semi-join probe. */
   /** Cross-GROUP shingle-overlap matrix — corpus forensics: which
     * sources/splits/snapshots leak into which (near-identical mirrors,
     * shared boilerplate, benchmark text syndicated across crawls).
@@ -641,6 +636,11 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Ids of corpus docs sharing ≥1 word n-gram with the benchmark set —
+    * the contaminated SET itself, for callers that label rather than
+    * drop (e.g. [[Curation.curate]]'s audit output). The benchmark
+    * shingle set is bounded by construction (eval suites are small), so
+    * it broadcasts; the corpus side is a scan-side semi-join probe. */
   def contaminatedIdsNgram(
       corpus: DataFrame, bench: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {

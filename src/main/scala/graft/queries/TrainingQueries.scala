@@ -601,6 +601,23 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // T37 — the PRODUCTION BPE path on the oracled board (VERDICT r9
+    // item 1): the BATCHED learner at k=16/maxBatch=4 — the form a
+    // 30k-merge production run uses (~k/B rewrite rounds instead of k).
+    // Batched semantics differ from serial in general (ranks 2..B of a
+    // round select on PRE-round counts under pairwise-disjoint conflict
+    // sets), so the oracle is NOT t28's serial replay: it re-derives the
+    // batched algorithm itself — per unrolled pass, pair counts → a
+    // row_numbered 4·min(B,want) shortlist → B greedy conflict-checked
+    // slot CTEs → one rewrite applying the whole batch (see
+    // bpeBatchedOracleSql). Output adds `pass`, the rewrite round that
+    // learned each merge — max(pass) ≈ k/B is the round-count collapse,
+    // now driver-hash-checked on the real corpus.
+    "t37_bpe_batched" -> ((s, d) =>
+      Bpe.learnMergesBatched(Tables.spread(Tables.documents(s, d)), "text",
+          k = 16, maxBatch = 4)
+        .orderBy(col("merge_rank"))),
+
     // T32 — BM25 ranked retrieval (Robertson/Spärck Jones; Lucene's
     // +1-inside-the-log idf so scores stay positive), k1=1.2, b=0.75:
     // the query a retrieval-augmented pipeline runs against the corpus
@@ -3754,6 +3771,112 @@ object TrainingQueries {
        |$iters""".stripMargin
   }
 
+  /** DuckDB replay of [[Bpe.learnMergesBatched]] — the BATCHED algorithm
+    * itself, not the serial chain (stale within-round statistics make
+    * batched ≠ serial in general). Unrolled to `k` passes (a safe upper
+    * bound: every pass with want > 0 accepts ≥ 1 merge — the top
+    * shortlist row never conflicts with an empty used-set). Per pass:
+    * pair counts over the word table, a row_numbered shortlist capped at
+    * 4·least(B, want) (want threaded through 1-row n-CTEs), then B slot
+    * CTEs — slot j is the first shortlist row (by the serial (pc desc,
+    * pair asc) order) whose {sym_a, sym_b, sym_a||sym_b} conflict set is
+    * disjoint from every earlier slot's, exactly the Scala greedy scan
+    * (a row skipped for conflict is never revisited: slot j requires
+    * disjointness from ALL of slots 1..j-1). The rewrite applies the
+    * whole batch as B unrolled replaces with scalar subqueries; an empty
+    * slot coalesces its pattern to chr(1) — unmatchable, identity.
+    * Passes past acceptance see want = 0 → empty slots → no-op, so the
+    * unroll is safe on early-exhausting corpora. Every chained CTE is
+    * MATERIALIZED: inlining would re-expand w{p-1} per reference —
+    * exponential parquet re-scans by pass 16. Validated cell-identical
+    * against an independent reimplementation on conflict-exhausting,
+    * vocab-exhausting and single-char-run corpora (BpeSpec pins the
+    * Spark side). */
+  private def bpeBatchedOracleSql(k: Int, b: Int): String = {
+    val passes = k
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH w0 AS MATERIALIZED (
+         |  SELECT w, array_to_string(string_split(w, ''), ' ') AS rep,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) u
+         |  WHERE regexp_matches(w, '^[!-~]+${"$"}')
+         |  GROUP BY w
+         |), n0 AS MATERIALIZED (SELECT 0 AS n)""".stripMargin
+    for (p <- 1 to passes) {
+      val prev = s"w${p - 1}"
+      sb ++=
+        s""", c$p AS MATERIALIZED (
+           |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+           |    SELECT unnest(list_transform(range(1, len(string_split(rep, ' '))),
+           |      j -> string_split(rep, ' ')[j] || ' ' || string_split(rep, ' ')[j+1]))
+           |      AS pair, cnt
+           |    FROM $prev
+           |  ) GROUP BY pair
+           |), sl$p AS MATERIALIZED (
+           |  SELECT string_split(pair, ' ')[1] AS sym_a,
+           |    string_split(pair, ' ')[2] AS sym_b, pc,
+           |    row_number() OVER (ORDER BY pc DESC, pair ASC) AS rn
+           |  FROM c$p
+           |  QUALIFY rn <= 4 * least($b, $k - (SELECT n FROM n${p - 1}))
+           |)""".stripMargin
+      for (j <- 1 to b) {
+        val conflicts = (1 until j).map { i =>
+          s"""    AND NOT EXISTS (SELECT 1 FROM b${p}_$i u
+             |    WHERE t.sym_a IN (u.sym_a, u.sym_b, u.sym_a || u.sym_b)
+             |       OR t.sym_b IN (u.sym_a, u.sym_b, u.sym_a || u.sym_b)
+             |       OR t.sym_a || t.sym_b IN (u.sym_a, u.sym_b, u.sym_a || u.sym_b))"""
+            .stripMargin
+        }.mkString("\n")
+        sb ++=
+          s""", b${p}_$j AS MATERIALIZED (
+             |  SELECT sym_a, sym_b, pc FROM sl$p t
+             |  WHERE $j <= least($b, $k - (SELECT n FROM n${p - 1}))
+             |${conflicts}
+             |  ORDER BY rn LIMIT 1
+             |)""".stripMargin
+      }
+      val batchUnion = (1 to b)
+        .map(j => s"SELECT $j AS slot, sym_a, sym_b, pc FROM b${p}_$j")
+        .mkString("\n  UNION ALL ")
+      sb ++=
+        s""", batch$p AS MATERIALIZED (
+           |  $batchUnion
+           |), n$p AS MATERIALIZED (
+           |  SELECT (SELECT n FROM n${p - 1})
+           |    + (SELECT count(*) FROM batch$p) AS n
+           |)""".stripMargin
+      if (p < passes) {
+        val applied = (1 to b).foldLeft(
+          "' ' || replace(rep, ' ', '  ') || ' '") { (r, j) =>
+          s"""replace($r,
+             |      coalesce((SELECT ' ' || sym_a || '  ' || sym_b || ' '
+             |        FROM b${p}_$j), chr(1)),
+             |      coalesce((SELECT ' ' || sym_a || sym_b || ' '
+             |        FROM b${p}_$j), chr(1)))""".stripMargin
+        }
+        sb ++=
+          s""", w$p AS MATERIALIZED (
+             |  SELECT trim(replace($applied, '  ', ' ')) AS rep, cnt
+             |  FROM ${prev}
+             |)""".stripMargin
+      }
+    }
+    val outUnion = (1 to passes)
+      .map(p => s"SELECT $p AS pass, slot, sym_a, sym_b, pc FROM batch$p")
+      .mkString("\n  UNION ALL ")
+    sb ++=
+      s"""
+         |SELECT CAST(row_number() OVER (ORDER BY pass, slot) AS INTEGER)
+         |    AS merge_rank,
+         |  sym_a, sym_b, pc AS pair_count, CAST(pass AS INTEGER) AS pass
+         |FROM (
+         |  $outUnion
+         |)
+         |ORDER BY merge_rank""".stripMargin
+    sb.toString
+  }
+
   private def bpeOracleSql(k: Int): String = {
     val rows = (1 to k).map { i =>
       s"""SELECT $i AS merge_rank, string_split(pair, ' ')[1] AS sym_a,
@@ -3786,6 +3909,11 @@ object TrainingQueries {
     // t31 replays the full train chain (t28's oracle) PLUS the k-th
     // application, then the vocab→corpus word join and per-doc counts
     "t31_bpe_apply" -> bpeApplyOracleSql(4),
+
+    // t37 replays the BATCHED learner itself (unrolled passes, greedy
+    // conflict-checked slot CTEs) — NOT the serial chain; see
+    // bpeBatchedOracleSql
+    "t37_bpe_batched" -> bpeBatchedOracleSql(16, 4),
 
     // t32 replays the map-only tf projection, the one-aggregate corpus
     // stats and the fixed-order per-row BM25 arithmetic; identical
