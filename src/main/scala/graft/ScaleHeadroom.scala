@@ -144,6 +144,24 @@ object ScaleHeadroom {
       return
     }
 
+    // standalone re-measure of just the d22 composed flat-probe leg
+    // (builds the inflated corpora, skips every other family):
+    // SPARK_GRAFT_LEG=d22
+    if (sys.env.get("SPARK_GRAFT_LEG").contains("d22")) {
+      d22Leg(spark, docs, dirs, report)
+      spark.stop()
+      return
+    }
+
+    // standalone re-measure of just the t36 cross-source matrix leg
+    // (builds the inflated corpora, skips every other family):
+    // SPARK_GRAFT_LEG=t36
+    if (sys.env.get("SPARK_GRAFT_LEG").contains("t36")) {
+      t36Leg(spark, dirs, report)
+      spark.stop()
+      return
+    }
+
     // ---- e12 train-once/probe-many split ----------------------------
     // runs BEFORE the headline loop so the PqArtifact cache miss (the
     // 7-job Lloyd training + corpus encode — the FIXED cost a
@@ -396,6 +414,9 @@ object ScaleHeadroom {
       report("d19_ingest_probe", scale, secs, rows)
     }
 
+    d22Leg(spark, docs, dirs, report)
+    t36Leg(spark, dirs, report)
+
     // d19 with the PRESCRIBED layout: the same probe against the index
     // persisted BUCKETED BY h (the s12 layout). The unbucketed probe
     // above re-shuffles the whole index per ingest (its growth is the
@@ -621,6 +642,92 @@ object ScaleHeadroom {
     spark.stop()
   }
 
+  /** d22 incremental curation: the composed flat-probe contract
+    * (VERDICT r9 item 6). The composition of the d11/d12/d19 probes
+    * behind the t27 gates must inherit each component's flat-ingest
+    * property: the SAME fixed batch curated against 1×/10×/25× state
+    * indexes. Batch = 100 exact clones of k=0 corpus docs (fresh ids —
+    * they collide only with the k=0 copy, so exact-stage hit volume is
+    * constant across scales) + 100 one-token mutations (constant
+    * MinHash candidate volume, real signature-verify work) + 100
+    * fresh-suffixed docs (they run the full gauntlet to 'kept'/span).
+    * Index builds are the amortized snapshot-time cost, reported
+    * separately (the d19 discipline). Standalone: SPARK_GRAFT_LEG=d22. */
+  private def d22Leg(spark: SparkSession, docs: DataFrame,
+      dirs: Seq[(Int, String)],
+      report: (String, Int, Double, Long) => Unit): Unit = {
+    import graft.extensions.{Curation, Dedup}
+    val cloneSrc = docs.filter(col("doc_id") < 100)
+    val mutSrc = docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+    val freshSrc = docs.filter(col("doc_id") >= 200 && col("doc_id") < 300)
+    val batch = cloneSrc
+      .select((col("doc_id") + 950000000L).as("doc_id"), col("text"))
+      .unionByName(mutSrc.select(
+        (col("doc_id") + 960000000L).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text")))
+      .unionByName(freshSrc.select(
+        (col("doc_id") + 970000000L).as("doc_id"),
+        concat(col("text"), lit(" qq")).as("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .localCheckpoint(eager = false)
+    batch.count()
+    for ((scale, dir) <- dirs) {
+      val state = spark.read.parquet(s"$dir/documents.parquet")
+      val t0 = System.nanoTime()
+      val exactIdx = Dedup.exactGroups(state, "text", "doc_id")
+        .select(col("fingerprint")).localCheckpoint(eager = false)
+      val bandIdx = Dedup.minHashBandIndex(state, numHashes = 32,
+          bands = 8, hashFn = Dedup.md5Hash60, maxBucket = 100)
+        .localCheckpoint(eager = false)
+      val spanIdx = Dedup.shingleIndex(state, "doc_id", "text", width = 8)
+        .localCheckpoint(eager = false)
+      val nIdx = exactIdx.count() + bandIdx.count() + spanIdx.count()
+      report("d22_index_build", scale, (System.nanoTime() - t0) / 1e9, nIdx)
+      val (secs, rows) = timeBest {
+        forceAll(Curation.curateIncremental(batch, exactIdx, bandIdx,
+          spanIdx, "text", "doc_id", "n_chars"))
+      }
+      report("d22_ingest_probe", scale, secs, rows)
+    }
+  }
+
+  /** t36 cross-source contamination matrix (VERDICT r9 item 3): wall
+    * must track the DISTINCT (source, shingle-hash) collapse, never
+    * corpus bytes, and the pair stage must stay bounded by |sources|².
+    * Two axes:
+    *   (a) corpus 1×/10×/25× at FIXED |sources| = 20 — the collapse
+    *       grows ~linearly (each inflated copy's shingle space is
+    *       disjoint by the alphabet-rotation construction), so wall is
+    *       allowed to be ~linear while the OUTPUT pair rows stay pinned
+    *       at ≤ C(20,2) = 190 — the proof no all-pairs structure exists
+    *       between the collapse and the matrix;
+    *   (b) at 10×, DOUBLE |sources| to 40 (copies 5–9 — doc_id ≥ 5·10⁷
+    *       — remapped to suffixed source names; identical bytes and
+    *       identical collapse size) — pair rows may widen toward
+    *       C(40,2) while wall holds at the 10× level, showing the
+    *       |sources|² term is the bounded pair stage, not a hidden
+    *       corpus-sized join. Standalone: SPARK_GRAFT_LEG=t36. */
+  private def t36Leg(spark: SparkSession, dirs: Seq[(Int, String)],
+      report: (String, Int, Double, Long) => Unit): Unit = {
+    for ((scale, dir) <- dirs) {
+      val dd = spark.read.parquet(s"$dir/documents.parquet")
+      val (secs, rows) = timeBest {
+        forceAll(Dedup.crossGroupOverlap(dd, "source", "text", n = 8))
+      }
+      report("t36_source_matrix", scale, secs, rows)
+    }
+    for ((scale, dir) <- dirs.filter(_._1 == 10)) {
+      val dd = spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("source",
+          when(col("doc_id") >= 50000000L, concat(col("source"), lit("_b")))
+            .otherwise(col("source")))
+      val (secs, rows) = timeBest {
+        forceAll(Dedup.crossGroupOverlap(dd, "source", "text", n = 8))
+      }
+      report("t36_source_matrix_2x_groups", scale, secs, rows)
+    }
+  }
+
   /** t28 BPE: the ITERATION axis (VERDICT r8 item 4). Fixed corpus (the
     * base documents table — no inflation; this axis is k, not data),
     * k = 4/16/64 merges: the only operator whose dominant scale axis is
@@ -649,5 +756,40 @@ object ScaleHeadroom {
     val rows = forceAll(graft.extensions.Bpe.learnMergesBatched(corpus,
       "text", k = 64, maxBatch = 8))
     report("t28_bpe_k64_batched8", 64, (System.nanoTime() - t0) / 1e9, rows)
+
+    // ---- t31 APPLY axis (VERDICT r9 item 2) --------------------------
+    // The apply-side design claim — k learned merges inlined as literals
+    // into ONE vocab-grain projection of ~3k string ops — has a Janino
+    // ceiling somewhere in the hundreds of merges (64 KB generated-method
+    // limit / 8 KB JIT threshold). Measure apply at k = 4/64/256 on
+    // batched-learned tables AND record the codegen mode of each plan:
+    // wscg_subtrees = compiled whole-stage subtrees in the executed
+    // plan, max_method_bytes = largest generated-method bytecode across
+    // them (-1 = Janino compile failure ⇒ that subtree runs interpreted
+    // — the chunked-projection fallback threshold). The corpus side is
+    // UNCHANGED across k (one tokenize + one word equi-join); only the
+    // vocab-grain chain deepens, so wall growing sublinearly in k while
+    // rows stay constant is the pass condition.
+    val applyDocs = Tables.documents(spark, base)
+      .select("doc_id", "text").localCheckpoint(eager = false)
+    applyDocs.count()
+    for (k <- Seq(4, 64, 256)) {
+      val merges = graft.extensions.Bpe
+        .learnMergesBatched(corpus, "text", k, maxBatch = 16)
+        .orderBy(col("merge_rank"))
+        .select("sym_a", "sym_b")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      val applied = graft.extensions.Bpe.applyMerges(applyDocs, "text",
+        "doc_id", merges)
+      val (secs, nRows) = timeBest { forceAll(applied) }
+      report("t31_apply_k_axis", k, secs, nRows)
+      val stats = org.apache.spark.sql.execution.debug
+        .codegenStringSeq(applied.queryExecution.executedPlan)
+      val maxMethod = if (stats.isEmpty) 0
+        else stats.map(_._3.maxMethodCodeSize).max
+      println(s"""{"harness":"scale_headroom","query":"t31_apply_codegen",""" +
+        s""""scale":$k,"wscg_subtrees":${stats.size},""" +
+        s""""max_method_bytes":$maxMethod}""")
+    }
   }
 }

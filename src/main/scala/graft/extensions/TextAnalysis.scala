@@ -131,19 +131,26 @@ object TextAnalysis {
     * real pipelines log. Rule bands are the published ones (word count
     * 50–100k, mean word length 3–10, symbol ratio ≤ 0.1, ≥ 80% alphabetic
     * words, ≥ 2 mandatory stopwords). One token-array projection, all
-    * rules read it — a map-only codegen pass at any scale. */
+    * rules read it — a map-only codegen pass at any scale. `extra`
+    * columns (must be aliased) ride the same projection — the
+    * [[Curation.curateIncremental]] composition needs the fingerprint
+    * alongside the signals without a second scan of the batch. */
   def gopherProfile(docs: DataFrame, textCol: String, idCol: String,
-      nCharsCol: String): DataFrame =
-    docs
-      .select(col(idCol), col(textCol), col(nCharsCol),
-        tokens(col(textCol)).as("__toks"))
-      .select(col(idCol),
+      nCharsCol: String, extra: Column*): DataFrame = {
+    val pre = docs
+      .select(Seq(col(idCol), col(textCol), col(nCharsCol),
+        tokens(col(textCol)).as("__toks")) ++ extra: _*)
+    // the extras are the trailing projected columns — read their names
+    // off the schema (positional) rather than dissecting Column nodes
+    val extraNames = pre.columns.drop(4)
+    pre
+      .select(Seq(col(idCol)) ++ extraNames.map(col) ++ Seq(
         size(col("__toks")).cast("long").as("n_words"),
         round((col(nCharsCol) - size(col("__toks")) + 1).cast("double") /
           size(col("__toks")), 4).as("mean_word_len"),
         symbolToWordRatio(col(textCol), col("__toks")).as("symbol_ratio"),
         alphaWordFraction(col("__toks")).as("alpha_frac"),
-        gopherStopwordHits(col("__toks")).as("n_stopword_hits"))
+        gopherStopwordHits(col("__toks")).as("n_stopword_hits")): _*)
       .withColumn("reject_reason",
         when(!col("n_words").between(50, 100000), lit("word_count"))
           .when(!col("mean_word_len").between(3.0, 10.0),
@@ -152,6 +159,7 @@ object TextAnalysis {
           .when(col("alpha_frac") < 0.8, lit("alpha_frac"))
           .when(col("n_stopword_hits") < 2, lit("stopwords"))
           .otherwise(lit("pass")))
+  }
 
   /** Repeated word-n-gram ratio — the Gopher-style boilerplate signal:
     * 1 − distinct/total n-grams. High values mean templated/repetitive

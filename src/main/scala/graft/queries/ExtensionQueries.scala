@@ -100,6 +100,52 @@ object ExtensionQueries {
         .orderBy(col("new_id"), col("old_id"))
     }),
 
+    // D22 — INCREMENTAL end-to-end curation (VERDICT r9 item 6): the
+    // production ingest loop — each batch curated against PERSISTED
+    // state (the d11 exact-fp index + d12 MinHash band index + d19 span
+    // shingle index, all built from the doc_id<400 snapshot), composed
+    // with the t27 Gopher gates into ONE plan with per-doc fate
+    // attribution. Fixture plants every fate: batch %9 docs carry the
+    // d19 passage (span vs state), +1000000 clones state %25 docs
+    // (exact vs state), +2000000 mutates state %30 docs with one token
+    // (MinHash near vs state), +3000000/+4000000 duplicate batch %35
+    // docs within the batch (keeper election). The snapshot corpus is
+    // never re-read — only its three indexes are probed; see
+    // Curation.curateIncremental for the flat-ingest scale contract
+    // (measured: the d22 ScaleHeadroom leg).
+    "d22_incremental_curation" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val passage = lit(" " + TrainingQueries.DedupPassage)
+      def inj(df: DataFrame, m: Int): DataFrame = df.select(col("doc_id"),
+        when(col("doc_id") % m === 0, concat(col("text"), passage))
+          .otherwise(col("text")).as("text"))
+      val state = inj(docs.filter(col("doc_id") < 400), 5)
+        .localCheckpoint(eager = false) // three index builds read it
+      val b1 = inj(docs.filter(col("doc_id") >= 400), 9)
+      val b2 = state.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val b3 = state.filter(col("doc_id") % 30 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text"))
+      val bb = docs.filter(col("doc_id") >= 400 && col("doc_id") % 35 === 0)
+      val b4 = bb.select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(col("text"), lit(" qq")).as("text"))
+      val b5 = bb.select((col("doc_id") + 4000000L).as("doc_id"),
+        concat(col("text"), lit(" qq")).as("text"))
+      val batch = Tables.spread(
+          b1.unionByName(b2).unionByName(b3).unionByName(b4)
+            .unionByName(b5))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val exactIdx = Dedup.exactGroups(state, "text", "doc_id")
+        .select(col("fingerprint"))
+      val bandIdx = Dedup.minHashBandIndex(state, numHashes = 32,
+        bands = 8, hashFn = Dedup.md5Hash60, maxBucket = 100)
+      val spanIdx = Dedup.shingleIndex(state, "doc_id", "text", width = 8)
+      Curation.curateIncremental(batch, exactIdx, bandIdx, spanIdx,
+          "text", "doc_id", "n_chars")
+        .orderBy(col("doc_id"))
+    }),
+
     // D4 — SimHash (60-bit md5-derived fingerprint) + near-dup candidate
     // count — fully oracle-replayed like d3.
     "d4_simhash" -> ((s, d) => {
@@ -933,6 +979,136 @@ object ExtensionQueries {
   private val minhashB =
     (0 until 32).map(Dedup.seedConst("b", _)).mkString("LIST_VALUE(", ",", ")")
 
+  /** The d22 incremental-curation replay — see the map entry's comment.
+    * Stage fragments are the (green) t27/d11/d12/d19 oracle recipes,
+    * re-pointed at the state/batch fixture frames. */
+  private def d22OracleSql: String = {
+    val passage = " " + TrainingQueries.DedupPassage
+    s"""WITH state AS MATERIALIZED (
+      |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || '$passage'
+      |    ELSE text END AS text
+      |  FROM documents WHERE doc_id < 400
+      |), batch AS MATERIALIZED (
+      |  SELECT doc_id, CASE WHEN doc_id % 9 = 0 THEN text || '$passage'
+      |    ELSE text END AS text
+      |  FROM documents WHERE doc_id >= 400
+      |  UNION ALL SELECT doc_id + 1000000, text FROM state
+      |    WHERE doc_id % 25 = 0
+      |  UNION ALL SELECT doc_id + 2000000, text || ' zz' FROM state
+      |    WHERE doc_id % 30 = 0
+      |  UNION ALL SELECT doc_id + 3000000, text || ' qq' FROM documents
+      |    WHERE doc_id >= 400 AND doc_id % 35 = 0
+      |  UNION ALL SELECT doc_id + 4000000, text || ' qq' FROM documents
+      |    WHERE doc_id >= 400 AND doc_id % 35 = 0
+      |), flagged AS MATERIALIZED (
+      |  SELECT *,
+      |    CASE WHEN n_words NOT BETWEEN 50 AND 100000 THEN 'word_count'
+      |         WHEN mean_word_len NOT BETWEEN 3.0 AND 10.0
+      |           THEN 'mean_word_len'
+      |         WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
+      |         WHEN alpha_frac < 0.8 THEN 'alpha_frac'
+      |         WHEN n_stopword_hits < 2 THEN 'stopwords'
+      |         ELSE 'pass' END AS reject_reason
+      |  FROM (
+      |    SELECT doc_id, text, md5(lower(trim(text))) AS fp,
+      |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |      round((len(text) - len(string_split(text, ' ')) + 1) * 1.0
+      |        / len(string_split(text, ' ')), 4) AS mean_word_len,
+      |      round(((len(text) - len(replace(text, '#', '')))
+      |          + (len(text) - len(replace(text, '...', ''))) / 3) * 1.0
+      |        / len(string_split(text, ' ')), 4) AS symbol_ratio,
+      |      round(len(list_filter(string_split(text, ' '),
+      |          x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+      |        / len(string_split(text, ' ')), 4) AS alpha_frac,
+      |      CAST(len(list_filter(string_split(text, ' '),
+      |        x -> x IN ('the','be','to','of','and','that','have','with')))
+      |        AS BIGINT) AS n_stopword_hits
+      |    FROM batch)
+      |), statefps AS MATERIALIZED (
+      |  SELECT DISTINCT md5(lower(trim(text))) AS fp FROM state
+      |), qfresh AS MATERIALIZED (
+      |  SELECT doc_id, text, fp FROM flagged WHERE reject_reason = 'pass'
+      |    AND fp NOT IN (SELECT fp FROM statefps)
+      |), keep AS MATERIALIZED (
+      |  SELECT fp, min(doc_id) AS keep_id FROM qfresh GROUP BY fp
+      |), slice AS MATERIALIZED (
+      |  SELECT q.doc_id, q.text FROM qfresh q
+      |  JOIN keep k ON q.fp = k.fp AND q.doc_id = k.keep_id
+      |), consts AS (SELECT $minhashA AS ca, $minhashB AS cb),
+      |mh AS MATERIALIZED (
+      |  SELECT side, doc_id, list_transform(range(1, 33), s ->
+      |    list_min(list_transform(hs, h -> (ca[s] * h + cb[s]) % 1000000007)))
+      |    AS sig32
+      |  FROM (
+      |    SELECT side, doc_id, list_transform(list_distinct(list_transform(
+      |      range(1, greatest(len(string_split(text,' ')) - 3 + 2, 2)),
+      |      i -> array_to_string(list_slice(string_split(text,' '), i, i + 2),
+      |        ' '))),
+      |      x -> CAST('0x' || substr(md5(x),1,15) AS BIGINT) % 1000000007)
+      |      AS hs
+      |    FROM (SELECT 's' AS side, doc_id, text FROM state
+      |          UNION ALL SELECT 'b', doc_id, text FROM slice))
+      |  CROSS JOIN consts
+      |), banded AS MATERIALIZED (
+      |  SELECT side, doc_id, sig32, b.band,
+      |    array_to_string(list_slice(sig32, b.band * 4 + 1, b.band * 4 + 4),
+      |      ',') AS bkey
+      |  FROM mh CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b
+      |), bidx AS MATERIALIZED (
+      |  SELECT * FROM (
+      |    SELECT doc_id, sig32, band, bkey,
+      |      row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id)
+      |        AS brank
+      |    FROM banded WHERE side = 's')
+      |  WHERE brank <= 100
+      |), nearids AS MATERIALIZED (
+      |  SELECT DISTINCT new_id AS doc_id FROM (
+      |    SELECT DISTINCT b.doc_id AS new_id, i.doc_id AS old_id,
+      |      b.sig32 AS ns, i.sig32 AS os
+      |    FROM (SELECT * FROM banded WHERE side = 'b') b
+      |    JOIN bidx i ON b.band = i.band AND b.bkey = i.bkey)
+      |  WHERE round(len(list_filter(range(1, 33), k -> ns[k] = os[k]))
+      |    / 32.0, 4) >= 0.3
+      |), spanidx AS MATERIALIZED (
+      |  SELECT DISTINCT CAST('0x' || substr(md5(array_to_string(
+      |    list_slice(toks, i, i + 7), ' ')), 1, 15) AS BIGINT) AS h
+      |  FROM (SELECT toks, unnest(range(1, len(toks) - 6)) AS i
+      |        FROM (SELECT string_split(text, ' ') AS toks FROM state
+      |              WHERE len(string_split(text, ' ')) >= 8))
+      |), spanids AS MATERIALIZED (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, max(rs) + 7 AS longest FROM (
+      |      SELECT doc_id, count(*) AS rs FROM (
+      |        SELECT doc_id, pos,
+      |          row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+      |        FROM (
+      |          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |            CAST('0x' || substr(md5(array_to_string(
+      |              list_slice(toks, i, i + 7), ' ')), 1, 15) AS BIGINT) AS h
+      |          FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+      |                  unnest(range(1, len(string_split(text, ' ')) - 6))
+      |                    AS i
+      |                FROM slice
+      |                WHERE len(string_split(text, ' ')) >= 8))
+      |        WHERE h IN (SELECT h FROM spanidx))
+      |      GROUP BY doc_id, pos - rn)
+      |    GROUP BY doc_id)
+      |  WHERE longest >= 16
+      |)
+      |SELECT f.doc_id,
+      |  CASE WHEN f.reject_reason <> 'pass' THEN 'low_quality'
+      |       WHEN f.fp IN (SELECT fp FROM statefps) THEN 'exact_dup_state'
+      |       WHEN f.doc_id <> k.keep_id THEN 'exact_dup_batch'
+      |       WHEN f.doc_id IN (SELECT doc_id FROM nearids)
+      |         THEN 'near_dup_state'
+      |       WHEN f.doc_id IN (SELECT doc_id FROM spanids)
+      |         THEN 'span_dup_state'
+      |       ELSE 'kept' END AS status,
+      |  f.n_words AS n_tokens
+      |FROM flagged f LEFT JOIN keep k ON f.fp = k.fp
+      |ORDER BY f.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
 
     "d3_minhash_lsh" ->
@@ -985,6 +1161,15 @@ object ExtensionQueries {
         |  COALESCE(c.n_candidates, 0) AS n_candidates
         |FROM sig s LEFT JOIN cand c ON s.doc_id = c.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+
+    // d22 composes the t27 Gopher replay (n_chars = len(text) — the
+    // fixture recomputes it post-injection), the d11 fingerprint-index
+    // replay, the d12 signature/banding replay (index side = state,
+    // capped; probe side = the keeper slice), and the d19 span-index
+    // replay, then the same fate CASE precedence as
+    // Curation.curateIncremental. MATERIALIZED on every multiply-read
+    // CTE (the t37 lesson: inlining re-expands the chain).
+    "d22_incremental_curation" -> d22OracleSql,
 
     // d3's signature/banding replay, split into snapshot index
     // (doc_id < 400, skew-capped) and ingest batch (>= 400); band

@@ -1311,6 +1311,90 @@ class CurationSpec extends SparkSpec {
   }
 }
 
+class CurationIncrementalSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  // Gopher-passing text builder: the 8 mandatory stopwords + 44 distinct
+  // alphabetic content words → 52 words, mean word length in band,
+  // no symbols, 8 stopword hits
+  private val stop8 = "the be to of and that have with"
+  private def body(seed: String, n: Int = 44): String =
+    (1 to n).map(i => f"${seed}word$i%02d").mkString(" ")
+  // 20 tokens none of which appear in any body → its 13 interior
+  // 8-shingles are the only state/batch span overlap
+  private val passage = "grain alpha beta gamma delta epsilon zeta eta " +
+    "theta iota kappa lambda mu nu xi omicron pi rho sigma tau"
+  private val t1 = s"$stop8 ${body("sone")}"
+  private val tb = s"$stop8 ${body("bone")}"
+  private lazy val state = Seq(
+    (1L, t1),
+    (2L, s"$stop8 ${body("stwo", 30)} $passage")
+  ).toDF("doc_id", "text")
+  private lazy val batch = Seq(
+    (900L, t1),                                // fp in state
+    (901L, tb),                                // fresh keeper
+    (902L, tb),                                // batch dup of 901
+    (903L, "tiny text"),                       // fails word_count
+    (904L, s"$t1 extra"),                      // MinHash-near state doc 1
+    (905L, s"$stop8 ${body("bfiv")} $passage"), // shares ONLY the span
+    (906L, t1)                                 // state dup beats batch dup
+  ).map { case (id, t) => (id, t, t.length.toLong) }
+    .toDF("doc_id", "text", "n_chars")
+
+  private lazy val fates = {
+    val exactIdx = Dedup.exactGroups(state, "text", "doc_id")
+      .select(col("fingerprint"))
+    val bandIdx = Dedup.minHashBandIndex(state, numHashes = 32, bands = 8,
+      hashFn = Dedup.md5Hash60, maxBucket = 100)
+    val spanIdx = Dedup.shingleIndex(state, "doc_id", "text", width = 8)
+    Curation.curateIncremental(batch, exactIdx, bandIdx, spanIdx,
+        "text", "doc_id", "n_chars")
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+  }
+
+  test("curateIncremental attributes every fate with stage-order precedence") {
+    assert(fates == Map(
+      900L -> "exact_dup_state",
+      901L -> "kept",
+      902L -> "exact_dup_batch",
+      903L -> "low_quality",
+      904L -> "near_dup_state", // ALSO a span dup — near wins by order
+      905L -> "span_dup_state", // passage-only overlap: est j < 0.3
+      906L -> "exact_dup_state" // state dup beats within-batch election
+    ))
+  }
+
+  test("curateIncremental stage verdicts equal the standalone operators") {
+    val stateFps = Dedup.exactGroups(state, "text", "doc_id")
+      .select("fingerprint").as[String].collect().toSet
+    val batchFp = batch.select(col("doc_id"),
+        TextAnalysis.normHash(col("text")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fates.filter(_._2 == "exact_dup_state").keySet ==
+      batchFp.filter { case (id, fp) =>
+        stateFps(fp) && fates(id) != "low_quality" }.keySet)
+    val slice = batch.filter(col("doc_id").isin(
+      fates.filter(_._2 == "kept").keySet.toSeq ++
+        fates.filter(_._2 == "near_dup_state").keySet.toSeq ++
+        fates.filter(_._2 == "span_dup_state").keySet.toSeq: _*))
+    val bandIdx = Dedup.minHashBandIndex(state, numHashes = 32, bands = 8,
+      hashFn = Dedup.md5Hash60, maxBucket = 100)
+    val nearIds = Dedup.incrementalMinHashPairs(slice, bandIdx,
+        numHashes = 32, bands = 8, threshold = 0.3,
+        hashFn = Dedup.md5Hash60)
+      .select("new_id").as[Long].collect().toSet
+    assert(fates.filter(_._2 == "near_dup_state").keySet == nearIds)
+    val spanIdx = Dedup.shingleIndex(state, "doc_id", "text", width = 8)
+    val spanIds = Dedup.substringRunsAgainstIndex(slice, spanIdx,
+        "doc_id", "text", width = 8)
+      .filter(col("longest_dup_tokens") >= 16)
+      .select("doc_id").as[Long].collect().toSet
+    assert(fates.filter(_._2 == "span_dup_state").keySet ==
+      spanIds -- nearIds)
+  }
+}
+
 class BpeSpec extends SparkSpec {
   import spark.implicits._
 
