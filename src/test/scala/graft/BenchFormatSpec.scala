@@ -35,6 +35,24 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.contains("\"errors\":{\"q1\":\"Weird\\\"Exception\\\\Name\"}"))
   }
 
+  test("median block is additive and absent by default") {
+    val rs = Seq(Bench.QueryResult("q1", 0.5, None))
+    assert(!Bench.formatLine(rs, "/x").contains("median"))
+    val line = Bench.formatLine(rs, "/x",
+      Some(Seq("q1" -> 0.4, "q2" -> 1.0)))
+    assert(line.contains("\"median_queries\":{\"q1\":0.4,\"q2\":1.0}"))
+    assert(line.contains("\"median_total\":1.4"))
+    // driver-contract fields untouched by the extra block
+    assert(line.contains("\"value\":0.5") && line.contains("\"queries\":{"))
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+  }
+
+  test("median: odd takes the middle run, even averages the two middles") {
+    assert(Bench.median(Seq(3.18, 1.54, 1.72)) == 1.72)
+    assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) == 2.5)
+    assert(Bench.median(Seq(7.5)) == 7.5)
+  }
+
   test("emitted line is parseable JSON with the driver's expected fields") {
     val line = Bench.formatLine(Seq(
       Bench.QueryResult("q1", 0.1, None),
