@@ -162,6 +162,14 @@ object ScaleHeadroom {
       return
     }
 
+    // standalone re-measure of just the d23 line-dedup leg (builds the
+    // inflated corpora, skips every other family): SPARK_GRAFT_LEG=d23
+    if (sys.env.get("SPARK_GRAFT_LEG").contains("d23")) {
+      d23Leg(spark, dirs, report)
+      spark.stop()
+      return
+    }
+
     // ---- e12 train-once/probe-many split ----------------------------
     // runs BEFORE the headline loop so the PqArtifact cache miss (the
     // 7-job Lloyd training + corpus encode — the FIXED cost a
@@ -416,6 +424,7 @@ object ScaleHeadroom {
 
     d22Leg(spark, docs, dirs, report)
     t36Leg(spark, dirs, report)
+    d23Leg(spark, dirs, report)
 
     // d19 with the PRESCRIBED layout: the same probe against the index
     // persisted BUCKETED BY h (the s12 layout). The unbucketed probe
@@ -689,6 +698,99 @@ object ScaleHeadroom {
       }
       report("d22_ingest_probe", scale, secs, rows)
     }
+    // The PRESCRIBED layout (the d19 lesson, applied to the whole
+    // composition): the checkpointed indexes above are UNBUCKETED, so
+    // every probe re-shuffles all three state artifacts — the probe
+    // grows with the snapshot and the flat-ingest claim fails. Persist
+    // each index bucketed by its probe join key (fingerprint / bhash /
+    // h — bhash is a subset of the (band, bhash) join key, which
+    // satisfies the clustered distribution) and the index sides scan in
+    // place: only the fixed batch shuffles, per-ingest cost flat in
+    // snapshot size. Broadcast disabled so the small 1× indexes take
+    // the same bucketed path as 25×.
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for ((scale, dir) <- dirs) {
+        val state = spark.read.parquet(s"$dir/documents.parquet")
+        spark.sql(s"DROP TABLE IF EXISTS d22_fp_x$scale")
+        spark.sql(s"DROP TABLE IF EXISTS d22_band_x$scale")
+        spark.sql(s"DROP TABLE IF EXISTS d22_span_x$scale")
+        Dedup.exactGroups(state, "text", "doc_id").select(col("fingerprint"))
+          .write.bucketBy(32, "fingerprint").sortBy("fingerprint")
+          .mode("overwrite").saveAsTable(s"d22_fp_x$scale")
+        Dedup.minHashBandIndex(state, numHashes = 32, bands = 8,
+            hashFn = Dedup.md5Hash60, maxBucket = 100)
+          .write.bucketBy(32, "bhash").sortBy("bhash")
+          .mode("overwrite").saveAsTable(s"d22_band_x$scale")
+        Dedup.shingleIndex(state, "doc_id", "text", width = 8)
+          .write.bucketBy(32, "h").sortBy("h")
+          .mode("overwrite").saveAsTable(s"d22_span_x$scale")
+        val (secs, rows) = timeBest {
+          forceAll(Curation.curateIncremental(batch,
+            spark.table(s"d22_fp_x$scale"), spark.table(s"d22_band_x$scale"),
+            spark.table(s"d22_span_x$scale"), "text", "doc_id", "n_chars"))
+        }
+        report("d22_ingest_probe_bucketed", scale, secs, rows)
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      for ((scale, _) <- dirs) {
+        spark.sql(s"DROP TABLE IF EXISTS d22_fp_x$scale")
+        spark.sql(s"DROP TABLE IF EXISTS d22_band_x$scale")
+        spark.sql(s"DROP TABLE IF EXISTS d22_span_x$scale")
+      }
+    }
+  }
+
+  /** d23 line dedup: linearity AND the skew claim, measured. The
+    * operator's scaladoc argues the keeper election must be an
+    * AGGREGATE because a corpus-frequent boilerplate line makes
+    * `row_number() OVER (PARTITION BY line)` one unsplittable hot
+    * partition; this leg OBSERVES that (the d3/g5 cap-binding
+    * discipline): (a) the agg-based operator at 1×/10×/25× with the
+    * d23 fixture (12-token lines, boilerplate in 1/6 of docs — the
+    * boilerplate line occurs corpus/6 times, the skew is real); (b) at
+    * 25×, the window-based comparator on the same frame. The contrast
+    * is architectural, not constant-factor: the window serializes
+    * ~corpus/6 rows through one task while the agg's map-side combine
+    * ships ≤ one row per task for that line.
+    * Standalone: SPARK_GRAFT_LEG=d23. */
+  private def d23Leg(spark: SparkSession, dirs: Seq[(Int, String)],
+      report: (String, Int, Double, Long) => Unit): Unit = {
+    def fixture(dir: String): DataFrame = {
+      val seg = regexp_replace(col("text"), "((?:\\S+ ){11}\\S+) ", "$1\n")
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          when(col("doc_id") % 6 === 0,
+            concat(seg, lit("\naccept cookies to continue reading this page")))
+            .otherwise(seg).as("text"))
+    }
+    for ((scale, dir) <- dirs) {
+      val (secs, rows) = timeBest {
+        forceAll(Dedup.lineDedup(fixture(dir), "doc_id", "text"))
+      }
+      report("d23_line_dedup", scale, secs, rows)
+    }
+    for ((scale, dir) <- dirs.filter(_._1 == 25)) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__line")).orderBy(col("__k"))
+      val (secs, rows) = timeBest {
+        forceAll(fixture(dir)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), "\n")).as(Seq("__pos", "__line")))
+          .withColumn("__k", col("doc_id") * lit(1048576L) + col("__pos"))
+          .withColumn("__keep", row_number().over(w) === 1)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_lines"),
+            graft.operators.Summaries.countIf(col("__keep")).as("n_kept"),
+            array_join(transform(
+              array_sort(collect_list(when(col("__keep"),
+                struct(col("__pos"), col("__line"))))),
+              s => s("__line")), "\n").as("kept_text")))
+      }
+      report("d23_line_dedup_window_comparator", scale, secs, rows)
+    }
   }
 
   /** t36 cross-source contamination matrix (VERDICT r9 item 3): wall
@@ -783,8 +885,19 @@ object ScaleHeadroom {
         "doc_id", merges)
       val (secs, nRows) = timeBest { forceAll(applied) }
       report("t31_apply_k_axis", k, secs, nRows)
+      // codegen mode of THIS plan: under AQE, WholeStageCodegen is only
+      // inserted when query stages materialize, so execute the frame's
+      // own plan (not evalAll's derived agg) before reading it, and
+      // unwrap AdaptiveSparkPlanExec (its children are hidden from a
+      // plain traversal until unwrapped)
+      applied.queryExecution.toRdd.count()
+      val finalPlan = applied.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
       val stats = org.apache.spark.sql.execution.debug
-        .codegenStringSeq(applied.queryExecution.executedPlan)
+        .codegenStringSeq(finalPlan)
       val maxMethod = if (stats.isEmpty) 0
         else stats.map(_._3.maxMethodCodeSize).max
       println(s"""{"harness":"scale_headroom","query":"t31_apply_codegen",""" +

@@ -1219,4 +1219,97 @@ object Dedup {
         count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc_id")).as("n_docs"))
   }
+
+  /** C4-style LINE-level exact dedup across the corpus (Raffel et al.
+    * 2020 §2.2's "discard all but one of any three-sentence span", at
+    * the line grain RefinedWeb/FineWeb actually ship): every line keeps
+    * its FIRST occurrence in (`idCol`, position) order and is removed
+    * everywhere else; docs shrink, they are not dropped. Input text must
+    * already carry '\n' line structure (segmentation is the caller's
+    * corpus convention). Output per doc: `n_lines`, `n_kept`, and the
+    * reconstructed `kept_text` (kept lines re-joined in position order).
+    *
+    * Scale shape at 100 TB — the skew story IS the operator: the naive
+    * plan is a window `row_number() OVER (PARTITION BY line)`, and a
+    * boilerplate line present in 1/6 of a 100 TB corpus makes that ONE
+    * window partition — a skew bomb no AQE setting fixes (windows
+    * can't split a partition). Instead the keeper election is an
+    * AGGREGATE (`min(doc_id·2²⁰+pos)` per line): map-side combine
+    * collapses a heavy line to ≤ one row per task BEFORE the exchange,
+    * so the hottest key ships #partitions rows, not corpus rows. The
+    * keeper mark then joins back on the COMPOSITE (line, k) key —
+    * doc_id inside the key spreads the hot line uniformly, so the mark
+    * join has no hot partition either. One line-grain explode (the
+    * honest cost every line-dedup pays), two uniform exchanges, one
+    * doc-grain reassembly agg. `pos` must stay < 2²⁰ lines/doc — a
+    * document with a million lines is a parse failure, not data. */
+  /** MinHash-LSH banding calibration — the S-curve table that CONFIGURES
+    * [[minHashLshPairs]]/[[minHashBandIndex]] before anyone runs them at
+    * petabyte scale (Leskovec/Rajaraman/Ullman, MMDS ch. 3): for `n`
+    * total hashes, every factorization (bands b, rows r = n/b) has
+    * candidate probability p(s) = 1 − (1 − s^r)^b at Jaccard s. Per
+    * config: p at the target threshold, the curve's 50% crossover
+    * similarity (1 − 2^(−1/b))^(1/r), and the expected false-positive /
+    * false-negative prob mass (uniform-grid integrals of p below t and
+    * 1−p above t); `selected` marks the config minimizing fp+fn mass.
+    *
+    * Pure generated arithmetic — |divisors(n)| · (grid+1) rows, no
+    * corpus scan; the output is driver-sized BY NATURE (it's a config
+    * table), the opposite of a scale risk. Float policy: every p(s) is
+    * rounded (6) per grid point, masses sum those rounded values as
+    * exact decimals, so both engines integrate identical grids. */
+  def lshCalibration(spark: org.apache.spark.sql.SparkSession,
+      numHashes: Int, threshold: Double, gridN: Int = 100): DataFrame = {
+    val p = round(lit(1.0) -
+      pow(lit(1.0) - pow(col("s"), col("rows_per_band")), col("bands")), 6)
+    val curve = spark.range(1L, numHashes + 1L)
+      .filter(lit(numHashes) % col("id") === 0)
+      .select(col("id").as("bands"), (lit(numHashes) / col("id"))
+        .cast("long").as("rows_per_band"))
+      .select(col("bands"), col("rows_per_band"),
+        explode(sequence(lit(0), lit(gridN))).as("i"))
+      .withColumn("s", col("i").cast("double") / gridN)
+      .withColumn("p", p)
+      .localCheckpoint(eager = false) // masses + threshold row share it
+    val masses = curve.groupBy(col("bands"), col("rows_per_band"))
+      .agg(
+        round(sum(when(col("s") < threshold, col("p")).otherwise(lit(0.0))
+          .cast("decimal(38,6)")) / (gridN + 1), 6).cast("double")
+          .as("fp_mass"),
+        round(sum(when(col("s") >= threshold, lit(1.0) - col("p"))
+          .otherwise(lit(0.0)).cast("decimal(38,6)")) / (gridN + 1), 6)
+          .cast("double").as("fn_mass"))
+      .withColumn("p_at_threshold", round(lit(1.0) -
+        pow(lit(1.0) - pow(lit(threshold), col("rows_per_band")), col("bands")), 6))
+      .withColumn("crossover_sim", round(
+        pow(lit(1.0) - pow(lit(0.5), lit(1.0) / col("bands")),
+          lit(1.0) / col("rows_per_band")), 6))
+      .withColumn("cost", round(col("fp_mass") + col("fn_mass"), 6))
+    val best = masses.agg(min(col("cost")).as("__best"))
+    masses.crossJoin(broadcast(best))
+      .select(col("bands"), col("rows_per_band"), col("p_at_threshold"),
+        col("crossover_sim"), col("fp_mass"), col("fn_mass"),
+        (col("cost") === col("__best")).as("selected"))
+  }
+
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val lines = docs
+      .select(id, posexplode(split(col(textCol), "\n"))
+        .as(Seq("__pos", "__line")))
+      .withColumn("__k", id * lit(1048576L) + col("__pos"))
+      .localCheckpoint(eager = false) // election + mark join both read it
+    val keepers = lines.groupBy(col("__line"))
+      .agg(min(col("__k")).as("__k"))
+      .withColumn("__keep", lit(true))
+    lines
+      .join(keepers, Seq("__line", "__k"), "left")
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_lines"),
+        graft.operators.Summaries.countIf(col("__keep")).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("__pos"), col("__line"))))),
+          s => s("__line")), "\n").as("kept_text"))
+  }
 }

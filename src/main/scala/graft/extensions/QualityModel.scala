@@ -1,0 +1,83 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based quality scoring — the classifier-filter stage of a
+  * modern pretraining pipeline (GPT-3's LR-against-WebText filter,
+  * Brown et al. 2020 §A; DataComp-LM's fastText filter, Li et al. 2024;
+  * FineWeb-Edu's educational-value scorer, Penedo et al. 2024). The
+  * heuristic batteries (t9 signals, t27 Gopher rules) are rule-shaped;
+  * this is INFERENCE-shaped: a linear model over hashed n-gram features
+  * (Joulin et al. 2016's fastText recipe — the hashing trick,
+  * Weinberger et al. 2009, makes the feature space fixed-size so the
+  * model is one bounded weight table, never a vocabulary).
+  *
+  * The engine's contract is the inference plan, not the weights: the
+  * caller supplies the learned table (bucket → integer milliweight);
+  * tests and the board query use a deterministic md5-derived stand-in
+  * so both engines re-derive it.
+  */
+object QualityModel {
+
+  /** Word unigram + bigram feature OCCURRENCES — fastText's bag, NOT
+    * deduplicated: repetition is signal (a page that says "click here"
+    * forty times should score like it). Pure array expression; the
+    * grain explosion happens once, at [[classifierScore]]'s explode. */
+  def features(toks: Column): Column =
+    concat(toks, TextAnalysis.bigrams(toks))
+
+  /** Hashed feature bucket — md5-derived (the [[Dedup.md5Hash60]]
+    * recipe) so any engine with md5 re-derives the same bucket ids. */
+  def featureBucket(feature: Column, numBuckets: Int): Column =
+    pmod(Dedup.md5Hash60(feature), lit(numBuckets.toLong))
+
+  /** Linear classifier inference over hashed unigram+bigram features:
+    * per doc, score = sigmoid(mean feature weight) and the keep verdict,
+    * fastText-style (Joulin et al. 2016 — mean-of-feature-embeddings is
+    * exactly mean-of-weights in the 1-dimensional case).
+    *
+    * `weights` is the model: (bucket: long, weight_milli: long) —
+    * weights as INTEGER thousandths, so the per-doc accumulation is an
+    * exact integer sum (associative, mergeable, no float-order drift;
+    * the single float op is the final sigmoid). The keep verdict is
+    * computed on the integer sum (`Σ milli ≥ 0 ⇔ sigmoid ≥ 0.5`), so no
+    * document's fate ever rides a float rounding boundary.
+    *
+    * Scale shape at 100 TB: ONE token-grain explode over the scan (the
+    * honest linear cost — every classifier pays a featurize pass), the
+    * weight join is a broadcast against the bounded model (2²¹ buckets ≈
+    * 32 MB — fastText's own default 2M-bucket table; a bigger model
+    * becomes a plain hash join on the uniformly-distributed bucket key),
+    * then one partial-aggregating exchange at doc grain. Explode
+    * preserves the scan's partitioning, so the map-side combine
+    * collapses token-grain rows back to ~|docs| before the shuffle.
+    * Embarrassingly parallel — no stage reads another doc's rows. */
+  def classifierScore(docs: DataFrame, textCol: String, idCol: String,
+      weights: DataFrame, numBuckets: Int): DataFrame = {
+    val feats = docs
+      .select(col(idCol),
+        explode(features(TextAnalysis.tokens(col(textCol)))).as("__f"))
+      .select(col(idCol), featureBucket(col("__f"), numBuckets).as("bucket"))
+    feats
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_features"),
+        sum(col("weight_milli")).as("__sum"))
+      .select(col(idCol), col("n_features"),
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(col("__sum").cast("double") /
+            (lit(1000.0) * col("n_features"))))), 6).as("quality_score"),
+        (col("__sum") >= 0).as("kept"))
+  }
+
+  /** Deterministic stand-in weight table — bucket b gets
+    * `md5Hash60("w:" + b) % 2001 − 1000` ∈ [−1000, 1000] milliweights.
+    * Board fixture only: production swaps in the trained table and the
+    * inference plan is unchanged. */
+  def standInWeights(spark: org.apache.spark.sql.SparkSession,
+      numBuckets: Int): DataFrame =
+    spark.range(numBuckets.toLong).select(col("id").as("bucket"),
+      (Dedup.md5Hash60(concat(lit("w:"), col("id").cast("string")))
+        % 2001L - 1000L).as("weight_milli"))
+}

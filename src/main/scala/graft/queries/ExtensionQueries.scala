@@ -146,6 +146,38 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // D23 — C4-style line-level exact dedup (Raffel et al. 2020 §2.2;
+    // the RefinedWeb/FineWeb line grain): first occurrence of every
+    // line survives, later copies are cut; docs shrink, never drop.
+    // The corpus is single-space text, so the fixture plants the line
+    // structure both engines replay: every 12th token boundary becomes
+    // a newline (one regex projection) and doc_id%6 docs get a shared
+    // boilerplate line appended — the cookie-banner shape whose corpus-
+    // wide frequency is exactly why the keeper election must be an
+    // AGGREGATE, not a window (see Dedup.lineDedup's skew story).
+    "d23_line_dedup" -> ((s, d) => {
+      val seg = regexp_replace(col("text"),
+        "((?:\\S+ ){11}\\S+) ", "$1\n")
+      val docs = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"),
+          when(col("doc_id") % 6 === 0,
+            concat(seg, lit("\n" + LineBoiler)))
+            .otherwise(seg).as("text"))
+      Dedup.lineDedup(docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // D24 — LSH banding calibration (MMDS ch. 3): the S-curve config
+    // table that PICKS bands/rows before running d3/d12/d22 at scale —
+    // run at the board's own parameters (n=32 hashes, threshold 0.3) so
+    // the output shows where the shipped b=8/r=4 sits on the fp/fn
+    // frontier. Pure generated arithmetic, driver-sized by nature (a
+    // config table); every grid p(s) is rounded(6) BEFORE the decimal
+    // mass integrals so both engines integrate identical curves.
+    "d24_lsh_calibration" -> ((s, _) =>
+      Dedup.lshCalibration(s, numHashes = 32, threshold = 0.3)
+        .orderBy(col("bands"))),
+
     // D4 — SimHash (60-bit md5-derived fingerprint) + near-dup candidate
     // count — fully oracle-replayed like d3.
     "d4_simhash" -> ((s, d) => {
@@ -974,6 +1006,11 @@ object ExtensionQueries {
 
   /** The MinHash universal-hash constants, inlined as SQL list literals —
     * generated from the SAME Dedup.seedConst the Spark plan uses. */
+  /** d23's planted boilerplate line — shared by the Spark fixture and
+    * the DuckDB replay (the d16/d18 injection convention). */
+  private val LineBoiler =
+    "accept cookies to continue reading this page"
+
   private val minhashA =
     (0 until 32).map(Dedup.seedConst("a", _)).mkString("LIST_VALUE(", ",", ")")
   private val minhashB =
@@ -1110,6 +1147,70 @@ object ExtensionQueries {
   }
 
   val oracles: Map[String, String] = Map(
+
+    // d23's replay: same segmentation regex (RE2 and java.util.regex
+    // agree on this token-anchored pattern), same boilerplate
+    // injection, 0-based position key doc_id·2²⁰+pos, aggregate keeper
+    // election, composite-key mark, position-ordered reassembly.
+    "d23_line_dedup" ->
+      s"""WITH seg AS MATERIALIZED (
+        |  SELECT doc_id, CASE WHEN doc_id % 6 = 0 THEN
+        |      regexp_replace(text, '((?:\\S+ ){11}\\S+) ',
+        |        '\\1' || chr(10), 'g') || chr(10) || '$LineBoiler'
+        |    ELSE regexp_replace(text, '((?:\\S+ ){11}\\S+) ',
+        |      '\\1' || chr(10), 'g') END AS t
+        |  FROM documents
+        |), lines AS MATERIALIZED (
+        |  SELECT doc_id, ls[i] AS line,
+        |    doc_id * 1048576 + CAST(i - 1 AS BIGINT) AS k
+        |  FROM (SELECT doc_id, string_split(t, chr(10)) AS ls,
+        |          unnest(range(1, len(string_split(t, chr(10))) + 1)) AS i
+        |        FROM seg)
+        |), keep AS MATERIALIZED (
+        |  SELECT line, min(k) AS k FROM lines GROUP BY line
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN kept THEN line END, chr(10)
+        |    ORDER BY k), '') AS kept_text
+        |FROM (
+        |  SELECT l.doc_id, l.line, l.k, kp.line IS NOT NULL AS kept
+        |  FROM lines l LEFT JOIN keep kp
+        |    ON l.line = kp.line AND l.k = kp.k)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // d24's replay: same divisor enumeration, grid, per-point round(6),
+    // decimal mass integrals and min-cost selection.
+    "d24_lsh_calibration" ->
+      """WITH conf AS (
+        |  SELECT CAST(b AS BIGINT) AS bands, CAST(32 // b AS BIGINT)
+        |    AS rows_per_band
+        |  FROM (SELECT unnest(range(1, 33)) AS b) WHERE 32 % b = 0
+        |), curve AS MATERIALIZED (
+        |  SELECT bands, rows_per_band, i / 100.0 AS s,
+        |    round(1.0 - pow(1.0 - pow(i / 100.0, rows_per_band), bands), 6)
+        |      AS p
+        |  FROM conf CROSS JOIN (SELECT unnest(range(0, 101)) AS i)
+        |), m2 AS MATERIALIZED (
+        |  SELECT bands, rows_per_band,
+        |    round(1.0 - pow(1.0 - pow(0.3, rows_per_band), bands), 6)
+        |      AS p_at_threshold,
+        |    round(pow(1.0 - pow(0.5, 1.0 / bands), 1.0 / rows_per_band), 6)
+        |      AS crossover_sim,
+        |    fp_mass, fn_mass, round(fp_mass + fn_mass, 6) AS cost
+        |  FROM (
+        |    SELECT bands, rows_per_band,
+        |      CAST(round(sum(CAST(CASE WHEN s < 0.3 THEN p ELSE 0.0 END
+        |        AS DECIMAL(38,6))) / 101, 6) AS DOUBLE) AS fp_mass,
+        |      CAST(round(sum(CAST(CASE WHEN s >= 0.3 THEN 1.0 - p
+        |        ELSE 0.0 END AS DECIMAL(38,6))) / 101, 6) AS DOUBLE)
+        |        AS fn_mass
+        |    FROM curve GROUP BY bands, rows_per_band)
+        |)
+        |SELECT bands, rows_per_band, p_at_threshold, crossover_sim,
+        |  fp_mass, fn_mass,
+        |  cost = (SELECT min(cost) FROM m2) AS selected
+        |FROM m2 ORDER BY bands""".stripMargin,
 
     "d3_minhash_lsh" ->
       s"""WITH consts AS (SELECT $minhashA AS ca, $minhashB AS cb),

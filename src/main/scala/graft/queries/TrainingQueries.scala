@@ -618,6 +618,24 @@ object TrainingQueries {
           k = 16, maxBatch = 4)
         .orderBy(col("merge_rank"))),
 
+    // T38 — model-based quality scoring (the classifier-filter stage:
+    // GPT-3's LR filter, DCLM/FineWeb's fastText filters): linear
+    // inference over hashed unigram+bigram feature OCCURRENCES,
+    // B=4096 buckets, md5-derived stand-in weight table both engines
+    // re-derive (production swaps in trained weights; the inference
+    // plan is the contract). Integer milliweight sums — exact,
+    // mergeable, keep-verdict decided on the integer sign so no doc's
+    // fate rides a float boundary; the one float op (sigmoid) is
+    // per-row final, round-6. Plan: one token-grain explode, broadcast
+    // weight join, one doc-grain partial-agg exchange — see
+    // QualityModel.classifierScore for the 100 TB shape.
+    "t38_quality_classifier" -> ((s, d) => {
+      import graft.extensions.QualityModel
+      QualityModel.classifierScore(Tables.spread(Tables.documents(s, d)),
+          "text", "doc_id", QualityModel.standInWeights(s, 4096), 4096)
+        .orderBy(col("doc_id"))
+    }),
+
     // T32 — BM25 ranked retrieval (Robertson/Spärck Jones; Lucene's
     // +1-inside-the-log idf so scores stay positive), k1=1.2, b=0.75:
     // the query a retrieval-augmented pipeline runs against the corpus
@@ -3914,6 +3932,38 @@ object TrainingQueries {
     // conflict-checked slot CTEs) — NOT the serial chain; see
     // bpeBatchedOracleSql
     "t37_bpe_batched" -> bpeBatchedOracleSql(16, 4),
+
+    // t38's replay: same feature bag (unigram occurrences + bigrams —
+    // range(1, len) is end-exclusive, matching Spark's zip_with/slice
+    // form), same md5→bucket and md5→milliweight derivations, integer
+    // sum, sigmoid at the end. kept re-derived from the integer sign.
+    "t38_quality_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), feats AS (
+        |  SELECT doc_id, unnest(list_concat(t,
+        |    list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i + 1]))) AS f
+        |  FROM toks
+        |), bk AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % 4096 AS bucket
+        |  FROM feats
+        |), w AS (
+        |  SELECT range AS bucket,
+        |    CAST('0x' || substr(md5('w:' || range), 1, 15) AS BIGINT)
+        |      % 2001 - 1000 AS wm
+        |  FROM range(0, 4096)
+        |), sc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+        |    CAST(sum(wm) AS BIGINT) AS s
+        |  FROM bk JOIN w USING (bucket) GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_features,
+        |  round(1.0 / (1.0 + exp(-(CAST(s AS DOUBLE)
+        |    / (1000.0 * n_features)))), 6) AS quality_score,
+        |  s >= 0 AS kept
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     // t32 replays the map-only tf projection, the one-aggregate corpus
     // stats and the fixed-order per-row BM25 arithmetic; identical

@@ -1395,6 +1395,138 @@ class CurationIncrementalSpec extends SparkSpec {
   }
 }
 
+class LineDedupSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  private lazy val docs = Seq(
+    (1L, "alpha one\nshared boiler line\nalpha two"),
+    (2L, "beta one\nshared boiler line\nbeta two"),
+    (3L, "shared boiler line\nalpha one"), // every line seen before
+    (4L, "gamma only")
+  ).toDF("doc_id", "text")
+
+  private lazy val got = Dedup.lineDedup(docs, "doc_id", "text")
+    .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+
+  test("lineDedup keeps first occurrence in (doc, pos) order, docs shrink not drop") {
+    assert(got == Seq(
+      (1L, 3L, 3L, "alpha one\nshared boiler line\nalpha two"),
+      (2L, 3L, 2L, "beta one\nbeta two"),
+      (3L, 2L, 0L, ""), // fully deduplicated doc survives, empty
+      (4L, 1L, 1L, "gamma only")))
+  }
+
+  test("lineDedup keeper election is an aggregate, not a window (skew contract)") {
+    val plan = Dedup.lineDedup(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "a Window over PARTITION BY line is the boilerplate skew bomb " +
+        "the operator exists to avoid")
+    assert(plan.contains("HashAggregate") ||
+      plan.contains("ObjectHashAggregate"))
+  }
+}
+
+class LshCalibrationSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  private lazy val cal = Dedup.lshCalibration(spark, numHashes = 32,
+      threshold = 0.3)
+    .as[(Long, Long, Double, Double, Double, Double, Boolean)]
+    .collect().map(r => r._1 -> r).toMap
+
+  test("every divisor factorization of n appears, b*r = n") {
+    assert(cal.keySet == Set(1L, 2L, 4L, 8L, 16L, 32L))
+    assert(cal.values.forall(r => r._1 * r._2 == 32L))
+  }
+
+  test("closed forms: p(t) and crossover match the S-curve formula") {
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // b=32, r=1: p(0.3) = 1 - 0.7^32
+    assert(cal(32L)._3 == r6(1.0 - math.pow(0.7, 32)))
+    // b=1, r=32: p(0.3) = 0.3^32 ≈ 0 after round-6
+    assert(cal(1L)._3 == 0.0)
+    // crossover for b=16, r=2: (1 - 2^(-1/16))^(1/2)
+    assert(cal(16L)._4 ==
+      r6(math.sqrt(1.0 - math.pow(0.5, 1.0 / 16))))
+  }
+
+  test("exactly one selected config; more bands = more FP, fewer FN") {
+    assert(cal.values.count(_._7) == 1)
+    val byBands = cal.values.toSeq.sortBy(_._1)
+    assert(byBands.map(_._5) == byBands.map(_._5).sorted)        // fp rises
+    assert(byBands.map(_._6) == byBands.map(_._6).sorted.reverse) // fn falls
+  }
+}
+
+class QualityModelSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.{col, lit}
+
+  test("features: unigram+bigram OCCURRENCES, repetition not deduped") {
+    val got = Seq(Tuple1("a b a b")).toDF("t")
+      .select(QualityModel.features(TextAnalysis.tokens(col("t"))))
+      .as[Seq[String]].head()
+    assert(got == Seq("a", "b", "a", "b", "a b", "b a", "a b"))
+    val single = Seq(Tuple1("solo")).toDF("t")
+      .select(QualityModel.features(TextAnalysis.tokens(col("t"))))
+      .as[Seq[String]].head()
+    assert(single == Seq("solo")) // no bigrams from one token
+  }
+
+  test("classifierScore: uniform weights give sigmoid(w/1000) and sign-exact kept") {
+    val docs = Seq((1L, "a b a b"), (2L, "solo")).toDF("doc_id", "text")
+    def uniform(wm: Long) = spark.range(16).select(
+      col("id").as("bucket"), lit(wm).as("weight_milli"))
+    // every feature hits SOME bucket; uniform table makes the mean = wm
+    val pos = QualityModel.classifierScore(docs, "text", "doc_id",
+        uniform(500L), 16)
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(pos.map(r => (r._1, r._2)) == Seq((1L, 7L), (2L, 1L)))
+    val exp05 = math.rint(1.0 / (1.0 + math.exp(-0.5)) * 1e6) / 1e6
+    assert(pos.forall(r => r._3 == exp05 && r._4))
+    val neg = QualityModel.classifierScore(docs, "text", "doc_id",
+        uniform(-500L), 16)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(neg.forall(r => r._3 < 0.5 && !r._4))
+    // exact zero sum: kept decides on the INTEGER sign (>= 0), score 0.5
+    val zero = QualityModel.classifierScore(docs, "text", "doc_id",
+        uniform(0L), 16)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(zero.forall(r => r._3 == 0.5 && r._4))
+  }
+
+  test("classifierScore: a targeted feature weight moves only the doc containing it") {
+    val docs = Seq((1L, "good words here"), (2L, "good words there"))
+      .toDF("doc_id", "text")
+    val b = 4096
+    // bucket of the discriminating bigram, derived via the operator's own
+    // hashing (the md5 recipe is pinned cross-engine by the t38 oracle)
+    val target = Seq(Tuple1("words there")).toDF("f")
+      .select(QualityModel.featureBucket(col("f"), b)).as[Long].head()
+    val weights = spark.range(b).select(col("id").as("bucket"),
+      org.apache.spark.sql.functions.when(col("id") === target, lit(-9000L))
+        .otherwise(lit(100L)).as("weight_milli"))
+    val got = QualityModel.classifierScore(docs, "text", "doc_id",
+        weights, b)
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got(0)._3 > 0.5 && got(0)._4)   // doc 1 never hits the bucket
+    assert(got(1)._3 < got(0)._3)          // doc 2 pays the targeted weight
+  }
+
+  test("standInWeights is deterministic, bounded, and covers every bucket") {
+    val w = QualityModel.standInWeights(spark, 256)
+      .as[(Long, Long)].collect().toMap
+    assert(w.size == 256 && w.keySet == (0L until 256L).toSet)
+    assert(w.values.forall(v => v >= -1000L && v <= 1000L))
+    val again = QualityModel.standInWeights(spark, 256)
+      .as[(Long, Long)].collect().toMap
+    assert(w == again)
+  }
+}
+
 class BpeSpec extends SparkSpec {
   import spark.implicits._
 
