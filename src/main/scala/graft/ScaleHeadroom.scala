@@ -766,6 +766,22 @@ object ScaleHeadroom {
             concat(seg, lit("\naccept cookies to continue reading this page")))
             .otherwise(seg).as("text"))
     }
+    def windowForm(docs: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__line")).orderBy(col("__k"))
+      docs
+        .select(col("doc_id"),
+          posexplode(split(col("text"), "\n")).as(Seq("__pos", "__line")))
+        .withColumn("__k", col("doc_id") * lit(1048576L) + col("__pos"))
+        .withColumn("__keep", row_number().over(w) === 1)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_lines"),
+          graft.operators.Summaries.countIf(col("__keep")).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(when(col("__keep"),
+              struct(col("__pos"), col("__line"))))),
+            s => s("__line")), "\n").as("kept_text"))
+    }
     for ((scale, dir) <- dirs) {
       val (secs, rows) = timeBest {
         forceAll(Dedup.lineDedup(fixture(dir), "doc_id", "text"))
@@ -773,23 +789,29 @@ object ScaleHeadroom {
       report("d23_line_dedup", scale, secs, rows)
     }
     for ((scale, dir) <- dirs.filter(_._1 == 25)) {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__line")).orderBy(col("__k"))
-      val (secs, rows) = timeBest {
-        forceAll(fixture(dir)
-          .select(col("doc_id"),
-            posexplode(split(col("text"), "\n")).as(Seq("__pos", "__line")))
-          .withColumn("__k", col("doc_id") * lit(1048576L) + col("__pos"))
-          .withColumn("__keep", row_number().over(w) === 1)
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_lines"),
-            graft.operators.Summaries.countIf(col("__keep")).as("n_kept"),
-            array_join(transform(
-              array_sort(collect_list(when(col("__keep"),
-                struct(col("__pos"), col("__line"))))),
-              s => s("__line")), "\n").as("kept_text")))
-      }
+      val (secs, rows) = timeBest { forceAll(windowForm(fixture(dir))) }
       report("d23_line_dedup_window_comparator", scale, secs, rows)
+    }
+    // The skew bound BINDING (the g5 dense-hub discipline): at the base
+    // fixture's skew (hot line ≈ |docs|/6 rows — ~21k at 25×) one window
+    // task absorbs the hot partition without visible cost and the window
+    // form is actually CHEAPER (one exchange vs the agg's two) — the
+    // architectural claim needs a fixture where it binds. Saturate:
+    // every 25× doc carries 40 copies of the boilerplate line → the hot
+    // window partition holds 5M rows in ONE task (sorted, serially),
+    // while the agg's map-side combine still ships ≤ one row per task
+    // for that line and the mark join spreads it by doc_id.
+    for ((scale, dir) <- dirs.filter(_._1 == 25)) {
+      val hot = fixture(dir).select(col("doc_id"),
+        concat(col("text"), lit(
+          Seq.fill(40)("accept cookies to continue reading this page")
+            .mkString("\n", "\n", ""))).as("text"))
+      val (aggS, aggR) = timeBest {
+        forceAll(Dedup.lineDedup(hot, "doc_id", "text"))
+      }
+      report("d23_hotline_agg", scale, aggS, aggR)
+      val (winS, winR) = timeBest { forceAll(windowForm(hot)) }
+      report("d23_hotline_window", scale, winS, winR)
     }
   }
 

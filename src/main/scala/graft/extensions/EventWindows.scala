@@ -400,4 +400,63 @@ object EventWindows {
     }
     out.orderBy(col("step"))
   }
+
+  /** Purged temporal train/val/test split with embargo gaps (López de
+    * Prado 2018 ch. 7's purged k-fold, in the single-split form
+    * time-series pipelines ship): train < t₁, val and test start an
+    * EMBARGO width after the previous boundary, and boundary-straddling
+    * events are DROPPED, not assigned — the leakage surface for any
+    * model with temporal state (label lookahead, feature windows) is
+    * exactly the events adjacent to a boundary. Complements s18's
+    * content-grain split: s18 stops the same TEXT landing in two
+    * splits; this stops the same TIME doing it.
+    *
+    * Boundaries are integer arithmetic on epoch seconds — t₁ =
+    * lo + (hi−lo)·trainPct/100, t₂ = lo + (hi−lo)·(trainPct+valPct)/100,
+    * gap = (hi−lo)·embargoPct/100, all BIGINT-exact and engine-portable
+    * (no float quantiles, no timezone math). Output: one row per split
+    * (train/embargo/val/test) with event + distinct-user counts, plus
+    * the cross-split audit `n_spanning_users` (users appearing in >1 of
+    * train/val/test — per-user state leaks across their boundary) on
+    * every row.
+    *
+    * Scale shape: one broadcast 2-value min/max aggregate, one map-only
+    * split projection riding the scan, one bounded groupBy(split), one
+    * user-grain distinct aggregate — the only data-sized exchange is on
+    * user_id (uniform). 100 TB note: min/max over event time prunes to
+    * parquet footer statistics when the table is time-partitioned (the
+    * layout every event store ships). */
+  def temporalSplit(events: DataFrame, trainPct: Int = 60,
+      valPct: Int = 20, embargoPct: Int = 1): DataFrame = {
+    require(trainPct > 0 && valPct > 0 &&
+      trainPct + valPct + 2 * embargoPct < 100,
+      "train/val/embargo percentages must leave room for test")
+    val sec = floor(unix_timestamp(col("ts"))).cast("long")
+    val ev = events.select(col("user_id"), sec.as("__sec"))
+    val mm = ev.agg(min(col("__sec")).as("__lo"), max(col("__sec")).as("__hi"))
+    val range = col("__hi") - col("__lo")
+    // Column./ is DOUBLE division — floor() back to exact integer
+    // boundaries (quotients here have ≤2 decimal digits, so the double
+    // floor equals the true integer floor; both engines truncate)
+    val t1 = col("__lo") + floor(range * trainPct / 100)
+    val t2 = col("__lo") + floor(range * (trainPct + valPct) / 100)
+    val gap = floor(range * embargoPct / 100)
+    val tagged = ev.crossJoin(broadcast(mm))
+      .withColumn("split",
+        when(col("__sec") < t1, lit("train"))
+          .when(col("__sec") < t1 + gap, lit("embargo"))
+          .when(col("__sec") < t2, lit("val"))
+          .when(col("__sec") < t2 + gap, lit("embargo"))
+          .otherwise(lit("test")))
+      .select(col("user_id"), col("split"))
+      .localCheckpoint(eager = false) // counts + spanning audit share it
+    val counts = tagged.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+    val spanning = tagged.filter(col("split") =!= "embargo")
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("split")).as("__nsp"))
+      .agg(count(when(col("__nsp") > 1, 1)).as("n_spanning_users"))
+    counts.crossJoin(broadcast(spanning))
+  }
 }

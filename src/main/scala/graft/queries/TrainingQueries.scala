@@ -105,6 +105,18 @@ object TrainingQueries {
         .orderBy(col("variant"))
     }),
 
+    // S21 — purged TEMPORAL split with embargo (López de Prado 2018
+    // ch. 7): train < t1, val/test each start an embargo width after
+    // the previous boundary, straddling events DROPPED — the time-grain
+    // complement to s18's content-grain leakage split. Boundaries are
+    // BIGINT-exact fractions of the [min, max] event-time range (no
+    // float quantiles); output: per-split event/user counts + the
+    // spanning-user audit (users in >1 of train/val/test — per-user
+    // temporal state leaks across their boundary).
+    "s21_temporal_split" -> ((s, d) =>
+      graft.extensions.EventWindows.temporalSplit(Tables.events(s, d))
+        .orderBy(col("split"))),
+
     // S10 — dataset MIXTURE up/down-sampling: each source gets an epoch
     // weight (>1 repeats documents, <1 hash-samples them) — the
     // data-mixing step that turns raw corpora into a training mixture.
@@ -3143,6 +3155,48 @@ object TrainingQueries {
     // skewed key (20% of rows collapse to key 0 — the only true heavy
     // hitter at every SF, margin ~3.4×) makes the capture non-vacuous.
     // n_true_hh and hh_exact_count are value-verified by the oracle.
+    // W33 — MERGEABLE approximate quantiles (Greenwald-Khanna-style
+    // QuantileSummaries behind percentile_approx): the 100 TB percentile
+    // path — w6's exact median needs the full sorted column, the sketch
+    // needs O(acc·log n) state per partial and merges associatively.
+    // The w30 guarantee-contract discipline: the sketch VALUE is
+    // engine-specific (merge-order dependent), so the oracled columns
+    // are the exact side (prob, n, exact interpolated quantile — the
+    // w6 quantile_cont convention) plus the CONTRACT boolean the oracle
+    // emits as literal true: the approx value's exact rank sits within
+    // n/accuracy (+1 tie slack) of prob·n. One pass builds the sketch
+    // AND the exact percentiles; one more pass ranks the 5 approx
+    // values via conditional counts against a 1-row broadcast (no
+    // crossJoin amplification).
+    "w33_approx_quantiles" -> ((s, d) => {
+      val probs = Seq(0.25, 0.5, 0.75, 0.95, 0.99)
+      val acc = 1000
+      val probsArr = array(probs.map(lit): _*)
+      val vals = Tables.lineitem(s, d)
+        .select(col("l_extendedprice").cast("double").as("v"))
+        .localCheckpoint(eager = false) // sketch+exact agg & rank pass
+      val agg1 = vals.agg(
+        percentile_approx(col("v"), probsArr, lit(acc)).as("q"),
+        percentile(col("v"), probsArr).as("qx"))
+      val rankCols = Seq(count(lit(1)).as("n"),
+        first(col("q")).as("q"), first(col("qx")).as("qx")) ++
+        probs.indices.map(i => Summaries.countIf(
+          col("v") <= element_at(col("q"), i + 1)).as(s"__r$i"))
+      val ranks = vals.crossJoin(broadcast(agg1))
+        .agg(rankCols.head, rankCols.tail: _*)
+      ranks
+        .select(posexplode(probsArr).as(Seq("__i", "prob")),
+          col("n"), col("q"), col("qx"),
+          map(probs.indices.flatMap(i =>
+            Seq(lit(i), col(s"__r$i"))): _*).as("__rm"))
+        .select(col("prob"), col("n"),
+          round(element_at(col("qx"), col("__i") + 1), 6).as("exact_q"),
+          (abs(element_at(col("__rm"), col("__i")) -
+            col("prob") * col("n")) <= col("n") / acc + 1)
+            .as("within_rank_bound"))
+        .orderBy(col("prob"))
+    }),
+
     "w30_heavy_hitters" -> ((s, d) => {
       val K = 16
       val mg = udaf(new graft.functions.MisraGriesAggregator(K))
@@ -3932,6 +3986,36 @@ object TrainingQueries {
     // conflict-checked slot CTEs) — NOT the serial chain; see
     // bpeBatchedOracleSql
     "t37_bpe_batched" -> bpeBatchedOracleSql(16, 4),
+
+    // s21's replay: same integer boundary arithmetic ((hi−lo)·pct//100 —
+    // BIGINT-exact both engines), same fate CASE, same spanning audit.
+    "s21_temporal_split" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), mm AS (
+        |  SELECT min(sec) AS lo, max(sec) AS hi FROM ev
+        |), tagged AS MATERIALIZED (
+        |  SELECT user_id,
+        |    CASE WHEN sec < lo + (hi - lo) * 60 // 100 THEN 'train'
+        |         WHEN sec < lo + (hi - lo) * 60 // 100
+        |           + (hi - lo) * 1 // 100 THEN 'embargo'
+        |         WHEN sec < lo + (hi - lo) * 80 // 100 THEN 'val'
+        |         WHEN sec < lo + (hi - lo) * 80 // 100
+        |           + (hi - lo) * 1 // 100 THEN 'embargo'
+        |         ELSE 'test' END AS split
+        |  FROM ev CROSS JOIN mm
+        |)
+        |SELECT split, n_events, n_users, n_spanning_users
+        |FROM (
+        |  SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM tagged GROUP BY split)
+        |CROSS JOIN (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_spanning_users FROM (
+        |    SELECT user_id FROM tagged WHERE split <> 'embargo'
+        |    GROUP BY user_id HAVING count(DISTINCT split) > 1))
+        |ORDER BY split""".stripMargin,
 
     // t38's replay: same feature bag (unigram occurrences + bigrams —
     // range(1, len) is end-exclusive, matching Spark's zip_with/slice
@@ -6336,6 +6420,19 @@ object TrainingQueries {
 
     // w30: the four booleans are the MG guarantees (hold under any
     // partitioning); n_true_hh / hh_exact_count are exact SQL values
+    // w33: exact side re-derived (the w6 quantile_cont convention);
+    // the rank-bound boolean is the w30 literal-true contract — the
+    // hash matches only if Spark's sketch actually met its guarantee
+    "w33_approx_quantiles" ->
+      """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem),
+        |qq AS (SELECT quantile_cont(v, [0.25, 0.5, 0.75, 0.95, 0.99])
+        |    AS qs, CAST(count(*) AS BIGINT) AS n FROM v)
+        |SELECT [0.25, 0.5, 0.75, 0.95, 0.99][i] AS prob, n,
+        |  round(qs[i], 6) AS exact_q, true AS within_rank_bound
+        |FROM qq CROSS JOIN (SELECT unnest(range(1, 6)) AS i)
+        |ORDER BY prob""".stripMargin,
+
     "w30_heavy_hitters" ->
       """WITH skew AS (SELECT CASE WHEN l_partkey % 5 = 0 THEN 0
         |    ELSE l_partkey % 997 END AS key FROM lineitem),

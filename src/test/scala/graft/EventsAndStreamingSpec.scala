@@ -314,6 +314,46 @@ class EventWindowsSpec extends SparkSpec {
   }
 }
 
+class TemporalSplitSpec extends SparkSpec {
+  import spark.implicits._
+  import java.sql.Timestamp
+
+  private def t(s: Long) = new Timestamp(s * 1000L)
+
+  // range [0, 1000]: t1 = 600, gap = 10, t2 = 800 →
+  // train [0,600) · embargo [600,610) · val [610,800) ·
+  // embargo [800,810) · test [810,1000]
+  private lazy val events = Seq(
+    (1L, t(0)),    // train  (also pins lo)
+    (1L, t(599)),  // train boundary inside
+    (2L, t(600)),  // embargo — first boundary straddle dropped
+    (2L, t(609)),  // embargo
+    (2L, t(610)),  // val opens exactly after the gap
+    (3L, t(700)),  // val
+    (3L, t(805)),  // embargo 2
+    (4L, t(810)),  // test opens
+    (4L, t(1000)), // test (pins hi)
+    (5L, t(100)),  // train-only user
+    (6L, t(50)),   // the SPANNING user: train ...
+    (6L, t(900))   // ... and test — per-user state leaks the boundary
+  ).toDF("user_id", "ts")
+
+  private lazy val got = EventWindows.temporalSplit(events)
+    .as[(String, Long, Long, Long)].collect()
+    .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("temporalSplit: integer boundaries, embargo drops straddlers") {
+    // (n_events, n_users, n_spanning_users) per split; user 2's
+    // embargo+val presence is NOT spanning (embargo excluded, one real
+    // split) — only user 6 (train+test) spans
+    assert(got == Map(
+      "train" -> ((4L, 3L, 1L)),
+      "embargo" -> ((3L, 2L, 1L)),
+      "val" -> ((2L, 2L, 1L)),
+      "test" -> ((3L, 2L, 1L))))
+  }
+}
+
 class StreamingSpec extends SparkSpec {
 
   test("streaming tumbling agg over a file source matches the batch form") {

@@ -488,6 +488,28 @@ class ScaleSpec extends SparkSpec {
       assert(math.abs(am - m) / m < 0.1, s"quantile off: $am vs $m")
     }
   }
+
+  test("approx quantiles: rank guarantee holds under ANY partition layout (w33 contract)") {
+    import spark.implicits._
+    // deterministic skewed-ish values; the sketch's OUTPUT may differ by
+    // merge order (partition layout) — the rank CONTRACT must not
+    val n = 20000
+    val acc = 100
+    val probs = Seq(0.25, 0.5, 0.75, 0.95, 0.99)
+    val raw = (1 to n).map(i => ((i * 2654435761L) % 999983).toDouble)
+    val sorted = raw.sorted
+    for (parts <- Seq(1, 7, 32)) {
+      val vals = raw.toDF("v").repartition(parts)
+      val q = vals.agg(percentile_approx(col("v"),
+          array(probs.map(lit): _*), lit(acc)).as("q"))
+        .as[Seq[Double]].head()
+      probs.zip(q).foreach { case (p, qv) =>
+        val rank = sorted.count(_ <= qv)
+        assert(math.abs(rank - p * n) <= n.toDouble / acc + 1,
+          s"parts=$parts p=$p approx=$qv rank=$rank")
+      }
+    }
+  }
 }
 
 class PartitionPruningSpec extends SparkSpec {
