@@ -538,6 +538,75 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming END-TO-END curation — [[incrementalIngest]]'s replay-safe
+    * foreachBatch discipline wrapped around the FULL d22 composition
+    * ([[graft.extensions.Curation.curateIncremental]]): per micro-batch,
+    * read the three persisted index artifacts (exact fingerprints,
+    * MinHash bands, span shingles — each batch_id-partitioned,
+    * OWN-batch partitions excluded so a replayed batch never sees its
+    * own state), attribute every document's fate against them, write
+    * the fates to `outDir/batch_id=N`, and advance all three indexes
+    * with the KEPT documents only — a rejected document must not poison
+    * state (its later twin deserves a fresh verdict), and a kept one
+    * must immediately gate the next batch.
+    *
+    * Replay safety is the incrementalIngest argument, three times over:
+    * every write is `overwrite` into the batch's own partition, and
+    * every read self-excludes, so a crash between the fate write and
+    * the checkpoint commit replays into identical state. Bootstrap:
+    * empty index dirs are empty snapshots with the operators' own
+    * schemas (built from `batch.limit(0)` — no hand-written schema to
+    * rot). Per-batch cost is the d22 contract: O(|batch|), the
+    * snapshot corpus is never re-read (measured flat in the d22
+    * ScaleHeadroom leg; at scale the index partitions get the d19
+    * bucketBy layout via periodic compaction). */
+  def curationIngest(docsStream: DataFrame, stateDir: String,
+      outDir: String, checkpointDir: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      nCharsCol: String = "n_chars")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val empty = batch.limit(0)
+        def readIdx(name: String, bootstrap: => DataFrame): DataFrame = {
+          val p = new org.apache.hadoop.fs.Path(s"$stateDir/$name")
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+            spark.read.parquet(s"$stateDir/$name")
+              .filter(col("batch_id") =!= lit(batchId))
+              .drop("batch_id")
+          else bootstrap
+        }
+        val exactIdx = readIdx("exact", graft.extensions.Dedup
+          .exactGroups(empty, textCol, idCol).select(col("fingerprint")))
+        val bandIdx = readIdx("band", graft.extensions.Dedup
+          .minHashBandIndex(empty, numHashes = 32, bands = 8,
+            hashFn = graft.extensions.Dedup.md5Hash60, maxBucket = 100))
+        val spanIdx = readIdx("span", graft.extensions.Dedup
+          .shingleIndex(empty, idCol, textCol, width = 8))
+        val fates = graft.extensions.Curation.curateIncremental(batch,
+            exactIdx, bandIdx, spanIdx, textCol, idCol, nCharsCol)
+          .localCheckpoint(eager = false) // fate write + keeper slice
+        fates.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        val kept = batch.join(
+          fates.filter(col("status") === "kept").select(col(idCol)),
+          Seq(idCol), "left_semi")
+          .localCheckpoint(eager = false) // three index advances
+        graft.extensions.Dedup.exactGroups(kept, textCol, idCol)
+          .select(col("fingerprint"))
+          .write.mode("overwrite").parquet(s"$stateDir/exact/batch_id=$batchId")
+        graft.extensions.Dedup.minHashBandIndex(kept, numHashes = 32,
+            bands = 8, hashFn = graft.extensions.Dedup.md5Hash60,
+            maxBucket = 100)
+          .write.mode("overwrite").parquet(s"$stateDir/band/batch_id=$batchId")
+        graft.extensions.Dedup.shingleIndex(kept, idCol, textCol, width = 8)
+          .write.mode("overwrite").parquet(s"$stateDir/span/batch_id=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Streaming metric-state maintenance — the w26 merge algebra under
     * `foreachBatch`: each micro-batch writes ONLY its own partial
     * aggregate (count + decimal-exact sum per key) into its

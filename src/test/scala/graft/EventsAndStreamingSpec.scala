@@ -1140,6 +1140,65 @@ class StatefulStreamingSpec extends SparkSpec {
   }
 }
 
+class CurationIngestSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+  import graft.streaming.StreamingOps
+
+  // Gopher-passing text builders (the CurationIncrementalSpec fixture
+  // conventions: 8 mandatory stopwords + distinct content words; the
+  // 20-token passage is the only span-grain overlap channel)
+  private val stop8 = "the be to of and that have with"
+  private def body(seed: String, n: Int = 44): String =
+    (1 to n).map(i => f"${seed}word$i%02d").mkString(" ")
+  private val passage = "grain alpha beta gamma delta epsilon zeta eta " +
+    "theta iota kappa lambda mu nu xi omicron pi rho sigma tau"
+  private val tA = s"$stop8 ${body("aone")}"
+  private val tX = s"$stop8 ${body("xone", 30)} $passage"
+
+  test("streaming curation gates each batch on prior batches' KEPT state") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cur").toString
+    def df(rows: Seq[(Long, String)]) = rows
+      .map { case (id, t) => (id, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    val b1 = Seq(
+      (1L, tA),          // kept
+      (2L, tA),          // exact_dup_batch (keeper election)
+      (3L, "tiny text"), // low_quality — must NOT enter state
+      (4L, tX))          // kept (carries the passage into the span index)
+    val b2 = Seq(
+      (10L, tA),                                 // exact_dup_state
+      (11L, s"$tA extra"),                       // near_dup_state
+      (12L, s"$stop8 ${body("fresh")}"),         // kept — fresh content
+      (13L, s"$stop8 ${body("span")} $passage")) // span_dup_state vs tX
+    df(b1).coalesce(1).write.parquet(s"$root/in")
+    df(b2).coalesce(1).write.mode("append").parquet(s"$root/in")
+
+    val stream = spark.readStream.schema(df(b1).schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+    val q = StreamingOps.curationIngest(stream, s"$root/state",
+      s"$root/out", s"$root/chk")
+    q.processAllAvailable(); q.stop()
+
+    val fates = spark.read.parquet(s"$root/out")
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(fates == Map(
+      1L -> "kept", 2L -> "exact_dup_batch", 3L -> "low_quality",
+      4L -> "kept",
+      10L -> "exact_dup_state", 11L -> "near_dup_state",
+      12L -> "kept", 13L -> "span_dup_state"))
+    // state advanced with KEPT docs only: fingerprints for tA, tX and
+    // batch 2's fresh keeper — the junk doc and the dup losers absent
+    val fps = spark.read.parquet(s"$root/state/exact")
+      .select("fingerprint").distinct().count()
+    assert(fps == 3L)
+    // both batches left their own index partitions (replay-safe layout)
+    for (idx <- Seq("exact", "band", "span"))
+      assert(spark.read.parquet(s"$root/state/$idx")
+        .select("batch_id").distinct().count() == 2L)
+  }
+}
+
 class StreamDedupSpec extends SparkSpec {
 
   test("watermarked stream dedup drops re-delivered events") {
