@@ -170,6 +170,15 @@ object ScaleHeadroom {
       return
     }
 
+    // standalone re-measure of the round-10 families (t38 classifier,
+    // s21 temporal split, w33 sketch-vs-exact percentiles):
+    // SPARK_GRAFT_LEG=r10
+    if (sys.env.get("SPARK_GRAFT_LEG").contains("r10")) {
+      r10Leg(spark, dirs, report)
+      spark.stop()
+      return
+    }
+
     // ---- e12 train-once/probe-many split ----------------------------
     // runs BEFORE the headline loop so the PqArtifact cache miss (the
     // 7-job Lloyd training + corpus encode — the FIXED cost a
@@ -425,6 +434,7 @@ object ScaleHeadroom {
     d22Leg(spark, docs, dirs, report)
     t36Leg(spark, dirs, report)
     d23Leg(spark, dirs, report)
+    r10Leg(spark, dirs, report)
 
     // d19 with the PRESCRIBED layout: the same probe against the index
     // persisted BUCKETED BY h (the s12 layout). The unbucketed probe
@@ -812,6 +822,55 @@ object ScaleHeadroom {
       report("d23_hotline_agg", scale, aggS, aggR)
       val (winS, winR) = timeBest { forceAll(windowForm(hot)) }
       report("d23_hotline_window", scale, winS, winR)
+    }
+  }
+
+  /** Round-10 families, measured on arrival (the m8/BPE discipline —
+    * no new family ships without a 1×/10×/25× leg):
+    *   - t38 classifier inference — must be ~LINEAR (one token-grain
+    *     explode + broadcast weight join + doc-grain agg; nothing may
+    *     grow faster than the corpus);
+    *   - s21 temporal split — must be ~linear (one broadcast min/max +
+    *     one map-only fate projection + bounded aggs);
+    *   - w33 sketch vs exact percentiles on the same inflated column —
+    *     the REASON the sketch is the 100 TB path: the exact
+    *     interpolated percentile materializes the full column per
+    *     group (memory grows with data), the sketch's state is
+    *     O(acc·log n) per partial regardless. Both timed on
+    *     events.value at each scale.
+    * Standalone: SPARK_GRAFT_LEG=r10. */
+  private def r10Leg(spark: SparkSession, dirs: Seq[(Int, String)],
+      report: (String, Int, Double, Long) => Unit): Unit = {
+    import graft.extensions.QualityModel
+    val weights = QualityModel.standInWeights(spark, 4096)
+      .localCheckpoint(eager = false)
+    weights.count()
+    val probs = Seq(0.25, 0.5, 0.75, 0.95, 0.99)
+    val probsArr = array(probs.map(lit): _*)
+    for ((scale, dir) <- dirs) {
+      val docsD = spark.read.parquet(s"$dir/documents.parquet")
+      val (tSecs, tRows) = timeBest {
+        forceAll(QualityModel.classifierScore(docsD, "text", "doc_id",
+          weights, 4096))
+      }
+      report("t38_classifier", scale, tSecs, tRows)
+      // fixture events were canonicalized before the build wrote them —
+      // the parquet carries plain TimestampType
+      val evD = spark.read.parquet(s"$dir/events.parquet")
+      val (sSecs, sRows) = timeBest {
+        forceAll(graft.extensions.EventWindows.temporalSplit(evD))
+      }
+      report("s21_temporal_split", scale, sSecs, sRows)
+      val vals = evD.select(col("value").cast("double").as("v"))
+      val (aSecs, aRows) = timeBest {
+        forceAll(vals.agg(
+          percentile_approx(col("v"), probsArr, lit(1000)).as("q")))
+      }
+      report("w33_sketch_quantiles", scale, aSecs, aRows)
+      val (xSecs, xRows) = timeBest {
+        forceAll(vals.agg(percentile(col("v"), probsArr).as("qx")))
+      }
+      report("w33_exact_percentile", scale, xSecs, xRows)
     }
   }
 
