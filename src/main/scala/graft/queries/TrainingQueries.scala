@@ -648,6 +648,35 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // T39 — dataset-card audit (the per-source datasheet a corpus
+    // release ships — Gebru et al. 2021 "Datasheets for Datasets";
+    // Dodge et al. 2021's C4 audit): per source, corpus mass (docs,
+    // tokens, mean doc length), Gopher quality pass rate, exact-dup
+    // rate (distinct fingerprints vs docs — on the cloned
+    // documentsWithDups fixture so the rate discriminates), language
+    // count. ONE signal projection (gopherProfile, fingerprint and
+    // lang riding the same pass via the extras hook) + ONE source-grain
+    // aggregate — a 100 TB datasheet costs one scan.
+    "t39_dataset_card" -> ((s, d) => {
+      val flagged = TextAnalysis.gopherProfile(
+        Tables.spread(Tables.documentsWithDups(s, d)),
+        "text", "doc_id", "n_chars",
+        col("source").as("__src"), col("lang").as("__lang"),
+        TextAnalysis.normHash(col("text")).as("__fp"))
+      flagged.groupBy(col("__src").as("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_tokens"),
+          round(sum(col("n_words")) * lit(1.0) / count(lit(1)), 4)
+            .as("avg_doc_tokens"),
+          round(Summaries.countIf(col("reject_reason") === "pass")
+            * lit(1.0) / count(lit(1)), 4).as("quality_pass_rate"),
+          countDistinct(col("__fp")).as("n_distinct_fp"),
+          round(lit(1.0) - countDistinct(col("__fp")) * lit(1.0)
+            / count(lit(1)), 4).as("dup_frac"),
+          countDistinct(col("__lang")).as("n_langs"))
+        .orderBy(col("source"))
+    }),
+
     // T32 — BM25 ranked retrieval (Robertson/Spärck Jones; Lucene's
     // +1-inside-the-log idf so scores stay positive), k1=1.2, b=0.75:
     // the query a retrieval-augmented pipeline runs against the corpus
@@ -3986,6 +4015,49 @@ object TrainingQueries {
     // conflict-checked slot CTEs) — NOT the serial chain; see
     // bpeBatchedOracleSql
     "t37_bpe_batched" -> bpeBatchedOracleSql(16, 4),
+
+    // t39's replay: the green t27 signal battery at source grain over
+    // the d1 clone injection; every rate a double division of exact
+    // ints, round 4
+    "t39_dataset_card" ->
+      """WITH docs AS MATERIALIZED (
+        |  SELECT * FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 25 = 0
+        |), flagged AS MATERIALIZED (
+        |  SELECT source, lang, md5(lower(trim(text))) AS fp, n_words,
+        |    CASE WHEN n_words NOT BETWEEN 50 AND 100000 THEN 'word_count'
+        |         WHEN mean_word_len NOT BETWEEN 3.0 AND 10.0
+        |           THEN 'mean_word_len'
+        |         WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
+        |         WHEN alpha_frac < 0.8 THEN 'alpha_frac'
+        |         WHEN n_stopword_hits < 2 THEN 'stopwords'
+        |         ELSE 'pass' END AS reject_reason
+        |  FROM (
+        |    SELECT source, lang, text,
+        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |      round((len(text) - len(string_split(text, ' ')) + 1) * 1.0
+        |        / len(string_split(text, ' ')), 4) AS mean_word_len,
+        |      round(((len(text) - len(replace(text, '#', '')))
+        |          + (len(text) - len(replace(text, '...', ''))) / 3) * 1.0
+        |        / len(string_split(text, ' ')), 4) AS symbol_ratio,
+        |      round(len(list_filter(string_split(text, ' '),
+        |          x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+        |        / len(string_split(text, ' ')), 4) AS alpha_frac,
+        |      CAST(len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the','be','to','of','and','that','have','with')))
+        |        AS BIGINT) AS n_stopword_hits
+        |    FROM docs)
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS n_tokens,
+        |  round(sum(n_words) * 1.0 / count(*), 4) AS avg_doc_tokens,
+        |  round(sum(CASE WHEN reject_reason = 'pass' THEN 1 ELSE 0 END)
+        |    * 1.0 / count(*), 4) AS quality_pass_rate,
+        |  CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+        |  round(1.0 - count(DISTINCT fp) * 1.0 / count(*), 4) AS dup_frac,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM flagged GROUP BY source ORDER BY source""".stripMargin,
 
     // s21's replay: same integer boundary arithmetic ((hi−lo)·pct//100 —
     // BIGINT-exact both engines), same fate CASE, same spanning audit.
