@@ -961,6 +961,8 @@ object ScaleHeadroom {
         .learnMergesBatched(corpus, "text", k, maxBatch = 16)
         .orderBy(col("merge_rank"))
         .select("sym_a", "sym_b")
+        // bounded collect: exactly k ≤ 256 rows by construction — the
+        // e17 shortlist rule; merge tables are model artifacts, not data
         .collect().map(r => (r.getString(0), r.getString(1))).toSeq
       val applied = graft.extensions.Bpe.applyMerges(applyDocs, "text",
         "doc_id", merges)

@@ -71,6 +71,74 @@ object QualityModel {
         (col("__sum") >= 0).as("kept"))
   }
 
+  /** TRAIN the classifier — batch gradient descent for logistic
+    * regression over the same hashed unigram+bigram features
+    * [[classifierScore]] serves, completing the train→apply loop the
+    * way t28→t31 did for BPE. Labels arrive in `labelCol` (0.0/1.0);
+    * the board query distills the t27 Gopher rule battery into them —
+    * exactly the DCLM recipe (Li et al. 2024): train a cheap linear
+    * model on heuristic labels, then run the model, not the rules, at
+    * corpus scale.
+    *
+    * Model: score(d) = mean feature weight (the [[classifierScore]]
+    * form), p = σ(score), batch-GD update
+    * w_b ← w_b − lr · Σ_d∈b (p_d − y_d)/n_d / N.
+    *
+    * Cross-engine determinism (every float collapse is quantize →
+    * exact decimal sum — the engine-wide w8 moment discipline):
+    * per-doc error rounds to 6 dp after the one σ, per-occurrence
+    * gradient terms round to 9 dp and sum as DECIMAL(38,9), weights
+    * round to 9 dp per update — so the DuckDB oracle replays the k
+    * unrolled iterations bit-for-bit, libm's σ drift (≈1e-16) absorbed
+    * by margins ≥1e-6.
+    *
+    * Scale shape: the feature frame (one token-grain explode) is built
+    * ONCE behind a barrier; each iteration is one broadcast join
+    * against the ≤numBuckets weight table + two aggregates (doc-grain
+    * score, bucket-grain gradient) — per-iteration cost is one pass
+    * over feature occurrences, state is the weight table. The single
+    * driver-side action is `docs.count()` (one long — the gradient
+    * normalizer). */
+  def trainLogistic(docs: DataFrame, textCol: String, idCol: String,
+      labelCol: String, numBuckets: Int, iters: Int,
+      lr: Double): DataFrame = {
+    val id = col(idCol)
+    val feats = docs
+      .select(id, explode(features(TextAnalysis.tokens(col(textCol))))
+        .as("__f"))
+      .select(id, featureBucket(col("__f"), numBuckets).as("bucket"))
+      .localCheckpoint(eager = false) // reused every iteration
+    val docn = docs.select(id, col(labelCol).cast("double").as("__y"))
+      .join(feats.groupBy(id).agg(count(lit(1)).as("__n")), Seq(idCol))
+      .localCheckpoint(eager = false)
+    val nDocs = docs.count() // bounded driver action: the GD normalizer
+    var weights = feats.select(col("bucket")).distinct()
+      .withColumn("w", lit(0.0))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to iters) {
+      val err = feats.join(broadcast(weights), Seq("bucket"))
+        .groupBy(id)
+        .agg(sum(col("w").cast("decimal(38,9)")).as("__sw"))
+        .join(docn, Seq(idCol))
+        .select(id,
+          round(lit(1.0) / (lit(1.0) +
+            exp(-(col("__sw").cast("double") / col("__n"))))
+            - col("__y"), 6).as("__e"),
+          col("__n"))
+      val grad = feats.join(err, Seq(idCol))
+        .groupBy(col("bucket"))
+        .agg(sum(round(col("__e") / col("__n"), 9)
+          .cast("decimal(38,9)")).as("__g"))
+      weights = weights.join(grad, Seq("bucket"), "left")
+        .select(col("bucket"),
+          round(col("w") - lit(lr) *
+            coalesce(col("__g").cast("double"), lit(0.0)) / nDocs, 9)
+            .as("w"))
+        .localCheckpoint(eager = false)
+    }
+    weights.select(col("bucket"), col("w").as("weight"))
+  }
+
   /** Deterministic stand-in weight table — bucket b gets
     * `md5Hash60("w:" + b) % 2001 − 1000` ∈ [−1000, 1000] milliweights.
     * Board fixture only: production swaps in the trained table and the

@@ -677,6 +677,28 @@ object TrainingQueries {
         .orderBy(col("source"))
     }),
 
+    // T40 — classifier TRAINING (batch-GD logistic regression over the
+    // t38 hashed feature space), labels DISTILLED from the t27 Gopher
+    // battery — the DCLM recipe (Li et al. 2024): train a linear model
+    // on heuristic labels, then run the model, not the rules, at
+    // corpus scale. Completes t38's train→apply loop the way t28→t31
+    // closed BPE's. 3 unrolled GD iterations, 512 buckets, lr=1; every
+    // float collapse is quantize→decimal-sum (see
+    // QualityModel.trainLogistic), so the oracle replays the whole
+    // optimization bit-for-bit.
+    "t40_classifier_training" -> ((s, d) => {
+      import graft.extensions.QualityModel
+      val docs0 = Tables.spread(Tables.documents(s, d))
+      val labeled = docs0.join(
+        TextAnalysis.gopherProfile(docs0, "text", "doc_id", "n_chars")
+          .select(col("doc_id"),
+            (col("reject_reason") === "pass").cast("double").as("label")),
+        Seq("doc_id"))
+      QualityModel.trainLogistic(labeled, "text", "doc_id", "label",
+          numBuckets = 512, iters = 3, lr = 1.0)
+        .orderBy(col("bucket"))
+    }),
+
     // T32 — BM25 ranked retrieval (Robertson/Spärck Jones; Lucene's
     // +1-inside-the-log idf so scores stay positive), k1=1.2, b=0.75:
     // the query a retrieval-augmented pipeline runs against the corpus
@@ -3893,6 +3915,77 @@ object TrainingQueries {
     * against an independent reimplementation on conflict-exhausting,
     * vocab-exhausting and single-char-run corpora (BpeSpec pins the
     * Spark side). */
+  /** t40's replay — the full batch-GD optimization unrolled: the t27
+    * battery distills labels, then per iteration k: s_k (per-doc error
+    * after the σ, round 6), g_k (bucket gradient — per-occurrence terms
+    * round 9, DECIMAL sum), w_k (update, round 9). Every CTE
+    * MATERIALIZED (each w_k is read by two successors). */
+  private def classifierTrainingOracleSql(buckets: Int, iters: Int,
+      lr: Double): String = {
+    val header = s"""WITH lab AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CASE WHEN reject_reason = 'pass' THEN 1.0 ELSE 0.0 END AS y
+      |  FROM (
+      |    SELECT doc_id,
+      |      CASE WHEN n_words NOT BETWEEN 50 AND 100000 THEN 'word_count'
+      |           WHEN mean_word_len NOT BETWEEN 3.0 AND 10.0
+      |             THEN 'mean_word_len'
+      |           WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
+      |           WHEN alpha_frac < 0.8 THEN 'alpha_frac'
+      |           WHEN n_stopword_hits < 2 THEN 'stopwords'
+      |           ELSE 'pass' END AS reject_reason
+      |    FROM (
+      |      SELECT doc_id,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |        round((len(text) - len(string_split(text, ' ')) + 1) * 1.0
+      |          / len(string_split(text, ' ')), 4) AS mean_word_len,
+      |        round(((len(text) - len(replace(text, '#', '')))
+      |            + (len(text) - len(replace(text, '...', ''))) / 3) * 1.0
+      |          / len(string_split(text, ' ')), 4) AS symbol_ratio,
+      |        round(len(list_filter(string_split(text, ' '),
+      |            x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+      |          / len(string_split(text, ' ')), 4) AS alpha_frac,
+      |        CAST(len(list_filter(string_split(text, ' '), x -> x IN
+      |          ('the','be','to','of','and','that','have','with')))
+      |          AS BIGINT) AS n_stopword_hits
+      |      FROM documents))
+      |), feats AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % $buckets
+      |      AS bucket
+      |  FROM (SELECT doc_id, unnest(list_concat(t,
+      |      list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])))
+      |      AS f
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS t
+      |          FROM documents))
+      |), docn AS MATERIALIZED (
+      |  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n, any_value(l.y) AS y
+      |  FROM feats f JOIN lab l ON f.doc_id = l.doc_id GROUP BY f.doc_id
+      |), nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+      |w0 AS MATERIALIZED (
+      |  SELECT DISTINCT bucket, 0.0 AS w FROM feats)""".stripMargin
+    val iterSql = (1 to iters).map { k =>
+      s""", s$k AS MATERIALIZED (
+        |  SELECT d.doc_id,
+        |    round(1.0 / (1.0 + exp(-(CAST(sum(CAST(w AS DECIMAL(38,9)))
+        |      AS DOUBLE) / d.n))) - d.y, 6) AS e, d.n
+        |  FROM feats f JOIN w${k - 1} USING (bucket)
+        |  JOIN docn d ON f.doc_id = d.doc_id
+        |  GROUP BY d.doc_id, d.n, d.y
+        |), g$k AS MATERIALIZED (
+        |  SELECT bucket, CAST(sum(CAST(round(e / n, 9) AS DECIMAL(38,9)))
+        |    AS DOUBLE) AS g
+        |  FROM feats JOIN s$k USING (doc_id) GROUP BY bucket
+        |), w$k AS MATERIALIZED (
+        |  SELECT w${k - 1}.bucket,
+        |    round(w${k - 1}.w - $lr * coalesce(g, 0.0)
+        |      / (SELECT nd FROM nd), 9) AS w
+        |  FROM w${k - 1} LEFT JOIN g$k USING (bucket))""".stripMargin
+    }.mkString
+    header + iterSql +
+      s"\nSELECT bucket, w AS weight FROM w$iters ORDER BY bucket"
+  }
+
   private def bpeBatchedOracleSql(k: Int, b: Int): String = {
     val passes = k
     val sb = new StringBuilder
@@ -4015,6 +4108,8 @@ object TrainingQueries {
     // conflict-checked slot CTEs) — NOT the serial chain; see
     // bpeBatchedOracleSql
     "t37_bpe_batched" -> bpeBatchedOracleSql(16, 4),
+
+    "t40_classifier_training" -> classifierTrainingOracleSql(512, 3, 1.0),
 
     // t39's replay: the green t27 signal battery at source grain over
     // the d1 clone injection; every rate a double division of exact

@@ -1527,6 +1527,57 @@ class QualityModelSpec extends SparkSpec {
   }
 }
 
+class TrainLogisticSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.{avg, col, lit}
+
+  private val stop8 = "the be to of and that have with"
+  private def body(seed: String): String =
+    (1 to 44).map(i => f"${seed}word$i%02d").mkString(" ")
+  // 6 Gopher-passing docs (label 1) + 6 word_count failures (label 0),
+  // disjoint vocabularies — linearly separable in the hashed space up
+  // to incidental bucket collisions
+  private lazy val labeled = {
+    val docs = ((1 to 6).map(i => (i.toLong, s"$stop8 ${body(s"g$i")}")) ++
+      (7 to 12).map(i => (i.toLong, s"tiny text t$i"))).toDF("doc_id", "text")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(col("text")).cast("long"))
+    docs.join(TextAnalysis.gopherProfile(docs, "text", "doc_id", "n_chars")
+      .select(col("doc_id"),
+        (col("reject_reason") === "pass").cast("double").as("label")),
+      Seq("doc_id"))
+  }
+
+  private def train() = QualityModel.trainLogistic(labeled, "text",
+    "doc_id", "label", numBuckets = 4096, iters = 3, lr = 50.0)
+
+  test("trainLogistic separates heuristic-labeled classes after 3 GD steps") {
+    val w = train()
+    val scored = labeled
+      .select(col("doc_id"), col("label"),
+        org.apache.spark.sql.functions.explode(QualityModel.features(
+          TextAnalysis.tokens(col("text")))).as("__f"))
+      .select(col("doc_id"), col("label"),
+        QualityModel.featureBucket(col("__f"), 4096).as("bucket"))
+      .join(w, Seq("bucket"))
+      .groupBy(col("doc_id"), col("label"))
+      .agg(avg(col("weight")).as("score"))
+      .as[(Long, Double, Double)].collect()
+    val good = scored.filter(_._2 == 1.0).map(_._3)
+    val bad = scored.filter(_._2 == 0.0).map(_._3)
+    assert(good.size == 6 && bad.size == 6)
+    assert(good.min > bad.max,
+      s"separation failed: good min ${good.min} vs bad max ${bad.max}")
+  }
+
+  test("trainLogistic is deterministic and quantized to 9 decimals") {
+    val a = train().as[(Long, Double)].collect().toMap
+    val b = train().as[(Long, Double)].collect().toMap
+    assert(a == b)
+    assert(a.values.forall(v => v == math.rint(v * 1e9) / 1e9))
+  }
+}
+
 class BpeSpec extends SparkSpec {
   import spark.implicits._
 
