@@ -854,6 +854,24 @@ object ScaleHeadroom {
           weights, 4096))
       }
       report("t38_classifier", scale, tSecs, tRows)
+      // t40 training: per-iteration cost is one pass over the feature
+      // frame, so wall must be ~linear in corpus at fixed iters
+      val labeled = docsD.join(
+        graft.extensions.TextAnalysis.gopherProfile(docsD, "text",
+          "doc_id", "n_chars")
+          .select(col("doc_id"),
+            (col("reject_reason") === "pass").cast("double").as("label")),
+        Seq("doc_id"))
+      val (gSecs, gRows) = timeBest {
+        forceAll(QualityModel.trainLogistic(labeled, "text", "doc_id",
+          "label", numBuckets = 512, iters = 3, lr = 1.0))
+      }
+      report("t40_train_logistic", scale, gSecs, gRows)
+      // t39 dataset card: one scan + one source-grain aggregate
+      val (cSecs, cRows) = timeBest {
+        forceAll(SparkEntry.queries("t39_dataset_card")(spark, dir))
+      }
+      report("t39_dataset_card", scale, cSecs, cRows)
       // fixture events were canonicalized before the build wrote them —
       // the parquet carries plain TimestampType
       val evD = spark.read.parquet(s"$dir/events.parquet")

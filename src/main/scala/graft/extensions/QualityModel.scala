@@ -103,10 +103,7 @@ object QualityModel {
       labelCol: String, numBuckets: Int, iters: Int,
       lr: Double): DataFrame = {
     val id = col(idCol)
-    val feats = docs
-      .select(id, explode(features(TextAnalysis.tokens(col(textCol))))
-        .as("__f"))
-      .select(id, featureBucket(col("__f"), numBuckets).as("bucket"))
+    val feats = hashedFeaturesWithBias(docs, textCol, idCol, numBuckets)
       .localCheckpoint(eager = false) // reused every iteration
     val docn = docs.select(id, col(labelCol).cast("double").as("__y"))
       .join(feats.groupBy(id).agg(count(lit(1)).as("__n")), Seq(idCol))
@@ -137,6 +134,62 @@ object QualityModel {
         .localCheckpoint(eager = false)
     }
     weights.select(col("bucket"), col("w").as("weight"))
+  }
+
+  /** Hashed feature occurrences PLUS the intercept: every doc gets one
+    * constant bias feature at bucket `numBuckets` — one past the hash
+    * range, so it can never collide with a content feature. Without it
+    * an imbalanced corpus drags every mean-of-weights score to the same
+    * side of 0.5 (the model ranks but cannot calibrate); the bias
+    * bucket's weight learns the class prior, exactly the hashing-trick
+    * intercept convention. Shared by [[trainLogistic]] and
+    * [[modelScore]] so train and apply see identical feature frames. */
+  private def hashedFeaturesWithBias(docs: DataFrame, textCol: String,
+      idCol: String, numBuckets: Int): DataFrame = {
+    val id = col(idCol)
+    docs
+      .select(id, explode(features(TextAnalysis.tokens(col(textCol))))
+        .as("__f"))
+      .select(id, featureBucket(col("__f"), numBuckets).as("bucket"))
+      .unionByName(docs.select(id, lit(numBuckets.toLong).as("bucket")))
+  }
+
+  /** Score a corpus with a TRAINED double-weight table (the
+    * [[trainLogistic]] output — its tiny-magnitude weights would vanish
+    * under [[classifierScore]]'s integer milliweight grain): per doc,
+    * model_score = σ(mean trained weight, the training-consistent
+    * form), `kept` = score ≥ the corpus MEDIAN score — the production
+    * quantile cut (DCLM/FineWeb-Edu keep a top score fraction; a few GD
+    * steps rank far better than they calibrate, so σ = 0.5 is the wrong
+    * cut on an imbalanced corpus) — and the rule label alongside: the
+    * model-vs-rules agreement is what a distillation ablation reads.
+    * Same scale shape as [[classifierScore]]: one explode, one
+    * broadcast join, one doc-grain exchange, plus a 1-row median
+    * broadcast (exact percentile here for the oracle; at 100 TB the cut
+    * comes from the w33 sketch, same plan). */
+  def modelScore(docs: DataFrame, textCol: String, idCol: String,
+      labelCol: String, weights: DataFrame, numBuckets: Int): DataFrame = {
+    val id = col(idCol)
+    val feats = hashedFeaturesWithBias(docs, textCol, idCol, numBuckets)
+      .localCheckpoint(eager = false) // n count + score pass
+    val docn = docs.select(id, col(labelCol).cast("double").as("__y"))
+      .join(feats.groupBy(id).agg(count(lit(1)).as("__n")), Seq(idCol))
+    val scored = feats.join(broadcast(weights), Seq("bucket"))
+      .groupBy(id)
+      .agg(sum(col("weight").cast("decimal(38,9)")).as("__sw"))
+      .join(docn, Seq(idCol))
+      .select(id,
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(col("__sw").cast("double") / col("__n")))), 6)
+          .as("model_score"),
+        (col("__y") === 1.0).as("rule_label"))
+      .localCheckpoint(eager = false) // median + output share it
+    val cut = scored.agg(
+      expr("percentile(model_score, 0.5)").as("__cut"))
+    scored.crossJoin(broadcast(cut))
+      .select(id, col("model_score"),
+        (col("model_score") >= col("__cut")).as("kept"),
+        col("rule_label"))
   }
 
   /** Deterministic stand-in weight table — bucket b gets

@@ -25,6 +25,15 @@ object TrainingQueries {
     "zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma " +
     "tau upsilon phi chi psi omega red green blue gold silver"
 
+  /** The t40/t41 lexical quality signal — ten symbol-spam tokens
+    * appended to every doc_id % 5 == 0 document: 30 '#' chars trip the
+    * Gopher symbol-ratio rule (>0.1 of ~110 words), so the label
+    * becomes PARTLY expressible in the bag-of-words — the DCLM premise
+    * (a linear model can see spam words; it cannot see a length).
+    * Shared by the Spark fixture and the DuckDB replay. */
+  val SpamMarker: String =
+    " ### ### ### ### ### ### ### ### ### ###"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // S8 — stratified deterministic sampling via a multiplicative integer
@@ -682,21 +691,35 @@ object TrainingQueries {
     // battery — the DCLM recipe (Li et al. 2024): train a linear model
     // on heuristic labels, then run the model, not the rules, at
     // corpus scale. Completes t38's train→apply loop the way t28→t31
-    // closed BPE's. 3 unrolled GD iterations, 512 buckets, lr=1; every
+    // closed BPE's. 3 unrolled GD iterations, 4096 buckets, lr=100
+    // (the N-normalized gradient needs a real step size, and 512
+    // buckets collide too hard on this corpus to separate); every
     // float collapse is quantize→decimal-sum (see
     // QualityModel.trainLogistic), so the oracle replays the whole
     // optimization bit-for-bit.
     "t40_classifier_training" -> ((s, d) => {
       import graft.extensions.QualityModel
-      val docs0 = Tables.spread(Tables.documents(s, d))
-      val labeled = docs0.join(
-        TextAnalysis.gopherProfile(docs0, "text", "doc_id", "n_chars")
-          .select(col("doc_id"),
-            (col("reject_reason") === "pass").cast("double").as("label")),
-        Seq("doc_id"))
-      QualityModel.trainLogistic(labeled, "text", "doc_id", "label",
-          numBuckets = 512, iters = 3, lr = 1.0)
+      QualityModel.trainLogistic(spamLabeledDocs(s, d), "text", "doc_id",
+          "label", numBuckets = 4096, iters = 3, lr = 100.0)
         .orderBy(col("bucket"))
+    }),
+
+    // T41 — the trained model SCORES the corpus (the back half of the
+    // DCLM loop t40 opens): t40's 3-GD-iteration weights applied per
+    // doc — model_score (σ of the mean trained weight), kept = score ≥
+    // the corpus median score (the production quantile cut — 3 GD steps
+    // rank far better than they calibrate), and the rule label
+    // alongside so model-vs-rules agreement is readable. The oracle
+    // replays training AND inference in one statement.
+    "t41_model_scored_corpus" -> ((s, d) => {
+      import graft.extensions.QualityModel
+      val labeled = spamLabeledDocs(s, d)
+        .localCheckpoint(eager = false) // trainer + scorer both read it
+      val w = QualityModel.trainLogistic(labeled, "text", "doc_id",
+        "label", numBuckets = 4096, iters = 3, lr = 100.0)
+      QualityModel.modelScore(labeled, "text", "doc_id", "label",
+          w.select(col("bucket"), col("weight")), 4096)
+        .orderBy(col("doc_id"))
     }),
 
     // T32 — BM25 ranked retrieval (Robertson/Spärck Jones; Lucene's
@@ -3915,14 +3938,35 @@ object TrainingQueries {
     * against an independent reimplementation on conflict-exhausting,
     * vocab-exhausting and single-char-run corpora (BpeSpec pins the
     * Spark side). */
-  /** t40's replay — the full batch-GD optimization unrolled: the t27
-    * battery distills labels, then per iteration k: s_k (per-doc error
-    * after the σ, round 6), g_k (bucket gradient — per-occurrence terms
+  /** t40/t41's shared fixture: the [[SpamMarker]] injection on
+    * doc_id % 5 docs (n_chars recomputed post-injection — the d22
+    * convention), then the t27 battery distilled into a 0/1 label. */
+  private def spamLabeledDocs(s: SparkSession, d: String): DataFrame = {
+    val docs0 = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(SpamMarker)))
+          .otherwise(col("text")).as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs0.join(
+      TextAnalysis.gopherProfile(docs0, "text", "doc_id", "n_chars")
+        .select(col("doc_id"),
+          (col("reject_reason") === "pass").cast("double").as("label")),
+      Seq("doc_id"))
+  }
+
+  /** t40's replay, CTEs only (callers append their SELECT — t40 reads
+    * the final weights, t41 appends an inference pass): the t27 battery
+    * distills labels, then per iteration k: s_k (per-doc error after
+    * the σ, round 6), g_k (bucket gradient — per-occurrence terms
     * round 9, DECIMAL sum), w_k (update, round 9). Every CTE
     * MATERIALIZED (each w_k is read by two successors). */
   private def classifierTrainingOracleSql(buckets: Int, iters: Int,
       lr: Double): String = {
-    val header = s"""WITH lab AS MATERIALIZED (
+    val header = s"""WITH docs0 AS MATERIALIZED (
+      |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || '$SpamMarker'
+      |    ELSE text END AS text
+      |  FROM documents
+      |), lab AS MATERIALIZED (
       |  SELECT doc_id,
       |    CASE WHEN reject_reason = 'pass' THEN 1.0 ELSE 0.0 END AS y
       |  FROM (
@@ -3948,7 +3992,7 @@ object TrainingQueries {
       |        CAST(len(list_filter(string_split(text, ' '), x -> x IN
       |          ('the','be','to','of','and','that','have','with')))
       |          AS BIGINT) AS n_stopword_hits
-      |      FROM documents))
+      |      FROM docs0))
       |), feats AS MATERIALIZED (
       |  SELECT doc_id,
       |    CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % $buckets
@@ -3957,7 +4001,8 @@ object TrainingQueries {
       |      list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])))
       |      AS f
       |    FROM (SELECT doc_id, string_split(text, ' ') AS t
-      |          FROM documents))
+      |          FROM docs0))
+      |  UNION ALL SELECT doc_id, CAST($buckets AS BIGINT) FROM docs0
       |), docn AS MATERIALIZED (
       |  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n, any_value(l.y) AS y
       |  FROM feats f JOIN lab l ON f.doc_id = l.doc_id GROUP BY f.doc_id
@@ -3982,9 +4027,29 @@ object TrainingQueries {
         |      / (SELECT nd FROM nd), 9) AS w
         |  FROM w${k - 1} LEFT JOIN g$k USING (bucket))""".stripMargin
     }.mkString
-    header + iterSql +
-      s"\nSELECT bucket, w AS weight FROM w$iters ORDER BY bucket"
+    header + iterSql
   }
+
+  /** t41's replay — the t40 GD chain, then ONE inference pass of the
+    * final weights over the training corpus (the decimal score sum is
+    * exact, so `kept` decides on its sign, not a rounded sigmoid). */
+  private def modelScoredOracleSql(buckets: Int, iters: Int,
+      lr: Double): String =
+    classifierTrainingOracleSql(buckets, iters, lr) +
+      s"""
+        |, scored AS MATERIALIZED (
+        |  SELECT d.doc_id,
+        |    round(1.0 / (1.0 + exp(-(CAST(sum(CAST(w AS DECIMAL(38,9)))
+        |      AS DOUBLE) / d.n))), 6) AS model_score,
+        |    any_value(d.y) = 1.0 AS rule_label
+        |  FROM feats f JOIN w$iters USING (bucket)
+        |  JOIN docn d ON f.doc_id = d.doc_id
+        |  GROUP BY d.doc_id, d.n)
+        |SELECT doc_id, model_score,
+        |  model_score >= (SELECT quantile_cont(model_score, 0.5)
+        |    FROM scored) AS kept,
+        |  rule_label
+        |FROM scored ORDER BY doc_id""".stripMargin
 
   private def bpeBatchedOracleSql(k: Int, b: Int): String = {
     val passes = k
@@ -4109,7 +4174,10 @@ object TrainingQueries {
     // bpeBatchedOracleSql
     "t37_bpe_batched" -> bpeBatchedOracleSql(16, 4),
 
-    "t40_classifier_training" -> classifierTrainingOracleSql(512, 3, 1.0),
+    "t40_classifier_training" -> (classifierTrainingOracleSql(4096, 3, 100.0) +
+      "\nSELECT bucket, w AS weight FROM w3 ORDER BY bucket"),
+
+    "t41_model_scored_corpus" -> modelScoredOracleSql(4096, 3, 100.0),
 
     // t39's replay: the green t27 signal battery at source grain over
     // the d1 clone injection; every rate a double division of exact

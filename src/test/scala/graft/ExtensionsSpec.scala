@@ -1570,6 +1570,16 @@ class TrainLogisticSpec extends SparkSpec {
       s"separation failed: good min ${good.min} vs bad max ${bad.max}")
   }
 
+  test("modelScore at the median cut classifies the separable fixture exactly") {
+    val w = train()
+    val got = QualityModel.modelScore(labeled, "text", "doc_id", "label",
+        w, 4096)
+      .as[(Long, Double, Boolean, Boolean)].collect()
+    assert(got.length == 12)
+    // classes separate around the median: kept == rule_label everywhere
+    assert(got.forall(r => r._3 == r._4))
+  }
+
   test("trainLogistic is deterministic and quantized to 9 decimals") {
     val a = train().as[(Long, Double)].collect().toMap
     val b = train().as[(Long, Double)].collect().toMap
