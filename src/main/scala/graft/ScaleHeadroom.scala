@@ -228,13 +228,15 @@ object ScaleHeadroom {
     for ((scale, dir) <- dirs) {
       val idxDir = s"$dir/__band_index.parquet"
       Dedup.minHashBandIndex(spark.read.parquet(s"$dir/documents.parquet"),
-          numHashes = 32, bands = 8, hashFn = Dedup.md5Hash60,
+          numHashes = Dedup.LshNumHashes, bands = Dedup.LshBands,
+          hashFn = Dedup.md5Hash60,
           maxBucket = 100)
         .write.mode("overwrite").parquet(idxDir)
       val index = spark.read.parquet(idxDir)
       val (secs, rows) = timeBest {
-        forceAll(Dedup.incrementalMinHashPairs(batch, index, numHashes = 32,
-          bands = 8, threshold = 0.3, hashFn = Dedup.md5Hash60))
+        forceAll(Dedup.incrementalMinHashPairs(batch, index,
+          numHashes = Dedup.LshNumHashes, bands = Dedup.LshBands,
+          threshold = 0.3, hashFn = Dedup.md5Hash60))
       }
       report("d12_ingest_probe", scale, secs, rows)
     }
@@ -355,7 +357,8 @@ object ScaleHeadroom {
     for ((label, cap) <- Seq("capped_100" -> 100,
         "uncapped" -> Int.MaxValue)) {
       val (secs, rows) = timeBest {
-        forceAll(Dedup.minHashLshPairs(skewed, numHashes = 32, bands = 8,
+        forceAll(Dedup.minHashLshPairs(skewed,
+          numHashes = Dedup.LshNumHashes, bands = Dedup.LshBands,
           threshold = 0.3, maxBucket = cap, hashFn = Dedup.md5Hash60))
       }
       report(s"d3_skewed_$label", 1, secs, rows)
@@ -695,8 +698,9 @@ object ScaleHeadroom {
       val t0 = System.nanoTime()
       val exactIdx = Dedup.exactGroups(state, "text", "doc_id")
         .select(col("fingerprint")).localCheckpoint(eager = false)
-      val bandIdx = Dedup.minHashBandIndex(state, numHashes = 32,
-          bands = 8, hashFn = Dedup.md5Hash60, maxBucket = 100)
+      val bandIdx = Dedup.minHashBandIndex(state,
+          numHashes = Dedup.LshNumHashes, bands = Dedup.LshBands,
+          hashFn = Dedup.md5Hash60, maxBucket = 100)
         .localCheckpoint(eager = false)
       val spanIdx = Dedup.shingleIndex(state, "doc_id", "text", width = 8)
         .localCheckpoint(eager = false)
@@ -729,7 +733,8 @@ object ScaleHeadroom {
         Dedup.exactGroups(state, "text", "doc_id").select(col("fingerprint"))
           .write.bucketBy(32, "fingerprint").sortBy("fingerprint")
           .mode("overwrite").saveAsTable(s"d22_fp_x$scale")
-        Dedup.minHashBandIndex(state, numHashes = 32, bands = 8,
+        Dedup.minHashBandIndex(state,
+            numHashes = Dedup.LshNumHashes, bands = Dedup.LshBands,
             hashFn = Dedup.md5Hash60, maxBucket = 100)
           .write.bucketBy(32, "bhash").sortBy("bhash")
           .mode("overwrite").saveAsTable(s"d22_band_x$scale")

@@ -118,8 +118,9 @@ object Curation {
     * sequential anti-join chain serializes them. */
   def curateIncremental(batch: DataFrame, exactIndex: DataFrame,
       bandIndex: DataFrame, spanIndex: DataFrame, textCol: String,
-      idCol: String, nCharsCol: String, numHashes: Int = 32,
-      bands: Int = 8, nearThreshold: Double = 0.3,
+      idCol: String, nCharsCol: String,
+      numHashes: Int = Dedup.LshNumHashes,
+      bands: Int = Dedup.LshBands, nearThreshold: Double = 0.3,
       hashFn: Column => Column = Dedup.md5Hash60,
       spanWidth: Int = 8, minSpanTokens: Int = 16): DataFrame = {
     val id = col(idCol)

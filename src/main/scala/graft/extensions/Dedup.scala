@@ -335,10 +335,23 @@ object Dedup {
     * appended; a drop-the-bucket cap would oscillate: drop at cap+1,
     * re-admit from zero next advance). The cap is a property of the
     * snapshot, paid at build/advance time, never per ingest batch. */
+  /** The shipped LSH banding — the point [[lshCalibration]] (d24) places
+    * on the S-curve frontier at `n = 32` hashes: b=8/r=4 is the
+    * PRECISION-LEANING choice (lower false-positive mass, 50% crossover
+    * ≈ 0.54) vs the fp+fn-mass-optimal b=16/r=2 (crossover ≈ 0.21,
+    * which floods a 0.3-threshold run with low-similarity candidates —
+    * candidate VOLUME, not miss rate, is what hurts at 100 TB). Every
+    * banded operator defaults to these constants so the calibration
+    * table and the operators it configures cannot drift apart:
+    * re-calibrating means changing THIS pair, and LshCalibrationSpec
+    * pins the documented frontier placement. */
+  val LshNumHashes: Int = 32
+  val LshBands: Int = 8
+
   def minHashBandIndex(
       docs: DataFrame,
-      numHashes: Int = 32,
-      bands: Int = 8,
+      numHashes: Int = LshNumHashes,
+      bands: Int = LshBands,
       hashFn: Column => Column = xxhash64(_),
       maxBucket: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0,
@@ -407,8 +420,8 @@ object Dedup {
   def incrementalMinHashPairs(
       batch: DataFrame,
       index: DataFrame,
-      numHashes: Int = 32,
-      bands: Int = 8,
+      numHashes: Int = LshNumHashes,
+      bands: Int = LshBands,
       threshold: Double = 0.5,
       hashFn: Column => Column = xxhash64(_)): DataFrame = {
     val idx = index.select(col("band"), col("bhash"),
@@ -435,8 +448,8 @@ object Dedup {
     */
   def minHashLshPairs(
       docs: DataFrame,
-      numHashes: Int = 32,
-      bands: Int = 8,
+      numHashes: Int = LshNumHashes,
+      bands: Int = LshBands,
       threshold: Double = 0.5,
       maxBucket: Int = 100,
       hashFn: Column => Column = xxhash64(_)): DataFrame = {
@@ -1220,29 +1233,6 @@ object Dedup {
         countDistinct(col("doc_id")).as("n_docs"))
   }
 
-  /** C4-style LINE-level exact dedup across the corpus (Raffel et al.
-    * 2020 §2.2's "discard all but one of any three-sentence span", at
-    * the line grain RefinedWeb/FineWeb actually ship): every line keeps
-    * its FIRST occurrence in (`idCol`, position) order and is removed
-    * everywhere else; docs shrink, they are not dropped. Input text must
-    * already carry '\n' line structure (segmentation is the caller's
-    * corpus convention). Output per doc: `n_lines`, `n_kept`, and the
-    * reconstructed `kept_text` (kept lines re-joined in position order).
-    *
-    * Scale shape at 100 TB — the skew story IS the operator: the naive
-    * plan is a window `row_number() OVER (PARTITION BY line)`, and a
-    * boilerplate line present in 1/6 of a 100 TB corpus makes that ONE
-    * window partition — a skew bomb no AQE setting fixes (windows
-    * can't split a partition). Instead the keeper election is an
-    * AGGREGATE (`min(doc_id·2²⁰+pos)` per line): map-side combine
-    * collapses a heavy line to ≤ one row per task BEFORE the exchange,
-    * so the hottest key ships #partitions rows, not corpus rows. The
-    * keeper mark then joins back on the COMPOSITE (line, k) key —
-    * doc_id inside the key spreads the hot line uniformly, so the mark
-    * join has no hot partition either. One line-grain explode (the
-    * honest cost every line-dedup pays), two uniform exchanges, one
-    * doc-grain reassembly agg. `pos` must stay < 2²⁰ lines/doc — a
-    * document with a million lines is a parse failure, not data. */
   /** MinHash-LSH banding calibration — the S-curve table that CONFIGURES
     * [[minHashLshPairs]]/[[minHashBandIndex]] before anyone runs them at
     * petabyte scale (Leskovec/Rajaraman/Ullman, MMDS ch. 3): for `n`
@@ -1292,12 +1282,37 @@ object Dedup {
         (col("cost") === col("__best")).as("selected"))
   }
 
+  /** C4-style LINE-level exact dedup across the corpus (Raffel et al.
+    * 2020 §2.2's "discard all but one of any three-sentence span", at
+    * the line grain RefinedWeb/FineWeb actually ship): every line keeps
+    * its FIRST occurrence in (`idCol`, position) order and is removed
+    * everywhere else; docs shrink, they are not dropped. Input text must
+    * already carry '\n' line structure (segmentation is the caller's
+    * corpus convention). Output per doc: `n_lines`, `n_kept`, and the
+    * reconstructed `kept_text` (kept lines re-joined in position order).
+    *
+    * Scale shape at 100 TB — the skew story IS the operator: the naive
+    * plan is a window `row_number() OVER (PARTITION BY line)`, and a
+    * boilerplate line present in 1/6 of a 100 TB corpus makes that ONE
+    * window partition — a skew bomb no AQE setting fixes (windows
+    * can't split a partition). Instead the keeper election is an
+    * AGGREGATE (`min(struct(doc_id, pos))` per line — lexicographic
+    * struct ordering IS (doc, pos) order, with no packed-key width
+    * bound, so a pathological million-line document elects correctly
+    * instead of colliding into a neighbor's key space): map-side
+    * combine collapses a heavy line to ≤ one row per task BEFORE the
+    * exchange, so the hottest key ships #partitions rows, not corpus
+    * rows. The keeper mark then joins back on the COMPOSITE
+    * (line, struct) key — doc_id inside the key spreads the hot line
+    * uniformly, so the mark join has no hot partition either. One
+    * line-grain explode (the honest cost every line-dedup pays), two
+    * uniform exchanges, one doc-grain reassembly agg. */
   def lineDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val id = col(idCol)
     val lines = docs
       .select(id, posexplode(split(col(textCol), "\n"))
         .as(Seq("__pos", "__line")))
-      .withColumn("__k", id * lit(1048576L) + col("__pos"))
+      .withColumn("__k", struct(id.as("__d"), col("__pos").as("__p")))
       .localCheckpoint(eager = false) // election + mark join both read it
     val keepers = lines.groupBy(col("__line"))
       .agg(min(col("__k")).as("__k"))

@@ -60,10 +60,15 @@ object QualityModel {
         explode(features(TextAnalysis.tokens(col(textCol)))).as("__f"))
       .select(col(idCol), featureBucket(col("__f"), numBuckets).as("bucket"))
     feats
-      .join(broadcast(weights), Seq("bucket"))
+      // LEFT join + zero-fill: a SPARSE weight table (one that doesn't
+      // cover every bucket) means "unseen feature carries zero weight" —
+      // the [[modelScore]] convention — never "drop the occurrence",
+      // which would silently shrink n_features (and with it the mean's
+      // denominator) and drop all-unseen docs from the output entirely.
+      .join(broadcast(weights), Seq("bucket"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_features"),
-        sum(col("weight_milli")).as("__sum"))
+        sum(coalesce(col("weight_milli"), lit(0L))).as("__sum"))
       .select(col(idCol), col("n_features"),
         round(lit(1.0) / (lit(1.0) +
           exp(-(col("__sum").cast("double") /
@@ -170,11 +175,30 @@ object QualityModel {
   def modelScore(docs: DataFrame, textCol: String, idCol: String,
       labelCol: String, weights: DataFrame, numBuckets: Int): DataFrame = {
     val id = col(idCol)
+    val scored = scoredWithTrained(docs, textCol, idCol, labelCol,
+        weights, numBuckets)
+      .localCheckpoint(eager = false) // median + output share it
+    val cut = scored.agg(
+      expr("percentile(model_score, 0.5)").as("__cut"))
+    scored.crossJoin(broadcast(cut))
+      .select(id, col("model_score"),
+        (col("model_score") >= col("__cut")).as("kept"),
+        col("rule_label"))
+  }
+
+  /** Per-doc scores under a TRAINED double-weight table, before any
+    * cut — `(idCol, model_score, rule_label)`. The shared scoring pass
+    * of [[modelScore]] (exact-median cut), [[evalHeldOut]] (train-cut
+    * confusion counts) and [[approxCutContract]] (sketch-cut contract):
+    * one explode, one broadcast weight join, one doc-grain exchange. */
+  def scoredWithTrained(docs: DataFrame, textCol: String, idCol: String,
+      labelCol: String, weights: DataFrame, numBuckets: Int): DataFrame = {
+    val id = col(idCol)
     val feats = hashedFeaturesWithBias(docs, textCol, idCol, numBuckets)
       .localCheckpoint(eager = false) // n count + score pass
     val docn = docs.select(id, col(labelCol).cast("double").as("__y"))
       .join(feats.groupBy(id).agg(count(lit(1)).as("__n")), Seq(idCol))
-    val scored = feats.join(broadcast(weights), Seq("bucket"))
+    feats.join(broadcast(weights), Seq("bucket"))
       .groupBy(id)
       .agg(sum(col("weight").cast("decimal(38,9)")).as("__sw"))
       .join(docn, Seq(idCol))
@@ -183,13 +207,115 @@ object QualityModel {
           exp(-(col("__sw").cast("double") / col("__n")))), 6)
           .as("model_score"),
         (col("__y") === 1.0).as("rule_label"))
-      .localCheckpoint(eager = false) // median + output share it
-    val cut = scored.agg(
-      expr("percentile(model_score, 0.5)").as("__cut"))
-    scored.crossJoin(broadcast(cut))
-      .select(id, col("model_score"),
-        (col("model_score") >= col("__cut")).as("kept"),
-        col("rule_label"))
+  }
+
+  /** HELD-OUT evaluation of the trained classifier — the quality report
+    * the model stage owes (every other pipeline stage ships one; cf.
+    * the reference's per-stage validation, data_cleaner.py:88-151):
+    * train on `train` ONLY, cut at the TRAIN median score (the t41
+    * production quantile cut, derived with zero held-out peeking), then
+    * score `heldout` — docs the optimizer never saw — and report the
+    * confusion matrix of the cut verdict against the t27 rule labels.
+    * Output is ONE row of integer counts (tp/fp/fn/tn are exact —
+    * fully SQL-replayable) plus precision/recall/accuracy as round-6
+    * ratios of those integers (IEEE division of identical exact longs —
+    * engine-identical). NULL precision/recall when a denominator is 0
+    * (an empty predicted-positive or actual-positive slice), never a
+    * fake 0.0.
+    *
+    * Scale shape: [[trainLogistic]]'s per-iteration pass over the train
+    * slice, two [[scoredWithTrained]] passes (train for the cut,
+    * heldout for the verdicts), a 1-row cut broadcast, and a final
+    * single-row aggregate — no new exchange class beyond t40/t41. */
+  def evalHeldOut(train: DataFrame, heldout: DataFrame, textCol: String,
+      idCol: String, labelCol: String, numBuckets: Int, iters: Int,
+      lr: Double): DataFrame = {
+    val w = trainLogistic(train, textCol, idCol, labelCol, numBuckets,
+        iters, lr)
+      .localCheckpoint(eager = false) // train scoring + heldout scoring
+    val cut = scoredWithTrained(train, textCol, idCol, labelCol, w,
+        numBuckets)
+      .agg(expr("percentile(model_score, 0.5)").as("__cut"))
+    val verdicts = scoredWithTrained(heldout, textCol, idCol, labelCol,
+        w, numBuckets)
+      .crossJoin(broadcast(cut))
+      .select((col("model_score") >= col("__cut")).as("__p"),
+        col("rule_label").as("__y"))
+    val nTrain = train.agg(count(lit(1)).as("n_train"))
+    verdicts
+      .agg(count(lit(1)).as("n_heldout"),
+        graft.operators.Summaries.countIf(col("__p") && col("__y"))
+          .as("tp"),
+        graft.operators.Summaries.countIf(col("__p") && !col("__y"))
+          .as("fp"),
+        graft.operators.Summaries.countIf(!col("__p") && col("__y"))
+          .as("fn"),
+        graft.operators.Summaries.countIf(!col("__p") && !col("__y"))
+          .as("tn"))
+      .crossJoin(broadcast(nTrain))
+      .select(col("n_train"), col("n_heldout"), col("tp"), col("fp"),
+        col("fn"), col("tn"),
+        round(col("tp") * lit(1.0) /
+          nullif(col("tp") + col("fp"), lit(0L)), 6).as("precision"),
+        round(col("tp") * lit(1.0) /
+          nullif(col("tp") + col("fn"), lit(0L)), 6).as("recall"),
+        round((col("tp") + col("tn")) * lit(1.0) /
+          col("n_heldout"), 6).as("accuracy"))
+  }
+
+  /** The PRODUCTION form of t41's quantile cut, executed and bounded:
+    * cut at `percentile_approx(score, 0.5, accuracy)` — the w33 sketch
+    * whose aggregation state is a bounded quantile summary — instead of
+    * exact `percentile`, whose ObjectHashAggregate buffers the ENTIRE
+    * score column in one final reducer (the one state shape in the t41
+    * plan that grows linearly with the corpus). Same plan otherwise:
+    * both cuts are 1-row broadcasts over the shared scored frame.
+    *
+    * Output is the one-row CONTRACT tying the sketch cut to the exact
+    * one (the w33 discipline — DuckDB cannot replay Spark's sketch, so
+    * the oracle re-derives the exact quantities and pins the booleans):
+    *   - `n_docs`, `kept_exact` — exact, fully SQL-replayable;
+    *   - `cut_within_rank_bound` — some rank of the approx cut (its
+    *     tie interval [count(s < qa)+1, count(s ≤ qa)]) lies within
+    *     n/accuracy of n/2, the percentile_approx guarantee;
+    *   - `disagree_within_bound` — |kept_approx − kept_exact| (the two
+    *     kept sets are nested: both are upward-closed in score, so the
+    *     symmetric difference IS the count gap) ≤ n/accuracy +
+    *     ties(approx cut) + ties(exact cut) + 1: the rank slack, plus
+    *     the tie blocks either cut can move wholesale, plus the exact
+    *     median's interpolation unit. */
+  def approxCutContract(docs: DataFrame, textCol: String, idCol: String,
+      labelCol: String, weights: DataFrame, numBuckets: Int,
+      accuracy: Int): DataFrame = {
+    val scored = scoredWithTrained(docs, textCol, idCol, labelCol,
+        weights, numBuckets)
+      .localCheckpoint(eager = false) // cuts + rank counts share it
+    val cuts = scored.agg(
+      expr("percentile(model_score, 0.5)").as("__qe"),
+      expr(s"percentile_approx(model_score, 0.5, $accuracy)").as("__qa"))
+    scored.crossJoin(broadcast(cuts))
+      .agg(count(lit(1)).as("n_docs"),
+        graft.operators.Summaries.countIf(col("model_score") >= col("__qe"))
+          .as("kept_exact"),
+        graft.operators.Summaries.countIf(col("model_score") >= col("__qa"))
+          .as("__kept_approx"),
+        graft.operators.Summaries.countIf(col("model_score") < col("__qa"))
+          .as("__lt_qa"),
+        graft.operators.Summaries.countIf(col("model_score") <= col("__qa"))
+          .as("__le_qa"),
+        graft.operators.Summaries.countIf(col("model_score") === col("__qa"))
+          .as("__ties_qa"),
+        graft.operators.Summaries.countIf(col("model_score") === col("__qe"))
+          .as("__ties_qe"))
+      .select(col("n_docs"), col("kept_exact"),
+        ((col("__lt_qa") <=
+          col("n_docs") / 2 + col("n_docs") / accuracy + 1) &&
+          (col("__le_qa") >=
+            col("n_docs") / 2 - col("n_docs") / accuracy - 1))
+          .as("cut_within_rank_bound"),
+        (abs(col("__kept_approx") - col("kept_exact")) <=
+          col("n_docs") / accuracy + col("__ties_qa") + col("__ties_qe")
+            + 1).as("disagree_within_bound"))
   }
 
   /** Deterministic stand-in weight table — bucket b gets

@@ -68,12 +68,14 @@ object ExtensionQueries {
     // the semantics are identical.
     "d3_minhash_lsh" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.minHashLshPairs(docs, numHashes = 32, bands = 8,
+      val pairs = Dedup.minHashLshPairs(docs,
+        numHashes = Dedup.LshNumHashes, bands = Dedup.LshBands,
         threshold = 0.3, hashFn = Dedup.md5Hash60)
       val perDoc = pairs
         .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))
-      Dedup.withMinHashSignature(docs, "text", 32, 3, Dedup.md5Hash60)
+      Dedup.withMinHashSignature(docs, "text", Dedup.LshNumHashes, 3,
+          Dedup.md5Hash60)
         .select(col("doc_id"),
           col("minhash_sig")(0).as("sig0"), col("minhash_sig")(1).as("sig1"),
           col("minhash_sig")(2).as("sig2"), col("minhash_sig")(3).as("sig3"))
@@ -91,12 +93,12 @@ object ExtensionQueries {
     "d12_incremental_minhash" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val index = Dedup.minHashBandIndex(
-        docs.filter(col("doc_id") < 400), numHashes = 32, bands = 8,
-        hashFn = Dedup.md5Hash60, maxBucket = 100)
+        docs.filter(col("doc_id") < 400), numHashes = Dedup.LshNumHashes,
+        bands = Dedup.LshBands, hashFn = Dedup.md5Hash60, maxBucket = 100)
       Dedup.incrementalMinHashPairs(
           docs.filter(col("doc_id") >= 400), index,
-          numHashes = 32, bands = 8, threshold = 0.3,
-          hashFn = Dedup.md5Hash60)
+          numHashes = Dedup.LshNumHashes, bands = Dedup.LshBands,
+          threshold = 0.3, hashFn = Dedup.md5Hash60)
         .orderBy(col("new_id"), col("old_id"))
     }),
 
@@ -138,8 +140,9 @@ object ExtensionQueries {
         .withColumn("n_chars", length(col("text")).cast("long"))
       val exactIdx = Dedup.exactGroups(state, "text", "doc_id")
         .select(col("fingerprint"))
-      val bandIdx = Dedup.minHashBandIndex(state, numHashes = 32,
-        bands = 8, hashFn = Dedup.md5Hash60, maxBucket = 100)
+      val bandIdx = Dedup.minHashBandIndex(state,
+        numHashes = Dedup.LshNumHashes, bands = Dedup.LshBands,
+        hashFn = Dedup.md5Hash60, maxBucket = 100)
       val spanIdx = Dedup.shingleIndex(state, "doc_id", "text", width = 8)
       Curation.curateIncremental(batch, exactIdx, bandIdx, spanIdx,
           "text", "doc_id", "n_chars")
@@ -175,7 +178,8 @@ object ExtensionQueries {
     // config table); every grid p(s) is rounded(6) BEFORE the decimal
     // mass integrals so both engines integrate identical curves.
     "d24_lsh_calibration" -> ((s, _) =>
-      Dedup.lshCalibration(s, numHashes = 32, threshold = 0.3)
+      Dedup.lshCalibration(s, numHashes = Dedup.LshNumHashes,
+          threshold = 0.3)
         .orderBy(col("bands"))),
 
     // D4 — SimHash (60-bit md5-derived fingerprint) + near-dup candidate
@@ -1150,8 +1154,12 @@ object ExtensionQueries {
 
     // d23's replay: same segmentation regex (RE2 and java.util.regex
     // agree on this token-anchored pattern), same boilerplate
-    // injection, 0-based position key doc_id·2²⁰+pos, aggregate keeper
-    // election, composite-key mark, position-ordered reassembly.
+    // injection, aggregate keeper election, composite-key mark,
+    // position-ordered reassembly. The oracle packs the election key as
+    // doc_id*2^20+pos where Spark elects min(struct(doc_id, pos)) — the
+    // two orders agree whenever every doc has < 2^20 lines, which holds
+    // for this corpus by construction (the Spark side carries NO such
+    // bound; LineDedupSpec exercises the >2^20-line collision case).
     "d23_line_dedup" ->
       s"""WITH seg AS MATERIALIZED (
         |  SELECT doc_id, CASE WHEN doc_id % 6 = 0 THEN

@@ -722,6 +722,44 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // T42 — HELD-OUT classifier evaluation: the t40/t41 loop finally
+    // measured on docs the optimizer never saw. Split by the s18
+    // leakage-safe convention (seeded md5 of the content FINGERPRINT —
+    // an exact duplicate can never straddle train/eval), train on
+    // buckets 0–7, cut at the TRAIN median score, score buckets 8–9,
+    // report integer confusion counts + round-6 precision/recall/
+    // accuracy vs the t27 rule labels. The oracle replays the split,
+    // the whole 3-iteration GD run on the train slice, both scoring
+    // passes and the confusion sums — every count exact.
+    "t42_classifier_eval" -> ((s, d) => {
+      import graft.extensions.{Dedup, QualityModel, TextAnalysis}
+      val labeled = spamLabeledDocs(s, d)
+        .withColumn("__b", pmod(Dedup.md5Hash60(concat(lit("split42:"),
+          TextAnalysis.normHash(col("text")))), lit(10)))
+        .localCheckpoint(eager = false) // train + heldout slices
+      QualityModel.evalHeldOut(labeled.filter(col("__b") <= 7),
+        labeled.filter(col("__b") >= 8), "text", "doc_id", "label",
+        numBuckets = 4096, iters = 3, lr = 100.0)
+    }),
+
+    // T43 — t41's quantile cut in its PRODUCTION form (percentile_
+    // approx, bounded sketch state) tied to the exact cut by a one-row
+    // contract: the sketch cut's rank interval must lie within
+    // n/accuracy of the median rank, and the kept-set disagreement
+    // (the sets are nested — both upward-closed in score) must stay
+    // inside rank slack + tie widths + 1. n_docs/kept_exact replay
+    // exactly in SQL; the booleans are Spark-verified, oracle-pinned
+    // (the w33 discipline — DuckDB has no GK sketch to replay).
+    "t43_model_approx_cut" -> ((s, d) => {
+      import graft.extensions.QualityModel
+      val labeled = spamLabeledDocs(s, d)
+        .localCheckpoint(eager = false) // trainer + contract read it
+      val w = QualityModel.trainLogistic(labeled, "text", "doc_id",
+        "label", numBuckets = 4096, iters = 3, lr = 100.0)
+      QualityModel.approxCutContract(labeled, "text", "doc_id", "label",
+        w.select(col("bucket"), col("weight")), 4096, accuracy = 10000)
+    }),
+
     // T32 — BM25 ranked retrieval (Robertson/Spärck Jones; Lucene's
     // +1-inside-the-log idf so scores stay positive), k1=1.2, b=0.75:
     // the query a retrieval-augmented pipeline runs against the corpus
@@ -3252,21 +3290,35 @@ object TrainingQueries {
       val agg1 = vals.agg(
         percentile_approx(col("v"), probsArr, lit(acc)).as("q"),
         percentile(col("v"), probsArr).as("qx"))
+      // Tie-aware rank contract: a returned value q with duplicates
+      // occupies the whole rank interval [count(v < q) + 1, count(v <= q)]
+      // — the sketch guarantee is that SOME rank of q lies within
+      // n/accuracy of p·n, so the check is interval-vs-interval overlap
+      // (count(v < q) ≤ p·n + slack AND count(v <= q) ≥ p·n − slack),
+      // not a single count with one unit of slack, which a legitimate
+      // result can fail when the data carries many duplicates at q.
       val rankCols = Seq(count(lit(1)).as("n"),
         first(col("q")).as("q"), first(col("qx")).as("qx")) ++
-        probs.indices.map(i => Summaries.countIf(
-          col("v") <= element_at(col("q"), i + 1)).as(s"__r$i"))
+        probs.indices.flatMap(i => Seq(
+          Summaries.countIf(
+            col("v") < element_at(col("q"), i + 1)).as(s"__lt$i"),
+          Summaries.countIf(
+            col("v") <= element_at(col("q"), i + 1)).as(s"__le$i")))
       val ranks = vals.crossJoin(broadcast(agg1))
         .agg(rankCols.head, rankCols.tail: _*)
       ranks
         .select(posexplode(probsArr).as(Seq("__i", "prob")),
           col("n"), col("q"), col("qx"),
           map(probs.indices.flatMap(i =>
-            Seq(lit(i), col(s"__r$i"))): _*).as("__rm"))
+            Seq(lit(i), col(s"__lt$i"))): _*).as("__rml"),
+          map(probs.indices.flatMap(i =>
+            Seq(lit(i), col(s"__le$i"))): _*).as("__rme"))
         .select(col("prob"), col("n"),
           round(element_at(col("qx"), col("__i") + 1), 6).as("exact_q"),
-          (abs(element_at(col("__rm"), col("__i")) -
-            col("prob") * col("n")) <= col("n") / acc + 1)
+          ((element_at(col("__rml"), col("__i")) <=
+            col("prob") * col("n") + col("n") / acc + 1) &&
+            (element_at(col("__rme"), col("__i")) >=
+              col("prob") * col("n") - col("n") / acc - 1))
             .as("within_rank_bound"))
         .orderBy(col("prob"))
     }),
@@ -3917,27 +3969,6 @@ object TrainingQueries {
        |$iters""".stripMargin
   }
 
-  /** DuckDB replay of [[Bpe.learnMergesBatched]] — the BATCHED algorithm
-    * itself, not the serial chain (stale within-round statistics make
-    * batched ≠ serial in general). Unrolled to `k` passes (a safe upper
-    * bound: every pass with want > 0 accepts ≥ 1 merge — the top
-    * shortlist row never conflicts with an empty used-set). Per pass:
-    * pair counts over the word table, a row_numbered shortlist capped at
-    * 4·least(B, want) (want threaded through 1-row n-CTEs), then B slot
-    * CTEs — slot j is the first shortlist row (by the serial (pc desc,
-    * pair asc) order) whose {sym_a, sym_b, sym_a||sym_b} conflict set is
-    * disjoint from every earlier slot's, exactly the Scala greedy scan
-    * (a row skipped for conflict is never revisited: slot j requires
-    * disjointness from ALL of slots 1..j-1). The rewrite applies the
-    * whole batch as B unrolled replaces with scalar subqueries; an empty
-    * slot coalesces its pattern to chr(1) — unmatchable, identity.
-    * Passes past acceptance see want = 0 → empty slots → no-op, so the
-    * unroll is safe on early-exhausting corpora. Every chained CTE is
-    * MATERIALIZED: inlining would re-expand w{p-1} per reference —
-    * exponential parquet re-scans by pass 16. Validated cell-identical
-    * against an independent reimplementation on conflict-exhausting,
-    * vocab-exhausting and single-char-run corpora (BpeSpec pins the
-    * Spark side). */
   /** t40/t41's shared fixture: the [[SpamMarker]] injection on
     * doc_id % 5 docs (n_chars recomputed post-injection — the d22
     * convention), then the t27 battery distilled into a 0/1 label. */
@@ -3955,17 +3986,24 @@ object TrainingQueries {
   }
 
   /** t40's replay, CTEs only (callers append their SELECT — t40 reads
-    * the final weights, t41 appends an inference pass): the t27 battery
+    * the final weights, t41 appends an inference pass, t42 passes a
+    * `trainPred` and appends a held-out scoring pass): the t27 battery
     * distills labels, then per iteration k: s_k (per-doc error after
     * the σ, round 6), g_k (bucket gradient — per-occurrence terms
     * round 9, DECIMAL sum), w_k (update, round 9). Every CTE
-    * MATERIALIZED (each w_k is read by two successors). */
+    * MATERIALIZED (each w_k is read by two successors). `corpus0` is
+    * the full labeled fixture; `docs0` (the training universe every
+    * downstream CTE reads — features, doc counts, w0's bucket set) is
+    * its `trainPred` slice, the whole corpus by default. `lab` stays
+    * corpus-grain so a held-out scoring pass can read labels too. */
   private def classifierTrainingOracleSql(buckets: Int, iters: Int,
-      lr: Double): String = {
-    val header = s"""WITH docs0 AS MATERIALIZED (
+      lr: Double, trainPred: String = "TRUE"): String = {
+    val header = s"""WITH corpus0 AS MATERIALIZED (
       |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || '$SpamMarker'
       |    ELSE text END AS text
       |  FROM documents
+      |), docs0 AS MATERIALIZED (
+      |  SELECT doc_id, text FROM corpus0 WHERE $trainPred
       |), lab AS MATERIALIZED (
       |  SELECT doc_id,
       |    CASE WHEN reject_reason = 'pass' THEN 1.0 ELSE 0.0 END AS y
@@ -3992,7 +4030,7 @@ object TrainingQueries {
       |        CAST(len(list_filter(string_split(text, ' '), x -> x IN
       |          ('the','be','to','of','and','that','have','with')))
       |          AS BIGINT) AS n_stopword_hits
-      |      FROM docs0))
+      |      FROM corpus0))
       |), feats AS MATERIALIZED (
       |  SELECT doc_id,
       |    CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % $buckets
@@ -4006,7 +4044,7 @@ object TrainingQueries {
       |), docn AS MATERIALIZED (
       |  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n, any_value(l.y) AS y
       |  FROM feats f JOIN lab l ON f.doc_id = l.doc_id GROUP BY f.doc_id
-      |), nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+      |), nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM docs0),
       |w0 AS MATERIALIZED (
       |  SELECT DISTINCT bucket, 0.0 AS w FROM feats)""".stripMargin
     val iterSql = (1 to iters).map { k =>
@@ -4051,6 +4089,118 @@ object TrainingQueries {
         |  rule_label
         |FROM scored ORDER BY doc_id""".stripMargin
 
+  /** t42's split predicate, the s18 convention verbatim: seeded md5 of
+    * the content fingerprint mod 10 — buckets 0–7 train. Applied to the
+    * SPAM-INJECTED text (corpus0), exactly what the Spark side hashes. */
+  private val SplitTrainPred =
+    "CAST('0x' || substr(md5('split42:' || md5(lower(trim(text)))), " +
+      "1, 15) AS BIGINT) % 10 <= 7"
+
+  /** t42's replay: the GD chain restricted to the train slice
+    * (`trainPred`), then BOTH scoring passes — train (for the median
+    * cut; `tscored`) and held-out (`hscored`, whose feature CTEs mirror
+    * the builder's but read the complement slice) — and the confusion
+    * sums. A held-out feature hashing to a bucket the trainer never saw
+    * drops from the score sum but not the denominator, exactly the
+    * Spark inner-join-vs-full-count semantics; the always-trained bias
+    * bucket guarantees no held-out DOC drops. */
+  private def classifierEvalOracleSql(buckets: Int, iters: Int,
+      lr: Double): String =
+    classifierTrainingOracleSql(buckets, iters, lr,
+      trainPred = SplitTrainPred) +
+      s"""
+        |, ho AS MATERIALIZED (
+        |  SELECT doc_id, text FROM corpus0 WHERE NOT ($SplitTrainPred)
+        |), hfeats AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % $buckets
+        |      AS bucket
+        |  FROM (SELECT doc_id, unnest(list_concat(t,
+        |      list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])))
+        |      AS f
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM ho))
+        |  UNION ALL SELECT doc_id, CAST($buckets AS BIGINT) FROM ho
+        |), hdocn AS MATERIALIZED (
+        |  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n, any_value(l.y) AS y
+        |  FROM hfeats f JOIN lab l ON f.doc_id = l.doc_id GROUP BY f.doc_id
+        |), tscored AS MATERIALIZED (
+        |  SELECT d.doc_id,
+        |    round(1.0 / (1.0 + exp(-(CAST(sum(CAST(w AS DECIMAL(38,9)))
+        |      AS DOUBLE) / d.n))), 6) AS model_score
+        |  FROM feats f JOIN w$iters USING (bucket)
+        |  JOIN docn d ON f.doc_id = d.doc_id
+        |  GROUP BY d.doc_id, d.n
+        |), hscored AS MATERIALIZED (
+        |  SELECT d.doc_id,
+        |    round(1.0 / (1.0 + exp(-(CAST(sum(CAST(w AS DECIMAL(38,9)))
+        |      AS DOUBLE) / d.n))), 6) AS model_score,
+        |    any_value(d.y) = 1.0 AS y
+        |  FROM hfeats f JOIN w$iters USING (bucket)
+        |  JOIN hdocn d ON f.doc_id = d.doc_id
+        |  GROUP BY d.doc_id, d.n
+        |), verdicts AS (
+        |  SELECT model_score >= (SELECT quantile_cont(model_score, 0.5)
+        |    FROM tscored) AS p, y
+        |  FROM hscored)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM docs0) AS n_train,
+        |  CAST(count(*) AS BIGINT) AS n_heldout,
+        |  CAST(count(CASE WHEN p AND y THEN 1 END) AS BIGINT) AS tp,
+        |  CAST(count(CASE WHEN p AND NOT y THEN 1 END) AS BIGINT) AS fp,
+        |  CAST(count(CASE WHEN NOT p AND y THEN 1 END) AS BIGINT) AS fn,
+        |  CAST(count(CASE WHEN NOT p AND NOT y THEN 1 END) AS BIGINT) AS tn,
+        |  round(count(CASE WHEN p AND y THEN 1 END) * 1.0
+        |    / nullif(count(CASE WHEN p THEN 1 END), 0), 6) AS precision,
+        |  round(count(CASE WHEN p AND y THEN 1 END) * 1.0
+        |    / nullif(count(CASE WHEN y THEN 1 END), 0), 6) AS recall,
+        |  round((count(CASE WHEN p AND y THEN 1 END)
+        |    + count(CASE WHEN NOT p AND NOT y THEN 1 END)) * 1.0
+        |    / count(*), 6) AS accuracy
+        |FROM verdicts""".stripMargin
+
+  /** t43's replay: the exact half of the contract (n_docs, kept_exact
+    * from the replayed GD chain + exact median); the two sketch-side
+    * booleans are Spark-verified and pinned literal true — DuckDB has
+    * no GK sketch to replay (the w33 discipline). */
+  private def approxCutOracleSql(buckets: Int, iters: Int,
+      lr: Double): String =
+    classifierTrainingOracleSql(buckets, iters, lr) +
+      s"""
+        |, scored AS MATERIALIZED (
+        |  SELECT d.doc_id,
+        |    round(1.0 / (1.0 + exp(-(CAST(sum(CAST(w AS DECIMAL(38,9)))
+        |      AS DOUBLE) / d.n))), 6) AS model_score
+        |  FROM feats f JOIN w$iters USING (bucket)
+        |  JOIN docn d ON f.doc_id = d.doc_id
+        |  GROUP BY d.doc_id, d.n)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(CASE WHEN model_score >=
+        |    (SELECT quantile_cont(model_score, 0.5) FROM scored)
+        |    THEN 1 END) AS BIGINT) AS kept_exact,
+        |  true AS cut_within_rank_bound,
+        |  true AS disagree_within_bound
+        |FROM scored""".stripMargin
+
+  /** DuckDB replay of [[Bpe.learnMergesBatched]] — the BATCHED algorithm
+    * itself, not the serial chain (stale within-round statistics make
+    * batched ≠ serial in general). Unrolled to `k` passes (a safe upper
+    * bound: every pass with want > 0 accepts ≥ 1 merge — the top
+    * shortlist row never conflicts with an empty used-set). Per pass:
+    * pair counts over the word table, a row_numbered shortlist capped at
+    * 4·least(B, want) (want threaded through 1-row n-CTEs), then B slot
+    * CTEs — slot j is the first shortlist row (by the serial (pc desc,
+    * pair asc) order) whose {sym_a, sym_b, sym_a||sym_b} conflict set is
+    * disjoint from every earlier slot's, exactly the Scala greedy scan
+    * (a row skipped for conflict is never revisited: slot j requires
+    * disjointness from ALL of slots 1..j-1). The rewrite applies the
+    * whole batch as B unrolled replaces with scalar subqueries; an empty
+    * slot coalesces its pattern to chr(1) — unmatchable, identity.
+    * Passes past acceptance see want = 0 → empty slots → no-op, so the
+    * unroll is safe on early-exhausting corpora. Every chained CTE is
+    * MATERIALIZED: inlining would re-expand w{p-1} per reference —
+    * exponential parquet re-scans by pass 16. Validated cell-identical
+    * against an independent reimplementation on conflict-exhausting,
+    * vocab-exhausting and single-char-run corpora (BpeSpec pins the
+    * Spark side). */
   private def bpeBatchedOracleSql(k: Int, b: Int): String = {
     val passes = k
     val sb = new StringBuilder
@@ -4179,6 +4329,14 @@ object TrainingQueries {
 
     "t41_model_scored_corpus" -> modelScoredOracleSql(4096, 3, 100.0),
 
+    // t42 replays split → train-slice GD → both scoring passes →
+    // confusion sums; see classifierEvalOracleSql
+    "t42_classifier_eval" -> classifierEvalOracleSql(4096, 3, 100.0),
+
+    // t43 replays the exact half (n_docs, kept_exact); sketch booleans
+    // Spark-verified, oracle-pinned — see approxCutOracleSql
+    "t43_model_approx_cut" -> approxCutOracleSql(4096, 3, 100.0),
+
     // t39's replay: the green t27 signal battery at source grain over
     // the d1 clone injection; every rate a double division of exact
     // ints, round 4
@@ -4275,8 +4433,8 @@ object TrainingQueries {
         |  FROM range(0, 4096)
         |), sc AS (
         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
-        |    CAST(sum(wm) AS BIGINT) AS s
-        |  FROM bk JOIN w USING (bucket) GROUP BY doc_id
+        |    CAST(sum(coalesce(wm, 0)) AS BIGINT) AS s
+        |  FROM bk LEFT JOIN w USING (bucket) GROUP BY doc_id
         |)
         |SELECT doc_id, n_features,
         |  round(1.0 / (1.0 + exp(-(CAST(s AS DOUBLE)

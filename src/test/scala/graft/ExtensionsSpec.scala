@@ -1426,6 +1426,25 @@ class LineDedupSpec extends SparkSpec {
     assert(plan.contains("HashAggregate") ||
       plan.contains("ObjectHashAggregate"))
   }
+
+  test("lineDedup election survives a >2^20-line document (no packed-key collision)") {
+    // Under the old packed key doc_id·2²⁰+pos, doc 0's line at
+    // pos 2²⁰+5 and doc 1's line at pos 5 collide on key 1048581 —
+    // the election would mark BOTH as keepers and the duplicate
+    // silently survives in doc 1. The struct key is width-unbounded.
+    val big = (0 until 1048581).map(i => s"f$i").mkString("\n") +
+      "\ncollide me"
+    val docs2 = Seq(
+      (0L, big),
+      (1L, "b0\nb1\nb2\nb3\nb4\ncollide me\nb5")).toDF("doc_id", "text")
+    val got2 = Dedup.lineDedup(docs2, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got2(0)._2 == 1048582L && got2(0)._3 == 1048582L)
+    assert(got2(0)._4.endsWith("\ncollide me"))
+    assert(got2(1) == (1L, 7L, 6L, "b0\nb1\nb2\nb3\nb4\nb5"),
+      "doc 1's copy of the colliding line must be removed — doc 0's " +
+        "occurrence at (0, 2^20+5) precedes (1, 5) in (doc, pos) order")
+  }
 }
 
 class LshCalibrationSpec extends SparkSpec {
@@ -1458,6 +1477,23 @@ class LshCalibrationSpec extends SparkSpec {
     val byBands = cal.values.toSeq.sortBy(_._1)
     assert(byBands.map(_._5) == byBands.map(_._5).sorted)        // fp rises
     assert(byBands.map(_._6) == byBands.map(_._6).sorted.reverse) // fn falls
+  }
+
+  test("shipped Lsh constants sit where their scaladoc claims on this frontier") {
+    // The operators' defaults (LshNumHashes=32, LshBands=8) are the
+    // d24-documented PRECISION-LEANING point: a valid factorization of
+    // the shipped hash count, with strictly lower false-positive mass
+    // than the fp+fn-mass-optimal config (b=16/r=2 at threshold 0.3).
+    // Re-calibrating (changing the constants) must come back here.
+    assert(Dedup.LshNumHashes == 32 && Dedup.LshBands == 8)
+    assert(Dedup.LshNumHashes % Dedup.LshBands == 0)
+    val shipped = cal(Dedup.LshBands.toLong)
+    assert(shipped._2 == (Dedup.LshNumHashes / Dedup.LshBands).toLong)
+    val selected = cal.values.find(_._7).get
+    assert(selected._1 == 16L && selected._2 == 2L)
+    assert(shipped._5 < selected._5,
+      "the shipped banding must be precision-leaning: lower fp mass " +
+        "than the mass-optimal config")
   }
 }
 
@@ -1514,6 +1550,20 @@ class QualityModelSpec extends SparkSpec {
       .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
     assert(got(0)._3 > 0.5 && got(0)._4)   // doc 1 never hits the bucket
     assert(got(1)._3 < got(0)._3)          // doc 2 pays the targeted weight
+  }
+
+  test("classifierScore: sparse weight table = missing bucket weighs zero, no doc dropped") {
+    val docs = Seq((1L, "a b a b"), (2L, "solo")).toDF("doc_id", "text")
+    // a table covering NO bucket: every doc must still come out, with
+    // its full occurrence count and the zero-sum score 0.5 — the
+    // modelScore convention, not an inner-join drop
+    val empty = spark.range(0).select(col("id").as("bucket"),
+      col("id").as("weight_milli"))
+    val got = QualityModel.classifierScore(docs, "text", "doc_id",
+        empty, 16)
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((1L, 7L), (2L, 1L)))
+    assert(got.forall(r => r._3 == 0.5 && r._4))
   }
 
   test("standInWeights is deterministic, bounded, and covers every bucket") {
@@ -1585,6 +1635,55 @@ class TrainLogisticSpec extends SparkSpec {
     val b = train().as[(Long, Double)].collect().toMap
     assert(a == b)
     assert(a.values.forall(v => v == math.rint(v * 1e9) / 1e9))
+  }
+
+  test("evalHeldOut: train-cut verdicts on unseen docs, counts close") {
+    // hold out one doc per class; the separable fixture generalizes
+    // (held-out vocab g6*/t12 is disjoint — only the bias and stopword
+    // buckets carry over, and the bias learns the prior)
+    val train2 = labeled.filter(col("doc_id") =!= 6L &&
+      col("doc_id") =!= 12L)
+    val ho = labeled.filter(col("doc_id") === 6L ||
+      col("doc_id") === 12L)
+    val got = QualityModel.evalHeldOut(train2, ho, "text", "doc_id",
+        "label", numBuckets = 4096, iters = 3, lr = 50.0)
+      .as[(Long, Long, Long, Long, Long, Long,
+        Option[Double], Option[Double], Double)].collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r._1 == 10L && r._2 == 2L)
+    assert(r._3 + r._4 + r._5 + r._6 == 2L,
+      "confusion cells must partition the held-out slice")
+    // accuracy = (tp+tn)/n_heldout, a round-6 ratio of the exact cells
+    assert(r._9 == math.rint((r._3 + r._6) * 1e6 / 2.0) / 1e6)
+  }
+
+  test("approxCutContract: booleans hold and kept_exact is the median half") {
+    val w = train()
+    val got = QualityModel.approxCutContract(labeled, "text", "doc_id",
+        "label", w, 4096, accuracy = 10000)
+      .as[(Long, Long, Boolean, Boolean)].collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r._1 == 12L)
+    assert(r._2 >= 6L && r._2 <= 12L) // upward-closed cut keeps >= half
+    assert(r._3, "approx cut must satisfy the rank contract")
+    assert(r._4, "kept-set disagreement must stay inside the bound")
+  }
+
+  test("approxCutContract plans the sketch aggregate, modelScore the exact one") {
+    val w = train()
+    val approxPlan = QualityModel.approxCutContract(labeled, "text",
+      "doc_id", "label", w, 4096, accuracy = 10000)
+      .queryExecution.optimizedPlan.toString
+    val exactPlan = QualityModel.modelScore(labeled, "text", "doc_id",
+      "label", w, 4096).queryExecution.optimizedPlan.toString
+    // both cuts are ObjectHashAggregates — the difference that matters
+    // at 100 TB is the STATE: approx_percentile's is a bounded GK
+    // summary, percentile's is the whole score column in one reducer
+    assert(approxPlan.contains("percentile_approx"))
+    assert(exactPlan.contains("percentile(") &&
+      !exactPlan.contains("percentile_approx"))
   }
 }
 
