@@ -649,6 +649,32 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Ids of docs sharing ≥1 width-`n` word shingle with a DIFFERENT
+    * group — [[crossGroupOverlap]]'s matrix brought down to doc grain
+    * (which documents carry the cross-source leak, not just which
+    * source pairs leak): the per-doc column a dataset card (t39)
+    * charges against each source.
+    *
+    * Scale shape: same trick as the matrix — the corpus first collapses
+    * to DISTINCT (group, h); after that collapse a shingle matches at
+    * most |groups| rows, so the doc-grain probe join fans out ≤
+    * |groups|× per doc-shingle row (group cardinality, never corpus
+    * size), on uniformly-distributed h. One shared shingle projection
+    * behind a barrier feeds both sides. */
+  def crossGroupContaminatedIds(docs: DataFrame, groupCol: String,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val docSh = docs
+      .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .select(col(idCol), col(groupCol).as("__g"),
+        explode(ngramShinglesFromTokens(col("__toks"), n)).as("__s"))
+      .select(col(idCol), col("__g"), md5Hash60(col("__s")).as("h"))
+      .localCheckpoint(eager = false) // group collapse + doc-grain probe
+    val grpSh = docSh.select(col("__g").as("__og"), col("h")).distinct()
+    docSh.join(grpSh, Seq("h"))
+      .filter(col("__og") =!= col("__g"))
+      .select(col(idCol)).distinct()
+  }
+
   /** Ids of corpus docs sharing ≥1 word n-gram with the benchmark set —
     * the contaminated SET itself, for callers that label rather than
     * drop (e.g. [[Curation.curate]]'s audit output). The benchmark

@@ -25,6 +25,13 @@ object TrainingQueries {
     "zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma " +
     "tau upsilon phi chi psi omega red green blue gold silver"
 
+  /** t39's minhash replay constants — the same md5-derived universal
+    * hash family the d3/d12 oracles inline ([[Dedup.seedConst]]). */
+  private val minhashA = (0 until Dedup.LshNumHashes)
+    .map(Dedup.seedConst("a", _)).mkString("LIST_VALUE(", ",", ")")
+  private val minhashB = (0 until Dedup.LshNumHashes)
+    .map(Dedup.seedConst("b", _)).mkString("LIST_VALUE(", ",", ")")
+
   /** The t40/t41 lexical quality signal — ten symbol-spam tokens
     * appended to every doc_id % 5 == 0 document: 30 '#' chars trip the
     * Gopher symbol-ratio rule (>0.1 of ~110 words), so the label
@@ -663,15 +670,36 @@ object TrainingQueries {
     // tokens, mean doc length), Gopher quality pass rate, exact-dup
     // rate (distinct fingerprints vs docs — on the cloned
     // documentsWithDups fixture so the rate discriminates), language
-    // count. ONE signal projection (gopherProfile, fingerprint and
-    // lang riding the same pass via the extras hook) + ONE source-grain
-    // aggregate — a 100 TB datasheet costs one scan.
+    // count, PLUS the two release-blocking rates a real datasheet
+    // carries: near-dup rate (fraction of docs in ≥1 d3 MinHash-LSH
+    // candidate pair, est. Jaccard ≥ 0.3 — the clones score 1.0) and
+    // cross-source contamination rate (fraction sharing a width-8
+    // shingle with ANOTHER source — t36's matrix at doc grain). Card
+    // signals stay ONE gopherProfile projection + one source-grain
+    // aggregate; the two rates reuse the d3/t36 machinery (band join,
+    // group-collapsed shingle probe) and land as source-grain left
+    // joins against the card.
     "t39_dataset_card" -> ((s, d) => {
-      val flagged = TextAnalysis.gopherProfile(
-        Tables.spread(Tables.documentsWithDups(s, d)),
+      val docs = Tables.spread(Tables.documentsWithDups(s, d))
+        .localCheckpoint(eager = false) // signals + both rate probes
+      val flagged = TextAnalysis.gopherProfile(docs,
         "text", "doc_id", "n_chars",
         col("source").as("__src"), col("lang").as("__lang"),
         TextAnalysis.normHash(col("text")).as("__fp"))
+        .localCheckpoint(eager = false) // card agg + doc→source map
+      val srcOf = flagged.select(col("doc_id"), col("__src"))
+      val nearBySrc = Dedup.minHashLshPairs(docs, threshold = 0.3,
+          maxBucket = 100, hashFn = Dedup.md5Hash60)
+        .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+        .distinct()
+        .join(srcOf, Seq("doc_id"))
+        .groupBy(col("__src").as("source"))
+        .agg(count(lit(1)).as("__n_near"))
+      val contamBySrc = Dedup.crossGroupContaminatedIds(docs, "source",
+          "doc_id", "text", n = 8)
+        .join(srcOf, Seq("doc_id"))
+        .groupBy(col("__src").as("source"))
+        .agg(count(lit(1)).as("__n_contam"))
       flagged.groupBy(col("__src").as("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_words")).as("n_tokens"),
@@ -683,6 +711,15 @@ object TrainingQueries {
           round(lit(1.0) - countDistinct(col("__fp")) * lit(1.0)
             / count(lit(1)), 4).as("dup_frac"),
           countDistinct(col("__lang")).as("n_langs"))
+        .join(nearBySrc, Seq("source"), "left")
+        .join(contamBySrc, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("avg_doc_tokens"), col("quality_pass_rate"),
+          col("n_distinct_fp"), col("dup_frac"), col("n_langs"),
+          round(coalesce(col("__n_near"), lit(0L)) * lit(1.0)
+            / col("n_docs"), 4).as("near_dup_frac"),
+          round(coalesce(col("__n_contam"), lit(0L)) * lit(1.0)
+            / col("n_docs"), 4).as("cross_src_contam_frac"))
         .orderBy(col("source"))
     }),
 
@@ -4340,11 +4377,69 @@ object TrainingQueries {
     // t39's replay: the green t27 signal battery at source grain over
     // the d1 clone injection; every rate a double division of exact
     // ints, round 4
+    // t39: the card CTE replays the t27 battery at source grain; the
+    // near-dup rate replays the full d3 signature/banding/cap/pair
+    // chain over the SAME clone-injected fixture, the cross-source
+    // contamination rate the t36 shingle collapse at doc grain.
     "t39_dataset_card" ->
-      """WITH docs AS MATERIALIZED (
+      s"""WITH docs AS MATERIALIZED (
         |  SELECT * FROM documents
         |  UNION ALL SELECT doc_id + 1000000, text, lang, source, n_chars
         |  FROM documents WHERE doc_id % 25 = 0
+        |), consts AS (SELECT $minhashA AS ca, $minhashB AS cb),
+        |sig AS MATERIALIZED (
+        |  SELECT doc_id, list_transform(range(1, 33), s ->
+        |    list_min(list_transform(hs, h -> (ca[s] * h + cb[s]) % 1000000007)))
+        |    AS sig
+        |  FROM (
+        |    SELECT doc_id, list_transform(list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text,' ')) - 3 + 2, 2)),
+        |      i -> array_to_string(list_slice(string_split(text,' '), i, i + 2), ' '))),
+        |      x -> CAST('0x' || substr(md5(x),1,15) AS BIGINT) % 1000000007) AS hs
+        |    FROM docs) CROSS JOIN consts
+        |), capped AS MATERIALIZED (
+        |  SELECT * FROM (
+        |    SELECT doc_id, sig, band,
+        |      array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), ',')
+        |        AS bkey,
+        |      row_number() OVER (
+        |        PARTITION BY band,
+        |          array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), ',')
+        |        ORDER BY doc_id) AS brank
+        |    FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b)
+        |  WHERE brank <= 100
+        |), nd AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT unnest(LIST_VALUE(a_id, b_id)) AS doc_id FROM (
+        |      SELECT a_id, b_id,
+        |        round(len(list_filter(range(1, 33), i -> a_sig[i] = b_sig[i]))
+        |          / 32.0, 4) AS ej
+        |      FROM (
+        |        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |          a.sig AS a_sig, b.sig AS b_sig
+        |        FROM capped a JOIN capped b
+        |          ON a.band = b.band AND a.bkey = b.bkey
+        |          AND a.doc_id < b.doc_id))
+        |    WHERE ej >= 0.3)
+        |), nd_by AS MATERIALIZED (
+        |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_near
+        |  FROM nd JOIN docs d USING (doc_id) GROUP BY d.source
+        |), dh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, source,
+        |    CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
+        |  FROM (
+        |    SELECT doc_id, source, unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(toks) - 7, 1) + 1),
+        |      i -> array_to_string(list_slice(toks, i, i + 7), ' ')))) AS s
+        |    FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+        |          FROM docs))
+        |), gsh AS MATERIALIZED (
+        |  SELECT DISTINCT source AS og, h FROM dh
+        |), ct_by AS MATERIALIZED (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_ct FROM (
+        |    SELECT DISTINCT d.doc_id, d.source
+        |    FROM dh d JOIN gsh g USING (h) WHERE g.og <> d.source)
+        |  GROUP BY source
         |), flagged AS MATERIALIZED (
         |  SELECT source, lang, md5(lower(trim(text))) AS fp, n_words,
         |    CASE WHEN n_words NOT BETWEEN 50 AND 100000 THEN 'word_count'
@@ -4369,16 +4464,27 @@ object TrainingQueries {
         |        x -> x IN ('the','be','to','of','and','that','have','with')))
         |        AS BIGINT) AS n_stopword_hits
         |    FROM docs)
+        |), card AS MATERIALIZED (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_words) AS BIGINT) AS n_tokens,
+        |    round(sum(n_words) * 1.0 / count(*), 4) AS avg_doc_tokens,
+        |    round(sum(CASE WHEN reject_reason = 'pass' THEN 1 ELSE 0 END)
+        |      * 1.0 / count(*), 4) AS quality_pass_rate,
+        |    CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+        |    round(1.0 - count(DISTINCT fp) * 1.0 / count(*), 4) AS dup_frac,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |  FROM flagged GROUP BY source
         |)
-        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(n_words) AS BIGINT) AS n_tokens,
-        |  round(sum(n_words) * 1.0 / count(*), 4) AS avg_doc_tokens,
-        |  round(sum(CASE WHEN reject_reason = 'pass' THEN 1 ELSE 0 END)
-        |    * 1.0 / count(*), 4) AS quality_pass_rate,
-        |  CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
-        |  round(1.0 - count(DISTINCT fp) * 1.0 / count(*), 4) AS dup_frac,
-        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
-        |FROM flagged GROUP BY source ORDER BY source""".stripMargin,
+        |SELECT c.source, c.n_docs, c.n_tokens, c.avg_doc_tokens,
+        |  c.quality_pass_rate, c.n_distinct_fp, c.dup_frac, c.n_langs,
+        |  round(coalesce(nb.n_near, 0) * 1.0 / c.n_docs, 4)
+        |    AS near_dup_frac,
+        |  round(coalesce(cb.n_ct, 0) * 1.0 / c.n_docs, 4)
+        |    AS cross_src_contam_frac
+        |FROM card c
+        |LEFT JOIN nd_by nb ON c.source = nb.source
+        |LEFT JOIN ct_by cb ON c.source = cb.source
+        |ORDER BY c.source""".stripMargin,
 
     // s21's replay: same integer boundary arithmetic ((hi−lo)·pct//100 —
     // BIGINT-exact both engines), same fate CASE, same spanning audit.
