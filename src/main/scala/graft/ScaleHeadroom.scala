@@ -153,6 +153,14 @@ object ScaleHeadroom {
       return
     }
 
+    // the EXECUTED streaming curation loop vs 1×/10×/25× state, through
+    // its real bucketed-table write path: SPARK_GRAFT_LEG=d22s
+    if (sys.env.get("SPARK_GRAFT_LEG").contains("d22s")) {
+      d22sLeg(spark, docs, dirs, work, report)
+      spark.stop()
+      return
+    }
+
     // standalone re-measure of just the t36 cross-source matrix leg
     // (builds the inflated corpora, skips every other family):
     // SPARK_GRAFT_LEG=t36
@@ -435,6 +443,7 @@ object ScaleHeadroom {
     }
 
     d22Leg(spark, docs, dirs, report)
+    d22sLeg(spark, docs, dirs, work, report)
     t36Leg(spark, dirs, report)
     d23Leg(spark, dirs, report)
     r10Leg(spark, dirs, report)
@@ -675,10 +684,9 @@ object ScaleHeadroom {
     * fresh-suffixed docs (they run the full gauntlet to 'kept'/span).
     * Index builds are the amortized snapshot-time cost, reported
     * separately (the d19 discipline). Standalone: SPARK_GRAFT_LEG=d22. */
-  private def d22Leg(spark: SparkSession, docs: DataFrame,
-      dirs: Seq[(Int, String)],
-      report: (String, Int, Double, Long) => Unit): Unit = {
-    import graft.extensions.{Curation, Dedup}
+  /** The shared d22/d22s ingest-batch fixture: 100 state clones, 100
+    * one-token mutations (near-dups), 100 fresh-suffix docs. */
+  private def curationBatchFixture(docs: DataFrame): DataFrame = {
     val cloneSrc = docs.filter(col("doc_id") < 100)
     val mutSrc = docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
     val freshSrc = docs.filter(col("doc_id") >= 200 && col("doc_id") < 300)
@@ -693,6 +701,59 @@ object ScaleHeadroom {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .localCheckpoint(eager = false)
     batch.count()
+    batch
+  }
+
+  /** d22s — the EXECUTED curation-ingest loop
+    * ([[graft.streaming.StreamingOps.curationIngestBatch]]) measured
+    * against 1×/10×/25× snapshot state held in its OWN bucketed state
+    * tables: the snapshot is loaded through the loop's REAL write path
+    * (ingested as batch 0 — state then holds its quality-passing
+    * keepers, exactly what production state contains), then ONE fixed
+    * batch is ingested as batch 1 and the full executed batch — index
+    * reads, fate attribution, fate write, state advance — is timed.
+    * Each timed repetition replays batch id 1, which the
+    * dynamic-overwrite layout makes idempotent BY DESIGN — so the
+    * repeat measurements exercise the crash-replay path too. Flat wall
+    * vs state size = the d19/d22 layout lesson holding on the
+    * production code path, not just the hand-built comparator. */
+  private def d22sLeg(spark: SparkSession, docs: DataFrame,
+      dirs: Seq[(Int, String)], work: String,
+      report: (String, Int, Double, Long) => Unit): Unit = {
+    import graft.streaming.StreamingOps
+    val batch = curationBatchFixture(docs)
+    for ((scale, dir) <- dirs) {
+      val stateDir = s"$work/curstate_x$scale"
+      val snapshot = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("n_chars"))
+      // load the WHOLE snapshot as already-kept state through the
+      // loop's real write path (curating it would let the Gopher
+      // stopword gate reject every alphabet-rotated copy and collapse
+      // the scale axis — state must actually be 1×/10×/25×)
+      val t0 = System.nanoTime()
+      StreamingOps.ensureCurationStateTables(spark, stateDir,
+        snapshot.limit(0))
+      StreamingOps.advanceCurationState(snapshot, 0L, stateDir)
+      val nState = StreamingOps
+        .curationStateIndexes(spark, stateDir, excludeBatchId = 99L)
+        .productIterator.map(_.asInstanceOf[DataFrame].count()).sum
+      report("d22s_state_load", scale, (System.nanoTime() - t0) / 1e9,
+        nState)
+      val outB1 = s"$work/curout_x${scale}_b1"
+      val (secs, rows) = timeBest {
+        StreamingOps.curationIngestBatch(batch, 1L, stateDir, outB1)
+        spark.read.parquet(outB1).count()
+      }
+      report("d22s_ingest_batch", scale, secs, rows)
+    }
+  }
+
+  private def d22Leg(spark: SparkSession, docs: DataFrame,
+      dirs: Seq[(Int, String)],
+      report: (String, Int, Double, Long) => Unit): Unit = {
+    import graft.extensions.{Curation, Dedup}
+    val batch = curationBatchFixture(docs)
     for ((scale, dir) <- dirs) {
       val state = spark.read.parquet(s"$dir/documents.parquet")
       val t0 = System.nanoTime()

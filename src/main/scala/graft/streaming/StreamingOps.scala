@@ -542,24 +542,35 @@ object StreamingOps {
     * foreachBatch discipline wrapped around the FULL d22 composition
     * ([[graft.extensions.Curation.curateIncremental]]): per micro-batch,
     * read the three persisted index artifacts (exact fingerprints,
-    * MinHash bands, span shingles — each batch_id-partitioned,
-    * OWN-batch partitions excluded so a replayed batch never sees its
-    * own state), attribute every document's fate against them, write
-    * the fates to `outDir/batch_id=N`, and advance all three indexes
-    * with the KEPT documents only — a rejected document must not poison
-    * state (its later twin deserves a fresh verdict), and a kept one
-    * must immediately gate the next batch.
+    * MinHash bands, span shingles), attribute every document's fate
+    * against them, write the fates to `outDir/batch_id=N`, and advance
+    * all three indexes with the KEPT documents only — a rejected
+    * document must not poison state (its later twin deserves a fresh
+    * verdict), and a kept one must immediately gate the next batch.
     *
-    * Replay safety is the incrementalIngest argument, three times over:
-    * every write is `overwrite` into the batch's own partition, and
-    * every read self-excludes, so a crash between the fate write and
-    * the checkpoint commit replays into identical state. Bootstrap:
-    * empty index dirs are empty snapshots with the operators' own
-    * schemas (built from `batch.limit(0)` — no hand-written schema to
-    * rot). Per-batch cost is the d22 contract: O(|batch|), the
-    * snapshot corpus is never re-read (measured flat in the d22
-    * ScaleHeadroom leg; at scale the index partitions get the d19
-    * bucketBy layout via periodic compaction). */
+    * State LAYOUT is the d19/d22 measured lesson applied to the
+    * executed loop: each index lives in an external BUCKETED table
+    * (LOCATION under `stateDir`, `CLUSTERED BY` its probe join key —
+    * fingerprint / bhash / h — `INTO 32 BUCKETS`, partitioned by
+    * batch_id). Probing an UNBUCKETED index re-shuffles all state per
+    * ingest (~linear in snapshot size — the measured anti-pattern,
+    * EXPLAIN round 10); against the bucketed tables the index sides
+    * scan IN PLACE — only the fixed-size batch exchanges, so per-ingest
+    * cost is O(|batch|), flat in snapshot size (CurationIngestSpec pins
+    * the no-index-side-exchange plan; the d22s ScaleHeadroom leg
+    * measures the executed loop's probe flat vs 25× state).
+    *
+    * Replay safety, three times over: each advance is a
+    * dynamic-partition-overwrite `insertInto` of the batch's OWN
+    * batch_id partition (a replayed batch overwrites, never doubles),
+    * and every read excludes the current batch_id (partition-pruned),
+    * so a crash between the fate write and the checkpoint commit
+    * replays into identical state. Bootstrap needs no special case:
+    * the tables are created empty with the operators' own schemas
+    * (derived from `batch.limit(0)` — no hand-written DDL to rot), and
+    * an empty table IS the empty snapshot; a fresh session over
+    * already-persisted state re-registers the tables and recovers
+    * their partitions. */
   def curationIngest(docsStream: DataFrame, stateDir: String,
       outDir: String, checkpointDir: String,
       textCol: String = "text", idCol: String = "doc_id",
@@ -567,45 +578,127 @@ object StreamingOps {
       : org.apache.spark.sql.streaming.StreamingQuery =
     docsStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val empty = batch.limit(0)
-        def readIdx(name: String, bootstrap: => DataFrame): DataFrame = {
-          val p = new org.apache.hadoop.fs.Path(s"$stateDir/$name")
-          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-            spark.read.parquet(s"$stateDir/$name")
-              .filter(col("batch_id") =!= lit(batchId))
-              .drop("batch_id")
-          else bootstrap
-        }
-        val exactIdx = readIdx("exact", graft.extensions.Dedup
-          .exactGroups(empty, textCol, idCol).select(col("fingerprint")))
-        val bandIdx = readIdx("band", graft.extensions.Dedup
-          .minHashBandIndex(empty, numHashes = 32, bands = 8,
-            hashFn = graft.extensions.Dedup.md5Hash60, maxBucket = 100))
-        val spanIdx = readIdx("span", graft.extensions.Dedup
-          .shingleIndex(empty, idCol, textCol, width = 8))
-        val fates = graft.extensions.Curation.curateIncremental(batch,
-            exactIdx, bandIdx, spanIdx, textCol, idCol, nCharsCol)
-          .localCheckpoint(eager = false) // fate write + keeper slice
-        fates.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-        val kept = batch.join(
-          fates.filter(col("status") === "kept").select(col(idCol)),
-          Seq(idCol), "left_semi")
-          .localCheckpoint(eager = false) // three index advances
-        graft.extensions.Dedup.exactGroups(kept, textCol, idCol)
-          .select(col("fingerprint"))
-          .write.mode("overwrite").parquet(s"$stateDir/exact/batch_id=$batchId")
-        graft.extensions.Dedup.minHashBandIndex(kept, numHashes = 32,
-            bands = 8, hashFn = graft.extensions.Dedup.md5Hash60,
-            maxBucket = 100)
-          .write.mode("overwrite").parquet(s"$stateDir/band/batch_id=$batchId")
-        graft.extensions.Dedup.shingleIndex(kept, idCol, textCol, width = 8)
-          .write.mode("overwrite").parquet(s"$stateDir/span/batch_id=$batchId")
-        ()
+        curationIngestBatch(batch, batchId, stateDir, outDir,
+          textCol, idCol, nCharsCol)
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+
+  /** One micro-batch of [[curationIngest]], exposed so the plan spec
+    * and the scale leg drive the EXACT code path the stream executes. */
+  def curationIngestBatch(batch: DataFrame, batchId: Long,
+      stateDir: String, outDir: String, textCol: String = "text",
+      idCol: String = "doc_id", nCharsCol: String = "n_chars"): Unit = {
+    val spark = batch.sparkSession
+    ensureCurationStateTables(spark, stateDir, batch.limit(0),
+      textCol, idCol)
+    val (exactIdx, bandIdx, spanIdx) =
+      curationStateIndexes(spark, stateDir, excludeBatchId = batchId)
+    val fates = graft.extensions.Curation.curateIncremental(batch,
+        exactIdx, bandIdx, spanIdx, textCol, idCol, nCharsCol)
+      .localCheckpoint(eager = false) // fate write + keeper slice
+    fates.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    val kept = batch.join(
+      fates.filter(col("status") === "kept").select(col(idCol)),
+      Seq(idCol), "left_semi")
+    advanceCurationState(kept, batchId, stateDir, textCol, idCol)
+  }
+
+  /** The three state-index frames of [[curationIngest]], read from the
+    * bucketed tables with `excludeBatchId`'s partition pruned away
+    * (a replayed batch must never see its own prior half-write). */
+  def curationStateIndexes(spark: SparkSession, stateDir: String,
+      excludeBatchId: Long): (DataFrame, DataFrame, DataFrame) = {
+    def read(name: String) =
+      spark.table(curationStateTable(stateDir, name))
+        .filter(col("batch_id") =!= lit(excludeBatchId))
+        .drop("batch_id")
+    (read("exact"), read("band"), read("span"))
+  }
+
+  /** Advance all three curation state indexes with `kept` docs as
+    * `batchId`'s partition — dynamic-partition-overwrite `insertInto`
+    * into the bucketed tables (replay-safe: re-inserting a batch id
+    * replaces that partition only). Shared by the executed loop and
+    * the d22s scale leg (which loads snapshots as batch 0 through the
+    * same write path the stream uses). */
+  def advanceCurationState(kept: DataFrame, batchId: Long,
+      stateDir: String, textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    val spark = kept.sparkSession
+    val keptB = kept.localCheckpoint(eager = false) // three index builds
+    def insert(name: String, frame: DataFrame): Unit = {
+      val t = curationStateTable(stateDir, name)
+      val ordered = frame.withColumn("batch_id", lit(batchId))
+        .select(spark.table(t).columns.map(col): _*)
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      try {
+        spark.conf.set(key, "dynamic")
+        ordered.write.mode("overwrite").insertInto(t)
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    insert("exact", graft.extensions.Dedup.exactGroups(keptB, textCol,
+      idCol).select(col("fingerprint")))
+    insert("band", graft.extensions.Dedup.minHashBandIndex(keptB,
+      hashFn = graft.extensions.Dedup.md5Hash60, maxBucket = 100))
+    insert("span", graft.extensions.Dedup.shingleIndex(keptB, idCol,
+      textCol, width = 8))
+  }
+
+  /** Catalog name of a curation state table — derived from `stateDir`
+    * (md5 prefix) so concurrent loops over different state dirs never
+    * collide in the shared catalog. */
+  def curationStateTable(stateDir: String, name: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(stateDir.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    s"graft_cur_${h}_$name"
+  }
+
+  /** Create the three bucketed state tables if absent: external
+    * (LOCATION under `stateDir`), partitioned by batch_id, CLUSTERED BY
+    * the index's probe join key INTO 32 BUCKETS. Schemas come from the
+    * operators' own empty output frames — no hand-written DDL to rot.
+    * If the location already holds partitions from a previous session,
+    * MSCK recovers them into the fresh catalog entry. Public so a
+    * state-bootstrap job (e.g. the d22s scale leg loading an existing
+    * snapshot as batch 0) can create the tables before calling
+    * [[advanceCurationState]] without running a curation pass. */
+  def ensureCurationStateTables(spark: SparkSession,
+      stateDir: String, empty: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    def ensure(name: String, schemaDonor: DataFrame, key: String): Unit = {
+      val t = curationStateTable(stateDir, name)
+      if (!spark.catalog.tableExists(t)) {
+        val loc = s"$stateDir/$name"
+        val p = new org.apache.hadoop.fs.Path(loc)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val preExisting = fs.exists(p) && fs.listStatus(p).nonEmpty
+        // a brand-new external table's location must exist before the
+        // first (empty-snapshot) read — Spark lists it at analysis
+        if (!preExisting) fs.mkdirs(p)
+        spark.sql(
+          s"""CREATE TABLE $t (${schemaDonor.schema.toDDL},
+             |  batch_id BIGINT)
+             |USING PARQUET
+             |PARTITIONED BY (batch_id)
+             |CLUSTERED BY ($key) INTO 32 BUCKETS
+             |LOCATION '$loc'""".stripMargin)
+        if (preExisting) spark.sql(s"MSCK REPAIR TABLE $t")
+      }
+    }
+    ensure("exact", graft.extensions.Dedup.exactGroups(empty, textCol,
+      idCol).select(col("fingerprint")), "fingerprint")
+    ensure("band", graft.extensions.Dedup.minHashBandIndex(empty,
+      hashFn = graft.extensions.Dedup.md5Hash60, maxBucket = 100),
+      "bhash")
+    ensure("span", graft.extensions.Dedup.shingleIndex(empty, idCol,
+      textCol, width = 8), "h")
+  }
 
   /** Streaming metric-state maintenance — the w26 merge algebra under
     * `foreachBatch`: each micro-batch writes ONLY its own partial

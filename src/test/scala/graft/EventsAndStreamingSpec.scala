@@ -1196,6 +1196,97 @@ class CurationIngestSpec extends SparkSpec {
     for (idx <- Seq("exact", "band", "span"))
       assert(spark.read.parquet(s"$root/state/$idx")
         .select("batch_id").distinct().count() == 2L)
+    // and the state lives in BUCKETED tables (the d19/d22 layout)
+    for (idx <- Seq("exact", "band", "span")) {
+      val t = StreamingOps.curationStateTable(s"$root/state", idx)
+      val ddl = spark.sql(s"SHOW CREATE TABLE $t").first().getString(0)
+      assert(ddl.contains("CLUSTERED BY") && ddl.contains("32 BUCKETS"),
+        s"$idx state table must be bucketed, got:\n$ddl")
+    }
+  }
+
+  test("executed probe plan: state scans bucketed, zero index-side exchange") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val root = java.nio.file.Files.createTempDirectory("graft-curp").toString
+    def df(rows: Seq[(Long, String)]) = rows
+      .map { case (id, t) => (id, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    StreamingOps.curationIngestBatch(
+      df(Seq((1L, tA), (4L, tX))), 0L, s"$root/state", s"$root/out")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      // broadcast off: prove the index side needs no exchange even on
+      // the SMJ fallback path a big batch would take (with broadcast on,
+      // the index side trivially avoids exchange — that proves nothing)
+      spark.conf.set(key, "-1")
+      val (e, b, sp) = StreamingOps.curationStateIndexes(spark,
+        s"$root/state", excludeBatchId = 1L)
+      val probe = graft.extensions.Curation.curateIncremental(
+        df(Seq((10L, tA), (12L, s"$stop8 ${body("fresh")}"))),
+        e, b, sp, "text", "doc_id", "n_chars")
+      probe.collect() // finalize AQE
+      val plan = probe.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      def stateScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+        case f: FileSourceScanExec
+          if f.toString.contains("graft_cur_") => Seq(f)
+        case q: QueryStageExec => stateScans(q.plan)
+      }.flatten
+      def exchanges(p: SparkPlan): Seq[ShuffleExchangeExec] = p.collect {
+        case x: ShuffleExchangeExec => Seq(x)
+        case q: QueryStageExec => exchanges(q.plan)
+      }.flatten
+      val all = stateScans(plan)
+      assert(all.size >= 3, s"expected the three state-table scans in\n$plan")
+      all.foreach(f => assert(f.relation.bucketSpec.nonEmpty &&
+        f.bucketedScan,
+        s"state scan must be bucketed: ${f.toString.take(200)}"))
+      // THE pin: no state-table scan is shuffled BEFORE reaching its
+      // join — walk each exchange's input subtree, stopping at joins
+      // (below a join the state rows have already been consumed in
+      // place, and post-join rows are batch-grain — shuffling those is
+      // the flat per-batch cost, not the anti-pattern). Only the batch
+      // side pays a pre-join exchange, so per-ingest cost stays flat in
+      // snapshot size (the d22 measured lesson, now executed).
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      def scansBeforeJoin(p: SparkPlan): Seq[FileSourceScanExec] =
+        p match {
+          case f: FileSourceScanExec
+            if f.toString.contains("graft_cur_") => Seq(f)
+          case _: BaseJoinExec => Nil
+          case q: QueryStageExec => scansBeforeJoin(q.plan)
+          case other => other.children.flatMap(scansBeforeJoin)
+        }
+      exchanges(plan).foreach { x =>
+        assert(scansBeforeJoin(x.child).isEmpty,
+          s"index side must reach its join un-shuffled, found a state " +
+            s"scan feeding\n${x.toString.take(400)}")
+      }
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("replaying a batch id overwrites its own partition — state counts unchanged") {
+    val root = java.nio.file.Files.createTempDirectory("graft-curr").toString
+    def df(rows: Seq[(Long, String)]) = rows
+      .map { case (id, t) => (id, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    val b1 = df(Seq((1L, tA), (4L, tX)))
+    StreamingOps.curationIngestBatch(b1, 0L, s"$root/state", s"$root/out")
+    def counts() = Seq("exact", "band", "span").map(idx =>
+      spark.table(StreamingOps.curationStateTable(s"$root/state", idx))
+        .count())
+    val first = counts()
+    // the crash-replay case: same batch id delivered again
+    StreamingOps.curationIngestBatch(b1, 0L, s"$root/state", s"$root/out")
+    assert(counts() == first,
+      "dynamic partition overwrite must replace, never double, a " +
+        "replayed batch's state partition")
+    assert(spark.read.parquet(s"$root/out").count() == 2L)
   }
 }
 
