@@ -187,6 +187,14 @@ object ScaleHeadroom {
       return
     }
 
+    // round-11 families on arrival (t42 held-out eval, t43 approx-cut
+    // contract): SPARK_GRAFT_LEG=r11
+    if (sys.env.get("SPARK_GRAFT_LEG").contains("r11")) {
+      r11Leg(spark, dirs, report)
+      spark.stop()
+      return
+    }
+
     // ---- e12 train-once/probe-many split ----------------------------
     // runs BEFORE the headline loop so the PqArtifact cache miss (the
     // 7-job Lloyd training + corpus encode — the FIXED cost a
@@ -447,6 +455,7 @@ object ScaleHeadroom {
     t36Leg(spark, dirs, report)
     d23Leg(spark, dirs, report)
     r10Leg(spark, dirs, report)
+    r11Leg(spark, dirs, report)
 
     // d19 with the PRESCRIBED layout: the same probe against the index
     // persisted BUCKETED BY h (the s12 layout). The unbucketed probe
@@ -957,6 +966,26 @@ object ScaleHeadroom {
       report("w33_exact_percentile", scale, xSecs, xRows)
     }
   }
+
+  /** Round-11 new families on arrival (the r10 discipline: no family
+    * ships without a 1×/10×/25× leg), both run as their BOARD queries:
+    *   - t42 held-out eval — the t40 per-iteration pass restricted to
+    *     the train slice plus TWO scoring passes (train cut, held-out
+    *     verdicts): must be ~linear in corpus at fixed iters/buckets;
+    *   - t43 approx-cut contract — t40 training + one scoring pass +
+    *     two 1-row cut aggregates over the shared scored frame: must be
+    *     ~linear; the sketch-vs-exact STATE argument is the r10 w33 leg.
+    * One timed pass per scale (minute-scale runtimes at 25× — the leg
+    * reads the 10×→25× ratio, per-job overhead is noise at this
+    * magnitude). Standalone: SPARK_GRAFT_LEG=r11. */
+  private def r11Leg(spark: SparkSession, dirs: Seq[(Int, String)],
+      report: (String, Int, Double, Long) => Unit): Unit =
+    for ((scale, dir) <- dirs;
+        q <- Seq("t42_classifier_eval", "t43_model_approx_cut")) {
+      val t0 = System.nanoTime()
+      val rows = forceAll(SparkEntry.queries(q)(spark, dir))
+      report(q, scale, (System.nanoTime() - t0) / 1e9, rows)
+    }
 
   /** t36 cross-source contamination matrix (VERDICT r9 item 3): wall
     * must track the DISTINCT (source, shingle-hash) collapse, never
