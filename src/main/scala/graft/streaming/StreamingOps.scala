@@ -649,6 +649,51 @@ object StreamingOps {
       textCol, width = 8))
   }
 
+  /** Compact the curation state tables' accumulated batch partitions
+    * into ONE snapshot partition (labeled `snapshotBatchId`) — the
+    * maintenance job that keeps the executed loop healthy over
+    * thousands of micro-batches: every ingest adds one partition and
+    * one file-per-bucket-per-task to each index, so partition listing
+    * and files-per-bucket grow with batch COUNT (not state size) until
+    * compacted. Compaction is pure LAYOUT — the row multiset is
+    * unchanged (no dedup: the probes already treat the indexes as
+    * sets), the bucket spec is the table's own, and probe fates are
+    * identical before/after (pinned in CurationIngestSpec).
+    *
+    * Run it BETWEEN batches (a quiesced maintenance window, like any
+    * compaction) with `snapshotBatchId` ≤ the last batch whose
+    * checkpoint commit is durable: Structured Streaming replays at most
+    * the last uncommitted epoch, so batches folded into the snapshot
+    * can never be re-delivered and need no self-exclusion partition
+    * anymore; the next batch (> `snapshotBatchId`) still prunes its own
+    * partition as usual. The eager checkpoint breaks lineage from the
+    * table so the static overwrite below never deletes files it is
+    * still reading (at petabyte scale the same job writes a NEW
+    * snapshot table and swaps — the d11 advance discipline; the
+    * in-place form is the single-warehouse variant). */
+  def compactCurationState(spark: SparkSession, stateDir: String,
+      snapshotBatchId: Long): Unit =
+    for (name <- Seq("exact", "band", "span")) {
+      val t = curationStateTable(stateDir, name)
+      val cols = spark.table(t).columns
+      val snap = spark.table(t).drop("batch_id")
+        .withColumn("batch_id", lit(snapshotBatchId))
+        .select(cols.map(col): _*)
+        .localCheckpoint(eager = true) // materialize BEFORE overwrite
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      try {
+        // STATIC overwrite on purpose: replace ALL partitions with the
+        // one compacted snapshot (dynamic would leave the old batch
+        // partitions in place and double every row)
+        spark.conf.set(key, "static")
+        snap.write.mode("overwrite").insertInto(t)
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+
   /** Catalog name of a curation state table — derived from `stateDir`
     * (md5 prefix) so concurrent loops over different state dirs never
     * collide in the shared catalog. */
@@ -745,38 +790,91 @@ object StreamingOps {
     * scan instead of failing the poll (same degraded-to-absent
     * semantics). */
   def metricState(spark: org.apache.spark.sql.SparkSession,
-      stateDir: String, keyCol: String = "event_type"): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed =
-      if (fs.exists(p))
-        fs.listStatus(p).filter(_.isDirectory)
-          .filter(d => fs.exists(
-            new org.apache.hadoop.fs.Path(d.getPath, "_SUCCESS")))
-          .map(_.getPath.toString).toSeq
-      else Seq.empty[String]
-    val partials =
-      if (committed.nonEmpty)
-        spark.read.option("basePath", stateDir)
-          .option("ignoreMissingFiles", "true")
-          .parquet(committed: _*)
-          .select(col(keyCol), col("n"), col("s"))
-      else
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField(keyCol,
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("n",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("s",
-              org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)))))
-    partials
+      stateDir: String, keyCol: String = "event_type"): DataFrame =
+    metricPartials(spark, stateDir, keyCol)
       .groupBy(col(keyCol))
       .agg(sum(col("n")).as("n_rows"), sum(col("s")).as("s2"))
       .select(col(keyCol), col("n_rows"),
         round(col("s2"), 2).cast("double").as("sum_value"),
         (col("s2").cast("double") / col("n_rows")).as("avg_value"))
+
+  /** The committed per-batch partial rows of [[metricStateIngest]] —
+    * shared by the merge-on-read ([[metricState]]) and the compaction
+    * job ([[compactMetricState]]). */
+  private def metricPartials(spark: SparkSession, stateDir: String,
+      keyCol: String): DataFrame = {
+    val committed = committedMetricDirs(spark, stateDir)
+    if (committed.nonEmpty)
+      spark.read.option("basePath", stateDir)
+        .option("ignoreMissingFiles", "true")
+        .parquet(committed: _*)
+        .select(col(keyCol), col("n"), col("s"))
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(keyCol,
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("s",
+            org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)))))
+  }
+
+  private def committedMetricDirs(spark: SparkSession,
+      stateDir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      fs.listStatus(p).filter(_.isDirectory)
+        .filter(d => fs.exists(
+          new org.apache.hadoop.fs.Path(d.getPath, "_SUCCESS")))
+        .map(_.getPath.toString).toSeq
+    else Seq.empty[String]
+  }
+
+  /** Compact [[metricStateIngest]]'s per-batch partials into ONE merged
+    * partial directory (`batch_id=snapshotBatchId`) — the merge algebra
+    * applied AT REST, so merge-on-read cost stops growing with batch
+    * count (each micro-batch adds a directory; a year of minutely
+    * batches is half a million partials without this job).
+    *
+    * Crash-safe without a transactional table format, via a sibling
+    * temp + idempotent rerun protocol (each step re-runnable under the
+    * quiesced-writer contract below):
+    *   1. the FULL merge is written durably to `<stateDir>.compact_tmp`
+    *      BEFORE anything is deleted (a rerun that finds the temp skips
+    *      straight to cleanup — the temp is the complete state);
+    *   2. old batch directories are deleted (a concurrent reader's
+    *      window degrades to "some partials absent" — momentarily
+    *      stale-LOW, never double-counted, the same degradation the
+    *      reader's `_SUCCESS` contract already documents);
+    *   3. the temp directory is renamed into place as the snapshot
+    *      partial (one FS move).
+    * A crash after 3 makes the rerun a no-op-shaped re-compaction of
+    * the single snapshot. Contract: run between batches with
+    * `snapshotBatchId` ≤ the last durably-committed batch id — a folded
+    * batch can never be re-delivered (Structured Streaming replays at
+    * most the last uncommitted epoch), so its overwrite-idempotence is
+    * no longer needed. The production form on a transactional table
+    * (Delta/Iceberg) is the same merge with the swap made atomic. */
+  def compactMetricState(spark: SparkSession, stateDir: String,
+      snapshotBatchId: Long, keyCol: String = "event_type"): Unit = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(stateDir + ".compact_tmp")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+      metricPartials(spark, stateDir, keyCol)
+        .groupBy(col(keyCol))
+        .agg(sum(col("n")).cast("long").as("n"),
+          sum(col("s")).cast("decimal(38,6)").as("s"))
+        .write.mode("overwrite").parquet(tmp.toString)
+    committedMetricDirs(spark, stateDir)
+      .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    fs.mkdirs(root)
+    fs.rename(tmp,
+      new org.apache.hadoop.fs.Path(root, s"batch_id=$snapshotBatchId"))
+    ()
   }
 
   /** Convenience: run a streaming aggregation to completion against a

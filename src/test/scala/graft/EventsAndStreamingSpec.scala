@@ -462,6 +462,27 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
         r.getDouble(3))).toSet
     assert(got == want && got.nonEmpty)
+
+    // compaction folds the two partials into ONE directory; the merged
+    // metric is unchanged (the merge algebra applied at rest)
+    StreamingOps.compactMetricState(spark, s"$root/state",
+      snapshotBatchId = 1L)
+    val dirs = new java.io.File(s"$root/state").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("batch_id=1"),
+      s"expected one compacted snapshot partial, got $dirs")
+    val after = StreamingOps.metricState(spark, s"$root/state")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    assert(after == want)
+    // rerun is idempotent (the crash-recovery contract: each protocol
+    // step is re-runnable)
+    StreamingOps.compactMetricState(spark, s"$root/state",
+      snapshotBatchId = 1L)
+    val again = StreamingOps.metricState(spark, s"$root/state")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    assert(again == want)
   }
 
   test("stream-static enrichment join matches the batch form") {
@@ -1268,6 +1289,57 @@ class CurationIngestSpec extends SparkSpec {
             s"scan feeding\n${x.toString.take(400)}")
       }
     } finally spark.conf.set(key, prev)
+  }
+
+  test("compaction folds batch partitions into one snapshot; probes and layout unchanged") {
+    val root = java.nio.file.Files.createTempDirectory("graft-curc").toString
+    def df(rows: Seq[(Long, String)]) = rows
+      .map { case (id, t) => (id, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    // four micro-batches of distinct kept docs -> four state partitions
+    for (b <- 0 to 3)
+      StreamingOps.curationIngestBatch(
+        df(Seq((10L * b + 1, s"$stop8 ${body(s"c$b")}"))),
+        b.toLong, s"$root/state", s"$root/out")
+    def stateCounts() = Seq("exact", "band", "span").map(idx =>
+      spark.table(StreamingOps.curationStateTable(s"$root/state", idx))
+        .count())
+    def partitions(idx: String) =
+      spark.table(StreamingOps.curationStateTable(s"$root/state", idx))
+        .select("batch_id").distinct().as[Long].collect().toSet
+    val probeBatch = df(Seq(
+      (100L, s"$stop8 ${body("c2")}"),            // exact dup of batch 2's doc
+      (101L, s"$stop8 ${body("newc")}")))         // fresh
+    def fates() = {
+      val (e, b, sp) = StreamingOps.curationStateIndexes(spark,
+        s"$root/state", excludeBatchId = 99L)
+      graft.extensions.Curation.curateIncremental(probeBatch, e, b, sp,
+          "text", "doc_id", "n_chars")
+        .select("doc_id", "status").as[(Long, String)].collect().toMap
+    }
+    val before = (stateCounts(), fates())
+    assert(partitions("exact") == Set(0L, 1L, 2L, 3L))
+    StreamingOps.compactCurationState(spark, s"$root/state",
+      snapshotBatchId = 3L)
+    for (idx <- Seq("exact", "band", "span"))
+      assert(partitions(idx) == Set(3L),
+        s"$idx must collapse to the one snapshot partition")
+    assert((stateCounts(), fates()) == before,
+      "compaction is pure layout — row counts and probe fates unchanged")
+    assert(before._2 == Map(100L -> "exact_dup_state", 101L -> "kept"))
+    // the snapshot partition still scans bucketed
+    val t = StreamingOps.curationStateTable(s"$root/state", "exact")
+    val plan = spark.table(t).groupBy(col("fingerprint")).count()
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"compacted snapshot must keep the bucketed layout\n$plan")
+    // and the next batch ingests against the compacted state as usual
+    StreamingOps.curationIngestBatch(
+      df(Seq((200L, s"$stop8 ${body("c1")}"))), 4L,
+      s"$root/state", s"$root/out")
+    val f4 = spark.read.parquet(s"$root/out/batch_id=4")
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(f4 == Map(200L -> "exact_dup_state"))
   }
 
   test("replaying a batch id overwrites its own partition — state counts unchanged") {
