@@ -756,6 +756,37 @@ object ScaleHeadroom {
       }
       report("d22s_ingest_batch", scale, secs, rows)
     }
+    // Compaction effect (round 11 (8)): the SAME 10× snapshot advanced
+    // as 32 separate batches — the many-micro-batch shape, where every
+    // index carries 32 partitions and 32× the bucket files — probed
+    // before and after compactCurationState. The delta is pure
+    // listing/open overhead: compaction changes layout, never rows.
+    val dir10 = dirs.find(_._1 == 10).map(_._2)
+    dir10.foreach { d10 =>
+      val stateDir = s"$work/curstate_frag"
+      val snapshot = spark.read.parquet(s"$d10/documents.parquet")
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("n_chars"))
+        .localCheckpoint(eager = false) // 32 slice advances read it
+      StreamingOps.ensureCurationStateTables(spark, stateDir,
+        snapshot.limit(0))
+      for (b <- 0 until 32)
+        StreamingOps.advanceCurationState(
+          snapshot.filter(pmod(col("doc_id"), lit(32)) === b),
+          b.toLong, stateDir)
+      def probe(): Long = {
+        val (e, bidx, sp) = StreamingOps.curationStateIndexes(spark,
+          stateDir, excludeBatchId = 99L)
+        forceAll(graft.extensions.Curation.curateIncremental(batch,
+          e, bidx, sp, "text", "doc_id", "n_chars"))
+      }
+      val (fragSecs, fragRows) = timeBest(probe())
+      report("d22s_probe_fragmented", 10, fragSecs, fragRows)
+      StreamingOps.compactCurationState(spark, stateDir,
+        snapshotBatchId = 31L)
+      val (compSecs, compRows) = timeBest(probe())
+      report("d22s_probe_compacted", 10, compSecs, compRows)
+    }
   }
 
   private def d22Leg(spark: SparkSession, docs: DataFrame,
