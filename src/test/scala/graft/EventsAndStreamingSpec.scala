@@ -485,6 +485,53 @@ class StreamingSpec extends SparkSpec {
     assert(again == want)
   }
 
+  test("metric-state compaction recovers from a crash between delete and rename") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mcrash").toString
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .filter(col("event_id") < 600)
+    // two committed partials, written the way the ingest loop writes them
+    def partial(df: org.apache.spark.sql.DataFrame, b: Long) =
+      df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(38,6)")).as("s"))
+        .write.mode("overwrite").parquet(s"$root/state/batch_id=$b")
+    partial(ev.filter(col("event_id") < 300), 0L)
+    partial(ev.filter(col("event_id") >= 300), 1L)
+    val want = StreamingOps.metricState(spark, s"$root/state")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    // simulate run A crashing between protocol steps 2 and 3: the FULL
+    // merge is durably committed to the sibling temp, and one old
+    // partial is already gone
+    // (the temp carries the RAW partial columns — exact decimal sums,
+    // not the rounded metric — exactly what step 1 writes)
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("value").cast("decimal(38,6)")).as("s"))
+      .write.mode("overwrite").parquet(s"$root/state.compact_tmp")
+    def rmr(p: String): Unit = {
+      val f = new java.io.File(p)
+      if (f.isDirectory) f.listFiles().foreach(c => rmr(c.getPath))
+      f.delete(); ()
+    }
+    rmr(s"$root/state/batch_id=0")
+    // a reader in this window sees STALE-LOW, never a double count
+    val during = StreamingOps.metricState(spark, s"$root/state")
+      .agg(coalesce(sum(col("n_rows")), lit(0L)).as("t"))
+      .first().getLong(0)
+    assert(during < want.map(_._2).sum)
+    // the rerun must skip the (lossy) re-merge — the committed temp IS
+    // the complete state — and finish cleanup
+    StreamingOps.compactMetricState(spark, s"$root/state",
+      snapshotBatchId = 1L)
+    val recovered = StreamingOps.metricState(spark, s"$root/state")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    assert(recovered == want,
+      "a committed temp must win over the partially-deleted partials")
+    assert(!new java.io.File(s"$root/state.compact_tmp").exists())
+  }
+
   test("stream-static enrichment join matches the batch form") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream5").toString
     graft.sources.Tables.events(spark, sf0001).limit(500)
