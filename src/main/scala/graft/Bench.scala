@@ -92,6 +92,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_BENCH_FILTER=sub1,sub2 -> bench only matching queries
+    // (local iteration on a family, the Verify third-arg convention);
+    // the driver sets no filter and benches the whole board.
+    val nameFilter: String => Boolean =
+      sys.env.get("SPARK_GRAFT_BENCH_FILTER") match {
+        case Some(pats) =>
+          val ps = pats.split(',').toSeq
+          name => ps.exists(name.contains)
+        case None => _ => true
+      }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -117,11 +127,13 @@ object Bench {
     // the timed pass below records them.
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect()
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try { evalAll(fn(spark, sfDir)) } catch { case _: Throwable => () }
+      SparkEntry.queries.filter(kv => nameFilter(kv._1)).foreach {
+        case (_, fn) =>
+          try { evalAll(fn(spark, sfDir)) } catch { case _: Throwable => () }
       }
     } catch { case _: Throwable => () }
-    def timedPass(): Seq[QueryResult] = SparkEntry.queries.toSeq.map {
+    def timedPass(): Seq[QueryResult] = SparkEntry.queries.toSeq
+      .filter(kv => nameFilter(kv._1)).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         val err =

@@ -107,13 +107,34 @@ object QualityModel {
   def trainLogistic(docs: DataFrame, textCol: String, idCol: String,
       labelCol: String, numBuckets: Int, iters: Int,
       lr: Double): DataFrame = {
+    val (feats, docn) =
+      featureFrames(docs, textCol, idCol, labelCol, numBuckets)
+    trainCore(feats, docn, docs.count(), idCol, iters, lr)
+  }
+
+  /** The shared featurize pass: hashed feature occurrences (with bias)
+    * behind a lazy checkpoint, plus the per-doc (label, feature count)
+    * frame — built ONCE and handed to training AND scoring (the
+    * token-grain explode + md5 is the dominant cost of every query in
+    * the t40 family; computing it once per CONSUMER instead of once per
+    * query was the m6 double-compute pattern, r9). */
+  private def featureFrames(docs: DataFrame, textCol: String,
+      idCol: String, labelCol: String,
+      numBuckets: Int): (DataFrame, DataFrame) = {
     val id = col(idCol)
     val feats = hashedFeaturesWithBias(docs, textCol, idCol, numBuckets)
-      .localCheckpoint(eager = false) // reused every iteration
+      .localCheckpoint(eager = false) // every iteration + scoring pass
     val docn = docs.select(id, col(labelCol).cast("double").as("__y"))
       .join(feats.groupBy(id).agg(count(lit(1)).as("__n")), Seq(idCol))
       .localCheckpoint(eager = false)
-    val nDocs = docs.count() // bounded driver action: the GD normalizer
+    (feats, docn)
+  }
+
+  /** The GD loop over a prebuilt feature frame — see [[trainLogistic]]
+    * for the algorithm and float policy. */
+  private def trainCore(feats: DataFrame, docn: DataFrame, nDocs: Long,
+      idCol: String, iters: Int, lr: Double): DataFrame = {
+    val id = col(idCol)
     var weights = feats.select(col("bucket")).distinct()
       .withColumn("w", lit(0.0))
       .localCheckpoint(eager = false)
@@ -139,6 +160,36 @@ object QualityModel {
         .localCheckpoint(eager = false)
     }
     weights.select(col("bucket"), col("w").as("weight"))
+  }
+
+  /** One scoring pass over a prebuilt feature frame — see
+    * [[scoredWithTrained]] for the semantics. */
+  private def scoreCore(feats: DataFrame, docn: DataFrame,
+      idCol: String, weights: DataFrame): DataFrame = {
+    val id = col(idCol)
+    feats.join(broadcast(weights), Seq("bucket"))
+      .groupBy(id)
+      .agg(sum(col("weight").cast("decimal(38,9)")).as("__sw"))
+      .join(docn, Seq(idCol))
+      .select(id,
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(col("__sw").cast("double") / col("__n")))), 6)
+          .as("model_score"),
+        (col("__y") === 1.0).as("rule_label"))
+  }
+
+  /** TRAIN on `docs` and return the per-doc scored frame
+    * `(idCol, model_score, rule_label)` under the trained weights —
+    * the t41/t43 shape, sharing ONE featurize pass between the GD loop
+    * and the scoring pass (each alone would rebuild the token-grain
+    * explode; see [[featureFrames]]). */
+  def trainAndScore(docs: DataFrame, textCol: String, idCol: String,
+      labelCol: String, numBuckets: Int, iters: Int,
+      lr: Double): DataFrame = {
+    val (feats, docn) =
+      featureFrames(docs, textCol, idCol, labelCol, numBuckets)
+    val w = trainCore(feats, docn, docs.count(), idCol, iters, lr)
+    scoreCore(feats, docn, idCol, w)
   }
 
   /** Hashed feature occurrences PLUS the intercept: every doc gets one
@@ -173,15 +224,20 @@ object QualityModel {
     * broadcast (exact percentile here for the oracle; at 100 TB the cut
     * comes from the w33 sketch, same plan). */
   def modelScore(docs: DataFrame, textCol: String, idCol: String,
-      labelCol: String, weights: DataFrame, numBuckets: Int): DataFrame = {
-    val id = col(idCol)
-    val scored = scoredWithTrained(docs, textCol, idCol, labelCol,
-        weights, numBuckets)
+      labelCol: String, weights: DataFrame, numBuckets: Int): DataFrame =
+    modelScoreFromScored(scoredWithTrained(docs, textCol, idCol,
+      labelCol, weights, numBuckets), idCol)
+
+  /** [[modelScore]]'s cut half over an already-scored frame — lets the
+    * t41 query share [[trainAndScore]]'s single featurize pass. */
+  def modelScoreFromScored(scoredFrame: DataFrame,
+      idCol: String): DataFrame = {
+    val scored = scoredFrame
       .localCheckpoint(eager = false) // median + output share it
     val cut = scored.agg(
       expr("percentile(model_score, 0.5)").as("__cut"))
     scored.crossJoin(broadcast(cut))
-      .select(id, col("model_score"),
+      .select(col(idCol), col("model_score"),
         (col("model_score") >= col("__cut")).as("kept"),
         col("rule_label"))
   }
@@ -193,20 +249,9 @@ object QualityModel {
     * one explode, one broadcast weight join, one doc-grain exchange. */
   def scoredWithTrained(docs: DataFrame, textCol: String, idCol: String,
       labelCol: String, weights: DataFrame, numBuckets: Int): DataFrame = {
-    val id = col(idCol)
-    val feats = hashedFeaturesWithBias(docs, textCol, idCol, numBuckets)
-      .localCheckpoint(eager = false) // n count + score pass
-    val docn = docs.select(id, col(labelCol).cast("double").as("__y"))
-      .join(feats.groupBy(id).agg(count(lit(1)).as("__n")), Seq(idCol))
-    feats.join(broadcast(weights), Seq("bucket"))
-      .groupBy(id)
-      .agg(sum(col("weight").cast("decimal(38,9)")).as("__sw"))
-      .join(docn, Seq(idCol))
-      .select(id,
-        round(lit(1.0) / (lit(1.0) +
-          exp(-(col("__sw").cast("double") / col("__n")))), 6)
-          .as("model_score"),
-        (col("__y") === 1.0).as("rule_label"))
+    val (feats, docn) =
+      featureFrames(docs, textCol, idCol, labelCol, numBuckets)
+    scoreCore(feats, docn, idCol, weights)
   }
 
   /** HELD-OUT evaluation of the trained classifier — the quality report
@@ -230,11 +275,14 @@ object QualityModel {
   def evalHeldOut(train: DataFrame, heldout: DataFrame, textCol: String,
       idCol: String, labelCol: String, numBuckets: Int, iters: Int,
       lr: Double): DataFrame = {
-    val w = trainLogistic(train, textCol, idCol, labelCol, numBuckets,
-        iters, lr)
+    // ONE featurize pass over the train slice feeds both the GD loop
+    // and the cut-deriving train scoring (the featureFrames sharing);
+    // the held-out slice pays its own single pass.
+    val (tFeats, tDocn) =
+      featureFrames(train, textCol, idCol, labelCol, numBuckets)
+    val w = trainCore(tFeats, tDocn, train.count(), idCol, iters, lr)
       .localCheckpoint(eager = false) // train scoring + heldout scoring
-    val cut = scoredWithTrained(train, textCol, idCol, labelCol, w,
-        numBuckets)
+    val cut = scoreCore(tFeats, tDocn, idCol, w)
       .agg(expr("percentile(model_score, 0.5)").as("__cut"))
     val verdicts = scoredWithTrained(heldout, textCol, idCol, labelCol,
         w, numBuckets)
@@ -286,9 +334,15 @@ object QualityModel {
     *     median's interpolation unit. */
   def approxCutContract(docs: DataFrame, textCol: String, idCol: String,
       labelCol: String, weights: DataFrame, numBuckets: Int,
+      accuracy: Int): DataFrame =
+    approxCutContractFromScored(scoredWithTrained(docs, textCol, idCol,
+      labelCol, weights, numBuckets), accuracy)
+
+  /** [[approxCutContract]] over an already-scored frame — lets the t43
+    * query share [[trainAndScore]]'s single featurize pass. */
+  def approxCutContractFromScored(scoredFrame: DataFrame,
       accuracy: Int): DataFrame = {
-    val scored = scoredWithTrained(docs, textCol, idCol, labelCol,
-        weights, numBuckets)
+    val scored = scoredFrame
       .localCheckpoint(eager = false) // cuts + rank counts share it
     val cuts = scored.agg(
       expr("percentile(model_score, 0.5)").as("__qe"),

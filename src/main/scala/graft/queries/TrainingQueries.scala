@@ -750,12 +750,13 @@ object TrainingQueries {
     // replays training AND inference in one statement.
     "t41_model_scored_corpus" -> ((s, d) => {
       import graft.extensions.QualityModel
-      val labeled = spamLabeledDocs(s, d)
-        .localCheckpoint(eager = false) // trainer + scorer both read it
-      val w = QualityModel.trainLogistic(labeled, "text", "doc_id",
-        "label", numBuckets = 4096, iters = 3, lr = 100.0)
-      QualityModel.modelScore(labeled, "text", "doc_id", "label",
-          w.select(col("bucket"), col("weight")), 4096)
+      // trainAndScore shares ONE featurize pass (the dominant cost)
+      // between the GD loop and the scoring pass — training separately
+      // and calling modelScore would rebuild the token-grain explode
+      QualityModel.modelScoreFromScored(
+          QualityModel.trainAndScore(spamLabeledDocs(s, d), "text",
+            "doc_id", "label", numBuckets = 4096, iters = 3, lr = 100.0),
+          "doc_id")
         .orderBy(col("doc_id"))
     }),
 
@@ -789,12 +790,10 @@ object TrainingQueries {
     // (the w33 discipline — DuckDB has no GK sketch to replay).
     "t43_model_approx_cut" -> ((s, d) => {
       import graft.extensions.QualityModel
-      val labeled = spamLabeledDocs(s, d)
-        .localCheckpoint(eager = false) // trainer + contract read it
-      val w = QualityModel.trainLogistic(labeled, "text", "doc_id",
-        "label", numBuckets = 4096, iters = 3, lr = 100.0)
-      QualityModel.approxCutContract(labeled, "text", "doc_id", "label",
-        w.select(col("bucket"), col("weight")), 4096, accuracy = 10000)
+      QualityModel.approxCutContractFromScored(
+        QualityModel.trainAndScore(spamLabeledDocs(s, d), "text",
+          "doc_id", "label", numBuckets = 4096, iters = 3, lr = 100.0),
+        accuracy = 10000)
     }),
 
     // T32 — BM25 ranked retrieval (Robertson/Spärck Jones; Lucene's
