@@ -1353,4 +1353,41 @@ object Dedup {
             struct(col("__pos"), col("__line"))))),
           s => s("__line")), "\n").as("kept_text"))
   }
+
+  /** INTRA-document line dedup — the WITHIN-doc half of the RefinedWeb
+    * line-wise corrections (Penedo et al. 2023 §3.1.3: repeated
+    * lines/headers/footers inside one page are removed before any
+    * corpus-wide pass): each line keeps its first occurrence *within
+    * its own document*; later copies in the same doc are cut. Same
+    * output contract as [[lineDedup]] (`n_lines`, `n_kept`,
+    * `kept_text` reassembled in original order), different grain —
+    * and therefore a fundamentally different (better) scale shape.
+    *
+    * Scale shape at 100 TB: ZERO shuffles. Because the dedup scope is
+    * one row's own text, the whole operator is a per-row projection —
+    * `filter(lines, (l, i) -> array_position(lines, l) = i+1)` keeps
+    * exactly the first occurrences, entirely inside whole-stage
+    * codegen, embarrassingly parallel, no exchange of any kind (the
+    * corpus-grain [[lineDedup]] must pay a line-grain explode plus two
+    * exchanges — this one pays nothing beyond the scan). The map form
+    * is O(L²) comparisons per doc in line count L; web documents are
+    * 10²-10³ lines so the constant is trivial, and a pathological
+    * multi-million-line doc is the parse-failure class the t27 gates
+    * drop long before dedup. Run this BEFORE [[lineDedup]] at scale:
+    * it shrinks the explode the corpus pass pays for free. */
+  def intraDocLineDedup(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    // staged projections: __kept is referenced twice below, and
+    // CollapseProject keeps a twice-referenced non-cheap expression in
+    // its own project, so the O(L²) first-occurrence filter runs once
+    docs
+      .select(col(idCol), split(col(textCol), "\n").as("__ls"))
+      .select(col(idCol), col("__ls"),
+        filter(col("__ls"),
+          (x, i) => array_position(col("__ls"), x) === i + 1).as("__kept"))
+      .select(col(idCol),
+        size(col("__ls")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), "\n").as("kept_text"))
+  }
 }

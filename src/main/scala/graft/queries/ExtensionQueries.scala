@@ -170,6 +170,28 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // D25 — INTRA-document line dedup (RefinedWeb §3.1.3's line-wise
+    // corrections, the within-doc half of d23's corpus grain): repeated
+    // lines inside one page (headers, nav bars, cookie banners pasted
+    // per-section) keep their first in-doc occurrence only. Same
+    // segmentation fixture as d23; doc_id%4 docs get their own first
+    // line re-appended — the in-page boilerplate shape. The operator is
+    // a ZERO-shuffle pure map (see Dedup.intraDocLineDedup); the spec
+    // pins the no-exchange plan.
+    "d25_intradoc_line_dedup" -> ((s, d) => {
+      val seg = regexp_replace(col("text"),
+        "((?:\\S+ ){11}\\S+) ", "$1\n")
+      val docs = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), seg.as("__seg"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 4 === 0,
+            concat(col("__seg"), lit("\n"),
+              element_at(split(col("__seg"), "\n"), 1)))
+            .otherwise(col("__seg")).as("text"))
+      Dedup.intraDocLineDedup(docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // D24 — LSH banding calibration (MMDS ch. 3): the S-curve config
     // table that PICKS bands/rows before running d3/d12/d22 at scale —
     // run at the board's own parameters (n=32 hashes, threshold 0.3) so
@@ -1186,6 +1208,37 @@ object ExtensionQueries {
         |  FROM lines l LEFT JOIN keep kp
         |    ON l.line = kp.line AND l.k = kp.k)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // d25's replay: same segmentation + self-append injection,
+    // per-doc first-occurrence election via GROUP BY (doc, line) →
+    // min(position), reassembly ordered by that first position —
+    // identical to keeping first occurrences in place.
+    "d25_intradoc_line_dedup" ->
+      """WITH seg AS MATERIALIZED (
+        |  SELECT doc_id, regexp_replace(text, '((?:\S+ ){11}\S+) ',
+        |    '\1' || chr(10), 'g') AS t
+        |  FROM documents
+        |), injected AS MATERIALIZED (
+        |  SELECT doc_id, CASE WHEN doc_id % 4 = 0
+        |    THEN t || chr(10) || string_split(t, chr(10))[1]
+        |    ELSE t END AS t
+        |  FROM seg
+        |), lines AS MATERIALIZED (
+        |  SELECT doc_id, ls[i] AS line, i
+        |  FROM (SELECT doc_id, string_split(t, chr(10)) AS ls,
+        |          unnest(range(1, len(string_split(t, chr(10))) + 1)) AS i
+        |        FROM injected)
+        |), keep AS MATERIALIZED (
+        |  SELECT doc_id, line, min(i) AS i FROM lines GROUP BY doc_id, line
+        |), stats AS MATERIALIZED (
+        |  SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id
+        |)
+        |SELECT s.doc_id, CAST(s.n_lines AS BIGINT) AS n_lines,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  string_agg(k.line, chr(10) ORDER BY k.i) AS kept_text
+        |FROM stats s JOIN keep k ON s.doc_id = k.doc_id
+        |GROUP BY s.doc_id, s.n_lines
+        |ORDER BY s.doc_id""".stripMargin,
 
     // d24's replay: same divisor enumeration, grid, per-point round(6),
     // decimal mass integrals and min-cost selection.

@@ -1447,6 +1447,50 @@ class LineDedupSpec extends SparkSpec {
   }
 }
 
+class IntraDocLineDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "nav bar\nalpha one\nnav bar\nalpha two\nnav bar"),
+    (2L, "beta one\nbeta one"),
+    (3L, "gamma only"),
+    // the same line repeats across docs 4 and 1 ("nav bar") — the
+    // intra grain must NOT interact across documents
+    (4L, "nav bar\nnav bar\ndelta")
+  ).toDF("doc_id", "text")
+
+  private lazy val got = Dedup.intraDocLineDedup(docs, "doc_id", "text")
+    .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+
+  test("intraDocLineDedup keeps first in-doc occurrence; docs never interact") {
+    assert(got == Seq(
+      (1L, 5L, 3L, "nav bar\nalpha one\nalpha two"),
+      (2L, 2L, 1L, "beta one"),
+      (3L, 1L, 1L, "gamma only"),
+      (4L, 3L, 2L, "nav bar\ndelta")))
+  }
+
+  test("intraDocLineDedup is a zero-shuffle pure map (scale contract)") {
+    val plan = Dedup.intraDocLineDedup(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "intra-doc dedup scopes to one row's own text — any exchange " +
+        "means the per-row map form was lost")
+    assert(!plan.contains("Window") && !plan.contains("Aggregate"),
+      "no grouping of any kind belongs in the intra-doc grain")
+  }
+
+  test("intraDocLineDedup evaluates the first-occurrence filter once per row") {
+    val optimized = Dedup.intraDocLineDedup(docs, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    // CollapseProject must keep the twice-referenced ArrayFilter in its
+    // own project instead of inlining the O(L^2) filter into both
+    // n_kept and kept_text
+    assert(optimized.split("array_position", -1).length - 1 <= 1,
+      "the first-occurrence filter was inlined into multiple consumers")
+  }
+}
+
 class LshCalibrationSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions.col
