@@ -118,7 +118,8 @@ object Bench {
     // hash groupBy), then the timed pass measures the queries themselves.
     // The warm-up also BUILDS every shared memoized artifact
     // (TradingPairs/TradingRank iterate chain, InjectedShingles,
-    // PqArtifact codebooks), so the timed per-query numbers are
+    // PqArtifact codebooks, the ClassifierModel trained weights +
+    // eval), so the timed per-query numbers are
     // order-INdependent: no timed query pays — or escapes — the shared
     // construction cost depending on who ran first; what a timed g1 or
     // d20 measures is the steady-state probe against the warm artifact

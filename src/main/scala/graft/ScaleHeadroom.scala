@@ -188,7 +188,7 @@ object ScaleHeadroom {
     }
 
     // round-11 families on arrival (t42 held-out eval, t43 approx-cut
-    // contract): SPARK_GRAFT_LEG=r11
+    // contract, d25 intra-doc line dedup): SPARK_GRAFT_LEG=r11
     if (sys.env.get("SPARK_GRAFT_LEG").contains("r11")) {
       r11Leg(spark, dirs, report)
       spark.stop()
@@ -999,24 +999,67 @@ object ScaleHeadroom {
   }
 
   /** Round-11 new families on arrival (the r10 discipline: no family
-    * ships without a 1×/10×/25× leg), both run as their BOARD queries:
-    *   - t42 held-out eval — the t40 per-iteration pass restricted to
-    *     the train slice plus TWO scoring passes (train cut, held-out
-    *     verdicts): must be ~linear in corpus at fixed iters/buckets;
-    *   - t43 approx-cut contract — t40 training + one scoring pass +
-    *     two 1-row cut aggregates over the shared scored frame: must be
-    *     ~linear; the sketch-vs-exact STATE argument is the r10 w33 leg.
-    * One timed pass per scale (minute-scale runtimes at 25× — the leg
-    * reads the 10×→25× ratio, per-job overhead is noise at this
+    * ships without a 1×/10×/25× leg). The classifier family is a
+    * build-once artifact (ClassifierModel), so its leg is the e12
+    * train_encode/probe SPLIT — construction cost and steady-state
+    * probe cost reported separately, each ~linear required:
+    *   - classifier_full_build — labeled corpus (gopher battery) +
+    *     full-corpus 3-iteration GD + scoring (t40/t41/t43's shared
+    *     fixed cost, paid once per deployment);
+    *   - classifier_eval_build — t42's OWN training over the s18-split
+    *     train slice + both scoring passes, riding the warm labeled
+    *     frame (the t40 per-iteration pass restricted to the slice);
+    *   - t41/t42/t43 as BOARD queries against the warm artifact — the
+    *     per-query steady state, must be scale-flat-ish (doc-grain
+    *     frames only);
+    *   - d25 intra-doc line dedup — the zero-shuffle map (see the leg
+    *     body).
+    * One timed pass per build row (minute-scale runtimes at 25× — the
+    * leg reads the 10×→25× ratio, per-job overhead is noise at this
     * magnitude). Standalone: SPARK_GRAFT_LEG=r11. */
   private def r11Leg(spark: SparkSession, dirs: Seq[(Int, String)],
-      report: (String, Int, Double, Long) => Unit): Unit =
-    for ((scale, dir) <- dirs;
-        q <- Seq("t42_classifier_eval", "t43_model_approx_cut")) {
+      report: (String, Int, Double, Long) => Unit): Unit = {
+    for ((scale, dir) <- dirs) {
+      val parts = graft.queries.TrainingQueries.ClassifierModel(spark, dir)
       val t0 = System.nanoTime()
-      val rows = forceAll(SparkEntry.queries(q)(spark, dir))
-      report(q, scale, (System.nanoTime() - t0) / 1e9, rows)
+      val nScored = forceAll(parts.scored)
+      report("classifier_full_build", scale,
+        (System.nanoTime() - t0) / 1e9, nScored)
+      val t1 = System.nanoTime()
+      forceAll(parts.evalRow)
+      report("classifier_eval_build", scale,
+        (System.nanoTime() - t1) / 1e9, 1L)
+      for (q <- Seq("t41_model_scored_corpus", "t42_classifier_eval",
+          "t43_model_approx_cut")) {
+        val (secs, rows) = timeBest {
+          forceAll(SparkEntry.queries(q)(spark, dir))
+        }
+        report(q, scale, secs, rows)
+      }
+      // evict this scale's artifact before the next scale builds —
+      // see ClassifierModel.invalidate (pinned 1×+10× artifacts made
+      // the 25× build memory-bound, not compute-bound)
+      graft.queries.TrainingQueries.ClassifierModel.invalidate(spark, dir)
+      System.gc()
     }
+    // d25 intra-doc line dedup — the ZERO-shuffle map form: wall must
+    // be ~linear in corpus (no exchange exists to grow any other way —
+    // the plan pin lives in IntraDocLineDedupSpec); board fixture
+    // (12-token segmentation + self-appended first line on doc_id%4).
+    for ((scale, dir) <- dirs) {
+      val seg = regexp_replace(col("text"), "((?:\\S+ ){11}\\S+) ", "$1\n")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), seg.as("__seg"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 4 === 0, concat(col("__seg"), lit("\n"),
+            element_at(split(col("__seg"), "\n"), 1)))
+            .otherwise(col("__seg")).as("text"))
+      val (secs, rows) = timeBest {
+        forceAll(Dedup.intraDocLineDedup(docs, "doc_id", "text"))
+      }
+      report("d25_intradoc_line_dedup", scale, secs, rows)
+    }
+  }
 
   /** t36 cross-source contamination matrix (VERDICT r9 item 3): wall
     * must track the DISTINCT (source, shingle-hash) collapse, never

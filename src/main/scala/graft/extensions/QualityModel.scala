@@ -185,11 +185,21 @@ object QualityModel {
     * explode; see [[featureFrames]]). */
   def trainAndScore(docs: DataFrame, textCol: String, idCol: String,
       labelCol: String, numBuckets: Int, iters: Int,
-      lr: Double): DataFrame = {
+      lr: Double): DataFrame =
+    trainAndScoreParts(docs, textCol, idCol, labelCol, numBuckets,
+      iters, lr)._2
+
+  /** [[trainAndScore]] with the trained weight table alongside the
+    * scored frame — the build-once artifact shape (one training run,
+    * many consumers: the weight table IS t40's output, the scored frame
+    * feeds t41's cut and t43's contract). */
+  def trainAndScoreParts(docs: DataFrame, textCol: String, idCol: String,
+      labelCol: String, numBuckets: Int, iters: Int,
+      lr: Double): (DataFrame, DataFrame) = {
     val (feats, docn) =
       featureFrames(docs, textCol, idCol, labelCol, numBuckets)
     val w = trainCore(feats, docn, docs.count(), idCol, iters, lr)
-    scoreCore(feats, docn, idCol, w)
+    (w, scoreCore(feats, docn, idCol, w))
   }
 
   /** Hashed feature occurrences PLUS the intercept: every doc gets one

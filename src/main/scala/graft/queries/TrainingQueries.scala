@@ -734,12 +734,11 @@ object TrainingQueries {
     // float collapse is quantize→decimal-sum (see
     // QualityModel.trainLogistic), so the oracle replays the whole
     // optimization bit-for-bit.
-    "t40_classifier_training" -> ((s, d) => {
-      import graft.extensions.QualityModel
-      QualityModel.trainLogistic(spamLabeledDocs(s, d), "text", "doc_id",
-          "label", numBuckets = 4096, iters = 3, lr = 100.0)
-        .orderBy(col("bucket"))
-    }),
+    // Build-once: the family's trained model is a [[ClassifierModel]]
+    // artifact (the TradingRank contract — one GD run serves t40's
+    // weight output, t41's cut, t42's eval and t43's contract).
+    "t40_classifier_training" -> ((s, d) =>
+      ClassifierModel(s, d).weights.orderBy(col("bucket"))),
 
     // T41 — the trained model SCORES the corpus (the back half of the
     // DCLM loop t40 opens): t40's 3-GD-iteration weights applied per
@@ -750,12 +749,10 @@ object TrainingQueries {
     // replays training AND inference in one statement.
     "t41_model_scored_corpus" -> ((s, d) => {
       import graft.extensions.QualityModel
-      // trainAndScore shares ONE featurize pass (the dominant cost)
-      // between the GD loop and the scoring pass — training separately
-      // and calling modelScore would rebuild the token-grain explode
-      QualityModel.modelScoreFromScored(
-          QualityModel.trainAndScore(spamLabeledDocs(s, d), "text",
-            "doc_id", "label", numBuckets = 4096, iters = 3, lr = 100.0),
+      // the scored frame comes from the family's build-once
+      // [[ClassifierModel]] artifact (ONE featurize pass + ONE GD run
+      // for t40-t43); this query owns the median cut on top of it
+      QualityModel.modelScoreFromScored(ClassifierModel(s, d).scored,
           "doc_id")
         .orderBy(col("doc_id"))
     }),
@@ -769,16 +766,10 @@ object TrainingQueries {
     // accuracy vs the t27 rule labels. The oracle replays the split,
     // the whole 3-iteration GD run on the train slice, both scoring
     // passes and the confusion sums — every count exact.
-    "t42_classifier_eval" -> ((s, d) => {
-      import graft.extensions.{Dedup, QualityModel, TextAnalysis}
-      val labeled = spamLabeledDocs(s, d)
-        .withColumn("__b", pmod(Dedup.md5Hash60(concat(lit("split42:"),
-          TextAnalysis.normHash(col("text")))), lit(10)))
-        .localCheckpoint(eager = false) // train + heldout slices
-      QualityModel.evalHeldOut(labeled.filter(col("__b") <= 7),
-        labeled.filter(col("__b") >= 8), "text", "doc_id", "label",
-        numBuckets = 4096, iters = 3, lr = 100.0)
-    }),
+    // split convention, slices and training all live in the
+    // [[ClassifierModel]] artifact (t42 is the family member that
+    // trains on the s18-split train slice rather than the full corpus)
+    "t42_classifier_eval" -> ((s, d) => ClassifierModel(s, d).evalRow),
 
     // T43 — t41's quantile cut in its PRODUCTION form (percentile_
     // approx, bounded sketch state) tied to the exact cut by a one-row
@@ -791,9 +782,7 @@ object TrainingQueries {
     "t43_model_approx_cut" -> ((s, d) => {
       import graft.extensions.QualityModel
       QualityModel.approxCutContractFromScored(
-        QualityModel.trainAndScore(spamLabeledDocs(s, d), "text",
-          "doc_id", "label", numBuckets = 4096, iters = 3, lr = 100.0),
-        accuracy = 10000)
+        ClassifierModel(s, d).scored, accuracy = 10000)
     }),
 
     // T32 — BM25 ranked retrieval (Robertson/Spärck Jones; Lucene's
@@ -4019,6 +4008,70 @@ object TrainingQueries {
         .select(col("doc_id"),
           (col("reject_reason") === "pass").cast("double").as("label")),
       Seq("doc_id"))
+  }
+
+  /** The t40/t41/t42/t43 shared TRAINED MODEL — the
+    * [[TradingRank]]/[[InjectedShingles]] build-once contract applied to
+    * the classifier family, and also the family's production shape:
+    * a model is trained ONCE and then consumed by many queries (apply,
+    * cut, audit, eval) — re-running the GD loop per consumer was the
+    * same double-compute class the r9 m6 fix removed at query grain.
+    * Built per (session, dir): the t27-distilled labeled corpus (one
+    * gopher battery for the whole family), the full-corpus trained
+    * weights + scored frame (t40's output, t41's cut input, t43's
+    * contract input), and the held-out eval row (t42 — its OWN training
+    * run over the s18-split train slice; the only part of the family
+    * that trains on a different universe). All checkpointed; entries
+    * live for the session and assume the dir's parquet immutable — the
+    * Verify/Bench contract. */
+  private[graft] object ClassifierModel {
+    /** Parts are LAZY per consumer: a query that only reads `evalRow`
+      * never triggers the full-corpus GD run (whose `docs.count()` is
+      * eager inside trainAndScoreParts), and vice versa — so filtered
+      * Verify/Bench slices and the ScaleHeadroom cost split (build vs
+      * probe, the e12 train_encode/probe convention) each pay exactly
+      * the construction they use. */
+    final class Parts(full: () => (DataFrame, DataFrame),
+        eval: () => DataFrame) {
+      private lazy val f = full()
+      lazy val weights: DataFrame = f._1
+      lazy val scored: DataFrame = f._2.localCheckpoint(eager = false)
+      lazy val evalRow: DataFrame = eval().localCheckpoint(eager = false)
+    }
+    private val cache = scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), Parts]
+    /** Drop a dir's cached parts. The cache pins its checkpointed
+      * blocks for the session (per-query checkpoints die with their
+      * query and the ContextCleaner unpersists them after GC; a cached
+      * artifact's references live in this map, so its blocks never
+      * free). One board dir is bounded state by design; the SCALE
+      * HARNESS sweeps 1×/10×/25× dirs through one session and must
+      * evict each scale before building the next, or the pinned
+      * artifacts crowd the block manager the next build runs in
+      * (measured: the 25× build was 6.9× the 10× one with 1×+10×
+      * artifacts pinned, ~linear once evicted). Callers follow with
+      * `System.gc()` so the cleaner's weak refs enqueue promptly. */
+    def invalidate(s: SparkSession, d: String): Unit =
+      cache.remove((s, d))
+    def apply(s: SparkSession, d: String): Parts =
+      cache.getOrElseUpdate((s, d), {
+        import graft.extensions.QualityModel
+        lazy val labeled = spamLabeledDocs(s, d)
+          .localCheckpoint(eager = false) // full train + split train
+        // the s18 split rides the labeled checkpoint WITHOUT its own:
+        // the md5 bucket recomputes on each of the ~4 reads (cheap row
+        // math) instead of holding a second full-text copy of the
+        // corpus in block storage next to `labeled`
+        lazy val split = labeled
+          .withColumn("__b", pmod(Dedup.md5Hash60(concat(lit("split42:"),
+            TextAnalysis.normHash(col("text")))), lit(10)))
+        new Parts(
+          () => QualityModel.trainAndScoreParts(labeled, "text",
+            "doc_id", "label", numBuckets = 4096, iters = 3, lr = 100.0),
+          () => QualityModel.evalHeldOut(split.filter(col("__b") <= 7),
+            split.filter(col("__b") >= 8), "text", "doc_id", "label",
+            numBuckets = 4096, iters = 3, lr = 100.0))
+      })
   }
 
   /** t40's replay, CTEs only (callers append their SELECT — t40 reads
