@@ -1036,13 +1036,22 @@ object TrainingQueries {
       val exactMed = graft.operators.Summaries.sortedPercentiles(
         Tables.lineitem(s, d), Seq("l_returnflag"),
         col("l_extendedprice"), Seq("exact_median" -> 0.5))
+      // the GK sketch aggregates in its OWN pass (the w6 lesson):
+      // sharing an agg with countDistinct keys the distinct rewrite's
+      // first level by (flag, partkey) and merges a percentile_approx
+      // OBJECT buffer per partkey group; split, the sketch aggregates
+      // straight to the 3-group grain and the distinct pair stays a
+      // codegen'd two-level count — they meet in a broadcast join.
+      val sketchMed = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5),
+          lit(1000)).as("approx_median"))
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-            .as("approx_median"))
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .join(broadcast(sketchMed), Seq("l_returnflag"))
         .join(broadcast(exactMed), Seq("l_returnflag"))
         .select(col("l_returnflag"),
           col("exact_parts"), col("exact_median"),
