@@ -4006,7 +4006,7 @@ object TrainingQueries {
   /** t40/t41's shared fixture: the [[SpamMarker]] injection on
     * doc_id % 5 docs (n_chars recomputed post-injection — the d22
     * convention), then the t27 battery distilled into a 0/1 label. */
-  private def spamLabeledDocs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def spamLabeledDocs(s: SparkSession, d: String): DataFrame = {
     val docs0 = Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"),
         when(col("doc_id") % 5 === 0, concat(col("text"), lit(SpamMarker)))

@@ -1621,6 +1621,37 @@ class QualityModelSpec extends SparkSpec {
   }
 }
 
+class ClassifierModelSpec extends SparkSpec {
+  private val CM = graft.queries.TrainingQueries.ClassifierModel
+
+  test("ClassifierModel memoizes per (session, dir) and invalidate evicts") {
+    val a = CM(spark, sf0001)
+    assert(CM(spark, sf0001) eq a,
+      "second apply must return the cached Parts — a fresh instance " +
+        "means every family query would re-plan (and re-train) the model")
+    CM.invalidate(spark, sf0001)
+    val b = CM(spark, sf0001)
+    assert(!(b eq a),
+      "invalidate must drop the entry so the next apply rebuilds — the " +
+        "scale harness relies on this to unpin a swept dir's blocks")
+    CM.invalidate(spark, sf0001) // leave no pinned fixture state behind
+  }
+
+  test("ClassifierModel board probes agree with the direct operator calls") {
+    import org.apache.spark.sql.functions.col
+    val w = CM(spark, sf0001).weights.orderBy(col("bucket"))
+      .collect().toSeq
+    // the artifact must be a pure memoization: same training chain,
+    // same values as t40's pre-artifact direct form
+    val direct = graft.extensions.QualityModel.trainLogistic(
+      graft.queries.TrainingQueries.spamLabeledDocs(spark, sf0001),
+      "text", "doc_id", "label", numBuckets = 4096, iters = 3,
+      lr = 100.0).orderBy(col("bucket")).collect().toSeq
+    assert(w == direct)
+    CM.invalidate(spark, sf0001)
+  }
+}
+
 class TrainLogisticSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions.{avg, col, lit}
