@@ -49,7 +49,10 @@ object Bench {
     * Successful-query values stay plain numbers (the driver's parser
     * contract). */
   def formatLine(results: Seq[QueryResult], sfDir: String,
-      medianQueries: Option[Seq[(String, Double)]] = None): String = {
+      medianQueries: Option[Seq[(String, Double)]] = None,
+      warmupS: Option[Double] = None,
+      canaryS: Option[Double] = None,
+      builds: Option[Seq[(String, Double)]] = None): String = {
     // sfDir comes from the environment and error classes from arbitrary
     // throwables — escape the two JSON-string interpolations (a quote
     // or backslash in a path must not make the whole line unparseable)
@@ -72,12 +75,31 @@ object Bench {
         .mkString("{", ",", "}")
       s""""median_queries":$mq,"median_total":${ms.map(_._2).sum},"""
     }
+    // host-speed self-calibration (VERDICT r11 item 2): BENCH_r11
+    // landed in a ~2.6× degraded host window and was unreadable as a
+    // regression without builder-side artifacts. canary_s is a FIXED
+    // sf-independent hash-agg timed right before the first timed pass
+    // (median of 3), so any two BENCH_r*.json are comparable after
+    // dividing by their canaries; warmup_s is the untimed warm-up
+    // pass's wall (JIT + artifact builds + footer reads).
+    val cal = warmupS.fold("")(w => s""""warmup_s":$w,""") +
+      canaryS.fold("")(c => s""""canary_s":$c,""")
+    // one-time memoized-artifact build costs (VERDICT r11 item 3): the
+    // warm-up builds every shared artifact, so timed queries measure
+    // steady-state probes — this block carries the honest construction
+    // cost (board total + builds = first-run cost) so t40's 0.085 s
+    // cache probe can't be misread as training cost.
+    val bld = builds.fold("") { bs =>
+      val m = bs.map { case (n, s) => "\"" + esc(n) + "\":" + s }
+        .mkString("{", ",", "}")
+      s""""builds":$m,"""
+    }
     // eval:all_columns — round 4 switched the timed pass from count()
     // to evalAll (full-column evaluation); totals are not directly
     // comparable to the count()-based rounds 1-3 for queries whose
     // count() plan pruned work away
     s"""{"metric":"total","value":$total,"unit":"sec","failed":${failures.size},""" +
-      s""""errors":$errs,"eval":"all_columns",$med"queries":$qs,"sf":"${esc(sfDir)}"}"""
+      s""""errors":$errs,"eval":"all_columns",$cal$bld$med"queries":$qs,"sf":"${esc(sfDir)}"}"""
   }
 
   /** Median of a non-empty sample — even counts average the two middle
@@ -126,13 +148,71 @@ object Bench {
     // (the documented Verify/Bench contract for those families).
     // Warm-up swallowing exceptions is deliberate (best-effort by design);
     // the timed pass below records them.
-    try {
-      spark.range(1000000L).selectExpr("sum(id)").collect()
-      SparkEntry.queries.filter(kv => nameFilter(kv._1)).foreach {
-        case (_, fn) =>
-          try { evalAll(fn(spark, sfDir)) } catch { case _: Throwable => () }
+    def secsOf(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      body
+      (System.nanoTime() - t0) / 1e9
+    }
+    // One-time shared-artifact builds, individually timed BEFORE the
+    // query sweep (which would otherwise absorb them as cache probes) —
+    // emitted as the "builds" JSON block. Each force is the artifact's
+    // own evaluation, not a query's: counts materialize the lazy
+    // localCheckpoints. Skipped under a bench filter (local family
+    // iteration wants speed; the sweep still builds what it needs).
+    // First-in-JVM codegen/JIT overhead lands in these numbers — they
+    // are first-run costs by definition.
+    val builds: Option[Seq[(String, Double)]] =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_FILTER")) None
+      else Some {
+        import graft.queries.{ExtensionQueries, TrainingQueries}
+        spark.range(1000000L).selectExpr("sum(id)").collect()
+        Seq[(String, () => Unit)](
+          "trading_pairs" -> (() =>
+            TrainingQueries.TradingPairs(spark, sfDir).count()),
+          "copurchase_pairs" -> (() =>
+            TrainingQueries.CoPurchasePairs(spark, sfDir).count()),
+          "trading_rank_5it" -> (() =>
+            TrainingQueries.TradingRank(spark, sfDir)
+              .ranks(iterations = 5).count()),
+          "injected_shingles" -> (() => {
+            val (docs, sh) = TrainingQueries.InjectedShingles(spark, sfDir)
+            docs.count(); sh.count()
+          }),
+          "pq_codebooks_encode" -> (() => {
+            val (books, codes) = ExtensionQueries.PqArtifact(spark, sfDir)
+            books.count(); codes.count()
+          }),
+          "classifier_train_score" -> (() => {
+            val parts = TrainingQueries.ClassifierModel(spark, sfDir)
+            parts.weights.count(); parts.scored.count()
+          }),
+          "classifier_heldout_eval" -> (() =>
+            TrainingQueries.ClassifierModel(spark, sfDir)
+              .evalRow.count())
+        ).map { case (n, force) =>
+          n -> (try secsOf(force()) catch { case _: Throwable => -1.0 })
+        }
       }
-    } catch { case _: Throwable => () }
+    val warmupS = secsOf {
+      try {
+        spark.range(1000000L).selectExpr("sum(id)").collect()
+        SparkEntry.queries.filter(kv => nameFilter(kv._1)).foreach {
+          case (_, fn) =>
+            try { evalAll(fn(spark, sfDir)) } catch { case _: Throwable => () }
+        }
+      } catch { case _: Throwable => () }
+    }
+    // Fixed sf-independent host-speed canary (median of 3), timed warm
+    // and immediately before the first timed pass: a 20M-row hash
+    // groupBy whose work never changes, so two bench artifacts can be
+    // normalized against each other's host windows.
+    val canaryS = median((1 to 3).map(_ => secsOf {
+      spark.range(20000000L)
+        .select(pmod(xxhash64(col("id")), lit(9973)).as("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("c"), sum(col("k")).as("s"))
+        .agg(sum(col("c")), sum(col("s"))).collect()
+    }))
     def timedPass(): Seq[QueryResult] = SparkEntry.queries.toSeq
       .filter(kv => nameFilter(kv._1)).map {
       case (name, fn) =>
@@ -153,7 +233,8 @@ object Bench {
       else Some(passes.head.map(_.name).map { n =>
         n -> median(passes.map(_.find(_.name == n).get.seconds))
       })
-    println(formatLine(passes.head, sfDir, medians))
+    println(formatLine(passes.head, sfDir, medians,
+      warmupS = Some(warmupS), canaryS = Some(canaryS), builds = builds))
     spark.stop()
   }
 }

@@ -1048,7 +1048,9 @@ object ScaleHeadroom {
     // (12-token segmentation + self-appended first line on doc_id%4).
     for ((scale, dir) <- dirs) {
       val seg = regexp_replace(col("text"), "((?:\\S+ ){11}\\S+) ", "$1\n")
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      // Tables.spread matches the board query's fixture shape — a raw
+      // single-split read would serialize the 1× point onto one task
+      val docs = Tables.spread(Tables.documents(spark, dir))
         .select(col("doc_id"), seg.as("__seg"))
         .select(col("doc_id"),
           when(col("doc_id") % 4 === 0, concat(col("__seg"), lit("\n"),

@@ -33,17 +33,30 @@ object Curation {
     * exact normalized-text fingerprint keeping the min id; contamination
     * = any shared word `ngram` with `bench`. */
   def curate(corpus: DataFrame, bench: DataFrame, textCol: String,
-      idCol: String, nCharsCol: String, ngram: Int = 8): DataFrame = {
+      idCol: String, nCharsCol: String, ngram: Int = 8): DataFrame =
+    curateKeeping(corpus, bench, textCol, idCol, nCharsCol, ngram, Nil)
+
+  /** [[curate]] with pass-through columns: `keepCols` ride the signal
+    * checkpoint into the fate frame, so a consumer that needs the kept
+    * docs' payload (text, source — the [[exportManifest]] tokenize
+    * stage) reads it off the fates WITHOUT re-scanning the corpus —
+    * the one-scan-per-stage-tier contract. Empty `keepCols` is
+    * plan-identical to the d21 form. */
+  def curateKeeping(corpus: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, nCharsCol: String, ngram: Int,
+      keepCols: Seq[String]): DataFrame = {
     val id = col(idCol)
+    val extra = keepCols.filterNot(_ == textCol).map(col)
     val sig = corpus
       .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
-      .select(id, col(textCol),
+      .select(Seq(id, col(textCol),
         TextAnalysis.normHash(col(textCol)).as("__fp"),
         size(col("__toks")).cast("long").as("n_tokens"),
         TextAnalysis.langIdFromTokens(col("__toks")).as("__lang"),
         TextAnalysis.qualityScoreFromTokens(col("__toks"), col(nCharsCol))
           .as("__q"),
         TextAnalysis.dupNgramRatioFromTokens(col("__toks"), 3).as("__dup3"))
+        ++ extra: _*)
       // Pushdown barrier (the t9 contract): without it Catalyst pushes
       // the downstream filters through this projection and re-evaluates
       // the heavy signal expressions once per consuming branch.
@@ -67,12 +80,115 @@ object Curation {
     flagged
       .join(keepers, Seq("__fp"), "left")
       .join(contaminated, Seq(idCol), "left")
-      .select(id,
+      .select(Seq(id,
         when(!col("__quality_ok"), lit("low_quality"))
           .when(id =!= col("__keep_id"), lit("exact_dup"))
           .when(col("__contaminated"), lit("contaminated"))
           .otherwise(lit("kept")).as("status"),
         col("n_tokens"))
+        ++ keepCols.map(col): _*)
+  }
+
+  /** The end-to-end TRAINING-DATA EXPORT flagship — the artifact a
+    * pretraining pipeline actually ships (cf. the composed pipelines of
+    * Gopher/MassiveText, Rae et al. 2021 §A1, and the Pile/RefinedWeb
+    * release shape): curate ([[curate]], the d21 recipe) → BPE-tokenize
+    * the kept slice against a FIXED pre-trained merge table (the t31
+    * apply path; production tokenizers are trained once on a reference
+    * corpus and frozen BEFORE any export runs, so `merges` is an input,
+    * not a stage) → pack to fixed `contextLen`-token sequences in
+    * deterministic shard order (the t34 concat-and-chunk audit
+    * arithmetic) → assign docs to shards by the seeded md5 key (the s13
+    * epoch-stable convention — no rand(): a re-run export is
+    * byte-identical) → emit the shard MANIFEST at (shard_id, source)
+    * grain with the α-temperature mixture weights alongside (the t33
+    * sampling policy an actual training run consumes).
+    *
+    * Output: one row per (shard_id, source) present in the export —
+    * `n_docs`, `n_tokens` (BPE grain — the unit a training budget is
+    * denominated in), `tok_frac` (the shard's realized source mix),
+    * shard-level `n_sequences` / `pad_tokens` / `split_docs` (the t34
+    * packing audit), and the corpus-level `p_alpha` mixture weight.
+    *
+    * Scale shape at 100 TB, stage by stage (each tier scans its input
+    * ONCE — the ExportManifestSpec plan pin):
+    *   - curation is [[curate]]'s documented shape (one signal pass
+    *     behind a checkpoint, one fingerprint exchange, one broadcast
+    *     shingle probe);
+    *   - the kept slice is checkpointed ONCE — the materialization
+    *     point a real export writes to disk between "curate" and
+    *     "tokenize" (both the tokenize explode and the doc-grain
+    *     source join read it; nothing re-curates);
+    *   - tokenize is [[Bpe.applyMerges]]'s vocab-grain chain: the
+    *     corpus pays one word explode + one broadcast-able word join,
+    *     never a per-doc rewrite;
+    *   - packing state is ONE cumulative-sum window per shard over
+    *     (id, source, n_bpe) rows — text never reaches the window; at
+    *     production scale `numShards` ≫ cores so shards parallelize,
+    *     and the export writer's partitionBy(shard_id) sort IS this
+    *     window's order (the s13 note);
+    *   - every aggregate after the doc-grain groupBy reads the BOUNDED
+    *     (shards × sources) frame behind its own checkpoint; mixture
+    *     totals broadcast back (the t33 plan). */
+  def exportManifest(corpus: DataFrame, bench: DataFrame,
+      merges: Seq[(String, String)], textCol: String, idCol: String,
+      srcCol: String, nCharsCol: String, contextLen: Int = 256,
+      numShards: Int = 8, seed: String = "epoch42",
+      alpha: Double = 0.3): DataFrame = {
+    val id = col(idCol)
+    val kept = curateKeeping(corpus, bench, textCol, idCol, nCharsCol,
+        ngram = 8, keepCols = Seq(textCol, srcCol))
+      .filter(col("status") === "kept")
+      .select(id, col(textCol), col(srcCol))
+      // the curate→tokenize materialization point: tokenize's word
+      // explode AND the doc-grain source join both read the curated
+      // slice; without the barrier each would re-run the curation joins
+      .localCheckpoint(eager = false)
+    val key = conv(substring(md5(concat(lit(seed + ":"),
+        id.cast("string")).cast("binary")), 1, 15), 16, 10).cast("long")
+    val docGrain = Bpe.applyMerges(kept, textCol, idCol, merges)
+      .select(id, col("n_bpe_tokens").as("n_bpe"))
+      .join(kept.select(id, col(srcCol).as("source")), Seq(idCol))
+      .select(id, col("source"), col("n_bpe"), key.as("__key"),
+        pmod(key, lit(numShards.toLong)).as("shard_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard_id")).orderBy(col("__key"), id)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val c = contextLen
+    // ONE doc-grain aggregation; everything below reads the bounded
+    // (shard × source) frame
+    val g1 = docGrain
+      .withColumn("__cum", sum(col("n_bpe")).over(w))
+      .withColumn("__split",
+        expr(s"(__cum - n_bpe) div $c") =!= expr(s"(__cum - 1) div $c"))
+      .groupBy(col("shard_id"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe")).as("n_tokens"),
+        graft.operators.Summaries.countIf(col("__split"))
+          .as("__split_src"))
+      .localCheckpoint(eager = false) // output + shard + source totals
+    val sh = g1.groupBy(col("shard_id"))
+      .agg(sum(col("n_tokens")).as("__sh_tokens"),
+        sum(col("__split_src")).as("split_docs"))
+    // t33's float policy: pow round-6 BEFORE the decimal denominator sum
+    val pw = round(pow(col("__src_tokens").cast("double"), lit(alpha)), 6)
+    val srcW = g1.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("__src_tokens"))
+      .select(col("source"), pw.as("__pw"))
+    val tot = srcW.agg(
+      sum(col("__pw").cast("decimal(38,6)")).as("__tpw"))
+    g1.join(broadcast(sh), Seq("shard_id"))
+      .join(broadcast(srcW), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(col("shard_id"), col("source"), col("n_docs"),
+        col("n_tokens"),
+        (col("n_tokens") * lit(1.0) / col("__sh_tokens")).as("tok_frac"),
+        (expr(s"(__sh_tokens - 1) div $c") + 1).as("n_sequences"),
+        expr(s"($c - (__sh_tokens % $c)) % $c").as("pad_tokens"),
+        col("split_docs"),
+        round(col("__pw") / col("__tpw").cast("double"), 6).as("p_alpha"))
   }
 
   /** INCREMENTAL end-to-end curation — the production ingest form of

@@ -1365,26 +1365,27 @@ object Dedup {
     *
     * Scale shape at 100 TB: ZERO shuffles. Because the dedup scope is
     * one row's own text, the whole operator is a per-row projection —
-    * `filter(lines, (l, i) -> array_position(lines, l) = i+1)` keeps
-    * exactly the first occurrences, entirely inside whole-stage
+    * `array_distinct(lines)` keeps exactly the first occurrences
+    * (Spark's ArrayDistinct walks the array once through a hash set,
+    * preserving first-occurrence order), entirely inside whole-stage
     * codegen, embarrassingly parallel, no exchange of any kind (the
     * corpus-grain [[lineDedup]] must pay a line-grain explode plus two
-    * exchanges — this one pays nothing beyond the scan). The map form
-    * is O(L²) comparisons per doc in line count L; web documents are
-    * 10²-10³ lines so the constant is trivial, and a pathological
-    * multi-million-line doc is the parse-failure class the t27 gates
-    * drop long before dedup. Run this BEFORE [[lineDedup]] at scale:
-    * it shrinks the explode the corpus pass pays for free. */
+    * exchanges — this one pays nothing beyond the scan). The hash-set
+    * form is O(L) per doc in line count L, so even a pathological
+    * multi-million-line document costs one linear pass in one task —
+    * no quadratic straggler (IntraDocLineDedupSpec pins a ≥100k-line
+    * doc). NULL text coalesces to "" at entry (split never sees NULL,
+    * so such a doc yields n_lines=1, n_kept=1, kept_text="" rather
+    * than a NULL-propagated row the SQL replay would drop). Run this
+    * BEFORE [[lineDedup]] at scale: it shrinks the explode the corpus
+    * pass pays for free. */
   def intraDocLineDedup(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    // staged projections: __kept is referenced twice below, and
-    // CollapseProject keeps a twice-referenced non-cheap expression in
-    // its own project, so the O(L²) first-occurrence filter runs once
     docs
-      .select(col(idCol), split(col(textCol), "\n").as("__ls"))
+      .select(col(idCol),
+        split(coalesce(col(textCol), lit("")), "\n").as("__ls"))
       .select(col(idCol), col("__ls"),
-        filter(col("__ls"),
-          (x, i) => array_position(col("__ls"), x) === i + 1).as("__kept"))
+        array_distinct(col("__ls")).as("__kept"))
       .select(col(idCol),
         size(col("__ls")).cast("long").as("n_lines"),
         size(col("__kept")).cast("long").as("n_kept"),

@@ -239,11 +239,18 @@ object QualityModel {
       labelCol, weights, numBuckets), idCol)
 
   /** [[modelScore]]'s cut half over an already-scored frame — lets the
-    * t41 query share [[trainAndScore]]'s single featurize pass. */
+    * t41 query share [[trainAndScore]]'s single featurize pass. The
+    * median probe and the output row both read the input twice, so it
+    * must be checkpointed exactly once: pass `checkpoint = false` when
+    * the caller hands over an already-checkpointed frame (the
+    * ClassifierModel artifact path — re-wrapping would pin a second
+    * block-storage copy of the scored corpus for the session). */
   def modelScoreFromScored(scoredFrame: DataFrame,
-      idCol: String): DataFrame = {
-    val scored = scoredFrame
-      .localCheckpoint(eager = false) // median + output share it
+      idCol: String, checkpoint: Boolean = true): DataFrame = {
+    val scored =
+      if (checkpoint)
+        scoredFrame.localCheckpoint(eager = false) // median+output share
+      else scoredFrame
     val cut = scored.agg(
       expr("percentile(model_score, 0.5)").as("__cut"))
     scored.crossJoin(broadcast(cut))

@@ -1224,9 +1224,11 @@ object ExtensionQueries {
         |    ELSE t END AS t
         |  FROM seg
         |), lines AS MATERIALIZED (
+        |  -- coalesce mirrors the operator's NULL-text entry guard
         |  SELECT doc_id, ls[i] AS line, i
-        |  FROM (SELECT doc_id, string_split(t, chr(10)) AS ls,
-        |          unnest(range(1, len(string_split(t, chr(10))) + 1)) AS i
+        |  FROM (SELECT doc_id, string_split(coalesce(t, ''), chr(10)) AS ls,
+        |          unnest(range(1,
+        |            len(string_split(coalesce(t, ''), chr(10))) + 1)) AS i
         |        FROM injected)
         |), keep AS MATERIALIZED (
         |  SELECT doc_id, line, min(i) AS i FROM lines GROUP BY doc_id, line

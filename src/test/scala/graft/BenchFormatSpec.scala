@@ -47,6 +47,24 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.count(_ == '{') == line.count(_ == '}'))
   }
 
+  test("calibration + builds blocks are additive and absent by default") {
+    val rs = Seq(Bench.QueryResult("q1", 0.5, None))
+    val bare = Bench.formatLine(rs, "/x")
+    assert(!bare.contains("warmup_s") && !bare.contains("canary_s") &&
+      !bare.contains("builds"))
+    val line = Bench.formatLine(rs, "/x",
+      warmupS = Some(12.5), canaryS = Some(0.8),
+      builds = Some(Seq("classifier_train_score" -> 9.25,
+        "pq_codebooks_encode" -> 3.0)))
+    assert(line.contains("\"warmup_s\":12.5"))
+    assert(line.contains("\"canary_s\":0.8"))
+    assert(line.contains(
+      "\"builds\":{\"classifier_train_score\":9.25,\"pq_codebooks_encode\":3.0}"))
+    // driver-contract fields untouched by the extra blocks
+    assert(line.contains("\"value\":0.5") && line.contains("\"queries\":{"))
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+  }
+
   test("median: odd takes the middle run, even averages the two middles") {
     assert(Bench.median(Seq(3.18, 1.54, 1.72)) == 1.72)
     assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) == 2.5)

@@ -19,10 +19,15 @@ object DedupPropsSpec extends Properties("graft.dedup") {
   private lazy val spark = SparkTestSession.get
   import spark.implicits._
 
-  // small line vocabulary so in-doc duplicates are dense
+  // small line vocabulary (including the blank line) so in-doc
+  // duplicates are dense; doc and corpus sizes vary down to empty
+  private val lineGen: Gen[String] =
+    Gen.frequency(10 -> Gen.choose(1, 12).map(i => s"line $i"),
+      2 -> Gen.const(""))
   private val docGen: Gen[List[String]] =
-    Gen.listOfN(8, Gen.choose(1, 12).map(i => s"line $i"))
-  private val corpusGen: Gen[List[List[String]]] = Gen.listOfN(4, docGen)
+    Gen.choose(0, 16).flatMap(n => Gen.listOfN(n, lineGen))
+  private val corpusGen: Gen[List[List[String]]] =
+    Gen.choose(0, 6).flatMap(n => Gen.listOfN(n, docGen))
 
   private def model(lines: List[String]): List[String] =
     lines.foldLeft((List.empty[String], Set.empty[String])) {
@@ -35,11 +40,18 @@ object DedupPropsSpec extends Properties("graft.dedup") {
       .map { case (ls, i) => (i.toLong, ls.mkString("\n")) }
       .toDF("doc_id", "text")
 
+  // mkString/split round-trip: a zero-line doc serializes to "" which
+  // split() reads back as the single empty line — the model must see
+  // what the operator sees
+  private def roundTrip(ls: List[String]): List[String] =
+    if (ls.isEmpty) List("") else ls
+
   property("intraDocLineDedup = first-occurrence reference model") =
     forAll(corpusGen) { corpus =>
       val got = Dedup.intraDocLineDedup(toDf(corpus), "doc_id", "text")
         .as[(Long, Long, Long, String)].collect().sortBy(_._1).toList
-      got == corpus.zipWithIndex.map { case (ls, i) =>
+      got == corpus.zipWithIndex.map { case (ls0, i) =>
+        val ls = roundTrip(ls0)
         val kept = model(ls)
         (i.toLong, ls.size.toLong, kept.size.toLong, kept.mkString("\n"))
       }

@@ -1311,6 +1311,129 @@ class CurationSpec extends SparkSpec {
   }
 }
 
+class ExportManifestSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  // the CurationSpec fate fixture extended with sources: 10/11 a dup
+  // pair whose keeper is contaminated, 30 low-quality, the other four
+  // kept — two per source
+  private val en = "the a of and to in is"
+  private val contamText = en +
+    " alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
+  private def keptText(seed: String): String =
+    en + " " + (1 to 13).map(j => s"${seed}word$j").mkString(" ")
+  private lazy val corpus = Seq(
+    (10L, contamText, "web"),
+    (11L, contamText, "web"),
+    (20L, keptText("twenty"), "web"),
+    (30L, "tiny text", "book"),
+    (40L, keptText("forty"), "book"),
+    (50L, keptText("fifty"), "book"),
+    (60L, keptText("sixty"), "web")
+  ).map { case (id, t, src) => (id, t, src, t.length.toLong) }
+    .toDF("doc_id", "text", "source", "n_chars")
+  private lazy val bench = Seq(
+    (100L, "alpha beta gamma delta epsilon zeta eta theta", 47L)
+  ).toDF("doc_id", "text", "n_chars")
+
+  private val C = 8
+  private val Shards = 2
+
+  // merges = Nil → every word tokenizes to its characters, so a doc's
+  // BPE count is its ASCII-word char mass — hand-checkable
+  private lazy val got = Curation.exportManifest(corpus, bench,
+    merges = Nil, "text", "doc_id", "source", "n_chars",
+    contextLen = C, numShards = Shards)
+
+  // independent JVM reference model: same md5-key, packing and mixture
+  // arithmetic re-derived outside Spark
+  private def md5key(id: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"epoch42:$id".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private lazy val expected: Seq[(Long, String, Long, Long, Double,
+      Long, Long, Long, Double)] = {
+    val keptDocs = Seq(20L -> "web", 40L -> "book", 50L -> "book",
+      60L -> "web").map { case (id, src) =>
+      val text = Seq(20L -> "twenty", 40L -> "forty", 50L -> "fifty",
+        60L -> "sixty").toMap.apply(id)
+      val nbpe = keptText(text).split(" ")
+        .filter(_.matches("^[!-~]+$")).map(_.length.toLong).sum
+      (id, src, md5key(id), nbpe)
+    }
+    val byShard = keptDocs.groupBy(_._3 % Shards)
+    val srcTok = keptDocs.groupBy(_._2)
+      .map { case (s, ds) => s -> ds.map(_._4).sum }
+    val pw = srcTok.map { case (s, t) =>
+      s -> round6(math.pow(t.toDouble, 0.3)) }
+    val tpw = pw.values.map(BigDecimal(_)).sum.toDouble
+    byShard.toSeq.flatMap { case (shard, ds) =>
+      val ordered = ds.sortBy(d => (d._3, d._1))
+      val cums = ordered.scanLeft(0L)(_ + _._4).tail
+      val shTok = cums.last
+      val splits = ordered.zip(cums).map { case (d, cum) =>
+        (d, (cum - d._4) / C != (cum - 1) / C)
+      }
+      val splitDocs = splits.count(_._2).toLong
+      splits.map(_._1).groupBy(_._2).map { case (src, ss) =>
+        val n = ss.map(_._4).sum
+        (shard, src, ss.size.toLong, n, n * 1.0 / shTok,
+          (shTok - 1) / C + 1, (C - shTok % C) % C, splitDocs,
+          round6(pw(src) / tpw))
+      }
+    }.sortBy(r => (r._1, r._2))
+  }
+
+  test("exportManifest matches the independent JVM reference model") {
+    val rows = got.orderBy(col("shard_id"), col("source"))
+      .as[(Long, String, Long, Long, Double, Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(rows == expected)
+  }
+
+  test("exportManifest's kept universe and token mass equal the composed components") {
+    val kept = Curation.curate(corpus, bench, "text", "doc_id", "n_chars")
+      .filter(col("status") === "kept").select("doc_id")
+    val keptCorpus = corpus.join(kept, Seq("doc_id"), "left_semi")
+    val totTokens = graft.extensions.Bpe
+      .applyMerges(keptCorpus, "text", "doc_id", Nil)
+      .agg(org.apache.spark.sql.functions.sum(col("n_bpe_tokens")))
+      .as[Long].collect().head
+    val gotDocs = got.agg(org.apache.spark.sql.functions.sum(col("n_docs")),
+        org.apache.spark.sql.functions.sum(col("n_tokens")))
+      .as[(Long, Long)].collect().head
+    assert(gotDocs == ((4L, totTokens)))
+  }
+
+  test("exportManifest plan: no cartesian, stage tiers behind barriers") {
+    val fp = PlanFingerprints.fingerprint(got)
+    // the packing window itself is compiled INTO the g1 tier's
+    // checkpoint RDD (it must be shard-partitioned — the manifest
+    // output plan reading a Window here would mean the doc-grain state
+    // leaked past its barrier)
+    assert(fp.getOrElse("window", 0) == 0,
+      "doc-grain packing state leaked past the g1 barrier")
+    assert(!fp.contains("join_cartesian"), "no cartesian product")
+    // the one BNL is the broadcast 1-row mixture total (the t33 idiom —
+    // a broadcast single-row cross join, bounded by construction)
+    assert(fp.getOrElse("join_bnl", 0) <= 1, s"unexpected nested-loop: $fp")
+    // every stage tier reads its predecessor through a checkpoint
+    // barrier: the final plan sees RDD scans only — a raw corpus scan
+    // here would mean a stage re-curates or re-tokenizes
+    assert(!fp.contains("scan_parquet") && fp.getOrElse("scan_rdd", 0) > 0,
+      s"stage-tier barrier lost: $fp")
+    // (the cumulative-sum window is shard-partitioned by construction;
+    // the board-wide UnpartitionedWindowSpec allowlist would flag a
+    // global window in any SparkEntry query, x2 included)
+  }
+}
+
 class CurationIncrementalSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions.col
@@ -1480,14 +1603,30 @@ class IntraDocLineDedupSpec extends SparkSpec {
       "no grouping of any kind belongs in the intra-doc grain")
   }
 
-  test("intraDocLineDedup evaluates the first-occurrence filter once per row") {
-    val optimized = Dedup.intraDocLineDedup(docs, "doc_id", "text")
-      .queryExecution.optimizedPlan.toString
-    // CollapseProject must keep the twice-referenced ArrayFilter in its
-    // own project instead of inlining the O(L^2) filter into both
-    // n_kept and kept_text
-    assert(optimized.split("array_position", -1).length - 1 <= 1,
-      "the first-occurrence filter was inlined into multiple consumers")
+  test("intraDocLineDedup coalesces NULL text to '' (matches the oracle)") {
+    val withNull = Seq((1L, "a\nb"), (2L, null))
+      .toDF("doc_id", "text")
+    val rows = Dedup.intraDocLineDedup(withNull, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, 2L, 2L, "a\nb"), (2L, 1L, 1L, "")),
+      "a NULL-text doc must survive as the empty doc, not a NULL row " +
+        "the SQL replay would drop")
+  }
+
+  test("intraDocLineDedup has no quadratic straggler on a 200k-line doc") {
+    // the O(L^2) array_position form this replaced would spend
+    // ~4*10^10 string comparisons here (minutes in one task); the
+    // hash-set array_distinct form is one linear pass
+    val longDoc = (0 until 200000).map(i => s"line ${i % 1000}")
+      .mkString("\n")
+    val df = Seq((1L, longDoc)).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val row = Dedup.intraDocLineDedup(df, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().head
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(row._2 == 200000L && row._3 == 1000L)
+    assert(secs < 60.0,
+      f"200k-line doc took $secs%.1f s — quadratic straggler is back")
   }
 }
 
