@@ -973,7 +973,9 @@ object ScaleHeadroom {
           "label", numBuckets = 512, iters = 3, lr = 1.0))
       }
       report("t40_train_logistic", scale, gSecs, gRows)
-      // t39 dataset card: one scan + one source-grain aggregate
+      // t39 dataset card: the shared-scan card aggregate plus its three
+      // riding probes (near-dup LSH chain, cross-source shingle
+      // collapse, frozen-tokenizer BPE count — all ~linear families)
       val (cSecs, cRows) = timeBest {
         forceAll(SparkEntry.queries("t39_dataset_card")(spark, dir))
       }

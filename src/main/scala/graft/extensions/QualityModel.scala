@@ -328,6 +328,18 @@ object QualityModel {
           col("n_heldout"), 6).as("accuracy"))
   }
 
+  /** The published STREAMING keep threshold: the t43 sketch cut
+    * (percentile_approx of the scored training corpus at 0.5) collected
+    * as one scalar at model-publish time — the second of the two frozen
+    * artifacts a model deployment ships (weights table + cut). A
+    * deliberate bounded collect: ONE row, once per training run, never
+    * per batch (the [[approxCutContract]] plan with the contract
+    * columns dropped). */
+  def sketchCut(scoredFrame: DataFrame, accuracy: Int = 10000): Double =
+    scoredFrame
+      .agg(expr(s"percentile_approx(model_score, 0.5, $accuracy)"))
+      .collect()(0).getDouble(0)
+
   /** The PRODUCTION form of t41's quantile cut, executed and bounded:
     * cut at `percentile_approx(score, 0.5, accuracy)` — the w33 sketch
     * whose aggregation state is a bounded quantile summary — instead of

@@ -680,14 +680,28 @@ object TrainingQueries {
     // group-collapsed shingle probe) and land as source-grain left
     // joins against the card.
     "t39_dataset_card" -> ((s, d) => {
+      import s.implicits._
       val docs = Tables.spread(Tables.documentsWithDups(s, d))
-        .localCheckpoint(eager = false) // signals + both rate probes
+        .localCheckpoint(eager = false) // signals + rate probes + BPE
       val flagged = TextAnalysis.gopherProfile(docs,
         "text", "doc_id", "n_chars",
         col("source").as("__src"), col("lang").as("__lang"),
         TextAnalysis.normHash(col("text")).as("__fp"))
         .localCheckpoint(eager = false) // card agg + doc→source map
       val srcOf = flagged.select(col("doc_id"), col("__src"))
+      // n_bpe_tokens: the unit a training budget is denominated in —
+      // counted under the FROZEN reference tokenizer (t28's k=4 merges
+      // off `documents`, the x2 production-tokenizer contract), riding
+      // the shared docs checkpoint
+      val merges = Bpe.learnMerges(Tables.spread(Tables.documents(s, d)),
+          "text", k = 4)
+        .orderBy(col("merge_rank"))
+        .select(col("sym_a"), col("sym_b"))
+        .as[(String, String)].collect().toSeq
+      val bpeBySrc = Bpe.applyMerges(docs, "text", "doc_id", merges)
+        .join(srcOf, Seq("doc_id"))
+        .groupBy(col("__src").as("source"))
+        .agg(sum(col("n_bpe_tokens")).as("__n_bpe"))
       val nearBySrc = Dedup.minHashLshPairs(docs, threshold = 0.3,
           maxBucket = 100, hashFn = Dedup.md5Hash60)
         .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
@@ -713,7 +727,9 @@ object TrainingQueries {
           countDistinct(col("__lang")).as("n_langs"))
         .join(nearBySrc, Seq("source"), "left")
         .join(contamBySrc, Seq("source"), "left")
+        .join(bpeBySrc, Seq("source"), "left")
         .select(col("source"), col("n_docs"), col("n_tokens"),
+          coalesce(col("__n_bpe"), lit(0L)).as("n_bpe_tokens"),
           col("avg_doc_tokens"), col("quality_pass_rate"),
           col("n_distinct_fp"), col("dup_frac"), col("n_langs"),
           round(coalesce(col("__n_near"), lit(0L)) * lit(1.0)
@@ -4481,10 +4497,18 @@ object TrainingQueries {
     // chain over the SAME clone-injected fixture, the cross-source
     // contamination rate the t36 shingle collapse at doc grain.
     "t39_dataset_card" ->
-      s"""WITH docs AS MATERIALIZED (
+      s"""${bpeChainSql(4, applyAll = true)}
+        |, docs AS MATERIALIZED (
         |  SELECT * FROM documents
         |  UNION ALL SELECT doc_id + 1000000, text, lang, source, n_chars
         |  FROM documents WHERE doc_id % 25 = 0
+        |), bpe_by AS MATERIALIZED (
+        |  SELECT d.source,
+        |    CAST(sum(len(string_split(v.rep, ' '))) AS BIGINT) AS n_bpe
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM docs) d
+        |  JOIN w4 v ON d.w = v.w
+        |  GROUP BY d.source
         |), consts AS (SELECT $minhashA AS ca, $minhashB AS cb),
         |sig AS MATERIALIZED (
         |  SELECT doc_id, list_transform(range(1, 33), s ->
@@ -4574,7 +4598,9 @@ object TrainingQueries {
         |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
         |  FROM flagged GROUP BY source
         |)
-        |SELECT c.source, c.n_docs, c.n_tokens, c.avg_doc_tokens,
+        |SELECT c.source, c.n_docs, c.n_tokens,
+        |  CAST(coalesce(bb.n_bpe, 0) AS BIGINT) AS n_bpe_tokens,
+        |  c.avg_doc_tokens,
         |  c.quality_pass_rate, c.n_distinct_fp, c.dup_frac, c.n_langs,
         |  round(coalesce(nb.n_near, 0) * 1.0 / c.n_docs, 4)
         |    AS near_dup_frac,
@@ -4583,6 +4609,7 @@ object TrainingQueries {
         |FROM card c
         |LEFT JOIN nd_by nb ON c.source = nb.source
         |LEFT JOIN ct_by cb ON c.source = cb.source
+        |LEFT JOIN bpe_by bb ON c.source = bb.source
         |ORDER BY c.source""".stripMargin,
 
     // s21's replay: same integer boundary arithmetic ((hi−lo)·pct//100 —

@@ -745,6 +745,64 @@ object StreamingOps {
       textCol, width = 8), "h")
   }
 
+  /** Streaming MODEL-IN-THE-LOOP scoring — the trained classifier
+    * deployed over continuous ingest (VERDICT r11 item 5, closing the
+    * t40→t43 family's production loop): each arriving micro-batch is
+    * scored against the PERSISTED t40 weight table (the stream-static
+    * enrichment shape — v6's dimension table is here a model) with the
+    * t43 SKETCH cut as the keep threshold. Both model artifacts are
+    * published ONCE at train time — weights as a parquet table
+    * ([[graft.extensions.QualityModel.trainLogistic]] output), the cut
+    * as the percentile_approx(0.5) scalar
+    * ([[graft.extensions.QualityModel.sketchCut]]) — and the stream
+    * only APPLIES them: per-batch cost is one token explode + one
+    * broadcast weight join + one doc-grain exchange, O(|batch|),
+    * independent of everything ever ingested (no state advance at all —
+    * scoring is stateless, which is exactly why the cut must be a
+    * frozen train-time scalar rather than a per-batch median: a
+    * per-batch quantile would make a doc's fate depend on its batch
+    * cohort, breaking replay determinism AND batch/stream parity).
+    *
+    * Replay safety: the [[incrementalIngest]] discipline — each batch
+    * overwrites its own `batch_id=N` output partition, so a replayed
+    * micro-batch (crash between write and checkpoint commit) replaces
+    * rather than doubles its verdicts. Batch parity: the same docs
+    * through [[graft.extensions.QualityModel.scoredWithTrained]] + the
+    * same cut produce identical rows (ClassifierStreamSpec asserts the
+    * multi-micro-batch union equals t41's batch form at the same cut). */
+  def classifierScoringIngest(docsStream: DataFrame, weightsDir: String,
+      cut: Double, outDir: String, checkpointDir: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      labelCol: String = "label", numBuckets: Int = 4096)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        classifierScoringBatch(batch, batchId, weightsDir, cut, outDir,
+          textCol, idCol, labelCol, numBuckets)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** One micro-batch of [[classifierScoringIngest]], exposed so specs
+    * and replay checks drive the exact code path the stream executes.
+    * Output rows: (idCol, model_score, kept, rule_label) — t41's
+    * schema under the frozen sketch cut. */
+  def classifierScoringBatch(batch: DataFrame, batchId: Long,
+      weightsDir: String, cut: Double, outDir: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      labelCol: String = "label", numBuckets: Int = 4096): Unit = {
+    val spark = batch.sparkSession
+    // the published model: bounded (≤ numBuckets rows) — scoredWith-
+    // Trained broadcasts it into the per-batch plan
+    val weights = spark.read.parquet(weightsDir)
+    graft.extensions.QualityModel
+      .scoredWithTrained(batch, textCol, idCol, labelCol, weights,
+        numBuckets)
+      .select(col(idCol), col("model_score"),
+        (col("model_score") >= lit(cut)).as("kept"), col("rule_label"))
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+  }
+
   /** Streaming metric-state maintenance — the w26 merge algebra under
     * `foreachBatch`: each micro-batch writes ONLY its own partial
     * aggregate (count + decimal-exact sum per key) into its

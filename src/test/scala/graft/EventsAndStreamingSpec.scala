@@ -1409,6 +1409,85 @@ class CurationIngestSpec extends SparkSpec {
   }
 }
 
+class ClassifierStreamSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.{col, length, lit}
+  import graft.extensions.{QualityModel, TextAnalysis}
+  import graft.streaming.StreamingOps
+
+  // the TrainLogisticSpec fixture shape, 7 Gopher-passing docs vs 5
+  // word_count failures (labels distilled from the rule battery): the
+  // 7/5 split puts the rank-6 approx median INSIDE the high-score
+  // cluster, so the published cut separates kept from cut docs
+  private val stop8 = "the be to of and that have with"
+  private def body(seed: String): String =
+    (1 to 44).map(i => f"${seed}word$i%02d").mkString(" ")
+  private lazy val labeled = {
+    val docs = ((1 to 7).map(i => (i.toLong, s"$stop8 ${body(s"g$i")}")) ++
+      (8 to 12).map(i => (i.toLong, s"tiny text t$i"))).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.join(TextAnalysis.gopherProfile(docs, "text", "doc_id", "n_chars")
+      .select(col("doc_id"),
+        (col("reject_reason") === "pass").cast("double").as("label")),
+      Seq("doc_id"))
+  }
+
+  test("streamed scoring over 3 micro-batches = t41's batch form at the published cut") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cls").toString
+    // model-publish time: train once, ship weights table + sketch cut
+    val weights = QualityModel.trainLogistic(labeled, "text", "doc_id",
+      "label", numBuckets = 4096, iters = 3, lr = 50.0)
+    weights.write.parquet(s"$root/weights")
+    val scoredBatch = QualityModel.scoredWithTrained(labeled, "text",
+      "doc_id", "label", weights, numBuckets = 4096)
+      .localCheckpoint(eager = false) // cut + reference rows
+    val cut = QualityModel.sketchCut(scoredBatch)
+    val ref = scoredBatch.select(col("doc_id"), col("model_score"),
+        (col("model_score") >= lit(cut)).as("kept"), col("rule_label"))
+      .as[(Long, Double, Boolean, Boolean)].collect().toSet
+    assert(ref.exists(_._3) && ref.exists(!_._3),
+      "fixture must exercise both sides of the cut")
+    // ingest time: the same docs arrive over 3 micro-batches
+    val in = s"$root/in"
+    labeled.filter(col("doc_id") <= 4).coalesce(1).write.parquet(in)
+    labeled.filter(col("doc_id").between(5, 8)).coalesce(1)
+      .write.mode("append").parquet(in)
+    labeled.filter(col("doc_id") >= 9).coalesce(1)
+      .write.mode("append").parquet(in)
+    val stream = spark.readStream.schema(labeled.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = StreamingOps.classifierScoringIngest(stream, s"$root/weights",
+      cut, s"$root/out", s"$root/chk")
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(s"$root/out")
+      .select(col("doc_id"), col("model_score"), col("kept"),
+        col("rule_label"))
+      .as[(Long, Double, Boolean, Boolean)].collect().toSet
+    assert(got == ref,
+      "stream-static scoring must be batch-identical doc for doc")
+    // genuinely multi-micro-batch: three batch_id partitions landed
+    val batches = spark.read.parquet(s"$root/out")
+      .select(col("batch_id")).distinct().count()
+    assert(batches == 3L, s"expected 3 micro-batches, saw $batches")
+  }
+
+  test("replaying a scoring batch id overwrites its own verdicts") {
+    val root = java.nio.file.Files.createTempDirectory("graft-clsr").toString
+    val weights = QualityModel.trainLogistic(labeled, "text", "doc_id",
+      "label", numBuckets = 4096, iters = 3, lr = 50.0)
+    weights.write.parquet(s"$root/weights")
+    val b = labeled.filter(col("doc_id") <= 4)
+    StreamingOps.classifierScoringBatch(b, 0L, s"$root/weights", 0.5,
+      s"$root/out")
+    val first = spark.read.parquet(s"$root/out").count()
+    // the crash-replay case: same batch id delivered again
+    StreamingOps.classifierScoringBatch(b, 0L, s"$root/weights", 0.5,
+      s"$root/out")
+    assert(spark.read.parquet(s"$root/out").count() == first,
+      "a replayed batch must replace, never double, its verdicts")
+  }
+}
+
 class StreamDedupSpec extends SparkSpec {
 
   test("watermarked stream dedup drops re-delivered events") {
