@@ -134,7 +134,21 @@ object Curation {
       merges: Seq[(String, String)], textCol: String, idCol: String,
       srcCol: String, nCharsCol: String, contextLen: Int = 256,
       numShards: Int = 8, seed: String = "epoch42",
-      alpha: Double = 0.3): DataFrame = {
+      alpha: Double = 0.3): DataFrame =
+    manifestFromDocGrain(
+      exportDocGrain(corpus, bench, merges, textCol, idCol, srcCol,
+        nCharsCol, numShards, seed, keepText = false),
+      idCol, contextLen, alpha)
+
+  /** The export's doc-grain rows — `(idCol, source, n_bpe, __key,
+    * shard_id [, textCol])`: curate, checkpoint the kept slice once,
+    * BPE-count it, attach the seeded shard key. Shared by the manifest
+    * query ([[exportManifest]]) and the executed writer
+    * ([[writeExport]], which needs the text payload too). */
+  private def exportDocGrain(corpus: DataFrame, bench: DataFrame,
+      merges: Seq[(String, String)], textCol: String, idCol: String,
+      srcCol: String, nCharsCol: String, numShards: Int, seed: String,
+      keepText: Boolean): DataFrame = {
     val id = col(idCol)
     val kept = curateKeeping(corpus, bench, textCol, idCol, nCharsCol,
         ngram = 8, keepCols = Seq(textCol, srcCol))
@@ -146,11 +160,21 @@ object Curation {
       .localCheckpoint(eager = false)
     val key = conv(substring(md5(concat(lit(seed + ":"),
         id.cast("string")).cast("binary")), 1, 15), 16, 10).cast("long")
-    val docGrain = Bpe.applyMerges(kept, textCol, idCol, merges)
+    val payload = if (keepText) Seq(col(textCol)) else Nil
+    Bpe.applyMerges(kept, textCol, idCol, merges)
       .select(id, col("n_bpe_tokens").as("n_bpe"))
-      .join(kept.select(id, col(srcCol).as("source")), Seq(idCol))
-      .select(id, col("source"), col("n_bpe"), key.as("__key"),
-        pmod(key, lit(numShards.toLong)).as("shard_id"))
+      .join(kept.select(Seq(id, col(srcCol).as("source")) ++ payload: _*),
+        Seq(idCol))
+      .select(Seq(id, col("source"), col("n_bpe"), key.as("__key"),
+        pmod(key, lit(numShards.toLong)).as("shard_id")) ++ payload: _*)
+  }
+
+  /** The manifest aggregates over an export's doc-grain rows — split
+    * out so the executed writer can recompute the manifest FROM THE
+    * WRITTEN FILES (what landed, not what was planned). */
+  def manifestFromDocGrain(docGrain: DataFrame, idCol: String,
+      contextLen: Int, alpha: Double): DataFrame = {
+    val id = col(idCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard_id")).orderBy(col("__key"), id)
       .rowsBetween(
@@ -189,6 +213,40 @@ object Curation {
         expr(s"($c - (__sh_tokens % $c)) % $c").as("pad_tokens"),
         col("split_docs"),
         round(col("__pw") / col("__tpw").cast("double"), 6).as("p_alpha"))
+  }
+
+  /** EXECUTE the export: write the curated, tokenized corpus as the
+    * sharded dataset a training run actually reads, then return the
+    * manifest recomputed FROM THE WRITTEN FILES (verifying what landed,
+    * not what was planned — ExportManifestSpec pins it equal to
+    * [[exportManifest]]'s).
+    *
+    * Layout = the s13 scale claim, executed: `partitionBy(shard_id)`
+    * directories, rows sorted by (`__key`, id) within each shard's
+    * files — the epoch-stable order the packing arithmetic assumes, so
+    * a sequential reader of one shard streams sequences in training
+    * order with zero sort at read time, and a re-run export is
+    * byte-identical (no rand() anywhere). Plan = [[exportManifest]]'s
+    * doc-grain tier plus ONE extra exchange (the repartition that
+    * co-locates each shard before the sorted write); at 100 TB
+    * `numShards` ≫ cores, so shards parallelize and each task writes
+    * one shard's key-ordered run. */
+  def writeExport(corpus: DataFrame, bench: DataFrame,
+      merges: Seq[(String, String)], textCol: String, idCol: String,
+      srcCol: String, nCharsCol: String, outDir: String,
+      contextLen: Int = 256, numShards: Int = 8,
+      seed: String = "epoch42", alpha: Double = 0.3): DataFrame = {
+    val dg = exportDocGrain(corpus, bench, merges, textCol, idCol,
+      srcCol, nCharsCol, numShards, seed, keepText = true)
+    dg.repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("__key"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
+    manifestFromDocGrain(
+      corpus.sparkSession.read.parquet(outDir)
+        .select(col(idCol), col("source"), col("n_bpe"), col("__key"),
+          // partition-value inference reads shard_id back as int
+          col("shard_id").cast("long").as("shard_id")),
+      idCol, contextLen, alpha)
   }
 
   /** INCREMENTAL end-to-end curation — the production ingest form of

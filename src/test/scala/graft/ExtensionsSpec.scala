@@ -1411,6 +1411,38 @@ class ExportManifestSpec extends SparkSpec {
     assert(gotDocs == ((4L, totTokens)))
   }
 
+  test("writeExport lands key-sorted shard partitions; written-files manifest = planned manifest") {
+    val root = java.nio.file.Files.createTempDirectory("graft-exp").toString
+    val out = s"$root/export"
+    val written = Curation.writeExport(corpus, bench, merges = Nil,
+      "text", "doc_id", "source", "n_chars", out,
+      contextLen = C, numShards = Shards)
+      .orderBy(col("shard_id"), col("source"))
+      .as[(Long, String, Long, Long, Double, Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(written == expected,
+      "manifest recomputed from the WRITTEN files must equal the plan")
+    // layout: one directory per non-empty shard
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard_id=")).map(_.getName).toSet
+    val shards = expected.map(_._1).toSet.map((s: Long) => s"shard_id=$s")
+    assert(dirs == shards, s"expected $shards, found $dirs")
+    // each shard's files hold rows in (__key, doc_id) order — the
+    // epoch-stable training-read order (one small file per shard here)
+    for (d <- dirs) {
+      val keys = spark.read.parquet(s"$out/$d").coalesce(1)
+        .select(col("__key"), col("doc_id"))
+        .as[(Long, Long)].collect().toSeq
+      assert(keys == keys.sortBy(identity),
+        s"$d rows must be key-sorted for sequential training reads")
+    }
+    // the payload survives the round trip: every kept doc's text landed
+    val texts = spark.read.parquet(out).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(texts.keySet == Set(20L, 40L, 50L, 60L) &&
+      texts(40L) == keptText("forty"))
+  }
+
   test("exportManifest plan: no cartesian, stage tiers behind barriers") {
     val fp = PlanFingerprints.fingerprint(got)
     // the packing window itself is compiled INTO the g1 tier's
