@@ -215,6 +215,53 @@ object Curation {
         round(col("__pw") / col("__tpw").cast("double"), 6).as("p_alpha"))
   }
 
+  /** The export's WINDOW-MEMBERSHIP index — one row per packed training
+    * sequence: which docs land in context window `seq_id` of shard
+    * `shard_id` under the same deterministic packing [[exportManifest]]
+    * audits (concat in (key, id) order, chunk at `contextLen`). This is
+    * the attribution surface a training-data pipeline actually consults
+    * (memorization/contamination debugging asks "which documents were
+    * in the window this sample came from"; the manifest only says how
+    * many windows exist). Output: `(shard_id, seq_id, n_docs,
+    * first_doc, last_doc, n_tokens, n_pad)` — all exact ints;
+    * `n_tokens` is the window's occupied tokens (= contextLen except
+    * each shard's final window; `n_pad` its complement).
+    *
+    * Scale shape: the [[exportManifest]] doc-grain tier plus one
+    * explode at (doc × spanned-windows) grain — ≈ tokens/contextLen
+    * rows, 256× SMALLER than token grain — and one (shard, seq)
+    * exchange. first/last doc are `min_by`/`max_by` on the cumulative
+    * position (strictly increasing within a shard, so the argmin is
+    * unique — no tie to break). */
+  def packedWindows(corpus: DataFrame, bench: DataFrame,
+      merges: Seq[(String, String)], textCol: String, idCol: String,
+      srcCol: String, nCharsCol: String, contextLen: Int = 256,
+      numShards: Int = 8, seed: String = "epoch42"): DataFrame = {
+    val id = col(idCol)
+    val c = contextLen
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard_id")).orderBy(col("__key"), id)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    exportDocGrain(corpus, bench, merges, textCol, idCol, srcCol,
+        nCharsCol, numShards, seed, keepText = false)
+      .withColumn("__cum", sum(col("n_bpe")).over(w))
+      .select(id, col("shard_id"), col("n_bpe"), col("__cum"),
+        explode(sequence(expr(s"(__cum - n_bpe) div $c"),
+          expr(s"(__cum - 1) div $c"))).as("seq_id"))
+      .groupBy(col("shard_id"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min_by(id, col("__cum")).as("first_doc"),
+        max_by(id, col("__cum")).as("last_doc"),
+        sum(least(col("__cum"), (col("seq_id") + 1) * c) -
+          greatest(col("__cum") - col("n_bpe"), col("seq_id") * c))
+          .as("n_tokens"))
+      .select(col("shard_id"), col("seq_id"), col("n_docs"),
+        col("first_doc"), col("last_doc"), col("n_tokens"),
+        (lit(c.toLong) - col("n_tokens")).as("n_pad"))
+  }
+
   /** EXECUTE the export: write the curated, tokenized corpus as the
     * sharded dataset a training run actually reads, then return the
     * manifest recomputed FROM THE WRITTEN FILES (verifying what landed,

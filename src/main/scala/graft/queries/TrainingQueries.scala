@@ -995,6 +995,27 @@ object TrainingQueries {
         .orderBy(col("shard_id"), col("source"))
     }),
 
+    // X3 — the export's WINDOW-MEMBERSHIP index (x2's row-grain
+    // companion): one row per packed C=256 training sequence with the
+    // docs that compose it (count, first/last by packing order) and its
+    // occupied/padded token split — the attribution surface
+    // memorization and contamination debugging reads ("which documents
+    // were in this sample's window"). Same fixture, tokenizer and
+    // packing order as x2; scale shape on Curation.packedWindows (the
+    // explode is tokens/256 grain — 256× below token grain).
+    "x3_packed_windows" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.learnMerges(Tables.spread(docs), "text", k = 4)
+        .orderBy(col("merge_rank"))
+        .select(col("sym_a"), col("sym_b"))
+        .as[(String, String)].collect().toSeq
+      Curation.packedWindows(Tables.spread(Tables.documentsWithDups(s, d)),
+          docs.filter(col("doc_id") % 20 === 0), merges,
+          "text", "doc_id", "source", "n_chars")
+        .orderBy(col("shard_id"), col("seq_id"))
+    }),
+
     // T29 — DSIR importance resampling (Xie et al. 2023): select raw
     // docs whose hashed-n-gram profile looks like the TARGET domain
     // (here: the English slice as the target proxy) by the log ratio of
@@ -4463,6 +4484,82 @@ object TrainingQueries {
        |GROUP BY d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Shared x2/x3 oracle prefix — the export chain through per-shard
+    * cumulative positions: the frozen-tokenizer BPE chain (w0..w4 over
+    * `documents`), the d21 curation CTEs with source carried, the
+    * kept slice, kept-doc BPE counts via the vocab join, the s13
+    * seeded-md5 shard key, and the `cum` running position. */
+  private lazy val exportCumCteSql: String =
+    s"""${bpeChainSql(4, applyAll = true)}
+      |, corpus AS (
+      |  SELECT doc_id, text, source, n_chars FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text, source, n_chars
+      |  FROM documents WHERE doc_id % 25 = 0
+      |), sig AS (
+      |  SELECT doc_id, text, source, md5(lower(trim(text))) AS fp,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS s_en,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('el','la','de','y','que','en','un'))) AS BIGINT) AS s_es,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('der','die','das','und','ist','ein','zu'))) AS BIGINT) AS s_de,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('le','la','de','et','est','un','dans'))) AS BIGINT) AS s_fr,
+      |    round(1.0 - len(list_distinct(list_transform(
+      |        range(1, greatest(len(string_split(text,' ')) - 3 + 2, 2)),
+      |        i -> array_to_string(list_slice(string_split(text,' '), i, i + 2),
+      |          ' ')))) * 1.0
+      |      / greatest(len(string_split(text,' ')) - 3 + 1, 1), 4) AS dup3,
+      |    round((CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.5 END)
+      |        * 0.4
+      |      + least(len(list_distinct(string_split(text, ' '))) * 1.0 /
+      |          len(string_split(text, ' ')) * 2, 1.0) * 0.6, 4) AS q
+      |  FROM corpus
+      |), flagged AS (
+      |  SELECT *, (s_en + s_es + s_de + s_fr > 0
+      |    AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+      |    AND q >= 0.5 AND nt BETWEEN 20 AND 1000 AND dup3 <= 0.3)
+      |    AS quality_ok
+      |  FROM sig
+      |), keep AS (
+      |  SELECT fp, min(doc_id) AS keep_id FROM flagged
+      |  WHERE quality_ok GROUP BY fp
+      |), bsh AS (
+      |  SELECT DISTINCT unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(string_split(text,' ')) - 8 + 2, 2)),
+      |    i -> array_to_string(list_slice(string_split(text,' '), i, i + 7), ' '))))
+      |    AS sh
+      |  FROM documents WHERE doc_id % 20 = 0
+      |), contam AS (
+      |  SELECT DISTINCT c.doc_id FROM (
+      |    SELECT doc_id, unnest(list_distinct(list_transform(
+      |      range(1, greatest(len(string_split(text,' ')) - 8 + 2, 2)),
+      |      i -> array_to_string(list_slice(string_split(text,' '), i, i + 7), ' '))))
+      |      AS sh
+      |    FROM flagged WHERE quality_ok) c JOIN bsh USING (sh)
+      |), kept AS MATERIALIZED (
+      |  SELECT f.doc_id, f.text, f.source
+      |  FROM flagged f JOIN keep k
+      |    ON f.fp = k.fp AND f.doc_id = k.keep_id
+      |  WHERE f.quality_ok
+      |    AND f.doc_id NOT IN (SELECT doc_id FROM contam)
+      |), cnt AS MATERIALIZED (
+      |  SELECT d.doc_id, d.source,
+      |    CAST(sum(len(string_split(v.rep, ' '))) AS BIGINT) AS n_bpe
+      |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+      |        FROM kept) d
+      |  JOIN w4 v ON d.w = v.w
+      |  GROUP BY d.doc_id, d.source
+      |), cum AS MATERIALIZED (
+      |  SELECT doc_id, source, n_bpe, key % 8 AS shard_id,
+      |    sum(n_bpe) OVER (PARTITION BY key % 8 ORDER BY key, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM (SELECT doc_id, source, n_bpe,
+      |    CAST('0x' || substr(md5('epoch42:' || CAST(doc_id AS VARCHAR)),
+      |      1, 15) AS BIGINT) AS key FROM cnt)
+      |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
 
     "t28_bpe_merges" -> bpeOracleSql(4),
@@ -6190,76 +6287,10 @@ object TrainingQueries {
     // CTEs with source carried through, kept-slice BPE counts via the
     // vocab join, the s13 seeded-md5 shard key, the t34 cumulative
     // window per shard, and the t33 pow-round-6/decimal-sum mixture.
+    // The chain through `cum` is shared with x3 (exportCumCteSql).
     "x2_training_export" ->
-      s"""${bpeChainSql(4, applyAll = true)}
-        |, corpus AS (
-        |  SELECT doc_id, text, source, n_chars FROM documents
-        |  UNION ALL SELECT doc_id + 1000000, text, source, n_chars
-        |  FROM documents WHERE doc_id % 25 = 0
-        |), sig AS (
-        |  SELECT doc_id, text, source, md5(lower(trim(text))) AS fp,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
-        |    CAST(len(list_filter(string_split(text, ' '),
-        |      x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS s_en,
-        |    CAST(len(list_filter(string_split(text, ' '),
-        |      x -> x IN ('el','la','de','y','que','en','un'))) AS BIGINT) AS s_es,
-        |    CAST(len(list_filter(string_split(text, ' '),
-        |      x -> x IN ('der','die','das','und','ist','ein','zu'))) AS BIGINT) AS s_de,
-        |    CAST(len(list_filter(string_split(text, ' '),
-        |      x -> x IN ('le','la','de','et','est','un','dans'))) AS BIGINT) AS s_fr,
-        |    round(1.0 - len(list_distinct(list_transform(
-        |        range(1, greatest(len(string_split(text,' ')) - 3 + 2, 2)),
-        |        i -> array_to_string(list_slice(string_split(text,' '), i, i + 2),
-        |          ' ')))) * 1.0
-        |      / greatest(len(string_split(text,' ')) - 3 + 1, 1), 4) AS dup3,
-        |    round((CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.5 END)
-        |        * 0.4
-        |      + least(len(list_distinct(string_split(text, ' '))) * 1.0 /
-        |          len(string_split(text, ' ')) * 2, 1.0) * 0.6, 4) AS q
-        |  FROM corpus
-        |), flagged AS (
-        |  SELECT *, (s_en + s_es + s_de + s_fr > 0
-        |    AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
-        |    AND q >= 0.5 AND nt BETWEEN 20 AND 1000 AND dup3 <= 0.3)
-        |    AS quality_ok
-        |  FROM sig
-        |), keep AS (
-        |  SELECT fp, min(doc_id) AS keep_id FROM flagged
-        |  WHERE quality_ok GROUP BY fp
-        |), bsh AS (
-        |  SELECT DISTINCT unnest(list_distinct(list_transform(
-        |    range(1, greatest(len(string_split(text,' ')) - 8 + 2, 2)),
-        |    i -> array_to_string(list_slice(string_split(text,' '), i, i + 7), ' '))))
-        |    AS sh
-        |  FROM documents WHERE doc_id % 20 = 0
-        |), contam AS (
-        |  SELECT DISTINCT c.doc_id FROM (
-        |    SELECT doc_id, unnest(list_distinct(list_transform(
-        |      range(1, greatest(len(string_split(text,' ')) - 8 + 2, 2)),
-        |      i -> array_to_string(list_slice(string_split(text,' '), i, i + 7), ' '))))
-        |      AS sh
-        |    FROM flagged WHERE quality_ok) c JOIN bsh USING (sh)
-        |), kept AS MATERIALIZED (
-        |  SELECT f.doc_id, f.text, f.source
-        |  FROM flagged f JOIN keep k
-        |    ON f.fp = k.fp AND f.doc_id = k.keep_id
-        |  WHERE f.quality_ok
-        |    AND f.doc_id NOT IN (SELECT doc_id FROM contam)
-        |), cnt AS MATERIALIZED (
-        |  SELECT d.doc_id, d.source,
-        |    CAST(sum(len(string_split(v.rep, ' '))) AS BIGINT) AS n_bpe
-        |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
-        |        FROM kept) d
-        |  JOIN w4 v ON d.w = v.w
-        |  GROUP BY d.doc_id, d.source
-        |), cum AS MATERIALIZED (
-        |  SELECT doc_id, source, n_bpe, key % 8 AS shard_id,
-        |    sum(n_bpe) OVER (PARTITION BY key % 8 ORDER BY key, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM (SELECT doc_id, source, n_bpe,
-        |    CAST('0x' || substr(md5('epoch42:' || CAST(doc_id AS VARCHAR)),
-        |      1, 15) AS BIGINT) AS key FROM cnt)
-        |), g1 AS MATERIALIZED (
+      s"""$exportCumCteSql
+        |, g1 AS MATERIALIZED (
         |  SELECT shard_id, source, CAST(count(*) AS BIGINT) AS n_docs,
         |    CAST(sum(n_bpe) AS BIGINT) AS n_tokens,
         |    CAST(count(CASE WHEN (cum - n_bpe) // 256 <> (cum - 1) // 256
@@ -6283,6 +6314,30 @@ object TrainingQueries {
         |FROM g1 JOIN shd USING (shard_id) JOIN srcw USING (source)
         |CROSS JOIN tpw t
         |ORDER BY shard_id, source""".stripMargin,
+
+    // x3: the shared export chain, then one generate-range explode of
+    // each doc's spanned window interval and the (shard, seq)
+    // membership aggregate; arg_min/arg_max over the strictly
+    // increasing cumulative position mirror Spark's min_by/max_by
+    // (unique within a shard — no tie to break).
+    "x3_packed_windows" ->
+      s"""$exportCumCteSql
+        |, wins AS MATERIALIZED (
+        |  SELECT shard_id, doc_id, n_bpe, cum,
+        |    unnest(range(CAST((cum - n_bpe) // 256 AS BIGINT),
+        |      CAST((cum - 1) // 256 + 1 AS BIGINT))) AS seq_id
+        |  FROM cum
+        |)
+        |SELECT shard_id, CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(arg_min(doc_id, cum) AS BIGINT) AS first_doc,
+        |  CAST(arg_max(doc_id, cum) AS BIGINT) AS last_doc,
+        |  CAST(sum(least(cum, (seq_id + 1) * 256)
+        |    - greatest(cum - n_bpe, seq_id * 256)) AS BIGINT) AS n_tokens,
+        |  CAST(256 - sum(least(cum, (seq_id + 1) * 256)
+        |    - greatest(cum - n_bpe, seq_id * 256)) AS BIGINT) AS n_pad
+        |FROM wins GROUP BY shard_id, seq_id
+        |ORDER BY shard_id, seq_id""".stripMargin,
 
     // v7's running-max CTE with the delay magnitude kept instead of one
     // candidate verdict; quantile_cont over the positive delays matches

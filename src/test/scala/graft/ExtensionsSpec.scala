@@ -1411,6 +1411,44 @@ class ExportManifestSpec extends SparkSpec {
     assert(gotDocs == ((4L, totTokens)))
   }
 
+  test("packedWindows matches the reference model's window membership") {
+    val got = Curation.packedWindows(corpus, bench, merges = Nil,
+      "text", "doc_id", "source", "n_chars",
+      contextLen = C, numShards = Shards)
+      .orderBy(col("shard_id"), col("seq_id"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // reference model: same kept docs / keys / cums as `expected`, one
+    // window row per (shard, spanned seq)
+    val keptDocs = Seq(20L -> "twenty", 40L -> "forty", 50L -> "fifty",
+      60L -> "sixty").map { case (id, seed) =>
+      val nbpe = keptText(seed).split(" ")
+        .filter(_.matches("^[!-~]+$")).map(_.length.toLong).sum
+      (id, md5key(id), nbpe)
+    }
+    val want = keptDocs.groupBy(_._2 % Shards).toSeq.flatMap {
+      case (shard, ds) =>
+        val ordered = ds.sortBy(d => (d._2, d._1))
+        val cums = ordered.scanLeft(0L)(_ + _._3).tail
+        ordered.zip(cums).flatMap { case ((id, _, n), cum) =>
+          ((cum - n) / C to (cum - 1) / C).map(seq => (seq, id, n, cum))
+        }.groupBy(_._1).toSeq.map { case (seq, rows) =>
+          val toks = rows.map { case (_, _, n, cum) =>
+            math.min(cum, (seq + 1) * C) - math.max(cum - n, seq * C)
+          }.sum
+          (shard, seq, rows.size.toLong,
+            rows.minBy(_._4)._2, rows.maxBy(_._4)._2, toks, C - toks)
+        }
+    }.sortBy(r => (r._1, r._2))
+    assert(got == want)
+    // internal consistency with the manifest: window count and token
+    // mass per shard agree
+    val manifest = expected.groupBy(_._1).map { case (s, rs) =>
+      s -> (rs.head._6, rs.map(_._4).sum) } // (n_sequences, tokens)
+    val byShard = got.groupBy(_._1).map { case (s, rs) =>
+      s -> (rs.size.toLong, rs.map(_._6).sum) }
+    assert(byShard == manifest)
+  }
+
   test("writeExport lands key-sorted shard partitions; written-files manifest = planned manifest") {
     val root = java.nio.file.Files.createTempDirectory("graft-exp").toString
     val out = s"$root/export"
