@@ -40,6 +40,14 @@ object Bench {
   final case class QueryResult(name: String, seconds: Double,
     err: Option[String])
 
+  /** JSON number at ~6 significant digits (VERDICT r12 item 1: the
+    * full-precision per-query seconds made the line ~19k chars and the
+    * driver's capture truncates). Trailing zeros stripped so round
+    * values stay short ("0.5", "3", "1.4"); always a valid JSON number. */
+  def fmt(d: Double): String =
+    BigDecimal(d).round(new java.math.MathContext(6))
+      .underlying.stripTrailingZeros.toPlainString
+
   /** Pure JSON formatter (unit-tested with a forced failure in
     * BenchFormatSpec). Failure honesty: a thrown query contributes its
     * elapsed-until-throw to the total like any other, appears in a
@@ -47,18 +55,29 @@ object Bench {
     * top-level `"failed"` count — so a regression that breaks a query can
     * never shrink the bench number into looking like an improvement.
     * Successful-query values stay plain numbers (the driver's parser
-    * contract). */
+    * contract).
+    *
+    * FIELD ORDER IS LOAD-BEARING (VERDICT r12 item 1): the driver records
+    * only the TAIL of this line when it is long, so every self-calibration
+    * field a reader needs to discount a degraded host window —
+    * `builds`/`warmup_s`/`median_total`/`canary_ref`/`canary_probes`/
+    * `canary_s` — is emitted AFTER the big per-query maps, with `canary_s`
+    * as the line's final field. BENCH_r12.json's captured tail contained
+    * no canary precisely because r12 emitted calibration first. Pinned by
+    * BenchFormatSpec ("calibration fields survive tail truncation"). */
   def formatLine(results: Seq[QueryResult], sfDir: String,
       medianQueries: Option[Seq[(String, Double)]] = None,
       warmupS: Option[Double] = None,
       canaryS: Option[Double] = None,
-      builds: Option[Seq[(String, Double)]] = None): String = {
+      builds: Option[Seq[(String, Double)]] = None,
+      canaryRef: Option[Double] = None,
+      canaryProbes: Option[Seq[Double]] = None): String = {
     // sfDir comes from the environment and error classes from arbitrary
     // throwables — escape the two JSON-string interpolations (a quote
     // or backslash in a path must not make the whole line unparseable)
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val qs = results.map(r => s"\"" + esc(r.name) + "\":" + r.seconds)
+    val qs = results.map(r => s"\"" + esc(r.name) + "\":" + fmt(r.seconds))
       .mkString("{", ",", "}")
     val failures = results.filter(_.err.isDefined)
     val errs = failures
@@ -70,36 +89,48 @@ object Bench {
     // r9 runs on an unchanged plan), so regression calls must read a
     // per-query MEDIAN, never one run against another. Additive fields —
     // the driver's "value"/"queries" contract is the first timed pass.
+    // The big median MAP sits before "queries"; the scalar median_total
+    // repeats in the calibration tail so truncation keeps it.
     val med = medianQueries.fold("") { ms =>
-      val mq = ms.map { case (n, s) => "\"" + esc(n) + "\":" + s }
+      val mq = ms.map { case (n, s) => "\"" + esc(n) + "\":" + fmt(s) }
         .mkString("{", ",", "}")
-      s""""median_queries":$mq,"median_total":${ms.map(_._2).sum},"""
+      s""""median_queries":$mq,"""
     }
-    // host-speed self-calibration (VERDICT r11 item 2): BENCH_r11
-    // landed in a ~2.6× degraded host window and was unreadable as a
-    // regression without builder-side artifacts. canary_s is a FIXED
-    // sf-independent hash-agg timed right before the first timed pass
-    // (median of 3), so any two BENCH_r*.json are comparable after
-    // dividing by their canaries; warmup_s is the untimed warm-up
-    // pass's wall (JIT + artifact builds + footer reads).
-    val cal = warmupS.fold("")(w => s""""warmup_s":$w,""") +
-      canaryS.fold("")(c => s""""canary_s":$c,""")
+    // Calibration tail — ',' PREFIXED so these are the line's last bytes.
     // one-time memoized-artifact build costs (VERDICT r11 item 3): the
     // warm-up builds every shared artifact, so timed queries measure
     // steady-state probes — this block carries the honest construction
     // cost (board total + builds = first-run cost) so t40's 0.085 s
     // cache probe can't be misread as training cost.
     val bld = builds.fold("") { bs =>
-      val m = bs.map { case (n, s) => "\"" + esc(n) + "\":" + s }
+      val m = bs.map { case (n, s) => "\"" + esc(n) + "\":" + fmt(s) }
         .mkString("{", ",", "}")
-      s""""builds":$m,"""
+      s""","builds":$m"""
     }
+    // host-speed self-calibration (VERDICT r11 item 2): BENCH_r11
+    // landed in a ~2.6× degraded host window and was unreadable as a
+    // regression without builder-side artifacts. canary_s is a FIXED
+    // sf-independent hash-agg timed right before the first timed pass
+    // (median of 3), so any two BENCH_r*.json are comparable after
+    // dividing by their canaries. warmup_s is the untimed warm-up
+    // pass's wall — JIT + parquet footer reads; on the default path the
+    // builds block has ALREADY forced every shared artifact before
+    // warmup_s starts, so artifact construction is in "builds", not
+    // here (BASELINE.md states the same split). canary_ref/canary_probes
+    // carry the clean-window guard's evidence (see guardedCanary).
+    val cal = warmupS.fold("")(w => s""","warmup_s":${fmt(w)}""") +
+      medianQueries.fold("")(ms =>
+        s""","median_total":${fmt(ms.map(_._2).sum)}""") +
+      canaryRef.fold("")(r => s""","canary_ref":${fmt(r)}""") +
+      canaryProbes.fold("")(ps =>
+        ps.map(fmt).mkString(""","canary_probes":[""", ",", "]")) +
+      canaryS.fold("")(c => s""","canary_s":${fmt(c)}""")
     // eval:all_columns — round 4 switched the timed pass from count()
     // to evalAll (full-column evaluation); totals are not directly
     // comparable to the count()-based rounds 1-3 for queries whose
     // count() plan pruned work away
-    s"""{"metric":"total","value":$total,"unit":"sec","failed":${failures.size},""" +
-      s""""errors":$errs,"eval":"all_columns",$cal$bld$med"queries":$qs,"sf":"${esc(sfDir)}"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":${failures.size},""" +
+      s""""errors":$errs,"eval":"all_columns",$med"queries":$qs,"sf":"${esc(sfDir)}"$bld$cal}"""
   }
 
   /** Median of a non-empty sample — even counts average the two middle
@@ -109,6 +140,27 @@ object Bench {
     val s = xs.sorted
     val n = s.size
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  /** Clean-window canary guard (VERDICT r12 item 3). `probe` is one full
+    * canary measurement (median-of-3 in main). If the probe reads above
+    * `ref * maxRatio` — a degraded host window, the documented 1.2–4×
+    * pattern — sleep and re-probe up to `maxRetries` times, hoping the
+    * window passes. The ACCEPTED canary is the minimum probe seen: the
+    * canary's work is fixed, so host noise only ever inflates it, making
+    * the min the best host-speed estimate. All probes are returned for
+    * the artifact (`canary_probes`) so a reader can see whether the run
+    * waited out a window or published inside one. Never aborts — the
+    * driver's bench must always emit its line; a still-degraded run is
+    * disclosed by `canary_s`/`canary_ref`, not hidden by a crash. */
+  def guardedCanary(probe: () => Double, ref: Double, maxRatio: Double,
+      maxRetries: Int, sleep: () => Unit): (Double, Seq[Double]) = {
+    var probes = Vector(probe())
+    while (probes.min > ref * maxRatio && probes.size <= maxRetries) {
+      sleep()
+      probes :+= probe()
+    }
+    (probes.min, probes)
   }
 
   def main(args: Array[String]): Unit = {
@@ -165,7 +217,10 @@ object Bench {
       if (sys.env.contains("SPARK_GRAFT_BENCH_FILTER")) None
       else Some {
         import graft.queries.{ExtensionQueries, TrainingQueries}
-        spark.range(1000000L).selectExpr("sum(id)").collect()
+        // JIT-warm collect is best-effort like every force below — a
+        // throw here must not kill main before any output line is emitted
+        try spark.range(1000000L).selectExpr("sum(id)").collect()
+        catch { case _: Throwable => () }
         Seq[(String, () => Unit)](
           "trading_pairs" -> (() =>
             TrainingQueries.TradingPairs(spark, sfDir).count()),
@@ -205,14 +260,28 @@ object Bench {
     // Fixed sf-independent host-speed canary (median of 3), timed warm
     // and immediately before the first timed pass: a 20M-row hash
     // groupBy whose work never changes, so two bench artifacts can be
-    // normalized against each other's host windows.
-    val canaryS = median((1 to 3).map(_ => secsOf {
+    // normalized against each other's host windows. Wrapped in the
+    // clean-window guard (VERDICT r12 item 3): against the stored clean
+    // reference (BASELINE.md: 0.292 s on this host), a probe above
+    // ~1.2× triggers sleep+retry so a transient degraded window doesn't
+    // become the published baseline. Knobs are env-overridable; the
+    // driver's defaults add at most ~2×20 s when the host is degraded.
+    def canaryProbe(): Double = median((1 to 3).map(_ => secsOf {
       spark.range(20000000L)
         .select(pmod(xxhash64(col("id")), lit(9973)).as("k"))
         .groupBy(col("k"))
         .agg(count(lit(1)).as("c"), sum(col("k")).as("s"))
         .agg(sum(col("c")), sum(col("s"))).collect()
     }))
+    val canaryRef =
+      sys.env.getOrElse("SPARK_GRAFT_CANARY_REF", "0.292").toDouble
+    val canaryMaxRatio =
+      sys.env.getOrElse("SPARK_GRAFT_CANARY_MAX_RATIO", "1.2").toDouble
+    val canaryRetries =
+      sys.env.getOrElse("SPARK_GRAFT_CANARY_RETRIES", "2").toInt
+    val (canaryS, canaryProbes) = guardedCanary(
+      () => canaryProbe(), canaryRef, canaryMaxRatio, canaryRetries,
+      () => Thread.sleep(20000L))
     def timedPass(): Seq[QueryResult] = SparkEntry.queries.toSeq
       .filter(kv => nameFilter(kv._1)).map {
       case (name, fn) =>
@@ -234,7 +303,8 @@ object Bench {
         n -> median(passes.map(_.find(_.name == n).get.seconds))
       })
     println(formatLine(passes.head, sfDir, medians,
-      warmupS = Some(warmupS), canaryS = Some(canaryS), builds = builds))
+      warmupS = Some(warmupS), canaryS = Some(canaryS), builds = builds,
+      canaryRef = Some(canaryRef), canaryProbes = Some(canaryProbes)))
     spark.stop()
   }
 }

@@ -1045,40 +1045,6 @@ object ScaleHeadroom {
     * One timed pass per build row (minute-scale runtimes at 25× — the
     * leg reads the 10×→25× ratio, per-job overhead is noise at this
     * magnitude). Standalone: SPARK_GRAFT_LEG=r11. */
-  /** The 50× axis for e13/d14 (VERDICT r11 item 6): token-salted
-    * replication — copy k offsets doc ids by k·10⁷ and rewrites every
-    * token t → "t9k" (the corpus is letters-only, so the digit 9 is an
-    * unambiguous salt boundary), making copies share NO tokens (e13's
-    * vocabulary) and NO width-3 shingles (d14's space). Unlike the
-    * alphabet rotation (injective only for k < 26), this holds for any
-    * copy count, so 50× is sound; 1×/10×/25× run on the same salted
-    * axis so the exponent reads off ONE construction (salted and
-    * rotated fixtures differ slightly in byte size — tokens grow by
-    * the suffix — so cross-axis ratios are not the comparison). */
-  private def x50Leg(spark: SparkSession, docs: DataFrame, work: String,
-      report: (String, Int, Double, Long) => Unit): Unit = {
-    def salted(k: Int): DataFrame =
-      if (k == 0) docs
-      else docs
-        .withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
-        .withColumn("text", array_join(
-          transform(split(col("text"), " "),
-            t => concat(t, lit(s"9$k"))), " "))
-    val dirs = Seq(1, 10, 25, 50).map { n =>
-      val dir = s"$work/s$n"
-      (0 until n).map(salted).reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      n -> dir
-    }
-    for ((scale, dir) <- dirs;
-         q <- Seq("e13_sparse_cosine", "d14_containment")) {
-      val (secs, rows) = timeBest {
-        forceAll(SparkEntry.queries(q)(spark, dir))
-      }
-      report(q, scale, secs, rows)
-    }
-  }
-
   private def r11Leg(spark: SparkSession, dirs: Seq[(Int, String)],
       report: (String, Int, Double, Long) => Unit): Unit = {
     for ((scale, dir) <- dirs) {
@@ -1122,6 +1088,40 @@ object ScaleHeadroom {
         forceAll(Dedup.intraDocLineDedup(docs, "doc_id", "text"))
       }
       report("d25_intradoc_line_dedup", scale, secs, rows)
+    }
+  }
+
+  /** The 50× axis for e13/d14 (VERDICT r11 item 6): token-salted
+    * replication — copy k offsets doc ids by k·10⁷ and rewrites every
+    * token t → "t9k" (the corpus is letters-only, so the digit 9 is an
+    * unambiguous salt boundary), making copies share NO tokens (e13's
+    * vocabulary) and NO width-3 shingles (d14's space). Unlike the
+    * alphabet rotation (injective only for k < 26), this holds for any
+    * copy count, so 50× is sound; 1×/10×/25× run on the same salted
+    * axis so the exponent reads off ONE construction (salted and
+    * rotated fixtures differ slightly in byte size — tokens grow by
+    * the suffix — so cross-axis ratios are not the comparison). */
+  private def x50Leg(spark: SparkSession, docs: DataFrame, work: String,
+      report: (String, Int, Double, Long) => Unit): Unit = {
+    def salted(k: Int): DataFrame =
+      if (k == 0) docs
+      else docs
+        .withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+        .withColumn("text", array_join(
+          transform(split(col("text"), " "),
+            t => concat(t, lit(s"9$k"))), " "))
+    val dirs = Seq(1, 10, 25, 50).map { n =>
+      val dir = s"$work/s$n"
+      (0 until n).map(salted).reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      n -> dir
+    }
+    for ((scale, dir) <- dirs;
+         q <- Seq("e13_sparse_cosine", "d14_containment")) {
+      val (secs, rows) = timeBest {
+        forceAll(SparkEntry.queries(q)(spark, dir))
+      }
+      report(q, scale, secs, rows)
     }
   }
 

@@ -149,42 +149,77 @@ object Curation {
       merges: Seq[(String, String)], textCol: String, idCol: String,
       srcCol: String, nCharsCol: String, numShards: Int, seed: String,
       keepText: Boolean): DataFrame = {
-    val id = col(idCol)
     val kept = curateKeeping(corpus, bench, textCol, idCol, nCharsCol,
         ngram = 8, keepCols = Seq(textCol, srcCol))
       .filter(col("status") === "kept")
-      .select(id, col(textCol), col(srcCol))
+      .select(col(idCol), col(textCol), col(srcCol))
       // the curate→tokenize materialization point: tokenize's word
       // explode AND the doc-grain source join both read the curated
       // slice; without the barrier each would re-run the curation joins
       .localCheckpoint(eager = false)
+    tokenizeAndShard(kept, merges, textCol, idCol, srcCol, numShards,
+      seed, keepText)
+  }
+
+  /** The tokenize→shard half of the export's doc-grain tier, over an
+    * already-curated `kept` slice (callers checkpoint it — BOTH the
+    * word explode and the source join below read it). Shared by the
+    * batch export ([[exportDocGrain]]) and the streaming per-batch
+    * form (`StreamingOps.exportIngestBatch`, whose kept slice comes
+    * from [[curateIncremental]] instead of [[curate]]). */
+  private[graft] def tokenizeAndShard(kept: DataFrame,
+      merges: Seq[(String, String)], textCol: String, idCol: String,
+      srcCol: String, numShards: Int, seed: String,
+      keepText: Boolean): DataFrame = {
+    val id = col(idCol)
     val key = conv(substring(md5(concat(lit(seed + ":"),
         id.cast("string")).cast("binary")), 1, 15), 16, 10).cast("long")
     val payload = if (keepText) Seq(col(textCol)) else Nil
+    // INVARIANT (load-bearing for every consumer): doc-grain rows carry
+    // n_bpe >= 1. The packing arithmetic downstream — manifest __split,
+    // packedWindows' sequence((cum-n_bpe) div c, (cum-1) div c) — would
+    // emit a DESCENDING (hence empty-or-wrong) window range for a
+    // zero-token row, and Bpe.applyMerges' inner vocab join already
+    // drops kept docs with zero ASCII-printable words from the export
+    // entirely. Today's curation gates (20-token minimum + English
+    // stopword argmax) guarantee >= 1 ASCII word, so this filter is a
+    // no-op; it is enforced HERE so a future keepCols/quality-gate
+    // change cannot silently corrupt the window index.
     Bpe.applyMerges(kept, textCol, idCol, merges)
       .select(id, col("n_bpe_tokens").as("n_bpe"))
+      .filter(col("n_bpe") >= 1)
       .join(kept.select(Seq(id, col(srcCol).as("source")) ++ payload: _*),
         Seq(idCol))
       .select(Seq(id, col("source"), col("n_bpe"), key.as("__key"),
         pmod(key, lit(numShards.toLong)).as("shard_id")) ++ payload: _*)
   }
 
-  /** The manifest aggregates over an export's doc-grain rows — split
-    * out so the executed writer can recompute the manifest FROM THE
-    * WRITTEN FILES (what landed, not what was planned). */
-  def manifestFromDocGrain(docGrain: DataFrame, idCol: String,
-      contextLen: Int, alpha: Double): DataFrame = {
-    val id = col(idCol)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard_id")).orderBy(col("__key"), id)
+  /** The export's shard-partitioned packing window — rows ordered by
+    * (`orderPrefix`…, `__key`, id) with a running frame. The batch
+    * export packs in pure (__key, id) order (empty prefix); the
+    * incremental export packs batch-major (`orderPrefix =
+    * Seq("batch_id")`) — an advancing export appends, it never
+    * re-interleaves already-shipped shards. */
+  private[graft] def packWindow(idCol: String,
+      orderPrefix: Seq[String] = Nil)
+      : org.apache.spark.sql.expressions.WindowSpec =
+    org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard_id"))
+      .orderBy(orderPrefix.map(col) ++ Seq(col("__key"), col(idCol)): _*)
       .rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
+
+  /** The manifest's (shard, source)-grain counters over cumulative-
+    * position rows (`__cum` attached): doc/token counts plus the
+    * window-split count. Every field is ADDITIVE across disjoint
+    * doc sets packed with a running global `__cum` — the w26 merge
+    * algebra the incremental export's per-batch contributions rely on
+    * (`__split` reads only the doc's own global positions). */
+  private[graft] def cumCounters(cum: DataFrame,
+      contextLen: Int): DataFrame = {
     val c = contextLen
-    // ONE doc-grain aggregation; everything below reads the bounded
-    // (shard × source) frame
-    val g1 = docGrain
-      .withColumn("__cum", sum(col("n_bpe")).over(w))
+    cum
       .withColumn("__split",
         expr(s"(__cum - n_bpe) div $c") =!= expr(s"(__cum - 1) div $c"))
       .groupBy(col("shard_id"), col("source"))
@@ -192,7 +227,22 @@ object Curation {
         sum(col("n_bpe")).as("n_tokens"),
         graft.operators.Summaries.countIf(col("__split"))
           .as("__split_src"))
-      .localCheckpoint(eager = false) // output + shard + source totals
+  }
+
+  /** The manifest arithmetic over (shard, source)-grain counters —
+    * shard/source totals, packing audit, t33 mixture. Split from
+    * [[manifestFromDocGrain]] so the incremental export's VIEW
+    * (`StreamingOps.exportManifestView`) computes the identical
+    * datasheet from MERGED per-batch counters: `n_sequences` and
+    * `pad_tokens` derive from the shard token TOTAL (correct under
+    * carryover packing — only each shard's final window is padded) and
+    * `split_docs`/`n_docs`/`n_tokens` are plain sums. */
+  private[graft] def manifestFromCounters(counters: DataFrame,
+      contextLen: Int, alpha: Double): DataFrame = {
+    val c = contextLen
+    // ONE doc-grain aggregation feeds this; everything below reads the
+    // bounded (shard × source) frame
+    val g1 = counters.localCheckpoint(eager = false)
     val sh = g1.groupBy(col("shard_id"))
       .agg(sum(col("n_tokens")).as("__sh_tokens"),
         sum(col("__split_src")).as("split_docs"))
@@ -214,6 +264,20 @@ object Curation {
         col("split_docs"),
         round(col("__pw") / col("__tpw").cast("double"), 6).as("p_alpha"))
   }
+
+  /** The manifest aggregates over an export's doc-grain rows — split
+    * out so the executed writer can recompute the manifest FROM THE
+    * WRITTEN FILES (what landed, not what was planned). `orderPrefix`
+    * prepends columns to the packing order (see [[packWindow]]; the
+    * incremental-export spec recomputes with `Seq("batch_id")`). */
+  def manifestFromDocGrain(docGrain: DataFrame, idCol: String,
+      contextLen: Int, alpha: Double,
+      orderPrefix: Seq[String] = Nil): DataFrame =
+    manifestFromCounters(
+      cumCounters(docGrain.withColumn("__cum",
+        sum(col("n_bpe")).over(packWindow(idCol, orderPrefix))),
+        contextLen),
+      contextLen, alpha)
 
   /** The export's WINDOW-MEMBERSHIP index — one row per packed training
     * sequence: which docs land in context window `seq_id` of shard
@@ -237,16 +301,31 @@ object Curation {
       merges: Seq[(String, String)], textCol: String, idCol: String,
       srcCol: String, nCharsCol: String, contextLen: Int = 256,
       numShards: Int = 8, seed: String = "epoch42"): DataFrame = {
+    val c = contextLen
+    windowMembership(
+      exportDocGrain(corpus, bench, merges, textCol, idCol, srcCol,
+          nCharsCol, numShards, seed, keepText = false)
+        .withColumn("__cum", sum(col("n_bpe")).over(packWindow(idCol))),
+      idCol, c)
+      .select(col("shard_id"), col("seq_id"), col("n_docs"),
+        col("first_doc"), col("last_doc"), col("n_tokens"),
+        (lit(c.toLong) - col("n_tokens")).as("n_pad"))
+  }
+
+  /** The window-membership aggregate over cumulative-position rows:
+    * one row per (shard, spanned seq) with doc count, first/last doc
+    * (by the strictly-increasing `__cum` — unique, no tie) and the
+    * occupied-token sum (each doc's clamped overlap with the window —
+    * reads only the doc's own global positions, so contributions from
+    * DISJOINT doc sets merge additively: the incremental export's
+    * boundary windows sum across batches, `n_docs`/`n_tokens` by +,
+    * first/last by packing order). Shared by [[packedWindows]] and
+    * `StreamingOps.exportIngestBatch`. */
+  private[graft] def windowMembership(cum: DataFrame, idCol: String,
+      contextLen: Int): DataFrame = {
     val id = col(idCol)
     val c = contextLen
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard_id")).orderBy(col("__key"), id)
-      .rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    exportDocGrain(corpus, bench, merges, textCol, idCol, srcCol,
-        nCharsCol, numShards, seed, keepText = false)
-      .withColumn("__cum", sum(col("n_bpe")).over(w))
+    cum
       .select(id, col("shard_id"), col("n_bpe"), col("__cum"),
         explode(sequence(expr(s"(__cum - n_bpe) div $c"),
           expr(s"(__cum - 1) div $c"))).as("seq_id"))
@@ -257,9 +336,45 @@ object Curation {
         sum(least(col("__cum"), (col("seq_id") + 1) * c) -
           greatest(col("__cum") - col("n_bpe"), col("seq_id") * c))
           .as("n_tokens"))
-      .select(col("shard_id"), col("seq_id"), col("n_docs"),
-        col("first_doc"), col("last_doc"), col("n_tokens"),
-        (lit(c.toLong) - col("n_tokens")).as("n_pad"))
+  }
+
+  /** The export's DOC→WINDOW inverse attribution — [[packedWindows]]
+    * answers "which docs are in window (shard, seq)"; this answers the
+    * direction memorization debugging actually starts from: "given
+    * these doc_ids, which packed training sequences contain their
+    * tokens, and at what offsets". One row per (probe doc × spanned
+    * window): `(idCol, shard_id, seq_id, tok_start, tok_end, n_tokens)`
+    * with `tok_start`/`tok_end` the doc's occupied [start, end) token
+    * slice WITHIN the window (0-based, end-exclusive) — the exact
+    * coordinates to slice a training sample for an extraction probe.
+    *
+    * Scale shape: the [[exportManifest]] doc-grain tier (the cumulative
+    * packing window MUST see every exported doc — a position is a
+    * corpus-order fact, so `probe` cannot push below it), then the
+    * probe filter cuts to the suspect slice BEFORE the explode — the
+    * only added work is (|probe docs| × spanned-windows) rows, no new
+    * exchange at all (no aggregate: each exploded row is already one
+    * output row, unlike x3's (shard, seq) regroup). */
+  def docWindows(corpus: DataFrame, bench: DataFrame,
+      merges: Seq[(String, String)], textCol: String, idCol: String,
+      srcCol: String, nCharsCol: String, probe: Column,
+      contextLen: Int = 256, numShards: Int = 8,
+      seed: String = "epoch42"): DataFrame = {
+    val id = col(idCol)
+    val c = contextLen
+    exportDocGrain(corpus, bench, merges, textCol, idCol, srcCol,
+        nCharsCol, numShards, seed, keepText = false)
+      .withColumn("__cum", sum(col("n_bpe")).over(packWindow(idCol)))
+      .filter(probe)
+      .select(id, col("shard_id"), col("n_bpe"), col("__cum"),
+        explode(sequence(expr(s"(__cum - n_bpe) div $c"),
+          expr(s"(__cum - 1) div $c"))).as("seq_id"))
+      .select(id, col("shard_id"), col("seq_id"),
+        (greatest(col("__cum") - col("n_bpe"), col("seq_id") * c)
+          - col("seq_id") * c).as("tok_start"),
+        (least(col("__cum"), (col("seq_id") + 1) * c)
+          - col("seq_id") * c).as("tok_end"))
+      .withColumn("n_tokens", col("tok_end") - col("tok_start"))
   }
 
   /** EXECUTE the export: write the curated, tokenized corpus as the

@@ -318,11 +318,20 @@ object TextAnalysis {
     val grams =
       if (ngram == 1) tokens(col("text"))
       else Dedup.ngramShingles(col("text"), ngram)
+    // Single corpus-grain cache (VERDICT r12 item 2): r12 measured the
+    // 50× token-salted leg at exponent 1.34 and isolated it to block-
+    // manager pressure from TWO corpus-grain lazy checkpoints (tf +
+    // weighted, ~50M cached rows each at 50×) resident through the
+    // heavy pair shuffle — tf was dead weight once weighted
+    // materialized. tf is now UNcached: its tokenize+count lineage
+    // re-executes once for the df aggregate and once inside weighted
+    // (a deliberate +1 linear tokenize pass), and only `weighted` —
+    // the frame the norms aggregate and BOTH posting-join sides
+    // actually reuse — ever occupies the block manager.
     val tf = docs
       .select(col("doc_id"), explode(grams).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(eager = false) // feeds total-window AND dfreq
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val weighted = tf

@@ -1016,6 +1016,32 @@ object TrainingQueries {
         .orderBy(col("shard_id"), col("seq_id"))
     }),
 
+    // X4 — doc→window INVERSE attribution (VERDICT r12 item 5; x3's
+    // companion direction): given suspect doc_ids — here the
+    // deterministic doc_id % 13 probe set — which packed C=256 training
+    // sequences contain their tokens, and at what in-window offsets
+    // ([tok_start, tok_end) — the slice an extraction probe replays).
+    // This is the exact lookup memorization debugging starts from:
+    // "this document leaked; which training samples carried it". Same
+    // fixture, frozen tokenizer, shard keys and packing order as x2/x3;
+    // the probe filter cuts AFTER the cumulative window (a doc's
+    // position is a corpus-order fact) and BEFORE the explode, so the
+    // added work over x2's shared doc-grain tier is probe-grain only —
+    // scale shape on Curation.docWindows.
+    "x4_doc_windows" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.learnMerges(Tables.spread(docs), "text", k = 4)
+        .orderBy(col("merge_rank"))
+        .select(col("sym_a"), col("sym_b"))
+        .as[(String, String)].collect().toSeq
+      Curation.docWindows(Tables.spread(Tables.documentsWithDups(s, d)),
+          docs.filter(col("doc_id") % 20 === 0), merges,
+          "text", "doc_id", "source", "n_chars",
+          probe = col("doc_id") % 13 === 0)
+        .orderBy(col("doc_id"), col("seq_id"))
+    }),
+
     // T29 — DSIR importance resampling (Xie et al. 2023): select raw
     // docs whose hashed-n-gram profile looks like the TARGET domain
     // (here: the English slice as the target proxy) by the log ratio of
@@ -6338,6 +6364,28 @@ object TrainingQueries {
         |    - greatest(cum - n_bpe, seq_id * 256)) AS BIGINT) AS n_pad
         |FROM wins GROUP BY shard_id, seq_id
         |ORDER BY shard_id, seq_id""".stripMargin,
+
+    // x4: the shared export chain, the doc_id % 13 probe cut AFTER the
+    // cumulative window (position is a corpus-order fact), then the
+    // same generate-range explode at probe-doc grain — no regroup; the
+    // in-window offsets are the least/greatest clamp arithmetic x3
+    // sums, kept per row instead.
+    "x4_doc_windows" ->
+      s"""$exportCumCteSql
+        |SELECT doc_id, shard_id, CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(greatest(cum - n_bpe, seq_id * 256) - seq_id * 256
+        |    AS BIGINT) AS tok_start,
+        |  CAST(least(cum, (seq_id + 1) * 256) - seq_id * 256
+        |    AS BIGINT) AS tok_end,
+        |  CAST(least(cum, (seq_id + 1) * 256)
+        |    - greatest(cum - n_bpe, seq_id * 256) AS BIGINT) AS n_tokens
+        |FROM (
+        |  SELECT shard_id, doc_id, n_bpe, cum,
+        |    unnest(range(CAST((cum - n_bpe) // 256 AS BIGINT),
+        |      CAST((cum - 1) // 256 + 1 AS BIGINT))) AS seq_id
+        |  FROM cum WHERE doc_id % 13 = 0
+        |)
+        |ORDER BY doc_id, seq_id""".stripMargin,
 
     // v7's running-max CTE with the delay magnitude kept instead of one
     // candidate verdict; quantile_cont over the positive delays matches

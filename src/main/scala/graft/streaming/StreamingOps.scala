@@ -580,15 +580,19 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         curationIngestBatch(batch, batchId, stateDir, outDir,
           textCol, idCol, nCharsCol)
+        () // foreachBatch wants Unit; the kept slice is for composers
       }
       .option("checkpointLocation", checkpointDir)
       .start()
 
   /** One micro-batch of [[curationIngest]], exposed so the plan spec
-    * and the scale leg drive the EXACT code path the stream executes. */
+    * and the scale leg drive the EXACT code path the stream executes.
+    * Returns the batch's KEPT slice (full batch columns) so composing
+    * loops — [[exportIngestBatch]] — continue from it without
+    * re-reading the fates they just wrote. */
   def curationIngestBatch(batch: DataFrame, batchId: Long,
       stateDir: String, outDir: String, textCol: String = "text",
-      idCol: String = "doc_id", nCharsCol: String = "n_chars"): Unit = {
+      idCol: String = "doc_id", nCharsCol: String = "n_chars"): DataFrame = {
     val spark = batch.sparkSession
     ensureCurationStateTables(spark, stateDir, batch.limit(0),
       textCol, idCol)
@@ -602,6 +606,7 @@ object StreamingOps {
       fates.filter(col("status") === "kept").select(col(idCol)),
       Seq(idCol), "left_semi")
     advanceCurationState(kept, batchId, stateDir, textCol, idCol)
+    kept
   }
 
   /** The three state-index frames of [[curationIngest]], read from the
@@ -744,6 +749,164 @@ object StreamingOps {
     ensure("span", graft.extensions.Dedup.shingleIndex(empty, idCol,
       textCol, width = 8), "h")
   }
+
+  /** The INCREMENTAL TRAINING-DATA EXPORT loop (VERDICT r12 item 4) —
+    * x2's flagship composed into the ingest discipline, so a
+    * continuously-curated corpus ADVANCES its export instead of
+    * rebuilding it: per micro-batch, [[curationIngestBatch]]'s
+    * survivors (curated against persisted state — the d11/d12/d19
+    * index discipline) → frozen-merge BPE + seeded shard assignment
+    * ([[graft.extensions.Curation.tokenizeAndShard]] — the tokenizer
+    * and the epoch-stable md5 key are batch-independent, so a doc's
+    * shard never depends on when it arrived) → key-sorted shard files
+    * appended under the batch's own partition → per-batch manifest
+    * COUNTERS and window-membership CONTRIBUTIONS, maintained by the
+    * w26 merge algebra ([[exportManifestView]]/[[exportWindowsView]]
+    * are pure aggregates over them).
+    *
+    * Packing is BATCH-MAJOR with carryover: each batch's cumulative
+    * positions continue from the shard's running token total (read
+    * from the counters of batches < this one), so no window pads at a
+    * batch boundary — the window a batch leaves half-filled is
+    * completed by the next batch's first docs, and the two
+    * contributions MERGE in the view (n_docs/n_tokens by sum,
+    * first/last doc by batch order — the additive-algebra point
+    * [[graft.extensions.Curation.windowMembership]] documents). The
+    * training-read order is (batch_id, __key, id) per shard — an
+    * advancing export appends; it never re-interleaves shipped shards
+    * (ExportIngestSpec pins the maintained views ≡ a from-scratch
+    * recompute over ALL written doc-grain rows in exactly that order).
+    *
+    * Replay safety — the [[curationIngest]] discipline throughout:
+    * docs/counters/windows/fates each land in the batch's OWN
+    * `batch_id=N` directory via overwrite, and the carryover offsets
+    * read `batch_id < N` only, so a crash-replayed batch recomputes
+    * byte-identical contributions into the same partitions.
+    *
+    * Scale shape at 100 TB: per-batch cost is the curation probe
+    * (flat in state — measured, d22s) + one word explode + one
+    * broadcast-able vocab join + ONE shard exchange for the sorted
+    * write + one shard-partitioned packing window over (id, n_bpe)
+    * rows — all O(|batch|); the counters read for offsets is
+    * (batches × shards × sources) grain, kept bounded by the same
+    * compaction discipline as the curation state (fold old batch
+    * partitions; the algebra is insensitive to HOW batches are
+    * grouped, only to their order — compaction must preserve
+    * batch-major packing, i.e. relabel a PREFIX of batches). */
+  def exportIngest(docsStream: DataFrame, stateDir: String,
+      exportDir: String, checkpointDir: String,
+      merges: Seq[(String, String)], textCol: String = "text",
+      idCol: String = "doc_id", srcCol: String = "source",
+      nCharsCol: String = "n_chars", contextLen: Int = 256,
+      numShards: Int = 8, seed: String = "epoch42")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        exportIngestBatch(batch, batchId, stateDir, exportDir, merges,
+          textCol, idCol, srcCol, nCharsCol, contextLen, numShards, seed)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** One micro-batch of [[exportIngest]], exposed so the spec and a
+    * backfill job drive the EXACT code path the stream executes. */
+  def exportIngestBatch(batch: DataFrame, batchId: Long,
+      stateDir: String, exportDir: String,
+      merges: Seq[(String, String)], textCol: String = "text",
+      idCol: String = "doc_id", srcCol: String = "source",
+      nCharsCol: String = "n_chars", contextLen: Int = 256,
+      numShards: Int = 8, seed: String = "epoch42"): Unit = {
+    val spark = batch.sparkSession
+    val kept = curationIngestBatch(batch, batchId, stateDir,
+        s"$exportDir/fates", textCol, idCol, nCharsCol)
+      .select(col(idCol), col(textCol), col(srcCol))
+      // the curate→tokenize materialization point (the exportDocGrain
+      // barrier): the word explode AND the source join read it
+      .localCheckpoint(eager = false)
+    val dg = graft.extensions.Curation.tokenizeAndShard(kept, merges,
+        textCol, idCol, srcCol, numShards, seed, keepText = true)
+      .localCheckpoint(eager = false) // sorted write + packing both read
+    // 1. the batch's shard files — the writeExport layout under the
+    //    batch's own partition (sequential training reads stream each
+    //    shard's batches in order, each internally key-sorted)
+    dg.repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("__key"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard_id")
+      .parquet(s"$exportDir/docs/batch_id=$batchId")
+    // 2. carryover: this shard's running token total over PRIOR batches
+    //    (strictly batch_id < N — a replayed batch must not see its own
+    //    half-written counters)
+    val off = exportCounters(spark, exportDir)
+      .filter(col("batch_id") < lit(batchId))
+      .groupBy(col("shard_id")).agg(sum(col("n_tokens")).as("__off"))
+    val cum = dg.drop(textCol)
+      .join(broadcast(off), Seq("shard_id"), "left")
+      .withColumn("__cum", coalesce(col("__off"), lit(0L)) +
+        sum(col("n_bpe")).over(
+          graft.extensions.Curation.packWindow(idCol)))
+      .drop("__off")
+      .localCheckpoint(eager = false) // counters + windows both read
+    // 3. + 4. the batch's additive contributions (global positions
+    //    baked in, so the views are plain merges)
+    graft.extensions.Curation.cumCounters(cum, contextLen)
+      .write.mode("overwrite")
+      .parquet(s"$exportDir/counters/batch_id=$batchId")
+    graft.extensions.Curation.windowMembership(cum, idCol, contextLen)
+      .write.mode("overwrite")
+      .parquet(s"$exportDir/windows/batch_id=$batchId")
+  }
+
+  /** The accumulated per-batch manifest counters (batch_id inferred
+    * from the partition layout), empty-schema'd before the first batch
+    * lands. Local-filesystem existence probe — a production warehouse
+    * registers the counters as a partitioned table exactly like the
+    * curation state ([[ensureCurationStateTables]]); this path-based
+    * form is the single-warehouse variant. */
+  private def exportCounters(spark: SparkSession,
+      exportDir: String): DataFrame = {
+    val dir = s"$exportDir/counters"
+    if (new java.io.File(dir).exists())
+      spark.read.parquet(dir)
+    else
+      spark.range(0).select(col("id").as("shard_id"),
+        lit("").as("source"), col("id").as("n_docs"),
+        col("id").as("n_tokens"), col("id").as("__split_src"),
+        col("id").as("batch_id"))
+  }
+
+  /** The incremental export's manifest — identical datasheet columns
+    * to [[graft.extensions.Curation.exportManifest]], computed as a
+    * pure aggregate over the maintained per-batch counters (the w26
+    * merge-algebra view): doc/token/split counts merge by sum, then
+    * the shard audit and t33 mixture arithmetic run on the merged
+    * totals. ExportIngestSpec pins it equal to a from-scratch
+    * [[graft.extensions.Curation.manifestFromDocGrain]] recompute over
+    * every written doc-grain row in batch-major packing order. */
+  def exportManifestView(spark: SparkSession, exportDir: String,
+      contextLen: Int = 256, alpha: Double = 0.3): DataFrame =
+    graft.extensions.Curation.manifestFromCounters(
+      exportCounters(spark, exportDir)
+        .groupBy(col("shard_id"), col("source"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("__split_src")).as("__split_src")),
+      contextLen, alpha)
+
+  /** The incremental export's window-membership index (x3's columns):
+    * merge of the per-batch contributions — counts/tokens by sum;
+    * first/last doc from the earliest/latest contributing batch
+    * (batch-major packing order makes that the packing order). A
+    * boundary window half-filled by batch N and completed by batch
+    * N+1 is one row here, assembled from both contributions. */
+  def exportWindowsView(spark: SparkSession, exportDir: String,
+      contextLen: Int = 256): DataFrame =
+    spark.read.parquet(s"$exportDir/windows")
+      .groupBy(col("shard_id"), col("seq_id"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        min_by(col("first_doc"), col("batch_id")).as("first_doc"),
+        max_by(col("last_doc"), col("batch_id")).as("last_doc"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("n_pad", lit(contextLen.toLong) - col("n_tokens"))
 
   /** Streaming MODEL-IN-THE-LOOP scoring — the trained classifier
     * deployed over continuous ingest (VERDICT r11 item 5, closing the

@@ -1409,6 +1409,162 @@ class CurationIngestSpec extends SparkSpec {
   }
 }
 
+class ExportIngestSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.{col, sum => fsum}
+  import graft.streaming.StreamingOps
+  import graft.extensions.Curation
+
+  // the CurationIngestSpec fixture conventions (Gopher-passing bodies;
+  // these also pass x2's t9 battery — en stopword argmax, 52 tokens,
+  // distinct content words → q ≥ 0.5, dup3 ≈ 0) with sources attached.
+  // No near/span-dup channels and an empty bench: the ONE regime where
+  // the incremental loop's curateIncremental and batch x2's curate
+  // agree on the kept set, so the order-independent manifest fields
+  // can be pinned against the batch flagship directly.
+  private val stop8 = "the be to of and that have with"
+  private def body(seed: String, n: Int = 44): String =
+    (1 to n).map(i => f"${seed}word$i%02d").mkString(" ")
+  private def doc(id: Long, seed: String, src: String) = {
+    val t = s"$stop8 ${body(seed)}"
+    (id, t, src, t.length.toLong)
+  }
+  private val b1 = Seq(doc(1L, "aone", "web"), doc(2L, "atwo", "book"),
+    (3L, "tiny text", "web", 9L), // low_quality — never exported
+    doc(4L, "afour", "web"))
+  private val b2 = Seq(
+    (10L, s"$stop8 ${body("aone")}", "web",
+      s"$stop8 ${body("aone")}".length.toLong), // exact_dup_state of 1
+    doc(11L, "bone", "book"), doc(12L, "btwo", "web"))
+  private val b3 = Seq(doc(20L, "cone", "web"), doc(21L, "ctwo", "book"))
+  private val C = 8
+  private val Shards = 2
+  private def df(rows: Seq[(Long, String, String, Long)]) =
+    rows.toDF("doc_id", "text", "source", "n_chars")
+  private lazy val emptyBench =
+    Seq.empty[(Long, String, Long)].toDF("doc_id", "text", "n_chars")
+
+  /** All written doc-grain rows, partition values cast back to long. */
+  private def writtenDocs(exp: String) =
+    spark.read.parquet(s"$exp/docs")
+      .select(col("doc_id"), col("source"), col("n_bpe"), col("__key"),
+        col("shard_id").cast("long").as("shard_id"),
+        col("batch_id").cast("long").as("batch_id"))
+
+  test("executed 3-micro-batch export: maintained views ≡ from-scratch recompute; x2 parity on order-independent fields") {
+    val root = java.nio.file.Files.createTempDirectory("graft-exi").toString
+    val exp = s"$root/exp"
+    df(b1).coalesce(1).write.parquet(s"$root/in")
+    df(b2).coalesce(1).write.mode("append").parquet(s"$root/in")
+    df(b3).coalesce(1).write.mode("append").parquet(s"$root/in")
+    val stream = spark.readStream.schema(df(b1).schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+    val q = StreamingOps.exportIngest(stream, s"$root/state", exp,
+      s"$root/chk", merges = Nil, contextLen = C, numShards = Shards)
+    q.processAllAvailable(); q.stop()
+
+    // fates landed; only survivors exported (3 low-quality, 10 dup)
+    val fates = spark.read.parquet(s"$exp/fates")
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(fates(3L) == "low_quality" && fates(10L) == "exact_dup_state")
+    val all = writtenDocs(exp)
+    assert(all.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 4L, 11L, 12L, 20L, 21L))
+
+    // THE pin: maintained manifest view == from-scratch recompute over
+    // every written doc-grain row in batch-major packing order
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("shard_id").cast("long"), col("source"),
+          col("n_docs"), col("n_tokens"), col("tok_frac"),
+          col("n_sequences"), col("pad_tokens"), col("split_docs"),
+          col("p_alpha"))
+        .as[(Long, String, Long, Long, Double, Long, Long, Long, Double)]
+        .collect().toSeq.sortBy(r => (r._1, r._2))
+    val view = rows(StreamingOps.exportManifestView(spark, exp, C))
+    val scratch = rows(Curation.manifestFromDocGrain(all, "doc_id", C,
+      alpha = 0.3, orderPrefix = Seq("batch_id")))
+    assert(view == scratch, s"view $view\nscratch $scratch")
+
+    // windows view == from-scratch membership over the same order
+    val cum = all.withColumn("__cum", fsum(col("n_bpe"))
+      .over(Curation.packWindow("doc_id", Seq("batch_id"))))
+    def wrows(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("shard_id").cast("long"), col("seq_id"),
+          col("n_docs"), col("first_doc"), col("last_doc"),
+          col("n_tokens"), col("n_pad"))
+        .as[(Long, Long, Long, Long, Long, Long, Long)]
+        .collect().toSeq.sortBy(r => (r._1, r._2))
+    val wview = wrows(StreamingOps.exportWindowsView(spark, exp, C))
+    val wscratch = wrows(Curation.windowMembership(cum, "doc_id", C)
+      .withColumn("n_pad",
+        org.apache.spark.sql.functions.lit(C.toLong) - col("n_tokens")))
+    assert(wview == wscratch)
+    // the windows tile the shards exactly: per shard, window count and
+    // token mass match the manifest audit
+    val audit = view.groupBy(_._1).map { case (s, rs) =>
+      s -> (rs.head._6, rs.map(_._4).sum) }
+    val tiles = wview.groupBy(_._1).map { case (s, rs) =>
+      s -> (rs.size.toLong, rs.map(_._6).sum) }
+    assert(tiles == audit)
+    // carryover really merged a boundary window: at least one (shard,
+    // seq) row was assembled from TWO batches' contributions (guards
+    // fixture degeneracy — without it the equality pins prove less)
+    val contrib = spark.read.parquet(s"$exp/windows")
+      .select(col("shard_id").cast("long"), col("seq_id"))
+      .as[(Long, Long)].collect().toSeq
+    assert(contrib.size > contrib.distinct.size,
+      "no boundary window spanned two batches — fixture degenerate")
+
+    // x2 parity: the batch flagship over the SAME corpus agrees on
+    // every order-independent field (kept set, doc/token counts, shard
+    // mix, mixture weights); the packing audit differs by design
+    // (batch-major vs global key order)
+    val x2 = Curation.exportManifest(df(b1 ++ b2 ++ b3), emptyBench,
+      merges = Nil, "text", "doc_id", "source", "n_chars",
+      contextLen = C, numShards = Shards)
+      .select(col("shard_id"), col("source"), col("n_docs"),
+        col("n_tokens"), col("tok_frac"), col("p_alpha"))
+      .as[(Long, String, Long, Long, Double, Double)]
+      .collect().toSeq.sortBy(r => (r._1, r._2))
+    val ours = view.map(r => (r._1, r._2, r._3, r._4, r._5, r._9))
+    assert(ours == x2, s"ours $ours\nx2 $x2")
+  }
+
+  test("replaying an export batch overwrites its own partitions — views byte-stable") {
+    val root = java.nio.file.Files.createTempDirectory("graft-exr").toString
+    val exp = s"$root/exp"
+    StreamingOps.exportIngestBatch(df(b1), 0L, s"$root/state", exp,
+      merges = Nil, contextLen = C, numShards = Shards)
+    StreamingOps.exportIngestBatch(df(b2), 1L, s"$root/state", exp,
+      merges = Nil, contextLen = C, numShards = Shards)
+    def snap() = (
+      writtenDocs(exp).orderBy("doc_id").collect().toSeq,
+      StreamingOps.exportManifestView(spark, exp, C)
+        .orderBy("shard_id", "source").collect().toSeq,
+      StreamingOps.exportWindowsView(spark, exp, C)
+        .orderBy("shard_id", "seq_id").collect().toSeq)
+    val before = snap()
+    // crash-replay: batch 1 delivered again — contributions recompute
+    // against batch_id < 1 state only, and overwrite their own dirs
+    StreamingOps.exportIngestBatch(df(b2), 1L, s"$root/state", exp,
+      merges = Nil, contextLen = C, numShards = Shards)
+    assert(snap() == before,
+      "replayed batch must replace, never double, its contributions")
+    // each batch's shard files are internally key-sorted (the
+    // writeExport training-read order, per batch segment)
+    for (b <- Seq(0, 1); s <- 0 until Shards) {
+      val dir = new java.io.File(s"$exp/docs/batch_id=$b/shard_id=$s")
+      if (dir.exists()) {
+        val keys = spark.read.parquet(dir.toString).coalesce(1)
+          .select(col("__key"), col("doc_id"))
+          .as[(Long, Long)].collect().toSeq
+        assert(keys == keys.sortBy(identity),
+          s"batch $b shard $s rows must be key-sorted")
+      }
+    }
+  }
+}
+
 class ClassifierStreamSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions.{col, length, lit}

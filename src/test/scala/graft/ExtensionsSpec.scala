@@ -1449,6 +1449,49 @@ class ExportManifestSpec extends SparkSpec {
     assert(byShard == manifest)
   }
 
+  test("docWindows inverts packedWindows: probe docs' windows, offsets consistent") {
+    val probe = col("doc_id").isin(20L, 50L)
+    val got = Curation.docWindows(corpus, bench, merges = Nil,
+      "text", "doc_id", "source", "n_chars", probe,
+      contextLen = C, numShards = Shards)
+      .orderBy(col("doc_id"), col("seq_id"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // reference model: same kept docs / keys / cums as the other specs
+    val keptDocs = Seq(20L -> "twenty", 40L -> "forty", 50L -> "fifty",
+      60L -> "sixty").map { case (id, seed) =>
+      val nbpe = keptText(seed).split(" ")
+        .filter(_.matches("^[!-~]+$")).map(_.length.toLong).sum
+      (id, md5key(id), nbpe)
+    }
+    val want = keptDocs.groupBy(_._2 % Shards).toSeq.flatMap {
+      case (shard, ds) =>
+        val ordered = ds.sortBy(d => (d._2, d._1))
+        val cums = ordered.scanLeft(0L)(_ + _._3).tail
+        ordered.zip(cums).collect {
+          case ((id, _, n), cum) if Set(20L, 50L)(id) =>
+            ((cum - n) / C to (cum - 1) / C).map { seq =>
+              val s = math.max(cum - n, seq * C) - seq * C
+              val e = math.min(cum, (seq + 1) * C) - seq * C
+              (id, shard, seq, s, e, e - s)
+            }
+        }.flatten
+    }.sortBy(r => (r._1, r._3))
+    assert(got == want)
+    // inverse consistency with packedWindows: every (shard, seq) a
+    // probe doc claims exists there, and the doc's in-window token
+    // count is bounded by that window's occupied tokens
+    val x3 = Curation.packedWindows(corpus, bench, merges = Nil,
+      "text", "doc_id", "source", "n_chars",
+      contextLen = C, numShards = Shards)
+      .select(col("shard_id"), col("seq_id"), col("n_tokens"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (s, q, t) => (s, q) -> t }.toMap
+    for ((_, shard, seq, s, e, n) <- got) {
+      assert(x3.contains((shard, seq)), s"window ($shard,$seq) not in x3")
+      assert(n == e - s && n >= 1 && n <= x3((shard, seq)))
+    }
+  }
+
   test("writeExport lands key-sorted shard partitions; written-files manifest = planned manifest") {
     val root = java.nio.file.Files.createTempDirectory("graft-exp").toString
     val out = s"$root/export"
