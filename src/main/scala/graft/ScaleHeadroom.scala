@@ -128,6 +128,57 @@ object ScaleHeadroom {
       return
     }
 
+    // ---- g8/g2 per-superstep decomposition (VERDICT r12 item 7) ----
+    // Measure-only: T(k) for k = 1..5 supersteps on the REAL board
+    // fixture AND on a 64-edge control with the IDENTICAL plan shape
+    // (same iterate chain, same per-superstep jobs/barriers/planning —
+    // only the data is negligible). The control's marginal seconds per
+    // added superstep IS the per-superstep fixed overhead (job
+    // scheduling + Catalyst re-planning + checkpoint barrier); the
+    // real fixture's marginal minus the control's is the data work
+    // (state probe + map-side-combined grouped sum + exchange). If the
+    // real marginal dominates, the iterative families are
+    // exchange-bound and their ~7 s board cost is irreducible work,
+    // not harness overhead. Standalone: SPARK_GRAFT_LEG=gstep
+    if (sys.env.get("SPARK_GRAFT_LEG").contains("gstep")) {
+      val ce = graft.queries.TrainingQueries.TradingPairs(spark, base)
+      val hitsEdges = ce.select(col("c").as("src"), col("s").as("dst"))
+        .localCheckpoint(eager = false)
+      hitsEdges.count()
+      val prEdges = ce
+        .select(col("c").as("src"), col("s").as("dst"), col("w"))
+        .unionByName(ce.select(col("s").as("src"), col("c").as("dst"),
+          col("w")))
+        .localCheckpoint(eager = false)
+      prEdges.count()
+      val tinyH = hitsEdges.limit(64).localCheckpoint(eager = false)
+      tinyH.count()
+      val tinyP = prEdges.limit(64).localCheckpoint(eager = false)
+      tinyP.count()
+      for (k <- 1 to 5) {
+        val (sH, rH) = timeBest {
+          forceAll(graft.operators.Graph.hits(hitsEdges, iterations = k))
+        }
+        report("g8_hits_iters", k, sH, rH)
+        val (sHt, rHt) = timeBest {
+          forceAll(graft.operators.Graph.hits(tinyH, iterations = k))
+        }
+        report("g8_hits_tiny_iters", k, sHt, rHt)
+        val (sP, rP) = timeBest {
+          forceAll(graft.operators.Graph.pageRank(prEdges,
+            iterations = k, weightCol = Some("w")))
+        }
+        report("g2_wpr_iters", k, sP, rP)
+        val (sPt, rPt) = timeBest {
+          forceAll(graft.operators.Graph.pageRank(tinyP,
+            iterations = k, weightCol = Some("w")))
+        }
+        report("g2_wpr_tiny_iters", k, sPt, rPt)
+      }
+      spark.stop()
+      return
+    }
+
     // 50× leg for the board's two worst growers (e13 2.75×, d14 2.56×
     // per 2.5× data at 25× — VERDICT r11 item 6) on an ORTHOGONAL
     // inflation axis: id-offset replication with per-copy TOKEN SALTING
@@ -137,6 +188,78 @@ object ScaleHeadroom {
     // builds: SPARK_GRAFT_LEG=x50
     if (sys.env.get("SPARK_GRAFT_LEG").contains("x50")) {
       x50Leg(spark, docs, work, report)
+      spark.stop()
+      return
+    }
+
+    // e13 cache-placement decision experiment (three variants,
+    // interleaved per scale): SPARK_GRAFT_LEG=e13x
+    if (sys.env.get("SPARK_GRAFT_LEG").contains("e13x")) {
+      e13CacheLeg(spark, docs, work, report)
+      spark.stop()
+      return
+    }
+
+    // ---- e13 partition-knee probe (the e13x follow-up) -------------
+    // The e13x experiment showed the 25→50× superlinear bend in ALL
+    // three cache regimes — so it lives in the shared tail, not the
+    // checkpoints. Remaining hypothesis: a per-partition VOLUME knee —
+    // this harness fixes spark.sql.shuffle.partitions at the CPU count
+    // (8), so doubling the corpus doubles every exchange's
+    // per-partition bytes until the posting join / pair aggregate
+    // cross their in-memory budgets and start spilling. On a real
+    // cluster partitions scale with data (and AQE re-splits); if the
+    // bend flattens when partitions grow with the corpus, the knee is
+    // a fixed-partition harness artifact, not an algorithmic one.
+    // Probe: the PRODUCTION e13 query at 25× and 50× under shuffle
+    // partitions 8 / 32 / 128, interleaved per scale (runtime conf —
+    // exchanges pick it up per query). SPARK_GRAFT_LEG=e13p
+    if (sys.env.get("SPARK_GRAFT_LEG").contains("e13p")) {
+      val key = "spark.sql.shuffle.partitions"
+      for ((scale, dir) <- saltedFixtures(docs, work, Seq(25, 50));
+           parts <- Seq(8, 32, 128)) {
+        spark.conf.set(key, parts)
+        val (secs, rows) = timeBest {
+          forceAll(SparkEntry.queries("e13_sparse_cosine")(spark, dir))
+        }
+        report(s"e13_parts_$parts", scale, secs, rows)
+        System.gc()
+      }
+      spark.conf.set(key, cpus)
+      spark.stop()
+      return
+    }
+
+    // ---- e13 cache-storage probe (direct heap evidence) -------------
+    // Not a timing leg: materialize the production e13 once per scale
+    // and read the block manager's own accounting for its two lazy
+    // checkpoints (memSize vs diskSize). If the 50× caches no longer
+    // fit the storage pool and go disk-backed while 25×'s stay in
+    // memory, the 25→50× wall bend is cache I/O + eviction churn — a
+    // single-JVM artifact that per-executor block managers dilute on a
+    // fleet. SPARK_GRAFT_LEG=e13m
+    if (sys.env.get("SPARK_GRAFT_LEG").contains("e13m")) {
+      for ((scale, dir) <- saltedFixtures(docs, work, Seq(25, 50))) {
+        val dd = spark.read.parquet(s"$dir/documents.parquet")
+        val (secs, rows) = { // single pass — storage state is the datum
+          val t0 = System.nanoTime()
+          val r = forceAll(graft.extensions.TextAnalysis
+            .sparseCosinePairs(dd, threshold = 0.35, maxDf = 100L,
+              ngram = 3))
+          ((System.nanoTime() - t0) / 1e9, r)
+        }
+        report("e13_storage_pass", scale, secs, rows)
+        for (i <- spark.sparkContext.getRDDStorageInfo)
+          println(s"""{"harness":"scale_headroom","probe":"e13_storage"""" +
+            s""","scale":$scale,"rdd_id":${i.id}""" +
+            s""","mem_mb":${i.memSize / 1048576}""" +
+            s""","disk_mb":${i.diskSize / 1048576}""" +
+            s""","cached_parts":${i.numCachedPartitions}}""")
+        // drop this scale's blocks so the next scale starts clean
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        System.gc()
+      }
       spark.stop()
       return
     }
@@ -1091,18 +1214,15 @@ object ScaleHeadroom {
     }
   }
 
-  /** The 50× axis for e13/d14 (VERDICT r11 item 6): token-salted
-    * replication — copy k offsets doc ids by k·10⁷ and rewrites every
-    * token t → "t9k" (the corpus is letters-only, so the digit 9 is an
+  /** Token-salted replicated fixtures (the x50 axis construction):
+    * copy k offsets doc ids by k·10⁷ and rewrites every token t →
+    * "t9k" (the corpus is letters-only, so the digit 9 is an
     * unambiguous salt boundary), making copies share NO tokens (e13's
     * vocabulary) and NO width-3 shingles (d14's space). Unlike the
     * alphabet rotation (injective only for k < 26), this holds for any
-    * copy count, so 50× is sound; 1×/10×/25× run on the same salted
-    * axis so the exponent reads off ONE construction (salted and
-    * rotated fixtures differ slightly in byte size — tokens grow by
-    * the suffix — so cross-axis ratios are not the comparison). */
-  private def x50Leg(spark: SparkSession, docs: DataFrame, work: String,
-      report: (String, Int, Double, Long) => Unit): Unit = {
+    * copy count. Shared by [[x50Leg]] and [[e13CacheLeg]]. */
+  private def saltedFixtures(docs: DataFrame, work: String,
+      scales: Seq[Int]): Seq[(Int, String)] = {
     def salted(k: Int): DataFrame =
       if (k == 0) docs
       else docs
@@ -1110,18 +1230,113 @@ object ScaleHeadroom {
         .withColumn("text", array_join(
           transform(split(col("text"), " "),
             t => concat(t, lit(s"9$k"))), " "))
-    val dirs = Seq(1, 10, 25, 50).map { n =>
+    scales.map { n =>
       val dir = s"$work/s$n"
       (0 until n).map(salted).reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       n -> dir
     }
-    for ((scale, dir) <- dirs;
+  }
+
+  /** The 50× axis for e13/d14 (VERDICT r11 item 6): 1×/10×/25×/50× run
+    * on the same salted axis so the exponent reads off ONE construction
+    * (salted and rotated fixtures differ slightly in byte size — tokens
+    * grow by the suffix — so cross-axis ratios are not the
+    * comparison). Standalone: SPARK_GRAFT_LEG=x50. */
+  private def x50Leg(spark: SparkSession, docs: DataFrame, work: String,
+      report: (String, Int, Double, Long) => Unit): Unit = {
+    for ((scale, dir) <- saltedFixtures(docs, work, Seq(1, 10, 25, 50));
          q <- Seq("e13_sparse_cosine", "d14_containment")) {
       val (secs, rows) = timeBest {
         forceAll(SparkEntry.queries(q)(spark, dir))
       }
       report(q, scale, secs, rows)
+    }
+  }
+
+  /** CONTROLLED cache-placement experiment for e13's top-leg memory
+    * shape (VERDICT r12 item 2's falsification path): r12 measured the
+    * 25→50× exponent at 1.34 and diagnosed block-manager pressure from
+    * the TWO corpus-grain lazy checkpoints then in sparseCosinePairs;
+    * r13 removed the tf cache (one corpus-grain checkpoint + one extra
+    * linear tokenize pass) — this leg decides whether that diagnosis
+    * was right by running THREE variants of the same pipeline,
+    * interleaved per scale so a host window hits all three equally:
+    *   - A — production r13 form (weighted cached; tf lineage
+    *     re-executed for dfreq and inside weighted);
+    *   - B — the r12 form (tf AND weighted both cached, one tokenize);
+    *   - C — fused single UPSTREAM cache (tf+doc-total cached once,
+    *     one tokenize; weighted recomputed from that cache by all
+    *     three consumers — join work ×3, corpus-grain cache ×1).
+    * The memory hypothesis predicts B worst at 50× and A/C ≈ linear;
+    * "all three equal" falsifies it (the bend would be intrinsic to
+    * the posting join / spill, not cache pressure). Variants B and C
+    * replay sparseCosinePairs' exact arithmetic — timing-only copies,
+    * clearly scoped to this harness. Standalone: SPARK_GRAFT_LEG=e13x. */
+  private def e13CacheLeg(spark: SparkSession, docs: DataFrame,
+      work: String, report: (String, Int, Double, Long) => Unit): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.extensions.{Dedup, TextAnalysis}
+    val threshold = 0.35
+    val maxDf = 100L
+    def tfRaw(dd: DataFrame): DataFrame = dd
+      .select(col("doc_id"),
+        explode(Dedup.ngramShingles(col("text"), 3)).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    def weightedFrom(tf: DataFrame, dd: DataFrame,
+        hasTotal: Boolean): DataFrame = {
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = dd.agg(count(lit(1)).as("n"))
+      val tot = if (hasTotal) tf
+        else tf.withColumn("total",
+          sum(col("cnt")).over(Window.partitionBy("doc_id")))
+      tot.join(dfreq.filter(col("df") <= maxDf), "term")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          round((col("cnt") * lit(1.0) / col("total"))
+            * log(col("n") * lit(1.0) / col("df")), 6).as("w"))
+    }
+    def tail(weighted: DataFrame): DataFrame = {
+      val norms = weighted.groupBy(col("doc_id"))
+        .agg(sqrt(sum(round(col("w") * col("w"), 12)
+          .cast("decimal(38,12)")).cast("double")).as("nrm"))
+      val dots = weighted.select(col("doc_id").as("a_id"), col("term"),
+          col("w").as("wa"))
+        .join(weighted.select(col("doc_id").as("b_id"), col("term"),
+          col("w").as("wb")), "term")
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(sum(round(col("wa") * col("wb"), 12).cast("decimal(38,12)"))
+          .cast("double").as("dot"))
+      dots
+        .join(norms.select(col("doc_id").as("a_id"), col("nrm").as("na")),
+          Seq("a_id"))
+        .join(norms.select(col("doc_id").as("b_id"), col("nrm").as("nb")),
+          Seq("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(col("dot") / (col("na") * col("nb")), 4).as("cosine_sim"))
+        .filter(col("cosine_sim") >= threshold)
+    }
+    def variant(dd: DataFrame, strat: String): DataFrame = strat match {
+      case "A" => TextAnalysis.sparseCosinePairs(dd, threshold, maxDf, 3)
+      case "B" =>
+        val tf = tfRaw(dd).localCheckpoint(eager = false)
+        tail(weightedFrom(tf, dd, hasTotal = false)
+          .localCheckpoint(eager = false))
+      case "C" =>
+        val tfTot = tfRaw(dd)
+          .withColumn("total",
+            sum(col("cnt")).over(Window.partitionBy("doc_id")))
+          .localCheckpoint(eager = false)
+        tail(weightedFrom(tfTot, dd, hasTotal = true))
+    }
+    for ((scale, dir) <- saltedFixtures(docs, work, Seq(10, 25, 50));
+         strat <- Seq("A", "B", "C")) {
+      val dd = spark.read.parquet(s"$dir/documents.parquet")
+      val (secs, rows) = timeBest { forceAll(variant(dd, strat)) }
+      report(s"e13_cache_$strat", scale, secs, rows)
+      System.gc() // nudge the ContextCleaner between cache regimes
     }
   }
 
