@@ -1530,6 +1530,33 @@ class ExportIngestSpec extends SparkSpec {
     assert(ours == x2, s"ours $ours\nx2 $x2")
   }
 
+  test("export views' plans: pure merges — no cartesian, no window, counters pruned to the aggregate's columns") {
+    val root = java.nio.file.Files.createTempDirectory("graft-exv").toString
+    val exp = s"$root/exp"
+    StreamingOps.exportIngestBatch(df(b1), 0L, s"$root/state", exp,
+      merges = Nil, contextLen = C, numShards = Shards)
+    StreamingOps.exportIngestBatch(df(b2), 1L, s"$root/state", exp,
+      merges = Nil, contextLen = C, numShards = Shards)
+    // the manifest view must be a pure aggregate-and-broadcast-join
+    // plan over the counters files: a CartesianProduct, a Window, or a
+    // docs-file scan here would mean the view re-derives doc-grain
+    // state instead of merging the maintained counters
+    val mfp = PlanFingerprints.fingerprint(
+      StreamingOps.exportManifestView(spark, exp, C))
+    assert(!mfp.contains("join_cartesian") && !mfp.contains("window"),
+      s"manifest view must merge counters, not repack: $mfp")
+    assert(mfp.getOrElse("join_bnl", 0) <= 1,
+      s"only the 1-row mixture-total broadcast may nest-loop: $mfp")
+    // the windows view is ONE hash aggregate over the contribution
+    // files — no join at all (first/last resolve via min_by/max_by on
+    // batch order inside the aggregate)
+    val wfp = PlanFingerprints.fingerprint(
+      StreamingOps.exportWindowsView(spark, exp, C))
+    assert(wfp.getOrElse("agg_hash", 0) >= 1 &&
+      !wfp.exists(_._1.startsWith("join_")) && !wfp.contains("window"),
+      s"windows view must be a plain merge aggregate: $wfp")
+  }
+
   test("replaying an export batch overwrites its own partitions — views byte-stable") {
     val root = java.nio.file.Files.createTempDirectory("graft-exr").toString
     val exp = s"$root/exp"
