@@ -71,7 +71,8 @@ object Bench {
       canaryS: Option[Double] = None,
       builds: Option[Seq[(String, Double)]] = None,
       canaryRef: Option[Double] = None,
-      canaryProbes: Option[Seq[Double]] = None): String = {
+      canaryProbes: Option[Seq[Double]] = None,
+      canarySeries: Option[Seq[Double]] = None): String = {
     // sfDir comes from the environment and error classes from arbitrary
     // throwables — escape the two JSON-string interpolations (a quote
     // or backslash in a path must not make the whole line unparseable)
@@ -117,13 +118,21 @@ object Bench {
     // builds block has ALREADY forced every shared artifact before
     // warmup_s starts, so artifact construction is in "builds", not
     // here (BASELINE.md states the same split). canary_ref/canary_probes
-    // carry the clean-window guard's evidence (see guardedCanary).
+    // carry the clean-window guard's evidence (see guardedCanary);
+    // canary_series is the MID-SWEEP probe sequence (VERDICT r13 item
+    // 1): one short probe every ~50 timed queries plus one at each
+    // pass's end, so a window that degrades or lifts MID-RUN — r12's
+    // non-uniform 0.3×–2.2× pattern — is visible from the artifact
+    // alone instead of being inferable only from a single pre-run
+    // canary.
     val cal = warmupS.fold("")(w => s""","warmup_s":${fmt(w)}""") +
       medianQueries.fold("")(ms =>
         s""","median_total":${fmt(ms.map(_._2).sum)}""") +
       canaryRef.fold("")(r => s""","canary_ref":${fmt(r)}""") +
       canaryProbes.fold("")(ps =>
         ps.map(fmt).mkString(""","canary_probes":[""", ",", "]")) +
+      canarySeries.fold("")(ss =>
+        ss.map(fmt).mkString(""","canary_series":[""", ",", "]")) +
       canaryS.fold("")(c => s""","canary_s":${fmt(c)}""")
     // eval:all_columns — round 4 switched the timed pass from count()
     // to evalAll (full-column evaluation); totals are not directly
@@ -142,22 +151,27 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
-  /** Clean-window canary guard (VERDICT r12 item 3). `probe` is one full
-    * canary measurement (median-of-3 in main). If the probe reads above
-    * `ref * maxRatio` — a degraded host window, the documented 1.2–4×
-    * pattern — sleep and re-probe up to `maxRetries` times, hoping the
-    * window passes. The ACCEPTED canary is the minimum probe seen: the
-    * canary's work is fixed, so host noise only ever inflates it, making
-    * the min the best host-speed estimate. All probes are returned for
-    * the artifact (`canary_probes`) so a reader can see whether the run
+  /** Clean-window canary guard (VERDICT r12 item 3; r13 item 1 gave it
+    * a backoff schedule that can outlast REAL windows). `probe` is one
+    * full canary measurement (median-of-3 in main). If the probe reads
+    * above `ref * maxRatio` — a degraded host window, the documented
+    * 1.2–4× pattern, which BASELINE.md records lasting multiple HOURS
+    * (r13's driver run exhausted its flat 2×20 s retries against one
+    * and published inside it) — walk the `sleeps` backoff schedule
+    * (default 20 s → 2 m → 10 m), re-probing after each sleep. The
+    * ACCEPTED canary is the minimum probe seen: the canary's work is
+    * fixed, so host noise only ever inflates it, making the min the
+    * best host-speed estimate. All probes are returned for the
+    * artifact (`canary_probes`) so a reader can see whether the run
     * waited out a window or published inside one. Never aborts — the
     * driver's bench must always emit its line; a still-degraded run is
     * disclosed by `canary_s`/`canary_ref`, not hidden by a crash. */
   def guardedCanary(probe: () => Double, ref: Double, maxRatio: Double,
-      maxRetries: Int, sleep: () => Unit): (Double, Seq[Double]) = {
+      sleeps: Seq[() => Unit]): (Double, Seq[Double]) = {
     var probes = Vector(probe())
-    while (probes.min > ref * maxRatio && probes.size <= maxRetries) {
-      sleep()
+    val backoff = sleeps.iterator
+    while (probes.min > ref * maxRatio && backoff.hasNext) {
+      backoff.next()()
       probes :+= probe()
     }
     (probes.min, probes)
@@ -218,10 +232,12 @@ object Bench {
       else Some {
         import graft.queries.{ExtensionQueries, TrainingQueries}
         // JIT-warm collect is best-effort like every force below — a
-        // throw here must not kill main before any output line is emitted
+        // throw here must not kill main before any output line is
+        // emitted. NonFatal only (ADVICE r13): an OutOfMemoryError
+        // must crash the run, not let a corrupted JVM publish timings.
         try spark.range(1000000L).selectExpr("sum(id)").collect()
-        catch { case _: Throwable => () }
-        Seq[(String, () => Unit)](
+        catch { case scala.util.control.NonFatal(_) => () }
+        (Seq[(String, () => Unit)](
           "trading_pairs" -> (() =>
             TrainingQueries.TradingPairs(spark, sfDir).count()),
           "copurchase_pairs" -> (() =>
@@ -229,6 +245,13 @@ object Bench {
           "trading_rank_5it" -> (() =>
             TrainingQueries.TradingRank(spark, sfDir)
               .ranks(iterations = 5).count()),
+          // g3's convergence walk can extend the shared iterate chain
+          // past the 5 fixed iterations — force the full depth HERE so
+          // the chain is complete (and cleanup-protected) before any
+          // timed pass
+          "trading_rank_converged" -> (() =>
+            TrainingQueries.TradingRank(spark, sfDir)
+              .converged(maxIterations = 10, epsilon = 1.0)._1.count()),
           "injected_shingles" -> (() => {
             val (docs, sh) = TrainingQueries.InjectedShingles(spark, sfDir)
             docs.count(); sh.count()
@@ -244,52 +267,111 @@ object Bench {
           "classifier_heldout_eval" -> (() =>
             TrainingQueries.ClassifierModel(spark, sfDir)
               .evalRow.count())
-        ).map { case (n, force) =>
-          n -> (try secsOf(force()) catch { case _: Throwable => -1.0 })
+        ) ++ (if (TrainingQueries.exportTierMemo)
+          Seq("export_doc_grain" -> (() => {
+            TrainingQueries.ExportTier(spark, sfDir)._2.count(); ()
+          }))
+        else Nil)).map { case (n, force) =>
+          n -> (try secsOf(force()) catch {
+            case scala.util.control.NonFatal(_) => -1.0
+          })
         }
+      }
+    // Per-query transient-block cleanup (VERDICT r13 item 2, the
+    // measured winner of the export-family context experiment — see
+    // EXPLAIN.md round 14): every query leaves its lazy-localCheckpoint
+    // blocks behind, and over a 242-query sweep the accumulated blocks
+    // push the single-JVM block manager into disk-backed storage by the
+    // time the late (x*) families run — r13 measured x2 at 8.4 s
+    // in-sweep vs 4.7 s in a fresh process on a byte-identical plan.
+    // After each query, unpersist every block that did not exist when
+    // the builds block finished: builds forces EVERY memoized shared
+    // artifact (including g3's convergence chain depth, above), so
+    // anything newer is per-query transient by construction. Active
+    // only on the full-board path — under a bench filter builds are
+    // skipped, warmup builds artifacts lazily, and an empty protected
+    // set would destroy them. Opt out: SPARK_GRAFT_BENCH_CLEANUP=0
+    // (regime C of the controlled experiment).
+    val cleanup = !sys.env.contains("SPARK_GRAFT_BENCH_FILTER") &&
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CLEANUP", "1") == "1"
+    val protectedIds: Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet
+    def sweepClean(): Unit = if (cleanup)
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!protectedIds.contains(id)) rdd.unpersist(blocking = false)
       }
     val warmupS = secsOf {
       try {
         spark.range(1000000L).selectExpr("sum(id)").collect()
         SparkEntry.queries.filter(kv => nameFilter(kv._1)).foreach {
           case (_, fn) =>
-            try { evalAll(fn(spark, sfDir)) } catch { case _: Throwable => () }
+            try { evalAll(fn(spark, sfDir)) } catch {
+              case scala.util.control.NonFatal(_) => ()
+            }
+            sweepClean()
         }
-      } catch { case _: Throwable => () }
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
-    // Fixed sf-independent host-speed canary (median of 3), timed warm
-    // and immediately before the first timed pass: a 20M-row hash
-    // groupBy whose work never changes, so two bench artifacts can be
-    // normalized against each other's host windows. Wrapped in the
-    // clean-window guard (VERDICT r12 item 3): against the stored clean
-    // reference (BASELINE.md: 0.292 s on this host), a probe above
-    // ~1.2× triggers sleep+retry so a transient degraded window doesn't
-    // become the published baseline. Knobs are env-overridable; the
-    // driver's defaults add at most ~2×20 s when the host is degraded.
-    def canaryProbe(): Double = median((1 to 3).map(_ => secsOf {
+    // Fixed sf-independent host-speed canary, timed warm and
+    // immediately before the first timed pass: a 20M-row hash groupBy
+    // whose work never changes, so two bench artifacts can be
+    // normalized against each other's host windows. canaryJob is ONE
+    // run (the ≤1 s mid-sweep series probe); canaryProbe the
+    // median-of-3 the guard consumes.
+    def canaryJob(): Double = secsOf {
       spark.range(20000000L)
         .select(pmod(xxhash64(col("id")), lit(9973)).as("k"))
         .groupBy(col("k"))
         .agg(count(lit(1)).as("c"), sum(col("k")).as("s"))
         .agg(sum(col("c")), sum(col("s"))).collect()
-    }))
+    }
+    def canaryProbe(): Double = median((1 to 3).map(_ => canaryJob()))
+    // The default reference is HOST-SPECIFIC (ADVICE r13): 0.292 s is
+    // the BASELINE.md host's stored clean-window canary. On any other
+    // host set SPARK_GRAFT_CANARY_REF to that host's own clean median
+    // — otherwise a legitimately slower machine pays the full backoff
+    // schedule every run and publishes a canary_ref that never
+    // described it.
     val canaryRef =
       sys.env.getOrElse("SPARK_GRAFT_CANARY_REF", "0.292").toDouble
     val canaryMaxRatio =
       sys.env.getOrElse("SPARK_GRAFT_CANARY_MAX_RATIO", "1.2").toDouble
-    val canaryRetries =
-      sys.env.getOrElse("SPARK_GRAFT_CANARY_RETRIES", "2").toInt
+    // Exponential backoff schedule in seconds (VERDICT r13 item 1):
+    // BASELINE.md documents degraded windows lasting hours, which the
+    // old flat 2×20 s retry could never outlast (BENCH_r13 probed
+    // 3× above threshold and published inside the window). The list
+    // IS the budget — override to "" to probe exactly once.
+    val canaryBackoff: Seq[Long] =
+      sys.env.getOrElse("SPARK_GRAFT_CANARY_BACKOFF", "20,120,600")
+        .split(',').toSeq.map(_.trim).filter(_.nonEmpty).map(_.toLong)
     val (canaryS, canaryProbes) = guardedCanary(
-      () => canaryProbe(), canaryRef, canaryMaxRatio, canaryRetries,
-      () => Thread.sleep(20000L))
-    def timedPass(): Seq[QueryResult] = SparkEntry.queries.toSeq
-      .filter(kv => nameFilter(kv._1)).map {
-      case (name, fn) =>
-        val t0 = System.nanoTime()
-        val err =
-          try { evalAll(fn(spark, sfDir)); None }
-          catch { case t: Throwable => Some(t.getClass.getSimpleName) }
-        QueryResult(name, (System.nanoTime() - t0) / 1e9, err)
+      () => canaryProbe(), canaryRef, canaryMaxRatio,
+      canaryBackoff.map(s => () => Thread.sleep(s * 1000L)))
+    // Mid-sweep canary series (VERDICT r13 item 1): one single-run
+    // probe every 50 timed queries plus one at each pass's end,
+    // appended across passes — the artifact's own record of how host
+    // speed moved DURING the sweep.
+    val canarySeries = scala.collection.mutable.ArrayBuffer[Double]()
+    var sinceTick = 0
+    def seriesTick(): Unit = {
+      sinceTick += 1
+      if (sinceTick >= 50) { sinceTick = 0; canarySeries += canaryJob() }
+    }
+    def timedPass(): Seq[QueryResult] = {
+      val rs = SparkEntry.queries.toSeq
+        .filter(kv => nameFilter(kv._1)).map {
+        case (name, fn) =>
+          val t0 = System.nanoTime()
+          val err =
+            try { evalAll(fn(spark, sfDir)); None }
+            catch { case t: Throwable => Some(t.getClass.getSimpleName) }
+          val r = QueryResult(name, (System.nanoTime() - t0) / 1e9, err)
+          sweepClean()
+          seriesTick()
+          r
+      }
+      canarySeries += canaryJob()
+      rs
     }
     // SPARK_GRAFT_BENCH_REPS>1 → run the timed board that many times and
     // ALSO emit per-query medians (run-to-run noise floor; see
@@ -304,7 +386,8 @@ object Bench {
       })
     println(formatLine(passes.head, sfDir, medians,
       warmupS = Some(warmupS), canaryS = Some(canaryS), builds = builds,
-      canaryRef = Some(canaryRef), canaryProbes = Some(canaryProbes)))
+      canaryRef = Some(canaryRef), canaryProbes = Some(canaryProbes),
+      canarySeries = Some(canarySeries.toSeq)))
     spark.stop()
   }
 }

@@ -46,6 +46,9 @@ object PlanFingerprints {
     "agg_sort" -> """SortAggregate""".r,
     "scan_parquet" -> """Scan parquet""".r,
     "scan_rdd" -> """Scan ExistingRDD""".r,
+    // the cached-session boundary (p_dashboard_session): the tab plan
+    // must read the persisted frame, not re-run its build lineage
+    "scan_inmem" -> """InMemoryTableScan""".r,
     "scan_csv" -> """Scan csv""".r,
     "scan_json" -> """Scan json""".r,
     "scan_orc" -> """Scan orc""".r,

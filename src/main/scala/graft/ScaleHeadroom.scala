@@ -200,6 +200,15 @@ object ScaleHeadroom {
       return
     }
 
+    // export-tier 50× leg (VERDICT r13 item 6): the board's biggest
+    // cost cluster, whose coverage stopped at 25× (r12 leg, 1.37× per
+    // 2.5× data). SPARK_GRAFT_LEG=expx
+    if (sys.env.get("SPARK_GRAFT_LEG").contains("expx")) {
+      exportTierLeg(spark, docs, work, report)
+      spark.stop()
+      return
+    }
+
     // ---- e13 partition-knee probe (the e13x follow-up) -------------
     // The e13x experiment showed the 25→50× superlinear bend in ALL
     // three cache regimes — so it lives in the shared tail, not the
@@ -1251,6 +1260,73 @@ object ScaleHeadroom {
         forceAll(SparkEntry.queries(q)(spark, dir))
       }
       report(q, scale, secs, rows)
+    }
+  }
+
+  /** Export-tier 50× leg (VERDICT r13 item 6) on the salted axis
+    * (1×/10×/25×/50× off ONE construction — the alphabet rotation the
+    * r12 leg used aliases past 25 copies). Two measurements per scale,
+    * interleaved so a host window hits both:
+    *   - `x2_inline_tier`: the board flagship's FULL inline
+    *     composition (learn merges → curate → tokenize → shard →
+    *     manifest), built directly against the Curation API so the
+    *     measurement is the tier itself regardless of the ExportTier
+    *     memo routing the board queries use;
+    *   - `export_ingest_4batches`: the streaming loop's batch form — a
+    *     4-micro-batch backfill of the same corpus through curation
+    *     state, carryover packing and the partitioned state tables,
+    *     plus one manifest-view read.
+    * Fixture semantics (same as the r12 alphabet-rotation leg): salted
+    * copies fail the English-stopword language gate, so curation SCANS
+    * the whole corpus (the quality battery, exact-dedup grouping and
+    * decontamination join are the linear-in-corpus stages) while the
+    * tokenize/pack tail runs on the kept slice — the production shape
+    * where curation is the filter in front of the export. Any 25→50×
+    * bend gets block-manager evidence (the e13m discipline) before
+    * being called algorithmic. */
+  private def exportTierLeg(spark: SparkSession, docs: DataFrame,
+      work: String, report: (String, Int, Double, Long) => Unit): Unit = {
+    import spark.implicits._
+    import graft.extensions.Curation
+    for ((scale, dir) <- saltedFixtures(docs, work, Seq(1, 10, 25, 50))) {
+      val dd = Tables.documents(spark, dir)
+      val bench = dd.filter(col("doc_id") % 20 === 0)
+      val (secs, rows) = timeBest {
+        val merges = graft.extensions.Bpe
+          .learnMerges(Tables.spread(dd), "text", k = 4)
+          .orderBy(col("merge_rank"))
+          .select(col("sym_a"), col("sym_b"))
+          .as[(String, String)].collect().toSeq
+        forceAll(Curation.exportManifest(
+          Tables.spread(Tables.documentsWithDups(spark, dir)), bench,
+          merges, "text", "doc_id", "source", "n_chars"))
+      }
+      report("x2_inline_tier", scale, secs, rows)
+      // single pass — the state advance is stateful, so reps would
+      // measure ever-larger state, not the batch cost
+      val (isecs, irows) = {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-expx-$scale").toString
+        val src = Tables.spread(Tables.documentsWithDups(spark, dir))
+        val t0 = System.nanoTime()
+        for (b <- 0 until 4)
+          graft.streaming.StreamingOps.exportIngestBatch(
+            src.filter(pmod(col("doc_id"), lit(4)) === b), b.toLong,
+            s"$root/state", s"$root/exp", merges = Nil)
+        val n = graft.streaming.StreamingOps
+          .exportManifestView(spark, s"$root/exp").count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      report("export_ingest_4batches", scale, isecs, irows)
+      // storage evidence + clean slate per scale (the e13m discipline)
+      for (i <- spark.sparkContext.getRDDStorageInfo)
+        println(s"""{"harness":"scale_headroom","probe":"expx_storage"""" +
+          s""","scale":$scale,"rdd_id":${i.id}""" +
+          s""","mem_mb":${i.memSize / 1048576}""" +
+          s""","disk_mb":${i.diskSize / 1048576}}""")
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
     }
   }
 

@@ -143,9 +143,12 @@ object Curation {
   /** The export's doc-grain rows — `(idCol, source, n_bpe, __key,
     * shard_id [, textCol])`: curate, checkpoint the kept slice once,
     * BPE-count it, attach the seeded shard key. Shared by the manifest
-    * query ([[exportManifest]]) and the executed writer
-    * ([[writeExport]], which needs the text payload too). */
-  private def exportDocGrain(corpus: DataFrame, bench: DataFrame,
+    * query ([[exportManifest]]), the executed writer ([[writeExport]],
+    * which needs the text payload too) and the x2/x3/x4 shared-tier
+    * artifact (`TrainingQueries.ExportTier` — the three export queries
+    * consume ONE checkpointed copy of this frame via the
+    * `...FromDocGrain` forms instead of re-running the tier each). */
+  private[graft] def exportDocGrain(corpus: DataFrame, bench: DataFrame,
       merges: Seq[(String, String)], textCol: String, idCol: String,
       srcCol: String, nCharsCol: String, numShards: Int, seed: String,
       keepText: Boolean): DataFrame = {
@@ -300,11 +303,21 @@ object Curation {
   def packedWindows(corpus: DataFrame, bench: DataFrame,
       merges: Seq[(String, String)], textCol: String, idCol: String,
       srcCol: String, nCharsCol: String, contextLen: Int = 256,
-      numShards: Int = 8, seed: String = "epoch42"): DataFrame = {
+      numShards: Int = 8, seed: String = "epoch42"): DataFrame =
+    packedWindowsFromDocGrain(
+      exportDocGrain(corpus, bench, merges, textCol, idCol, srcCol,
+        nCharsCol, numShards, seed, keepText = false),
+      idCol, contextLen)
+
+  /** [[packedWindows]] over an already-built doc-grain tier — the form
+    * the x2/x3/x4 shared artifact consumes (the tier is built and
+    * checkpointed ONCE; this adds only the packing window, the
+    * windows/contextLen-grain explode and one (shard, seq) exchange). */
+  def packedWindowsFromDocGrain(docGrain: DataFrame, idCol: String,
+      contextLen: Int = 256): DataFrame = {
     val c = contextLen
     windowMembership(
-      exportDocGrain(corpus, bench, merges, textCol, idCol, srcCol,
-          nCharsCol, numShards, seed, keepText = false)
+      docGrain
         .withColumn("__cum", sum(col("n_bpe")).over(packWindow(idCol))),
       idCol, c)
       .select(col("shard_id"), col("seq_id"), col("n_docs"),
@@ -359,11 +372,22 @@ object Curation {
       merges: Seq[(String, String)], textCol: String, idCol: String,
       srcCol: String, nCharsCol: String, probe: Column,
       contextLen: Int = 256, numShards: Int = 8,
-      seed: String = "epoch42"): DataFrame = {
+      seed: String = "epoch42"): DataFrame =
+    docWindowsFromDocGrain(
+      exportDocGrain(corpus, bench, merges, textCol, idCol, srcCol,
+        nCharsCol, numShards, seed, keepText = false),
+      idCol, probe, contextLen)
+
+  /** [[docWindows]] over an already-built doc-grain tier (the x2/x3/x4
+    * shared-artifact form): the packing window must still see every
+    * exported doc — a position is a corpus-order fact — but the probe
+    * cut happens right after it, before the explode, and no exchange
+    * is added at all. */
+  def docWindowsFromDocGrain(docGrain: DataFrame, idCol: String,
+      probe: Column, contextLen: Int = 256): DataFrame = {
     val id = col(idCol)
     val c = contextLen
-    exportDocGrain(corpus, bench, merges, textCol, idCol, srcCol,
-        nCharsCol, numShards, seed, keepText = false)
+    docGrain
       .withColumn("__cum", sum(col("n_bpe")).over(packWindow(idCol)))
       .filter(probe)
       .select(id, col("shard_id"), col("n_bpe"), col("__cum"),

@@ -74,6 +74,37 @@ object ParityQueries {
         .limit(500)
     }),
 
+    // P5 — the §3.2 cached DASHBOARD SESSION, driver-visible (VERDICT
+    // r13 item 7): the reference loads once, memoizes the frame
+    // (@st.cache_data, streamlit_app.py:46) and serves every
+    // interactive tab from the cache. Board form: the committed OWID
+    // fixture through the s1 reader, persisted via
+    // CovidPipeline.cachedDashboard, with ONE tab — latest row per
+    // country above a case threshold (W3 over the cache) — as the
+    // returned plan: everything above the cache boundary reads
+    // InMemoryTableScan (fingerprint-pinned). The two-tab sharing
+    // assertion (second tab scans the cache, not the sources) stays in
+    // PipelineSpec; the oracle verifies this tab's VALUES off the same
+    // fixture bytes.
+    "p_dashboard_session" -> ((s, _) => {
+      // the session caches the dashboard's PROJECTED frame (the
+      // reference's load_data returns a processed df, not raw bytes) —
+      // deliberately not plan-equal to s1's full-schema read, so the
+      // CacheManager never substitutes this cache into s1's plan
+      val session = graft.pipeline.CovidPipeline.cachedDashboard(
+        graft.sources.CovidSources.readOwidCsv(
+            s, s"${graft.sources.CovidSources.fixturesDir}/owid_sample.csv")
+          .select(col("country"), col("iso_code"), col("date"),
+            col("total_cases"), col("total_deaths"), col("population")))
+      graft.operators.WindowOps.latestPerGroup(session, "country",
+          orderCols = Seq(col("date")), lastNonNullCols = Nil)
+        .filter(col("total_cases") > 55000.0)
+        .select(col("country"), col("iso_code"),
+          date_format(col("date"), "yyyy-MM-dd").as("dt"),
+          col("total_cases"), col("total_deaths"), col("population"))
+        .orderBy(col("country"))
+    }),
+
     // F1/F2 — NOT-IN literal exclusion lists (data_loader.py:114-116).
     "f_isin_exclude" -> ((s, d) => {
       RowOps.excludeValues(Tables.nation(s, d), col("n_name"),
@@ -766,6 +797,26 @@ object ParityQueries {
       """SELECT c_custkey, c_name AS api_c_name, c_acctbal AS api_c_acctbal,
         |'customer_snapshot' AS data_source FROM customer
         |ORDER BY c_custkey LIMIT 500""".stripMargin,
+
+    // Same fixture bytes as the Spark reader (the s1 contract); latest
+    // row per country = row_number over date DESC (date is unique per
+    // country in the fixture — the Spark side's total order).
+    "p_dashboard_session" ->
+      s"""WITH o AS (
+        |  SELECT * FROM read_csv('${graft.sources.CovidSources.fixturesDir}/owid_sample.csv', header=true,
+        |    columns={'iso_code':'VARCHAR','country':'VARCHAR','date':'DATE',
+        |      'total_cases':'DOUBLE','new_cases':'DOUBLE','total_deaths':'DOUBLE',
+        |      'new_deaths':'DOUBLE','total_tests':'DOUBLE','positive_rate':'DOUBLE',
+        |      'tests_per_case':'DOUBLE','people_vaccinated':'DOUBLE',
+        |      'people_fully_vaccinated':'DOUBLE','total_vaccinations':'DOUBLE',
+        |      'population':'DOUBLE','new_tests':'DOUBLE'})
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY country ORDER BY "date" DESC) AS rn
+        |  FROM o)
+        |SELECT country, iso_code, strftime("date", '%Y-%m-%d') AS dt,
+        |  total_cases, total_deaths, population
+        |FROM r WHERE rn = 1 AND total_cases > 55000.0
+        |ORDER BY country""".stripMargin,
 
     "f_isin_exclude" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation

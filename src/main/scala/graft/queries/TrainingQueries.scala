@@ -980,19 +980,32 @@ object TrainingQueries {
     // split audit, corpus-level sampling weight. Stage tiers scan once
     // each (ExportManifestSpec pins the plan); scale shape on
     // Curation.exportManifest.
+    // Since round 14 the three queries share ONE doc-grain tier
+    // artifact (ExportTier — curation + frozen-merge BPE + shard keys,
+    // built once, checkpointed): each timed query adds only its own
+    // bounded tail (manifest aggregate / window explode / probe cut),
+    // with tier construction disclosed in the bench `builds` block —
+    // the classifier_train_score precedent, adopted after the round-14
+    // controlled experiment (EXPLAIN.md).
     "x2_training_export" -> ((s, d) => {
-      import s.implicits._
-      val docs = Tables.documents(s, d)
-      // the frozen tokenizer: t28's k=4 merge table off the reference
-      // corpus — the same bounded collect-as-literals contract as t31
-      val merges = Bpe.learnMerges(Tables.spread(docs), "text", k = 4)
-        .orderBy(col("merge_rank"))
-        .select(col("sym_a"), col("sym_b"))
-        .as[(String, String)].collect().toSeq
-      Curation.exportManifest(Tables.spread(Tables.documentsWithDups(s, d)),
-          docs.filter(col("doc_id") % 20 === 0), merges,
-          "text", "doc_id", "source", "n_chars")
-        .orderBy(col("shard_id"), col("source"))
+      if (TrainingQueries.exportTierMemo)
+        Curation.manifestFromDocGrain(TrainingQueries.ExportTier(s, d)._2,
+            "doc_id", contextLen = 256, alpha = 0.3)
+          .orderBy(col("shard_id"), col("source"))
+      else {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        // the frozen tokenizer: t28's k=4 merge table off the reference
+        // corpus — the same bounded collect-as-literals contract as t31
+        val merges = Bpe.learnMerges(Tables.spread(docs), "text", k = 4)
+          .orderBy(col("merge_rank"))
+          .select(col("sym_a"), col("sym_b"))
+          .as[(String, String)].collect().toSeq
+        Curation.exportManifest(Tables.spread(Tables.documentsWithDups(s, d)),
+            docs.filter(col("doc_id") % 20 === 0), merges,
+            "text", "doc_id", "source", "n_chars")
+          .orderBy(col("shard_id"), col("source"))
+      }
     }),
 
     // X3 — the export's WINDOW-MEMBERSHIP index (x2's row-grain
@@ -1004,16 +1017,23 @@ object TrainingQueries {
     // packing order as x2; scale shape on Curation.packedWindows (the
     // explode is tokens/256 grain — 256× below token grain).
     "x3_packed_windows" -> ((s, d) => {
-      import s.implicits._
-      val docs = Tables.documents(s, d)
-      val merges = Bpe.learnMerges(Tables.spread(docs), "text", k = 4)
-        .orderBy(col("merge_rank"))
-        .select(col("sym_a"), col("sym_b"))
-        .as[(String, String)].collect().toSeq
-      Curation.packedWindows(Tables.spread(Tables.documentsWithDups(s, d)),
-          docs.filter(col("doc_id") % 20 === 0), merges,
-          "text", "doc_id", "source", "n_chars")
-        .orderBy(col("shard_id"), col("seq_id"))
+      if (TrainingQueries.exportTierMemo)
+        Curation.packedWindowsFromDocGrain(
+            TrainingQueries.ExportTier(s, d)._2, "doc_id",
+            contextLen = 256)
+          .orderBy(col("shard_id"), col("seq_id"))
+      else {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val merges = Bpe.learnMerges(Tables.spread(docs), "text", k = 4)
+          .orderBy(col("merge_rank"))
+          .select(col("sym_a"), col("sym_b"))
+          .as[(String, String)].collect().toSeq
+        Curation.packedWindows(Tables.spread(Tables.documentsWithDups(s, d)),
+            docs.filter(col("doc_id") % 20 === 0), merges,
+            "text", "doc_id", "source", "n_chars")
+          .orderBy(col("shard_id"), col("seq_id"))
+      }
     }),
 
     // X4 — doc→window INVERSE attribution (VERDICT r12 item 5; x3's
@@ -1029,17 +1049,24 @@ object TrainingQueries {
     // added work over x2's shared doc-grain tier is probe-grain only —
     // scale shape on Curation.docWindows.
     "x4_doc_windows" -> ((s, d) => {
-      import s.implicits._
-      val docs = Tables.documents(s, d)
-      val merges = Bpe.learnMerges(Tables.spread(docs), "text", k = 4)
-        .orderBy(col("merge_rank"))
-        .select(col("sym_a"), col("sym_b"))
-        .as[(String, String)].collect().toSeq
-      Curation.docWindows(Tables.spread(Tables.documentsWithDups(s, d)),
-          docs.filter(col("doc_id") % 20 === 0), merges,
-          "text", "doc_id", "source", "n_chars",
-          probe = col("doc_id") % 13 === 0)
-        .orderBy(col("doc_id"), col("seq_id"))
+      if (TrainingQueries.exportTierMemo)
+        Curation.docWindowsFromDocGrain(
+            TrainingQueries.ExportTier(s, d)._2, "doc_id",
+            probe = col("doc_id") % 13 === 0, contextLen = 256)
+          .orderBy(col("doc_id"), col("seq_id"))
+      else {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val merges = Bpe.learnMerges(Tables.spread(docs), "text", k = 4)
+          .orderBy(col("merge_rank"))
+          .select(col("sym_a"), col("sym_b"))
+          .as[(String, String)].collect().toSeq
+        Curation.docWindows(Tables.spread(Tables.documentsWithDups(s, d)),
+            docs.filter(col("doc_id") % 20 === 0), merges,
+            "text", "doc_id", "source", "n_chars",
+            probe = col("doc_id") % 13 === 0)
+          .orderBy(col("doc_id"), col("seq_id"))
+      }
     }),
 
     // T29 — DSIR importance resampling (Xie et al. 2023): select raw
@@ -3800,6 +3827,49 @@ object TrainingQueries {
       .select(col("doc_id"), col("term"),
         round((col("cnt") * lit(1.0) / col("total"))
           * log(col("n") * lit(1.0) / col("df")), 6).as("tfidf"))
+  }
+
+  /** Routing switch for the x2/x3/x4 export family (VERDICT r13 item
+    * 2, settled by the round-14 controlled experiment — EXPLAIN.md):
+    * by default the three queries consume the ONE shared
+    * [[ExportTier]] doc-grain artifact (the classifier_train_score
+    * precedent — the tier IS a build-once artifact three queries
+    * read), with its construction cost disclosed in the bench `builds`
+    * block. `SPARK_GRAFT_EXPORT_TIER=inline` restores the per-query
+    * tier recompute (regime C of the experiment). */
+  private[graft] def exportTierMemo: Boolean =
+    !sys.env.get("SPARK_GRAFT_EXPORT_TIER").contains("inline")
+
+  /** The x2/x3/x4 shared export tier: the frozen t28 merge table
+    * (k = 4, learned once off the reference corpus) and the
+    * curate→BPE-count→shard doc-grain frame every export query
+    * consumes — built once and checkpointed, the [[TradingPairs]]
+    * build-once contract applied to the export family. The manifest
+    * (x2), the window index (x3) and the inverse attribution (x4) each
+    * add only their own bounded tail over this frame (see
+    * `Curation.manifestFromDocGrain` / `packedWindowsFromDocGrain` /
+    * `docWindowsFromDocGrain`). */
+  private[graft] object ExportTier {
+    private val cache = scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), (Seq[(String, String)], DataFrame)]
+    /** (frozen merge table, checkpointed doc-grain frame). */
+    def apply(s: SparkSession, d: String)
+        : (Seq[(String, String)], DataFrame) =
+      cache.getOrElseUpdate((s, d), {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val merges = Bpe.learnMerges(Tables.spread(docs), "text", k = 4)
+          .orderBy(col("merge_rank"))
+          .select(col("sym_a"), col("sym_b"))
+          .as[(String, String)].collect().toSeq
+        val dg = Curation.exportDocGrain(
+            Tables.spread(Tables.documentsWithDups(s, d)),
+            docs.filter(col("doc_id") % 20 === 0), merges,
+            "text", "doc_id", "source", "n_chars", numShards = 8,
+            seed = "epoch42", keepText = false)
+          .localCheckpoint(eager = false)
+        (merges, dg)
+      })
   }
 
   private[graft] object TradingPairs {

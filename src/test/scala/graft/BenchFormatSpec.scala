@@ -75,7 +75,8 @@ class BenchFormatSpec extends AnyFunSuite {
       medianQueries = Some((1 to 50).map(i => s"q$i" -> i * 0.1)),
       warmupS = Some(12.5), canaryS = Some(0.31),
       builds = Some(Seq("b1" -> 9.25)),
-      canaryRef = Some(0.292), canaryProbes = Some(Seq(0.41, 0.31)))
+      canaryRef = Some(0.292), canaryProbes = Some(Seq(0.41, 0.31)),
+      canarySeries = Some(Seq(0.3, 0.32, 0.9, 0.31)))
     def at(k: String) = { val i = line.indexOf(k); assert(i >= 0, k); i }
     // big maps first…
     assert(at("\"median_queries\"") < at("\"queries\""))
@@ -86,11 +87,15 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(at("\"warmup_s\"") < at("\"median_total\""))
     assert(at("\"median_total\"") < at("\"canary_ref\""))
     assert(at("\"canary_ref\"") < at("\"canary_probes\""))
-    assert(at("\"canary_probes\"") < at("\"canary_s\""))
+    // the mid-sweep series (VERDICT r13 item 1) rides the tail too,
+    // after the pre-run probes and before the final scalar
+    assert(at("\"canary_probes\"") < at("\"canary_series\""))
+    assert(at("\"canary_series\"") < at("\"canary_s\""))
     // canary_s is the very last field: a tail keep of even ~40 chars
     // retains the one number that lets a reader discount a host window
     assert(line.drop(at("\"canary_s\"")) == "\"canary_s\":0.31}")
     assert(line.contains("\"canary_probes\":[0.41,0.31]"))
+    assert(line.contains("\"canary_series\":[0.3,0.32,0.9,0.31]"))
     assert(line.count(_ == '{') == line.count(_ == '}'))
   }
 
@@ -109,22 +114,27 @@ class BenchFormatSpec extends AnyFunSuite {
   test("guardedCanary: clean first probe accepted with no retry") {
     var sleeps = 0
     val (c, ps) = Bench.guardedCanary(() => 0.30, ref = 0.292,
-      maxRatio = 1.2, maxRetries = 2, sleep = () => sleeps += 1)
+      maxRatio = 1.2, sleeps = Seq.fill(2)(() => sleeps += 1))
     assert(c == 0.30 && ps == Seq(0.30) && sleeps == 0)
   }
 
-  test("guardedCanary: degraded window retried, min probe accepted") {
+  test("guardedCanary: degraded window walks the backoff schedule in " +
+      "order, min probe accepted") {
     val probes = Iterator(0.95, 0.60, 0.31)
-    var sleeps = 0
+    val slept = scala.collection.mutable.ArrayBuffer[Int]()
     val (c, ps) = Bench.guardedCanary(() => probes.next(), ref = 0.292,
-      maxRatio = 1.2, maxRetries = 5, sleep = () => sleeps += 1)
-    assert(c == 0.31 && ps == Seq(0.95, 0.60, 0.31) && sleeps == 2)
+      maxRatio = 1.2,
+      sleeps = Seq(20, 120, 600, 600, 600).map(s => () => slept += s))
+    // clean probe on the third try: exactly the first two backoff
+    // steps were paid, in schedule order
+    assert(c == 0.31 && ps == Seq(0.95, 0.60, 0.31))
+    assert(slept.toSeq == Seq(20, 120))
   }
 
-  test("guardedCanary: never aborts — still-degraded run reports its min") {
+  test("guardedCanary: never aborts — schedule exhausted, min reported") {
     val probes = Iterator(0.95, 0.90, 0.99)
     val (c, ps) = Bench.guardedCanary(() => probes.next(), ref = 0.292,
-      maxRatio = 1.2, maxRetries = 2, sleep = () => ())
+      maxRatio = 1.2, sleeps = Seq.fill(2)(() => ()))
     assert(c == 0.90 && ps.size == 3)
   }
 

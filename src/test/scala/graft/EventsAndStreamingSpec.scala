@@ -1590,6 +1590,107 @@ class ExportIngestSpec extends SparkSpec {
       }
     }
   }
+
+  /** State partition dirs under `$exp/<name>`, by name. */
+  private def parts(exp: String, name: String): Seq[String] = {
+    val d = new java.io.File(s"$exp/$name")
+    if (!d.exists()) Seq.empty
+    else d.listFiles().filter(_.isDirectory).map(_.getName).toSeq.sorted
+  }
+
+  test("compactExportState: views, carryover offsets and docs order byte-identical; state reads O(snapshot + recent)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-exc").toString
+    val exp = s"$root/exp"
+    for ((b, i) <- Seq(b1, b2, b3).zipWithIndex)
+      StreamingOps.exportIngestBatch(df(b), i.toLong, s"$root/state", exp,
+        merges = Nil, contextLen = C, numShards = Shards)
+    def snap() = (
+      StreamingOps.exportManifestView(spark, exp, C)
+        .orderBy("shard_id", "source").collect().toSeq,
+      StreamingOps.exportWindowsView(spark, exp, C)
+        .orderBy("shard_id", "seq_id").collect().toSeq,
+      // the docs' training-read order: (batch partition, per-row __seg
+      // witness, key, id) — the sequence a sequential reader streams
+      writtenDocs(exp).join(
+          spark.read.parquet(s"$exp/docs").select(col("doc_id"),
+            col("__seg")), Seq("doc_id"))
+        .orderBy("batch_id", "__seg", "shard_id", "__key", "doc_id")
+        .drop("batch_id").collect().toSeq)
+    val before = snap()
+    // fold batches 0 and 1 into the snapshot partition (batch 2 live)
+    StreamingOps.compactExportState(spark, exp, snapshotBatchId = 1L)
+    assert(parts(exp, "counters") == Seq("batch_id=1", "batch_id=2"),
+      "counters must read O(snapshot + recent) partitions")
+    assert(parts(exp, "windows") == Seq("batch_id=1", "batch_id=2"))
+    assert(parts(exp, "docs") == Seq("batch_id=1", "batch_id=2"))
+    assert(snap() == before,
+      "compaction is pure layout — every consumer surface unchanged")
+    // a rerun (crash-after-rename recovery path) is a no-op fold of the
+    // single snapshot — still identical
+    StreamingOps.compactExportState(spark, exp, snapshotBatchId = 1L)
+    assert(snap() == before)
+    // the loop continues against compacted state: batch 3's carryover
+    // offsets (batch_id < 3 sums) are unchanged by the fold, so its
+    // contributions equal an uncompacted run's
+    val b4 = Seq(doc(30L, "done", "web"), doc(31L, "dtwo", "book"))
+    StreamingOps.exportIngestBatch(df(b4), 3L, s"$root/state", exp,
+      merges = Nil, contextLen = C, numShards = Shards)
+    val rootU = java.nio.file.Files.createTempDirectory("graft-exu")
+      .toString
+    val expU = s"$rootU/exp"
+    for ((b, i) <- Seq(b1, b2, b3, b4).zipWithIndex)
+      StreamingOps.exportIngestBatch(df(b), i.toLong, s"$rootU/state",
+        expU, merges = Nil, contextLen = C, numShards = Shards)
+    assert(StreamingOps.exportManifestView(spark, exp, C)
+      .orderBy("shard_id", "source").collect().toSeq ==
+      StreamingOps.exportManifestView(spark, expU, C)
+        .orderBy("shard_id", "source").collect().toSeq)
+    assert(StreamingOps.exportWindowsView(spark, exp, C)
+      .orderBy("shard_id", "seq_id").collect().toSeq ==
+      StreamingOps.exportWindowsView(spark, expU, C)
+        .orderBy("shard_id", "seq_id").collect().toSeq)
+    // replay idempotence still holds post-compaction: batch 3 again
+    val after = snap()
+    StreamingOps.exportIngestBatch(df(b4), 3L, s"$root/state", exp,
+      merges = Nil, contextLen = C, numShards = Shards)
+    assert(snap() == after)
+  }
+
+  test("export views are empty (not an exception) before the first batch lands") {
+    val root = java.nio.file.Files.createTempDirectory("graft-exe").toString
+    val exp = s"$root/exp"
+    assert(StreamingOps.exportManifestView(spark, exp, C).count() == 0L)
+    assert(StreamingOps.exportWindowsView(spark, exp, C).count() == 0L)
+    assert(StreamingOps.exportMeta(spark, exp).isEmpty)
+  }
+
+  test("persisted packing metadata rejects a drifted contextLen/numShards/seed") {
+    val root = java.nio.file.Files.createTempDirectory("graft-exm").toString
+    val exp = s"$root/exp"
+    StreamingOps.exportIngestBatch(df(b1), 0L, s"$root/state", exp,
+      merges = Nil, contextLen = C, numShards = Shards)
+    assert(StreamingOps.exportMeta(spark, exp)
+      .contains((C, Shards, "epoch42")))
+    // views at the stored contextLen work; a drifted one is refused
+    // (it would silently report wrong n_sequences/pad_tokens/n_pad)
+    StreamingOps.exportManifestView(spark, exp, C).collect()
+    intercept[IllegalArgumentException] {
+      StreamingOps.exportManifestView(spark, exp, contextLen = 2 * C)
+    }
+    intercept[IllegalArgumentException] {
+      StreamingOps.exportWindowsView(spark, exp, contextLen = 2 * C)
+    }
+    // a later batch with drifted packing facts is refused too
+    intercept[IllegalArgumentException] {
+      StreamingOps.exportIngestBatch(df(b2), 1L, s"$root/state", exp,
+        merges = Nil, contextLen = 2 * C, numShards = Shards)
+    }
+    intercept[IllegalArgumentException] {
+      StreamingOps.exportIngestBatch(df(b2), 1L, s"$root/state", exp,
+        merges = Nil, contextLen = C, numShards = Shards,
+        seed = "epoch43")
+    }
+  }
 }
 
 class ClassifierStreamSpec extends SparkSpec {
