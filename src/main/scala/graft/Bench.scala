@@ -198,6 +198,15 @@ object Bench {
       // events.ts is parquet TIMESTAMP(NANOS) — see Verify.scala
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // Whole-stage-codegen class cache (r14 opt round, guide §1.2 step
+      // 3): the default 100-entry cache cannot hold a 243-query board's
+      // ~10³ codegen units, so the timed pass re-ran janino on plans
+      // the warm-up pass had ALREADY compiled — the warm-up exists
+      // precisely to absorb compilation (steady-state contract above).
+      // Sized to the board, not to the data — scale-independent, same
+      // value a production fleet running this workload would use.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Steady-state measurement: one untimed warm-up pass over every query

@@ -303,26 +303,87 @@ object Summaries {
     ranked.groupBy(gs: _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** [[sortedPercentiles]] attached PER ROW without a join — for
+    * consumers that need the group's percentile next to every row (clip
+    * bounds, deviation-from-median). The join form costs a SECOND scan
+    * of the input plus a broadcast join per percentile pass; at 100 TB
+    * that second scan is a full table read whose only purpose is to
+    * re-attach a value the first pass already had in hand (r14
+    * optimization round, guide §2.4: two operations keyed the same way
+    * share one exchange). This form computes the identical rank
+    * arithmetic as window aggregates over the SAME single hash exchange
+    * + in-group sort the ranking pass needs anyway: rank and non-null
+    * count as ordered-window columns, then each requested rank's
+    * lower/upper/frac selectors as unbounded-frame window aggregates
+    * (no new exchange, no new sort, no second scan).
+    *
+    * Bit-compatibility: the expressions are copied from
+    * [[sortedPercentiles]] verbatim (same (n−1)·p rank, same
+    * interpolation order, same frac==0/ties short-circuit), so a call
+    * site swapping the join form for this one cannot change an oracled
+    * output (asserted value-for-value in WindowOpsSpec). Null handling:
+    * nulls sort LAST and `__n` counts only non-null values, so selector
+    * ranks (≤ n−1) never land on a null row — equivalent to the
+    * filtered ranking the group-grain form runs. Groups whose values
+    * are all null get null percentiles (the join form's left-join
+    * convention at x16 — rows survive, bounds are null).
+    *
+    * Returns every input row (original columns) plus `ps.map(_._1)`. */
+  def attachPercentiles(df: DataFrame, groupCols: Seq[String],
+      valCol: Column, ps: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gs = groupCols.map(col)
+    val w = Window.partitionBy(gs: _*)
+      .orderBy(valCol.cast("double").asc_nulls_last)
+    val wg = Window.partitionBy(gs: _*)
+    val ranked = df
+      .withColumn("__x", valCol.cast("double"))
+      .withColumn("__rn", (row_number().over(w) - 1).cast("double"))
+      .withColumn("__n", count(valCol).over(wg).cast("double"))
+    val attached = ps.foldLeft(ranked) { case (acc, (name, p)) =>
+      val k = (col("__n") - 1) * lit(p)
+      val lo = floor(k)
+      val lower = max(when(col("__rn") === lo, col("__x"))).over(wg)
+      val upper = max(when(col("__rn") ===
+        least(lo + 1, col("__n") - 1), col("__x"))).over(wg)
+      val frac = max(when(col("__rn") === lo, k - lo)).over(wg)
+      acc.withColumn(name,
+        when(frac === 0 || lower === upper, lower)
+          .otherwise((lit(1) - frac) * lower + frac * upper))
+    }
+    attached.drop("__x", "__rn", "__n")
+  }
+
   /** Robust (median/MAD) outlier profile per group — the
     * Iglewicz–Hoaglin modified z-score |0.6745·(x−med)/MAD| > zCut,
     * the scale- and offset-free outlier rule for heavy-tailed metrics
-    * (W11's fixed-threshold cousin that needs no tuned cutoff). Two
-    * grouped exact-percentile passes (median, then MAD over |x−med|
-    * after the medians broadcast back) and one map pass for the flag —
-    * the data never sorts globally. A MAD of 0 (over half the group
-    * identical) yields NULL z-scores: those rows are not flagged. */
+    * (W11's fixed-threshold cousin that needs no tuned cutoff). ONE
+    * hash exchange on the group key carries everything: median and MAD
+    * are attached per row as window aggregates ([[attachPercentiles]] —
+    * the MAD pass re-sorts the same partitions by |x−med|, no second
+    * exchange, no re-scan) and the flag profile reuses the partitioning
+    * — the data never sorts globally and the input is scanned ONCE. A
+    * MAD of 0 (over half the group identical) yields NULL z-scores:
+    * those rows are not flagged. */
   def robustOutliers(df: DataFrame, groupCol: String, valCol: String,
       zCut: Double = 3.5): DataFrame = {
-    val med = sortedPercentiles(df, Seq(groupCol), col(valCol),
+    // Fused single-exchange form (r14 optimization round): the old
+    // shape ran sortedPercentiles TWICE (median, then MAD) with a
+    // broadcast join back onto a fresh scan after each — four scans of
+    // the input and four hash exchanges for one profile. Both
+    // percentile passes and the final profile aggregate are keyed by
+    // the SAME group column, so everything rides ONE exchange (guide
+    // §2.4): attachPercentiles puts the median next to every row off
+    // the first in-group sort, the MAD re-sorts the same partitions by
+    // |x−med| (a sort, not an exchange), and the final groupBy reuses
+    // the partitioning. Values are bit-identical (attachPercentiles
+    // replays sortedPercentiles' rank arithmetic; WindowOpsSpec pins
+    // both the fixture and the old-vs-new equality); all-null groups
+    // keep null med/mad and zero flags exactly as the left joins did.
+    val withMed = attachPercentiles(df, Seq(groupCol), col(valCol),
       Seq("med" -> 0.5))
-    // LEFT joins: sortedPercentiles drops groups whose metric is all
-    // null, but such a group must still appear in the profile (n set,
-    // null med/mad, zero flags) — the same shape the builtin-percentile
-    // form produced
-    val withMed = df.join(broadcast(med), Seq(groupCol), "left")
-    val mad = sortedPercentiles(withMed, Seq(groupCol),
-      abs(col(valCol) - col("med")), Seq("mad" -> 0.5))
-    withMed.join(broadcast(mad), Seq(groupCol), "left")
+    attachPercentiles(withMed, Seq(groupCol),
+        abs(col(valCol) - col("med")), Seq("mad" -> 0.5))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
         count(when(

@@ -190,17 +190,20 @@ object ParityQueries {
 
     // X14 — per-group winsorization (percentile clip): the robust-
     // statistics outlier treatment a feature pipeline applies before
-    // aggregation. Percentile bounds per group broadcast back (bounded
-    // side), the clip is a map pass, and the winsorized sum uses the
-    // decimal-exact policy. `percentile` and DuckDB `quantile_cont`
-    // share the (n-1)·p interpolation in double (proven by w20), so the
-    // clip bounds — and therefore boundary comparisons — are identical.
+    // aggregation. The clip bounds ride the SAME single hash exchange
+    // as the final aggregate (Summaries.attachPercentiles — window-agg
+    // form of the sortedPercentiles rank arithmetic; r14 opt round: the
+    // old bounds-pass + broadcast-join-back shape scanned lineitem
+    // TWICE and paid 3 exchanges where one suffices, guide §2.4), the
+    // clip is a map pass, and the winsorized sum uses the decimal-exact
+    // policy. `percentile` and DuckDB `quantile_cont` share the (n-1)·p
+    // interpolation in double (proven by w20), so the clip bounds — and
+    // therefore boundary comparisons — are identical.
     "x14_winsorize" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_extendedprice").as("x"))
-      val pct = Summaries.sortedPercentiles(li, Seq("l_returnflag"),
-        col("x"), Seq("p05" -> 0.05, "p95" -> 0.95))
-      li.join(broadcast(pct), Seq("l_returnflag"))
+      Summaries.attachPercentiles(li, Seq("l_returnflag"),
+          col("x"), Seq("p05" -> 0.05, "p95" -> 0.95))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           count(when(col("x") < col("p05"), 1)).as("n_clipped_low"),
@@ -217,11 +220,13 @@ object ParityQueries {
     // offset-free outlier treatment for heavy-tailed metrics
     // (Iglewicz–Hoaglin modified z-score 0.6745·(x−med)/MAD, flag
     // |z| > 3.5 — W11's fixed-threshold cousin that needs no tuned
-    // cutoff). Two grouped percentile passes (median, then MAD over
-    // |x−med| after the medians broadcast back) and one map pass for
-    // the flag — the data never sorts globally. `percentile` ≡
-    // `quantile_cont` (proven by w20), so med/MAD — and every
-    // comparison against them — are engine-identical doubles.
+    // cutoff). ONE exchange, ONE scan (r14 opt round): median and MAD
+    // attach per row as window aggregates over the same group
+    // partitioning (Summaries.robustOutliers — the MAD pass is a
+    // re-sort of the same partitions, not a new exchange) and the flag
+    // profile reuses the partitioning; the data never sorts globally.
+    // `percentile` ≡ `quantile_cont` (proven by w20), so med/MAD — and
+    // every comparison against them — are engine-identical doubles.
     "x16_robust_outliers" -> ((s, d) => {
       Summaries.robustOutliers(
           Tables.lineitem(s, d)

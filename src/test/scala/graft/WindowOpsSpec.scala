@@ -202,6 +202,39 @@ class AsOfJoinSpec extends SparkSpec {
       .toDF("g", "x"), "g", "x")
   }
 
+  test("attachPercentiles equals the sortedPercentiles join form bit-for-bit") {
+    // the r14 fused (window-aggregate) form must reproduce the
+    // group-grain join form EXACTLY — same doubles, not approximately —
+    // so the x14/x16 call-site swaps cannot change an oracled output.
+    // Probed on real data plus a synthetic with ties, odd counts, a
+    // null metric value and an ALL-NULL group (the join form's
+    // left-join convention: rows survive with null bounds).
+    val ps = Seq("p05" -> 0.05, "p37" -> 0.37, "p50" -> 0.5, "p95" -> 0.95)
+    def check(df: org.apache.spark.sql.DataFrame, g: String, v: String): Unit = {
+      val joined = df.join(
+          org.apache.spark.sql.functions.broadcast(
+            Summaries.sortedPercentiles(df, Seq(g), col(v), ps)),
+          Seq(g), "left")
+        .groupBy(col(g))
+        .agg(count(lit(1)).as("n"),
+          ps.map { case (n, _) => max(col(n)).as(n) }: _*)
+        .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      val fused = Summaries.attachPercentiles(df, Seq(g), col(v), ps)
+        .groupBy(col(g))
+        .agg(count(lit(1)).as("n"),
+          ps.map { case (n, _) => max(col(n)).as(n) }: _*)
+        .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      assert(fused == joined, s"$fused vs $joined")
+    }
+    check(graft.sources.Tables.lineitem(spark, sf0001),
+      "l_returnflag", "l_extendedprice")
+    check((Seq(("t", Some(1.5)), ("t", Some(1.5)), ("t", Some(2.25)),
+      ("t", Option.empty[Double]), ("t", Some(7.125)), ("u", Some(3.0)),
+      ("z", Option.empty[Double]), ("z", Option.empty[Double])) ++
+      (1 to 7).map(i => ("v", Some(i / 7.0))))
+      .toDF("g", "x"), "g", "x")
+  }
+
   test("globalRowNumber equals the naive global window on shuffled input") {
     val rnd = new scala.util.Random(7)
     val rows = rnd.shuffle((1L to 257L).toList).map(k => (k, rnd.nextInt(50)))
